@@ -1,13 +1,368 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Collect, Hierarchy, Normalize, Reconcile, Sessionize}
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  *
+  * Every query here is written for *cross-engine determinism* against
+  * the DuckDB oracle:
+  *   - money/quantity sums go through exact DECIMAL arithmetic and are
+  *     cast to DOUBLE at the end (double-sum order-dependence would
+  *     flake the hash compare);
+  *   - time math is exact integer microseconds (`unix_micros` /
+  *     `epoch_us`), never float epochs;
+  *   - collected sets are sorted and joined to strings;
+  *   - computed integers are BIGINT on both sides.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal. */
+  private def discPrice(price: Column, disc: Column): Column =
+    price.cast(DecimalType(18, 2)) * (lit(1) - disc.cast(DecimalType(8, 4)))
+
+  /** Event-time column → exact integer microseconds since epoch.
+    * The events table carries TIMESTAMP(NANOS) parquet, which Spark
+    * only reads as long nanos (`spark.sql.legacy.parquet.nanosAsLong`);
+    * handle both that and a plain timestamp read. Truncating division
+    * matches DuckDB's ns→us truncation.
+    */
+  private def eventUs(df: DataFrame, name: String): Column = {
+    import org.apache.spark.sql.types.LongType
+    if (df.schema(name).dataType == LongType) expr(s"$name div 1000")
+    else unix_micros(col(name).cast("timestamp"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_hierarchy_rollup")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core relational (reference-derived) ---
+    "q_agg_pricing" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "q_clean_cast" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_name").isNotNull && col("c_mktsegment").isNotNull)
+        .select(
+          col("c_custkey"),
+          Normalize.normEmail(col("c_mktsegment")).as("seg_norm"),
+          Normalize.floorLong(col("c_acctbal")).as("bal_floor"),
+          Normalize.floorLong(col("c_acctbal")).cast("string").as("bal_str"))
+    },
+
+    "q_dedup_exact" -> { (s, dir) =>
+      Collect
+        .keepFirst(t(s, dir, "orders"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"))
+        .select(
+          col("o_custkey"),
+          col("_first.o_orderkey").as("first_orderkey"),
+          col("n").as("n_orders"))
+    },
+
+    "q_merge_indicator" -> { (s, dir) =>
+      Reconcile.indicatorCounts(
+        t(s, dir, "customer"),
+        t(s, dir, "orders").select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"))
+    },
+
+    "q_anti_join" -> { (s, dir) =>
+      Reconcile
+        .antiJoin(t(s, dir, "customer"), t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    "q_semi_join" -> { (s, dir) =>
+      Reconcile
+        .semiJoin(t(s, dir, "customer"), t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+    },
+
+    "q_group_collect" -> { (s, dir) =>
+      Collect
+        .groupCollect(t(s, dir, "customer"), col("c_nationkey"), col("c_mktsegment"))
+        .withColumnRenamed("collected", "segs")
+        .withColumnRenamed("n", "n_cust")
+    },
+
+    "q_union_stack" -> { (s, dir) =>
+      val regions = t(s, dir, "region").select(
+        col("r_name").as("hierarchy_name"),
+        concat(lower(col("r_name")), lit("@corp.com")).as("email"),
+        lit("Region").as("level_name"))
+      val districts = t(s, dir, "nation").select(
+        col("n_name").as("hierarchy_name"),
+        concat(lower(col("n_name")), lit("@corp.com")).as("email"),
+        lit("District").as("level_name"))
+      Collect.stackDistinct(regions, districts)
+    },
+
+    "q_cross_join" -> { (s, dir) =>
+      // equity-manager fan-out: every manager × every region
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+        .crossJoin(broadcast(t(s, dir, "region").select(col("r_regionkey"), col("r_name"))))
+    },
+
+    "q_hierarchy_groups" -> { (s, dir) =>
+      val alignments = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"))
+      Hierarchy.buildGroups(alignments, "r_name", "n_name", "Region", "District")
+    },
+
+    "q_hierarchy_rollup" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    },
+
+    "q_string_norm_join" -> { (s, dir) =>
+      val file = t(s, dir, "customer").select(
+        concat(upper(col("c_name")), lit("@CORP.COM ")).as("raw_email"),
+        col("c_mktsegment").as("seg"))
+      val api = t(s, dir, "customer").select(
+        concat(lower(col("c_name")), lit("@corp.com")).as("api_email"))
+      file
+        .join(api, Normalize.normEmail(col("raw_email")) === col("api_email"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_matched"))
+    },
+
+    "q_split_extract" -> { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        split(col("p_brand"), "#").getItem(1).cast("long").as("brand_id"),
+        Normalize.nameTail(col("p_name")).as("name_tail"),
+        Normalize.prefixBefore(col("p_name"), " ").as("first_word"))
+    },
+
+    "q_validation_counts" -> { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val r = broadcast(t(s, dir, "region"))
+      r.join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("r_name"))
+        .agg(
+          countDistinct(col("n_nationkey")).as("n_nations"),
+          countDistinct(col("c_nationkey")).as("n_active"))
+        .withColumn("ok", col("n_nations") === col("n_active"))
+    },
+
+    "q_window_topk" -> { (s, dir) =>
+      Collect
+        .topKPerKey(t(s, dir, "orders"), col("o_custkey"), 3,
+          col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+    },
+
+    "q_pivot_wide" -> { (s, dir) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .select(col("user_id") +: types.map(ty => col(ty).as(s"n_$ty")): _*)
+    },
+
+    "q_events_window" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      ev
+        .withColumn("bucket_s", (eventUs(ev, "ts") / 3600000000L).cast("long") * 3600)
+        .groupBy(col("bucket_s"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("v"))
+    },
+
+    "q_sessionize" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      Sessionize
+        .sessions(ev, col("user_id"), eventUs(ev, "ts"), col("event_id"),
+          gapUs = 30L * 60 * 1000000)
+        .withColumnRenamed("key", "user_id")
+    }
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_clean_cast" ->
+      """SELECT c_custkey,
+        | lower(trim(c_mktsegment)) AS seg_norm,
+        | CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+        | CAST(CAST(FLOOR(c_acctbal) AS BIGINT) AS VARCHAR) AS bal_str
+        |FROM customer
+        |WHERE c_name IS NOT NULL AND c_mktsegment IS NOT NULL""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey, n_orders FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        | FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q_merge_indicator" ->
+      """SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 'both'
+        |            WHEN c.c_custkey IS NOT NULL THEN 'left_only'
+        |            ELSE 'right_only' END AS merge_status,
+        |       count(*) AS n
+        |FROM customer c
+        |FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_group_collect" ->
+      """SELECT c_nationkey,
+        | array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
+        | count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q_union_stack" ->
+      """SELECT DISTINCT * FROM (
+        | SELECT r_name AS hierarchy_name, lower(r_name) || '@corp.com' AS email, 'Region' AS level_name FROM region
+        | UNION ALL
+        | SELECT n_name, lower(n_name) || '@corp.com', 'District' FROM nation)""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT s_suppkey, s_name, r_regionkey, r_name FROM supplier CROSS JOIN region""".stripMargin,
+
+    "q_hierarchy_groups" ->
+      """SELECT r_name AS group_name, 'Region' AS level_name, CAST(NULL AS VARCHAR) AS parent_name
+        |FROM (SELECT DISTINCT r_name FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |UNION ALL
+        |SELECT DISTINCT n_name, 'District', r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q_hierarchy_rollup" ->
+      """SELECT r_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_string_norm_join" ->
+      """SELECT f.seg, count(*) AS n_matched FROM
+        | (SELECT upper(c_name) || '@CORP.COM ' AS raw_email, c_mktsegment AS seg FROM customer) f
+        |JOIN (SELECT lower(c_name) || '@corp.com' AS api_email FROM customer) a
+        |  ON lower(trim(f.raw_email)) = a.api_email
+        |GROUP BY f.seg""".stripMargin,
+
+    "q_split_extract" ->
+      """SELECT p_partkey,
+        | CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_id,
+        | CASE WHEN contains(p_name, '/') THEN regexp_extract(p_name, '([^/]*)$', 1)
+        |      ELSE regexp_replace(p_name, '^\S+\s*', '') END AS name_tail,
+        | split_part(p_name, ' ', 1) AS first_word
+        |FROM part""".stripMargin,
+
+    "q_validation_counts" ->
+      """SELECT r_name,
+        | count(DISTINCT n_nationkey) AS n_nations,
+        | count(DISTINCT c_nationkey) AS n_active,
+        | count(DISTINCT n_nationkey) = count(DISTINCT c_nationkey) AS ok
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q_pivot_wide" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+        | count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        | count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+        | count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
+        | count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM (
+        | SELECT user_id, ts_us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess
+        |  FROM events))
+        |GROUP BY user_id, sess_id""".stripMargin
+  )
 }
