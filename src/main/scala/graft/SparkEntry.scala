@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
+import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
 import graft.ops.{Collect, Hierarchy, Normalize, Reconcile, Sessionize}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
@@ -42,6 +43,32 @@ object SparkEntry {
     import org.apache.spark.sql.types.LongType
     if (df.schema(name).dataType == LongType) expr(s"$name div 1000")
     else unix_micros(col(name).cast("timestamp"))
+  }
+
+  /** Documents plus deterministically perturbed copies (id + 1e6,
+    * suffix appended) — plants near-duplicates so the near-dup
+    * operators have guaranteed positives to find at any SF.
+    */
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dups = d
+      .filter(col("doc_id") % 50 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix")).as("text"))
+    d.unionByName(dups)
+  }
+
+  /** Embeddings plus scaled copies (same direction ⇒ cosine 1). */
+  private def embWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dups = e
+      .filter(col("vec_id") % 50 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => (x.cast("double") * 1.001).cast("float"))
+          .as("embedding"))
+    e.unionByName(dups)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -221,6 +248,70 @@ object SparkEntry {
         .sessions(ev, col("user_id"), eventUs(ev, "ts"), col("event_id"),
           gapUs = 30L * 60 * 1000000)
         .withColumnRenamed("key", "user_id")
+    },
+
+    // --- L: deduplication (documents) ---
+    "dd_exact_hash" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
+    "dd_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLsh(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
+    },
+
+    "dd_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+        maxHamming = 6)
+    },
+
+    "dd_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccard(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
+    },
+
+    "dd_embed_cosine" -> { (s, dir) =>
+      Ann.cosineNearDupPairs(embWithPlantedDups(s, dir), col("vec_id"),
+        col("embedding"), minCos = 0.98)
+    },
+
+    // --- A: similarity search (embeddings) ---
+    "ann_brute_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Ann.bruteTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10)
+    },
+
+    "ann_lsh_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Ann.lshTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10)
+    },
+
+    // --- T: text analysis (documents) ---
+    "txt_tokens" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
+    "txt_quality" -> { (s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
+    "txt_langid" -> { (s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
+    "txt_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
+    // --- M: multimodal plumbing (documents as fake media) ---
+    "mm_meta" -> { (s, dir) =>
+      Multimodal
+        .attachPayload(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_bytes"), col("modality"))
     }
   )
 
@@ -363,6 +454,42 @@ object SparkEntry {
         |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
         |        THEN 1 ELSE 0 END AS new_sess
         |  FROM events))
-        |GROUP BY user_id, sess_id""".stripMargin
+        |GROUP BY user_id, sess_id""".stripMargin,
+
+    "dd_exact_hash" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "txt_tokens" ->
+      """SELECT doc_id,
+        | CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+
+    "txt_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | punct_ratio, digit_ratio, stop_ratio, mean_word_len,
+        | stop_ratio * 0.4
+        |   + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 0.3 ELSE 0.0 END)
+        |   + (CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END)
+        |   + (CASE WHEN digit_ratio <= 0.2 THEN 0.1 ELSE 0.0 END) AS quality
+        |FROM (
+        | SELECT doc_id, text,
+        |  CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        |  CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+        |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+        |  CAST(length(text) AS DOUBLE)
+        |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_word_len
+        | FROM documents)""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CASE CAST(doc_id % 3 AS BIGINT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS modality
+        |FROM documents""".stripMargin
   )
 }

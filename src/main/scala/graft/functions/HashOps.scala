@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic hashing kernels used by the fingerprint / dedup /
+  * similarity Expressions. Plain static-forwarder methods so Janino-
+  * generated code can call them directly (`graft.functions.HashOps.x`)
+  * from inside WholeStageCodegen — one static call per row, loop body
+  * JIT-compiled.
+  *
+  * All constants are public-domain standards: FNV-1a 64-bit offset
+  * basis/prime, SplitMix64 from Steele et al. "Fast Splittable
+  * Pseudorandom Number Generators" (OOPSLA 2014).
+  */
+object HashOps {
+
+  final val FnvOffset: Long = 0xcbf29ce484222325L
+  final val FnvPrime: Long = 0x100000001b3L
+
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit SimHash over whitespace-separated tokens: each token's
+    * FNV-1a hash votes ±1 per bit; the sign of each vote total forms
+    * the signature (Charikar, STOC 2002).
+    */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        val h = fnv1a64(bytes, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r'
+
+  /** Winnowing-style fingerprint: minimum Rabin-Karp rolling hash
+    * over all `window`-byte substrings (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003). Documents sharing any window hash collide on min
+    * with high probability for near-identical prefixes/suffixes.
+    */
+  def rollingMin(s: UTF8String, window: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val w = math.min(window, n)
+    val base = 257L
+    // base^(w-1) for the remove-leading-byte step
+    var pow = 1L
+    var i = 0
+    while (i < w - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * base + (bytes(i) & 0xffL); i += 1 }
+    var minH = splitmix64(h)
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xffL) * pow) * base + (bytes(i) & 0xffL)
+      val m = splitmix64(h)
+      if (m < minH) minH = m
+      i += 1
+    }
+    minH
+  }
+
+  /** MinHash signature over `k`-byte character shingles with `perms`
+    * xor-permutations seeded by SplitMix64 (Broder, SEQUENCES 1997).
+    * One pass over shingles, O(n·perms).
+    */
+  def minhashSig(s: UTF8String, k: Int, perms: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val seeds = new Array[Long](perms)
+    var p = 0
+    while (p < perms) { seeds(p) = splitmix64(0x5eed0000L + p); p += 1 }
+    if (n < k) {
+      val h = fnv1a64(bytes, 0, n)
+      p = 0
+      while (p < perms) { sig(p) = splitmix64(h ^ seeds(p)); p += 1 }
+    } else {
+      var i = 0
+      while (i <= n - k) {
+        val h = fnv1a64(bytes, i, i + k)
+        p = 0
+        while (p < perms) {
+          val v = splitmix64(h ^ seeds(p))
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Cosine similarity of two float vectors (0.0 when either norm is
+    * 0). Fixed left-to-right accumulation order → bit-deterministic.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

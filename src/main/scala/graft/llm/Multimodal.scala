@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2 M): media as opaque
+  * `binary` payloads plus typed metadata, routed by modality.
+  *
+  * The actual codec step is STUBBED — this container has no image/
+  * audio libraries — with a deterministic fake "decode" so the
+  * Spark-side plumbing (schema, partition-preserving mapPartitions
+  * batch shape, modality routing) is real and testable. A production
+  * deployment replaces [[fakeDecode]] with a JNI/FFI codec; nothing
+  * else changes.
+  */
+object Multimodal {
+
+  /** A decoded-media feature row: the schema a real decoder would
+    * emit (dimensions for images, sample counts for audio, frames for
+    * video).
+    */
+  case class MediaFeatures(
+      doc_id: Long,
+      modality: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Attach an opaque binary payload + modality metadata to a
+    * documents frame. Payload here is the UTF-8 encoding of the text
+    * (deterministic stand-in for real media bytes).
+    */
+  def attachPayload(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      text.cast("binary").as("payload"),
+      when(id % 3 === 0, "image")
+        .when(id % 3 === 1, "audio")
+        .otherwise("video").as("modality"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+
+  /** STUB decode: deterministic fake dimensions derived from FNV of
+    * the payload. Replaces a real codec; keeps the per-partition
+    * batch shape (iterator-in/iterator-out, no per-row JVM↔native
+    * crossings in the real version either).
+    */
+  def fakeDecode(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("modality"), col("n_bytes"), col("payload"))
+      .as[(Long, String, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, modality, nBytes, payload) =>
+          val h = graft.functions.HashOps.fnv1a64(payload, 0, payload.length)
+          // deterministic fake dims — a real codec reads the header
+          val w = (math.abs(h % 1024) + 1).toInt
+          val ht = (math.abs((h >>> 16) % 1024) + 1).toInt
+          val frames = if (modality == "video") (math.abs((h >>> 32) % 300) + 1).toInt else 1
+          MediaFeatures(docId, modality, nBytes, w, ht, frames)
+        }
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+
+/** Text analysis for training-data curation (SURVEY.md §2 T):
+  * token counting, quality scoring, heuristic language ID, document
+  * fingerprinting. All built from codegen'd built-ins (regex ops) or
+  * custom codegen Expressions — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count + a BPE-ish segmentation count (letter
+    * runs / digit runs / single punctuation marks — the pre-tokenizer
+    * split GPT-style BPE vocabularies assume).
+    */
+  def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(split(trim(text), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"))
+
+  private val StopWords = "the|a|an|and|or|of|to|in|is|it"
+
+  /** Quality signals: length, punctuation / digit / uppercase /
+    * stopword ratios, mean word length, composite score. Ratios are
+    * DOUBLE with fixed evaluation order for oracle parity.
+    */
+  def qualityScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val len = length(text).cast("double")
+    val nPunct = size(regexp_extract_all(text, lit("[.!?,;:]"), lit(0))).cast("double")
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
+    val nStop = size(regexp_extract_all(lower(text), lit(s"\\b($StopWords)\\b"), lit(0)))
+      .cast("double")
+    val nTok = size(split(trim(text), "\\s+")).cast("double")
+    df.select(
+      id.as("doc_id"),
+      len.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      (nPunct / len).as("punct_ratio"),
+      (nDigit / len).as("digit_ratio"),
+      (nStop / nTok).as("stop_ratio"),
+      (len / nTok).as("mean_word_len"))
+      .withColumn("quality",
+        col("stop_ratio") * 0.4
+          + when(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0, 0.3).otherwise(0.0)
+          + when(col("punct_ratio") <= 0.1, 0.2).otherwise(0.0)
+          + when(col("digit_ratio") <= 0.2, 0.1).otherwise(0.0))
+  }
+
+  /** Stopword-vote language ID over a fixed marker-word table.
+    * Returns argmax language or "und"; deterministic ties broken by
+    * language order. A real pipeline swaps in fastText — the operator
+    * shape (per-row scoring, no shuffle) is identical.
+    */
+  def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val markers = Seq(
+      "en" -> "the|and|of|to|in|is|that|for|with|as",
+      "es" -> "el|la|de|que|y|en|un|por|con|los",
+      "fr" -> "le|la|de|et|un|les|des|du|que|pour",
+      "de" -> "der|die|und|das|von|zu|mit|den|ein|ist")
+    val lowered = lower(text)
+    val scores = markers.map { case (lang, words) =>
+      lang -> size(regexp_extract_all(lowered, lit(s"\\b($words)\\b"), lit(0)))
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    df.select(
+      id.as("doc_id"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+        .as("pred_lang"),
+      best.getField("score").cast("long").as("marker_hits"))
+  }
+
+  /** Winnowing fingerprint (codegen Expression): one long per doc —
+    * equal fingerprints ⇒ near-identical content with high prob.
+    */
+  def fingerprint(df: DataFrame, id: Column, text: Column, window: Int = 16): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      F.rollingFingerprint(text, window).as("fp"),
+      F.simhash64(text).as("simhash"))
+}

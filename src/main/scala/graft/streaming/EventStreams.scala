@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (SURVEY.md §2 Streaming): the same windowed aggregation as
+  * `q_events_window` and the same gap-sessionization as
+  * `q_sessionize`, expressed over an unbounded source.
+  *
+  * Scale notes: the watermark bounds state (late data beyond it is
+  * dropped); session state lives per key in the state store and is
+  * closed either by an in-stream gap or by timeout — no unbounded
+  * growth.
+  */
+object EventStreams {
+
+  case class Event(
+      event_id: Long,
+      ts_us: Long,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  case class SessionOut(
+      user_id: Long,
+      start_us: Long,
+      end_us: Long,
+      n_events: Long)
+
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Watermarked sliding-window aggregation: count + sum(value) per
+    * (window, event_type). Works on a streaming or batch frame with a
+    * timestamp `ts` column.
+    */
+  def windowedAgg(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when the next event arrives more than `gapUs` after the
+    * last, or — when `timeoutMs > 0` — when the processing-time
+    * timeout fires with no new events (the production setting; keeps
+    * state bounded for keys that go quiet). `timeoutMs = 0` uses
+    * NoTimeout: sessions close only via in-stream gaps, which is
+    * fully deterministic for replay/testing.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapUs: Long,
+      timeoutMs: Long = 60000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => SessionOut(userId, s.startUs, s.lastUs, s.n)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var cur = state.getOption
+            val closed = List.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, e.ts_us, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.HashOps
+
+class HashOpsSpec extends SparkSpec {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("fnv1a64 matches the published test vector") {
+    // FNV-1a("a") = 0xaf63dc4c8601ec8c (public reference vector)
+    val b = "a".getBytes("UTF-8")
+    assert(HashOps.fnv1a64(b, 0, 1) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("simhash is deterministic and near for near texts") {
+    val a = HashOps.simhash64(u("the quick brown fox jumps over the lazy dog"))
+    val a2 = HashOps.simhash64(u("the quick brown fox jumps over the lazy dog"))
+    val b = HashOps.simhash64(u("the quick brown fox jumps over the lazy dog today"))
+    val far = HashOps.simhash64(u("zzz qqq entirely different words here xyzzy"))
+    assert(a == a2)
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ far))
+  }
+
+  test("minhash estimates jaccard roughly") {
+    val s1 = "spark catalyst optimizer whole stage codegen shuffles partitions"
+    val s2 = s1 + " suffix"
+    val a = HashOps.minhashSig(u(s1), 5, 128).toLongArray()
+    val b = HashOps.minhashSig(u(s2), 5, 128).toLongArray()
+    val est = a.zip(b).count { case (x, y) => x == y }.toDouble / 128
+    assert(est > 0.6, s"est=$est")
+  }
+
+  test("cosine on known vectors") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(Array(1.0f, 0.0f))
+    val b = new GenericArrayData(Array(0.0f, 1.0f))
+    val c = new GenericArrayData(Array(2.0f, 0.0f))
+    assert(math.abs(HashOps.cosine(a, b)) < 1e-12)
+    assert(math.abs(HashOps.cosine(a, c) - 1.0) < 1e-12)
+  }
+
+  test("rolling fingerprint is deterministic and content-sensitive") {
+    val a = HashOps.rollingMin(u("some document content for fingerprinting tests"), 16)
+    val a2 = HashOps.rollingMin(u("some document content for fingerprinting tests"), 16)
+    val b = HashOps.rollingMin(u("entirely other bytes"), 16)
+    assert(a == a2)
+    assert(a != b)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm._
+import graft.functions.F
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup finds planted exact copies") {
+    val withCopies = docs.select($"doc_id", $"text").unionByName(
+      docs.select(($"doc_id" + 9000000L).as("doc_id"), $"text").limit(5))
+    val d = Dedup.exact(withCopies, col("doc_id"), col("text"))
+    assert(d.filter($"n" >= 2).count() >= 5)
+    // keep_id is the min id → original, not the planted copy
+    assert(d.filter($"n" >= 2 && $"keep_id" >= 9000000L).count() == 0)
+  }
+
+  test("minhash LSH finds planted near-dup pairs") {
+    val planted = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" % 50 === 0).select(
+        ($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" near duplicate suffix")).as("text")))
+    val pairs = Dedup.minhashLsh(planted, col("doc_id"), col("text"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.filter($"doc_id" % 50 === 0).select($"doc_id")
+      .as[Long].collect().map(i => (i, i + 1000000L)).toSet
+    val found = expected.intersect(pairs)
+    assert(found.size >= expected.size * 8 / 10,
+      s"found ${found.size}/${expected.size} planted pairs")
+  }
+
+  test("ngram jaccard finds planted pairs across length buckets") {
+    val planted = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" % 50 === 0).select(
+        ($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" near duplicate suffix")).as("text")))
+    val pairs = Dedup.ngramJaccard(planted, col("doc_id"), col("text"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.filter($"doc_id" % 50 === 0).select($"doc_id")
+      .as[Long].collect().map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected.diff(pairs)}")
+  }
+
+  test("embedding cosine near-dup finds scaled copies") {
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" % 50 === 0).select(
+        ($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => (x.cast("double") * 1.001).cast("float"))
+          .as("embedding")))
+    val pairs = Ann.cosineNearDupPairs(planted, col("vec_id"), col("embedding"), 0.98)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = emb.filter($"vec_id" % 50 === 0).select($"vec_id")
+      .as[Long].collect().map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected.diff(pairs)}")
+  }
+
+  test("brute-force ANN: k ordered rows per query, cos within [-1,1]") {
+    val q = emb.filter($"vec_id" < 3)
+    val res = Ann.bruteTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 5).cache()
+    assert(res.groupBy($"q_id").count().filter($"count" =!= 5).count() == 0)
+    assert(res.filter(abs($"cos") > 1.0 + 1e-9).count() == 0)
+    // rnk ordering matches cos descending
+    val perQ = res.filter($"q_id" === 0).orderBy($"rnk").select($"cos").as[Double].collect()
+    assert(perQ.sameElements(perQ.sorted(Ordering[Double].reverse)))
+  }
+
+  test("LSH ANN neighbors are a subset-quality approximation of brute force") {
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Ann.bruteTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10, planes = 4)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.intersect(brute).nonEmpty, "LSH found none of the true neighbors")
+  }
+
+  test("langid marks stopword-rich english and spanish") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the house of friends"),
+      (2L, "el perro y la casa de los amigos que vienen por aqui"),
+      (3L, "zxqj vvkw ppqq")).toDF("id", "txt")
+    val got = TextAnalysis.langId(df, col("id"), col("txt"))
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("token counts on known text") {
+    val df = Seq((1L, "hello world, 42 times!")).toDF("id", "txt")
+    val got = TextAnalysis.tokenCounts(df, col("id"), col("txt"))
+      .select($"ws_tokens", $"bpe_ish_tokens").as[(Long, Long)].head()
+    assert(got._1 == 4)            // hello / world, / 42 / times!
+    assert(got._2 == 6)            // hello|world|,|42|times|!
+  }
+
+  test("multimodal payload + stub decode keeps schema and determinism") {
+    val withPayload = Multimodal.attachPayload(docs, col("doc_id"), col("text"))
+    assert(withPayload.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.fakeDecode(spark, withPayload)
+    val one = feats.filter($"doc_id" === 0L).collect().head
+    val again = Multimodal.fakeDecode(spark, withPayload)
+      .filter($"doc_id" === 0L).collect().head
+    assert(one == again)
+    assert(Set("image", "audio", "video").contains(one.modality))
+    assert(feats.count() == docs.count())
+  }
+
+  test("custom expressions run inside codegen over a DataFrame") {
+    val out = docs.select(
+      F.simhash64($"text").as("sh"),
+      F.rollingFingerprint($"text").as("fp"),
+      F.minhashSig($"text", 5, 16).as("mh"))
+    assert(out.filter($"sh".isNull || $"fp".isNull).count() == 0)
+    assert(out.select(size($"mh")).distinct().as[Int].collect().toSet == Set(16))
+  }
+}

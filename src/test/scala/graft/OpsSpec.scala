@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeIndicator classifies both/left_only/right_only") {
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+    val r = Seq((2, "x"), (3, "y"), (4, "z")).toDF("k2", "rv")
+    val m = Reconcile.mergeIndicator(l, r, col("k") === col("k2"))
+      .select(coalesce(col("k"), col("k2")).as("kk"), col(Reconcile.IndicatorCol))
+      .as[(Int, String)].collect().toMap
+    assert(m == Map(1 -> "left_only", 2 -> "both", 3 -> "both", 4 -> "right_only"))
+  }
+
+  test("anti+semi partition the left frame") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val cond = col("c_custkey") === col("o_custkey")
+    val anti = Reconcile.antiJoin(c, o, cond).count()
+    val semi = Reconcile.semiJoin(c, o, cond).count()
+    assert(anti + semi == c.count())
+  }
+
+  test("hierarchy groups: children point at an existing top") {
+    val align = Seq(("R1", "D1"), ("R1", "D2"), ("R2", "D3"), ("R1", "D1"))
+      .toDF("region", "district")
+    val g = Hierarchy.buildGroups(align, "region", "district", "Region", "District")
+    val tops = g.filter(col("level_name") === "Region")
+      .select("group_name").as[String].collect().toSet
+    assert(tops == Set("R1", "R2"))
+    val children = g.filter(col("level_name") === "District")
+    assert(children.count() == 3)
+    assert(children.filter(!col("parent_name").isin(tops.toSeq: _*)).count() == 0)
+  }
+
+  test("keepFirst picks minimal order tuple per key") {
+    val df = Seq((1, 10, "b"), (1, 5, "a"), (2, 7, "c")).toDF("k", "ord", "v")
+    val got = Collect.keepFirst(df, col("k"), col("ord"), col("v"))
+      .select(col("k"), col("_first.ord")).as[(Int, Int)].collect().toMap
+    assert(got == Map(1 -> 5, 2 -> 7))
+  }
+
+  test("sessionize splits on gap") {
+    val us = 1000000L
+    val df = Seq(
+      (1L, 0L * us, 1L), (1L, 60L * us, 2L), (1L, 5000L * us, 3L),
+      (2L, 0L * us, 4L)
+    ).toDF("uid", "ts_us", "eid")
+    val got = Sessionize.sessions(df, col("uid"), col("ts_us"), col("eid"), 1800L * us)
+    assert(got.count() == 3)
+    assert(got.filter(col("key") === 1L && col("n_events") === 2).count() == 1)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg matches batch twin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    mem.addData(
+      (1L, at(5), "click", 1.0), (2L, at(10), "click", 2.0),
+      (3L, at(70), "view", 3.0))
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.windowedAgg(df, "10 minutes", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("winagg").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("winagg")
+      .select(col("window.start").cast("long"), $"event_type", $"n", $"v")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val t0 = base.getTime / 1000
+    assert(got == Set((t0, "click", 2L, 3.0), (t0 + 3600, "view", 1L, 3.0)))
+  }
+
+  test("streaming sessionize closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    mem.addData(
+      Event(1, 0L * us, 7L, "click", 1.0),
+      Event(2, 60L * us, 7L, "click", 1.0),
+      Event(3, 5000L * us, 7L, "view", 1.0)) // gap > 30 min closes session 1
+    val out = EventStreams.sessionize(mem.toDS(), gapUs = 1800L * us, timeoutMs = 0)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessout").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessout").as[SessionOut].collect().toSet
+    assert(got == Set(SessionOut(7L, 0L, 60L * us, 2L)))
+  }
+}
