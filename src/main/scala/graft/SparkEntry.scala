@@ -250,6 +250,21 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
     },
 
+    // --- source: paginated GraphQL → flattened DataFrame ---
+    "src_graphql_pages" -> { (s, dir) =>
+      import graft.sources.graphql.{GraphQL, GraphQLFixtures}
+      val (name, schema) =
+        GraphQLFixtures.registerTableApi(s, dir, "customer", "customers")
+      GraphQL
+        .flattenResponse(GraphQL.readPages(s, name), "customers", schema)
+        .select(
+          col("node_c_custkey").as("c_custkey"),
+          col("node_c_name").as("c_name"),
+          col("node_c_nationkey").as("c_nationkey"),
+          col("node_c_acctbal").as("c_acctbal"),
+          col("node_c_mktsegment").as("c_mktsegment"))
+    },
+
     // --- L: deduplication (documents) ---
     "dd_exact_hash" -> { (s, dir) =>
       Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -455,6 +470,10 @@ object SparkEntry {
         |        THEN 1 ELSE 0 END AS new_sess
         |  FROM events))
         |GROUP BY user_id, sess_id""".stripMargin,
+
+    "src_graphql_pages" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
 
     "dd_exact_hash" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.graphql._
+
+class GraphQLSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("driver cursor walk visits every page exactly once") {
+    val f = GraphQLFixtures.FixturePageFetcher(Vector("p0", "p1", "p2"))
+    assert(PagedGraphQL.fetchAllPages(f) == Seq("p0", "p1", "p2"))
+  }
+
+  test("DSv2 source plans one partition per page") {
+    val (name, _) =
+      GraphQLFixtures.registerTableApi(spark, sf, "customer", "customers", pageSize = 40)
+    val pages = GraphQL.readPages(spark, name)
+    // 150 customers / 40 per page = 4 pages → 4 rows, 4 partitions
+    assert(pages.count() == 4)
+    assert(pages.rdd.getNumPartitions == 4)
+  }
+
+  test("paginated read + flatten round-trips the source table exactly") {
+    val (name, schema) =
+      GraphQLFixtures.registerTableApi(spark, sf, "customer", "customers")
+    val got = GraphQL
+      .flattenResponse(GraphQL.readPages(spark, name), "customers", schema)
+      .select(
+        $"node_c_custkey".as("c_custkey"), $"node_c_name".as("c_name"),
+        $"node_c_nationkey".as("c_nationkey"), $"node_c_acctbal".as("c_acctbal"),
+        $"node_c_mktsegment".as("c_mktsegment"))
+    val want = spark.read.parquet(s"$sf/customer.parquet")
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0)
+    assert(want.except(got).count() == 0)
+  }
+
+  test("flattenStructs mirrors json_normalize(sep='_') on nested structs") {
+    val df = Seq((1, ("a", (2.5, "z")))).toDF("id", "node")
+      .select($"id", $"node._1".as("name"),
+        struct($"node._1".as("x"), struct(lit(1).as("deep")).as("inner")).as("s"))
+    val flat = GraphQL.flattenStructs(df)
+    assert(flat.columns.toSeq == Seq("id", "name", "s_x", "s_inner_deep"))
+  }
+
+  test("escaped strings survive the JSON round trip") {
+    val pages = Vector(
+      """{"data": {"things": {"pageInfo": {"hasNextPage": false, "endCursor": "0"}, "edges": [{"cursor": "c", "node": {"v": "a\"b\\c\nd"}}]}}}""")
+    PageFetchers.register("esc", GraphQLFixtures.FixturePageFetcher(pages))
+    val schema = new org.apache.spark.sql.types.StructType().add("v", "string")
+    val got = GraphQL.flattenResponse(GraphQL.readPages(spark, "esc"), "things", schema)
+      .select($"node_v").as[String].head()
+    assert(got == "a\"b\\c\nd")
+  }
+}
