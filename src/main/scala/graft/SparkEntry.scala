@@ -280,7 +280,11 @@ object SparkEntry {
     },
 
     "dd_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccard(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
+      // 5-grams: on a narrow-vocabulary corpus 3-gram sets are nearly
+      // identical across unrelated docs (155k+ "near-dup" pairs at
+      // sf0.1); 5-grams keep the planted dups while staying selective
+      Dedup.ngramJaccard(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+        n = 5, minJaccard = 0.7, candidateMinEst = 0.5)
     },
 
     "dd_embed_cosine" -> { (s, dir) =>

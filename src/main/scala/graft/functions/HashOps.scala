@@ -131,6 +131,180 @@ object HashOps {
     new GenericArrayData(sig)
   }
 
+  /** Fraction of equal positions in two equal-length long arrays —
+    * the banded-MinHash Jaccard estimate.
+    */
+  def sigMatchFrac(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  /** Sign-random-projection bucket: bit j is the sign of the dot
+    * product with pseudo-random hyperplane j, whose coefficients are
+    * SplitMix64-derived from (element index, plane) — deterministic
+    * on any cluster, no stored model (Charikar, STOC 2002).
+    */
+  def srpBucket(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val c = ((splitmix64(i.toLong * 1315423911L + j) & 0xffffL).toDouble / 32768.0) - 1.0
+        dot += vec.getFloat(i) * c
+        i += 1
+      }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Distinct character n-grams of a string (insertion order —
+    * deterministic). Whole string as single gram when shorter than n.
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    if (str.length < n) seen.add(str)
+    else {
+      var i = 0
+      while (i <= str.length - n) {
+        seen.add(str.substring(i, i + n))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  // ---- bucket pair generation (one static call per LSH bucket) ----
+  // Struct-building inside nested higher-order-function lambdas makes
+  // Spark regenerate an UnsafeProjection per evaluation (measured:
+  // 1000s+ in GenerateUnsafeProjection on one task). These kernels
+  // take the bucket's collect_list array and emit the qualifying
+  // pairs in a single call, thresholds applied inside.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** items: Array[Struct(id: Long, sig: Array[Long])] →
+    * Array[Struct(id_a, id_b, est: Double)] with est ≥ minEst.
+    */
+  def minhashPairs(items: ArrayData, minEst: Double): ArrayData = {
+    val n = items.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = items.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getArray(1).toLongArray()
+      i += 1
+    }
+    val out = Vector.newBuilder[InternalRow]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = sigs(i); val b = sigs(j)
+        var eq = 0
+        var k = 0
+        while (k < a.length) { if (a(k) == b(k)) eq += 1; k += 1 }
+        val est = eq.toDouble / a.length
+        if (est >= minEst) {
+          val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+          out += new GenericInternalRow(Array[Any](lo, hi, est))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  /** items: Array[Struct(id: Long, sig: Long)] →
+    * Array[Struct(id_a, id_b, hamming: Long)] with hamming ≤ maxHam.
+    */
+  def simhashPairs(items: ArrayData, maxHam: Int): ArrayData = {
+    val n = items.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = items.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sigs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = Vector.newBuilder[InternalRow]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val ham = java.lang.Long.bitCount(sigs(i) ^ sigs(j)).toLong
+        if (ham <= maxHam) {
+          val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+          out += new GenericInternalRow(Array[Any](lo, hi, ham))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  /** items: Array[Struct(id: Long, v: Array[Float])] →
+    * Array[Struct(id_a, id_b, cos: Double)] with cos ≥ minCos.
+    */
+  def cosinePairs(items: ArrayData, minCos: Double): ArrayData = {
+    val n = items.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) {
+      val row = items.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toFloatArray()
+      i += 1
+    }
+    val out = Vector.newBuilder[InternalRow]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = vecs(i); val b = vecs(j)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var k = 0
+        while (k < a.length) {
+          val x = a(k).toDouble; val y = b(k).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          k += 1
+        }
+        val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (cos >= minCos) {
+          val lo = math.min(ids(i), ids(j)); val hi = math.max(ids(i), ids(j))
+          out += new GenericInternalRow(Array[Any](lo, hi, cos))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either norm is
     * 0). Fixed left-to-right accumulation order → bit-deterministic.
     */

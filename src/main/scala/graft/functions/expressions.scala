@@ -42,6 +42,77 @@ case class MinHashSig(child: Expression, shingle: Int, perms: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+case class SigMatchFrac(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.sigMatchFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.sigMatchFrac($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchFrac =
+    copy(left = l, right = r)
+}
+
+case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.srpBucket(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.srpBucket($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
+}
+
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.charNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.charNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharNgrams = copy(child = c)
+}
+
+/** Bucket-pair kernels: one static call per LSH bucket emitting the
+  * qualifying pairs (see HashOps — avoids per-evaluation projection
+  * regeneration that struct-building HOF lambdas trigger).
+  */
+case class MinhashBucketPairs(child: Expression, minEst: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("jaccard_est", DoubleType, nullable = false), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.minhashPairs(v.asInstanceOf[ArrayData], minEst)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minhashPairs($c, $minEst)")
+  override protected def withNewChildInternal(c: Expression): MinhashBucketPairs =
+    copy(child = c)
+}
+
+case class SimhashBucketPairs(child: Expression, maxHam: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("hamming", LongType, nullable = false), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.simhashPairs(v.asInstanceOf[ArrayData], maxHam)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhashPairs($c, $maxHam)")
+  override protected def withNewChildInternal(c: Expression): SimhashBucketPairs =
+    copy(child = c)
+}
+
+case class CosineBucketPairs(child: Expression, minCos: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("id_a", LongType, nullable = false)
+    .add("id_b", LongType, nullable = false)
+    .add("cos", DoubleType, nullable = false), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.cosinePairs(v.asInstanceOf[ArrayData], minCos)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.cosinePairs($c, $minCos)")
+  override protected def withNewChildInternal(c: Expression): CosineBucketPairs =
+    copy(child = c)
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -64,4 +135,16 @@ object F {
     column(MinHashSig(expression(c), shingle, perms))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def sigMatchFrac(a: Column, b: Column): Column =
+    column(SigMatchFrac(expression(a), expression(b)))
+  def srpBucket(vec: Column, planes: Int): Column =
+    column(SrpBucket(expression(vec), planes))
+  def charNgrams(c: Column, n: Int): Column =
+    column(CharNgrams(expression(c), n))
+  def minhashBucketPairs(items: Column, minEst: Double): Column =
+    column(MinhashBucketPairs(expression(items), minEst))
+  def simhashBucketPairs(items: Column, maxHam: Int): Column =
+    column(SimhashBucketPairs(expression(items), maxHam))
+  def cosineBucketPairs(items: Column, minCos: Double): Column =
+    column(CosineBucketPairs(expression(items), minCos))
 }

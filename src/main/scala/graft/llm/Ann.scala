@@ -20,23 +20,11 @@ import graft.ops.Collect
 object Ann {
 
   /** Sign-random-projection bucket id from `planes` deterministic
-    * pseudo-random hyperplanes. Plane coefficients are derived from
-    * Murmur3 of (element index, plane) — no stored model, identical
-    * on any cluster.
+    * pseudo-random hyperplanes ([[graft.functions.SrpBucket]] —
+    * codegen, SplitMix64-derived coefficients, no stored model,
+    * identical on any cluster).
     */
-  def srpBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { j =>
-      val dot = aggregate(
-        zip_with(
-          vec,
-          transform(vec, (_, i) =>
-            (pmod(hash(i * 1000003 + j), lit(2000)).cast("double") / 1000.0) - 1.0),
-          (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, 1L << j).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  def srpBucket(vec: Column, planes: Int): Column = F.srpBucket(vec, planes)
 
   /** Exact top-k cosine neighbors per query vector (baseline). */
   def bruteTopK(
@@ -82,13 +70,14 @@ object Ann {
       df: DataFrame, id: Column, vec: Column,
       minCos: Double = 0.95, planes: Int = 8): DataFrame = {
     val b = df.select(id.as("vec_id"), vec.as("v"), srpBucket(vec, planes).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), F.cosineSim(col("v_a"), col("v_b")).as("cos"))
+    // single-shuffle bucket-group + codegen pair kernel (see
+    // Dedup.minhashLsh for rationale)
+    b.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(F.cosineBucketPairs(col("items"), minCos)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cos")).as("cos"))
-      .filter(col("cos") >= minCos)
   }
 }

@@ -45,35 +45,24 @@ object Dedup {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
     val sigs = df.select(id.as("doc_id"), F.minhashSig(text, shingle, perms).as("sig"))
-    // (doc_id, band_idx, band_hash, sig) — band hash = Murmur3 of the
-    // signature slice plus the band index
     val banded = sigs
       .select(
         col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    // cap degenerate buckets
-    val capped = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    val l = capped.select(
-      col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = capped.select(
-      col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v
-        ).cast("double") / perms).as("jaccard_est"))
+    // One shuffle total: group each (band, bucket) and emit that
+    // bucket's qualifying pairs in a single codegen'd kernel call —
+    // no self-join (which would duplicate and re-execute the
+    // signature subtree), no window pass for the cap, no per-pair
+    // Catalyst struct machinery.
+    banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(F.minhashBucketPairs(col("items"), minJaccard)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard_est")).as("jaccard_est"))
-      .filter(col("jaccard_est") >= minJaccard)
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, banded into 16-bit
@@ -92,25 +81,25 @@ object Dedup {
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("piece"))
       .withColumn("pval", expr("shiftrightunsigned(sig, piece * 16)").bitwiseAND(lit(0xffffL)))
-    val capped = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("piece"), col("pval"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-    val l = capped.select(col("piece"), col("pval"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = capped.select(col("piece"), col("pval"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("piece", "pval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+    // same single-shuffle bucket-group + codegen pair kernel as
+    // minhashLsh — no self-join, cap applied in the aggregation
+    banded
+      .groupBy(col("piece"), col("pval"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(F.simhashBucketPairs(col("items"), maxHamming)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram Jaccard similarity for candidate pairs blocked
-    * by a cheap key (length bucket) — exact set Jaccard via
-    * array_intersect/array_union on distinct n-gram arrays.
+  /** Exact character n-gram Jaccard near-dup pairs, tiered for
+    * scale: candidates come from the MinHash-LSH pass (cheap, recall
+    * bounded by the `candidateMinEst` estimate), and only those pairs
+    * pay for the exact set Jaccard (array_intersect/array_union over
+    * [[graft.functions.CharNgrams]] arrays). Naive length-bucket
+    * blocking degenerates to ~n²/buckets pairs on a shared-vocabulary
+    * corpus — measured 100×+ slower at sf0.1.
     */
   def ngramJaccard(
       df: DataFrame,
@@ -118,28 +107,18 @@ object Dedup {
       text: Column,
       n: Int = 3,
       minJaccard: Double = 0.5,
-      lengthBucket: Int = 32): DataFrame = {
-    val gramsDf = df.select(
-      id.as("doc_id"),
-      (length(text).cast("long") / lengthBucket).cast("long").as("lb"),
-      array_distinct(
-        transform(
-          sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-          i => text.substr(i, lit(n))))
-        .as("grams"))
-    // near-dups can differ in length across a bucket edge: the left
-    // side probes its own and both neighboring buckets
-    val l = gramsDf.select(
-      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"),
-      col("doc_id").as("id_a"), col("grams").as("g_a"))
-    val r = gramsDf.select(col("lb"), col("doc_id").as("id_b"), col("grams").as("g_b"))
-    l.join(r, Seq("lb"))
-      .filter(col("id_a") < col("id_b"))
+      candidateMinEst: Double = 0.3): DataFrame = {
+    val idDf = df.select(id.as("doc_id"), text.as("_text"))
+    val candidates = minhashLsh(idDf, col("doc_id"), col("_text"),
+      shingle = n, minJaccard = candidateMinEst)
+      .select(col("id_a"), col("id_b"))
+    val grams = idDf.select(col("doc_id"), F.charNgrams(col("_text"), n).as("grams"))
+    candidates
+      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }
