@@ -112,15 +112,21 @@ object SparkEntry {
     },
 
     "q_merge_indicator" -> { (s, dir) =>
+      // filters chosen so all three indicator classes are populated
       Reconcile.indicatorCounts(
-        t(s, dir, "customer"),
-        t(s, dir, "orders").select(col("o_custkey")).distinct(),
+        t(s, dir, "customer").filter(col("c_acctbal") > 3000),
+        t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey")).distinct(),
         col("c_custkey") === col("o_custkey"))
     },
 
     "q_anti_join" -> { (s, dir) =>
+      // customers with no recent order — non-empty at every SF
       Reconcile
-        .antiJoin(t(s, dir, "customer"), t(s, dir, "orders"),
+        .antiJoin(
+          t(s, dir, "customer"),
+          t(s, dir, "orders")
+            .filter(col("o_orderdate").cast("timestamp") >= lit("1998-01-01").cast("timestamp")),
           col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("c_name"))
     },
@@ -368,14 +374,16 @@ object SparkEntry {
         |            WHEN c.c_custkey IS NOT NULL THEN 'left_only'
         |            ELSE 'right_only' END AS merge_status,
         |       count(*) AS n
-        |FROM customer c
-        |FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 3000) c
+        |FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000) o
         |  ON c.c_custkey = o.o_custkey
         |GROUP BY 1""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
