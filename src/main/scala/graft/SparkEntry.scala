@@ -121,7 +121,7 @@ object SparkEntry {
     },
 
     "q_anti_join" -> { (s, dir) =>
-      // customers with no recent order — non-empty at every SF
+      // customers with no recent order — non-empty at the verify SF
       Reconcile
         .antiJoin(
           t(s, dir, "customer"),
@@ -256,6 +256,48 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
     },
 
+    "q_json_extract" -> { (s, dir) =>
+      // reference parses nested JSON API payloads; here: the events
+      // props column (get_json_object stays in codegen)
+      t(s, dir, "events")
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+    },
+
+    "q_rollup_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .rollup(col("order_year"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("rev"))
+    },
+
+    "q_asof_prev_event" -> { (s, dir) =>
+      // as-of join by composition: for every error event, the most
+      // recent prior click of the same user (windowed max, no join)
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("ts_us", us)
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", col("ts_us"))).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_us"))
+    },
+
+    "q_salted_agg" -> { (s, dir) =>
+      graft.ops.Skew.saltedCountSum(
+        t(s, dir, "events"), col("event_type"), col("value"), col("event_id"))
+        .withColumnRenamed("key", "event_type")
+    },
+
     // --- source: paginated GraphQL → flattened DataFrame ---
     "src_graphql_pages" -> { (s, dir) =>
       import graft.sources.graphql.{GraphQL, GraphQLFixtures}
@@ -337,6 +379,13 @@ object SparkEntry {
       Multimodal
         .attachPayload(t(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("doc_id"), col("n_bytes"), col("modality"))
+    },
+
+    // --- end-to-end curation pipeline (quality → exact → near-dup) ---
+    "curate_pipeline" -> { (s, dir) =>
+      graft.llm.Curation
+        .curate(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"))
     }
   )
 
@@ -482,6 +531,33 @@ object SparkEntry {
         |        THEN 1 ELSE 0 END AS new_sess
         |  FROM events))
         |GROUP BY user_id, sess_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(CASE WHEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) > 50 THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rollup_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+        | count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders
+        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin,
+
+    "q_asof_prev_event" ->
+      """SELECT event_id, user_id, ts_us, last_click_us FROM (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        | FROM events)
+        |WHERE event_type = 'error'""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "src_graphql_pages" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

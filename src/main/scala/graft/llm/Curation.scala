@@ -1,0 +1,43 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition a 100 TB
+  * pipeline actually runs — quality gate → exact dedup → near-dup
+  * removal — keeping the minimal doc id of every duplicate cluster as
+  * canonical. Each stage is one of the §2 operators; the composition
+  * stays fully declarative (Catalyst sees the whole plan).
+  */
+object Curation {
+
+  /** Returns the surviving (doc_id, text) after:
+    *  1. quality filter (composite score ≥ `minQuality`),
+    *  2. exact dedup (keep min doc_id per content hash),
+    *  3. MinHash-LSH near-dup removal (of each near-dup pair, the
+    *     higher id is dropped).
+    */
+  def curate(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minQuality: Double = 0.4,
+      minJaccard: Double = 0.8): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+
+    val quality = TextAnalysis.qualityScore(base, col("doc_id"), col("text"))
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"))
+    val qualified = base.join(quality, Seq("doc_id"), "left_semi")
+
+    val exactKeep = Dedup.exact(qualified, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = qualified.join(exactKeep, Seq("doc_id"), "left_semi")
+
+    val nearDupLosers = Dedup
+      .minhashLsh(exactDeduped, col("doc_id"), col("text"), minJaccard = minJaccard)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+}

@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a
+  * heavy-hitter key spreads over `salts` reducers before the final
+  * per-key merge. Same result as a direct groupBy (count/sum are
+  * associative; sums run in exact decimal), different shuffle shape —
+  * the 100 TB insurance when a handful of keys dominate (AQE's skew
+  * handling covers joins, not aggregations).
+  */
+object Skew {
+
+  /** count(*) and decimal-exact sum per key, two-phase via salt. */
+  def saltedCountSum(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      saltSource: Column,
+      salts: Int = 8): DataFrame =
+    df.groupBy(key.as("key"), pmod(hash(saltSource), lit(salts)).as("_salt"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(value.cast(DecimalType(18, 2))).as("_v"))
+      .groupBy(col("key"))
+      .agg(
+        sum(col("_n")).as("n"),
+        sum(col("_v")).cast("double").as("v"))
+}
