@@ -99,29 +99,47 @@ object HashOps {
     minH
   }
 
+  /** Per-permutation multipliers/addends (odd SplitMix64 outputs) for
+    * the universal-hash permutation family `a*h + b`. Cached per
+    * permutation count (tiny; at most a few entries per JVM).
+    */
+  private val permCoefs =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coefsFor(perms: Int): (Array[Long], Array[Long]) =
+    permCoefs.computeIfAbsent(perms, { p =>
+      val a = new Array[Long](p); val b = new Array[Long](p)
+      var i = 0
+      while (i < p) {
+        a(i) = splitmix64(0x5eed0000L + i) | 1L // odd → bijective mod 2^64
+        b(i) = splitmix64(0xbeef0000L + i)
+        i += 1
+      }
+      (a, b)
+    })
+
   /** MinHash signature over `k`-byte character shingles with `perms`
-    * xor-permutations seeded by SplitMix64 (Broder, SEQUENCES 1997).
-    * One pass over shingles, O(n·perms).
+    * universal-hash permutations `a_i*h + b_i` over 2^64 (Broder,
+    * SEQUENCES 1997). One pass over shingles; 2 ops per permutation
+    * in the inner loop.
     */
   def minhashSig(s: UTF8String, k: Int, perms: Int): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     val sig = new Array[Long](perms)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    val seeds = new Array[Long](perms)
-    var p = 0
-    while (p < perms) { seeds(p) = splitmix64(0x5eed0000L + p); p += 1 }
+    val (as, bs) = coefsFor(perms)
     if (n < k) {
       val h = fnv1a64(bytes, 0, n)
-      p = 0
-      while (p < perms) { sig(p) = splitmix64(h ^ seeds(p)); p += 1 }
+      var p = 0
+      while (p < perms) { sig(p) = as(p) * h + bs(p); p += 1 }
     } else {
       var i = 0
       while (i <= n - k) {
         val h = fnv1a64(bytes, i, i + k)
-        p = 0
+        var p = 0
         while (p < perms) {
-          val v = splitmix64(h ^ seeds(p))
+          val v = as(p) * h + bs(p)
           if (v < sig(p)) sig(p) = v
           p += 1
         }

@@ -28,11 +28,14 @@ object Curation {
     val quality = TextAnalysis.qualityScore(base, col("doc_id"), col("text"))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"))
-    val qualified = base.join(quality, Seq("doc_id"), "left_semi")
+    // persisted: referenced by both the dedup branch and the final
+    // anti-join — without it Catalyst re-executes the whole upstream
+    // (scan + quality scoring + hashing) once per reference
+    val qualified = base.join(quality, Seq("doc_id"), "left_semi").persist()
 
     val exactKeep = Dedup.exact(qualified, col("doc_id"), col("text"))
       .select(col("keep_id").as("doc_id"))
-    val exactDeduped = qualified.join(exactKeep, Seq("doc_id"), "left_semi")
+    val exactDeduped = qualified.join(exactKeep, Seq("doc_id"), "left_semi").persist()
 
     val nearDupLosers = Dedup
       .minhashLsh(exactDeduped, col("doc_id"), col("text"), minJaccard = minJaccard)

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the graft custom
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)
+  * …")` works next to the Column API. Enable with:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic, or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions", name, usage)
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(str) - 64-bit SimHash of whitespace tokens"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint", "rolling_fingerprint(str, window) - winnowing min rolling hash"),
+      (args: Seq[Expression]) =>
+        RollingFingerprint(args.head,
+          if (args.length > 1) intArg(args(1), "window") else 16)))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(str, shingle, perms) - MinHash signature array"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head,
+          if (args.length > 1) intArg(args(1), "shingle") else 5,
+          if (args.length > 2) intArg(args(2), "perms") else 64)))
+
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float arrays"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("srp_bucket"),
+      info("srp_bucket", "srp_bucket(vec, planes) - sign-random-projection LSH bucket"),
+      (args: Seq[Expression]) =>
+        SrpBucket(args.head, if (args.length > 1) intArg(args(1), "planes") else 8)))
+
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(str, n) - distinct character n-grams"),
+      (args: Seq[Expression]) =>
+        CharNgrams(args.head, if (args.length > 1) intArg(args(1), "n") else 3)))
+  }
+}

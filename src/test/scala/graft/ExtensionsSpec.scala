@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("extensions register SQL functions") {
+    // force a NEW session (sharing any existing SparkContext) so
+    // withExtensions actually applies — getOrCreate would return the
+    // shared test session built without them
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      Seq((1L, "the quick brown fox")).toDF("id", "txt")
+        .createOrReplaceTempView("t")
+      val row = spark.sql(
+        """SELECT simhash64(txt) AS sh, rolling_fingerprint(txt, 8) AS fp,
+          |       size(minhash_sig(txt, 5, 32)) AS mh,
+          |       size(char_ngrams(txt, 3)) AS ng
+          |FROM t""".stripMargin).head()
+      assert(row.getLong(0) == graft.functions.HashOps.simhash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
+      assert(row.getInt(2) == 32)
+      assert(row.getInt(3) > 0)
+      val cos = spark.sql(
+        "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+    } finally {
+      // restore the shared session; don't stop the shared SparkContext
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
