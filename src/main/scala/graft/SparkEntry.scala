@@ -381,6 +381,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("modality"))
     },
 
+    "mm_features" -> { (s, dir) =>
+      // full multimodal path: payload attach → (stubbed) decode via
+      // partition-preserving mapPartitions → typed feature rows
+      Multimodal.fakeDecode(s,
+        Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")))
+        .toDF()
+    },
+
+    "q_set_ops" -> { (s, dir) =>
+      // set reconciliation: members of both cohorts / in first only
+      val a = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "FURNITURE").select(col("c_custkey"))
+      val b = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+    },
+
     // --- end-to-end curation pipeline (quality → exact → near-dup) ---
     "curate_pipeline" -> { (s, dir) =>
       graft.llm.Curation
@@ -558,6 +576,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey, 'intersect' AS op FROM (
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT c_custkey, 'except' FROM (
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+        | EXCEPT
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
 
     "src_graphql_pages" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
