@@ -1,0 +1,51 @@
+package graft
+
+/** Locks in the SURVEY.md §5 plan properties: pushdown reaches the
+  * parquet scan, dimension joins broadcast, aggregations keep their
+  * map-side partial phase. A regression here is a scale regression
+  * even if results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_agg_pricing pushes the shipdate filter and prunes columns") {
+    val plan = physicalPlan("q_agg_pricing")
+    assert(plan.contains("PushedFilters"), "no pushdown section in scan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed")
+    assert(!plan.contains("l_orderkey"), "reads columns the query never uses")
+  }
+
+  test("q_hierarchy_rollup broadcasts every dimension join") {
+    val plan = physicalPlan("q_hierarchy_rollup")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "fact-side shuffle join appeared — dimension broadcast lost")
+  }
+
+  test("dd_exact_hash aggregates with a map-side partial phase") {
+    val plan = physicalPlan("dd_exact_hash")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("q_merge_indicator uses a single full-outer join") {
+    val plan = physicalPlan("q_merge_indicator")
+    assert("FullOuter".r.findAllIn(plan).size == 1)
+  }
+
+  test("custom expressions appear inside WholeStageCodegen spans") {
+    val df = SparkEntry.queries("txt_fingerprint")(spark, sf)
+    val qe = df.queryExecution
+    assert(qe.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "no codegen span at all")
+    val hasCustom = qe.optimizedPlan.expressions.exists(_.exists {
+      case _: graft.functions.RollingFingerprint => true
+      case _: graft.functions.SimHash64 => true
+      case _ => false
+    })
+    assert(hasCustom, "fingerprint expressions missing from optimized plan")
+  }
+}
