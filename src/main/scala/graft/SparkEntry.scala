@@ -357,6 +357,14 @@ object SparkEntry {
         k = 10)
     },
 
+    "ann_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Ann.ivfTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10)
+    },
+
     // --- T: text analysis (documents) ---
     "txt_tokens" -> { (s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -620,6 +628,23 @@ object SparkEntry {
         |  CAST(length(text) AS DOUBLE)
         |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_word_len
         | FROM documents)""".stripMargin,
+
+    "txt_langid" ->
+      """SELECT doc_id,
+        | CASE WHEN m = 0 THEN 'und'
+        |      WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+        |      WHEN s_fr = m THEN 'fr' ELSE 'de' END AS pred_lang,
+        | CAST(m AS BIGINT) AS marker_hits
+        |FROM (
+        | SELECT doc_id, s_en, s_es, s_fr, s_de,
+        |  greatest(s_en, s_es, s_fr, s_de) AS m
+        | FROM (
+        |  SELECT doc_id,
+        |   length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|as)\b')) AS s_en,
+        |   length(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|por|con|los)\b')) AS s_es,
+        |   length(regexp_extract_all(lower(text), '\b(le|la|de|et|un|les|des|du|que|pour)\b')) AS s_fr,
+        |   length(regexp_extract_all(lower(text), '\b(der|die|und|das|von|zu|mit|den|ein|ist)\b')) AS s_de
+        |  FROM documents))""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

@@ -63,6 +63,50 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are coarse-quantized to
+    * their nearest of `centroids` cells; each query probes its
+    * `nProbe` nearest cells and ranks exact cosine inside them.
+    *
+    * Centroids are a deterministic data sample (the `centroids`
+    * corpus vectors with the smallest xxhash64(id)) — no trained
+    * model, reproducible on any cluster. Scale shape: centroid table
+    * is broadcast both for corpus assignment and query probing; the
+    * corpus shuffles once on its cell key. Recall/compute trades via
+    * `centroids` × `nProbe`.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, centroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
+    val cent = broadcast(
+      c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids)
+        .select(col("vec_id").as("cid"), col("c_vec").as("cent_vec")))
+    // corpus → nearest cell (deterministic tie-break on larger cid)
+    val assigned = c.crossJoin(cent)
+      .select(col("vec_id"), col("c_vec"),
+        struct(F.cosineSim(col("c_vec"), col("cent_vec")).as("cos"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"), first(col("c_vec")).as("c_vec"))
+      .select(col("vec_id"), col("c_vec"), col("best.cid").as("cell"))
+    // queries → nProbe nearest cells
+    val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"))
+    val probes = Collect
+      .topKPerKey(
+        q.crossJoin(cent)
+          .select(col("q_id"), col("q_vec"), col("cid"),
+            F.cosineSim(col("q_vec"), col("cent_vec")).as("ccos")),
+        col("q_id"), nProbe, col("ccos").desc, col("cid"))
+      .select(col("q_id"), col("q_vec"), col("cid").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosineSim(col("q_vec"), col("c_vec")).as("cos"))
+    Collect
+      .topKPerKey(scored, col("q_id"), k, col("cos").desc, col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join,
     * exact cosine ≥ `minCos` verification inside buckets.
     */

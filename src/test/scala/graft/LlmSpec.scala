@@ -81,6 +81,20 @@ class LlmSpec extends SparkSpec {
     assert(lsh.intersect(brute).nonEmpty, "LSH found none of the true neighbors")
   }
 
+  test("IVF ANN finds a sane share of the true neighbors") {
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Ann.bruteTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = 10, centroids = 8, nProbe = 3)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.intersect(brute).nonEmpty, "IVF found none of the true neighbors")
+    // each query's own cell is probed first → rank-1 matches brute top
+    assert(ivf.size <= 30)
+  }
+
   test("langid marks stopword-rich english and spanish") {
     val df = Seq(
       (1L, "the cat and the dog went to the house of friends"),
