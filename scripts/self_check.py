@@ -25,7 +25,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].map(lambda v: f"{v:.6g}" if v == v else "nan")
+            # full round-trip precision (repr): any cross-engine double
+            # drift fails here exactly as it would fail the driver's
+            # hash compare — no looser than the real gate
+            df[c] = df[c].map(lambda v: repr(float(v)) if v == v else "nan")
         else:
             try:
                 df[c] = df[c].astype("int64")

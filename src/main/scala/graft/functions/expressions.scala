@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * WholeStageCodegen (no UDF boxing/serialization, null handling via
   * the standard nullSafe scaffolding).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     HashOps.simhash64(v.asInstanceOf[UTF8String])
@@ -22,7 +23,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
-case class RollingFingerprint(child: Expression, window: Int) extends UnaryExpression {
+case class RollingFingerprint(child: Expression, window: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     HashOps.rollingMin(v.asInstanceOf[UTF8String], window)
@@ -33,7 +35,8 @@ case class RollingFingerprint(child: Expression, window: Int) extends UnaryExpre
 }
 
 case class MinHashSig(child: Expression, shingle: Int, perms: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     HashOps.minhashSig(v.asInstanceOf[UTF8String], shingle, perms)
@@ -42,7 +45,9 @@ case class MinHashSig(child: Expression, shingle: Int, perms: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
-case class SigMatchFrac(left: Expression, right: Expression) extends BinaryExpression {
+case class SigMatchFrac(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashOps.sigMatchFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -52,7 +57,8 @@ case class SigMatchFrac(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
-case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
+case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
     HashOps.srpBucket(v.asInstanceOf[ArrayData], planes)
@@ -61,7 +67,8 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
 }
 
-case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     HashOps.charNgrams(v.asInstanceOf[UTF8String], n)
@@ -74,7 +81,9 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   * qualifying pairs (see HashOps — avoids per-evaluation projection
   * regeneration that struct-building HOF lambdas trigger).
   */
-case class MinhashBucketPairs(child: Expression, minEst: Double) extends UnaryExpression {
+case class MinhashBucketPairs(child: Expression, minEst: Double) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(new StructType()
+    .add("doc_id", LongType).add("sig", ArrayType(LongType, containsNull = false))))
   override def dataType: DataType = ArrayType(new StructType()
     .add("id_a", LongType, nullable = false)
     .add("id_b", LongType, nullable = false)
@@ -87,7 +96,9 @@ case class MinhashBucketPairs(child: Expression, minEst: Double) extends UnaryEx
     copy(child = c)
 }
 
-case class SimhashBucketPairs(child: Expression, maxHam: Int) extends UnaryExpression {
+case class SimhashBucketPairs(child: Expression, maxHam: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(new StructType()
+    .add("doc_id", LongType).add("sig", LongType)))
   override def dataType: DataType = ArrayType(new StructType()
     .add("id_a", LongType, nullable = false)
     .add("id_b", LongType, nullable = false)
@@ -100,7 +111,9 @@ case class SimhashBucketPairs(child: Expression, maxHam: Int) extends UnaryExpre
     copy(child = c)
 }
 
-case class CosineBucketPairs(child: Expression, minCos: Double) extends UnaryExpression {
+case class CosineBucketPairs(child: Expression, minCos: Double) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(new StructType()
+    .add("vec_id", LongType).add("v", ArrayType(FloatType, containsNull = false))))
   override def dataType: DataType = ArrayType(new StructType()
     .add("id_a", LongType, nullable = false)
     .add("id_b", LongType, nullable = false)
@@ -113,7 +126,9 @@ case class CosineBucketPairs(child: Expression, minCos: Double) extends UnaryExp
     copy(child = c)
 }
 
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -26,15 +26,21 @@ object Ann {
     */
   def srpBucket(vec: Column, planes: Int): Column = F.srpBucket(vec, planes)
 
-  /** Exact top-k cosine neighbors per query vector (baseline). */
+  /** Exact top-k cosine neighbors per query vector (baseline).
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals
+    * the query id — correct when the queries are drawn from the
+    * corpus. Pass false when querying a separate dataset whose id
+    * space may coincidentally collide with corpus ids.
+    */
   def bruteTopK(
       corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
     val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(!lit(excludeSelf) || col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         F.cosineSim(col("q_vec"), col("c_vec")).as("cos"))
     Collect
@@ -49,13 +55,13 @@ object Ann {
   def lshTopK(
       corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, planes: Int = 8): DataFrame = {
+      k: Int, planes: Int = 8, excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"),
       srpBucket(corpusVec, planes).as("bucket"))
     val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"),
       srpBucket(queryVec, planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(!lit(excludeSelf) || col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         F.cosineSim(col("q_vec"), col("c_vec")).as("cos"))
     Collect
@@ -77,7 +83,8 @@ object Ann {
   def ivfTopK(
       corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, centroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, centroids: Int = 16, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
     val cent = broadcast(
       c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids)
@@ -99,7 +106,7 @@ object Ann {
         col("q_id"), nProbe, col("ccos").desc, col("cid"))
       .select(col("q_id"), col("q_vec"), col("cid").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("q_id") =!= col("vec_id"))
+      .filter(!lit(excludeSelf) || col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         F.cosineSim(col("q_vec"), col("c_vec")).as("cos"))
     Collect

@@ -41,6 +41,14 @@ object Curation {
       .minhashLsh(exactDeduped, col("doc_id"), col("text"), minJaccard = minJaccard)
       .select(col("id_b").as("doc_id"))
       .distinct()
-    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // Materialize the result so the intermediates can be unpersisted
+    // before returning — a long-lived session calling curate()
+    // repeatedly must not accumulate cached blocks. The result stays
+    // cached; callers drop it with result.unpersist() when done.
+    val result = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti").persist()
+    result.count()
+    qualified.unpersist()
+    exactDeduped.unpersist()
+    result
   }
 }

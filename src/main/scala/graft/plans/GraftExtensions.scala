@@ -24,6 +24,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Reject wrong arity at analysis time with a proper
+    * AnalysisException (standard WRONG_NUM_ARGS error class) instead
+    * of a raw NoSuchElementException from args.head at build time.
+    */
+  private def checkArity(
+      name: String, args: Seq[Expression], min: Int, max: Int): Unit =
+    if (args.length < min || args.length > max)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> (if (min == max) s"$min" else s"$min to $max"),
+          "actualNum" -> args.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"),
+        cause = None)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo("graft.functions", name, usage)
@@ -31,38 +47,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(str) - 64-bit SimHash of whitespace tokens"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => { checkArity("simhash64", args, 1, 1); SimHash64(args.head) }))
 
     ext.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint", "rolling_fingerprint(str, window) - winnowing min rolling hash"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => { checkArity("rolling_fingerprint", args, 1, 2)
         RollingFingerprint(args.head,
-          if (args.length > 1) intArg(args(1), "window") else 16)))
+          if (args.length > 1) intArg(args(1), "window") else 16) }))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(str, shingle, perms) - MinHash signature array"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => { checkArity("minhash_sig", args, 1, 3)
         MinHashSig(args.head,
           if (args.length > 1) intArg(args(1), "shingle") else 5,
-          if (args.length > 2) intArg(args(2), "perms") else 64)))
+          if (args.length > 2) intArg(args(2), "perms") else 64) }))
 
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float arrays"),
-      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+      (args: Seq[Expression]) => { checkArity("cosine_sim", args, 2, 2); CosineSim(args.head, args(1)) }))
 
     ext.injectFunction((
       FunctionIdentifier("srp_bucket"),
       info("srp_bucket", "srp_bucket(vec, planes) - sign-random-projection LSH bucket"),
-      (args: Seq[Expression]) =>
-        SrpBucket(args.head, if (args.length > 1) intArg(args(1), "planes") else 8)))
+      (args: Seq[Expression]) => { checkArity("srp_bucket", args, 1, 2)
+        SrpBucket(args.head, if (args.length > 1) intArg(args(1), "planes") else 8) }))
 
     ext.injectFunction((
       FunctionIdentifier("char_ngrams"),
       info("char_ngrams", "char_ngrams(str, n) - distinct character n-grams"),
-      (args: Seq[Expression]) =>
-        CharNgrams(args.head, if (args.length > 1) intArg(args(1), "n") else 3)))
+      (args: Seq[Expression]) => { checkArity("char_ngrams", args, 1, 2)
+        CharNgrams(args.head, if (args.length > 1) intArg(args(1), "n") else 3) }))
   }
 }
