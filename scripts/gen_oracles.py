@@ -1,0 +1,279 @@
+#!/usr/bin/env python3
+"""Generate + test the hash-kernel DuckDB oracle SQL against the
+Spark Verify dumps. Dev-side harness: `python3 scripts/gen_oracles.py
+[sfDir] [verifyOut] [names...]` compares each generated oracle with
+the corresponding Spark parquet dump (exact, full precision) and
+prints the SQL for any requested name to stdout for embedding in
+SparkEntry.oracleSql."""
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+import duckdb
+import pandas as pd
+from oracle_frags import *
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+only = set(sys.argv[3:])
+
+
+def build():
+    o = {}
+
+    # ---- mm_features: FNV of the UTF-8 payload -> fake dims ----
+    h = fnv_text("text")
+    hs = to_signed(h)
+    o["mm_features"] = f"""
+SELECT doc_id,
+ CASE CAST(doc_id % 3 AS BIGINT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      ELSE 'video' END AS modality,
+ CAST(length(text) AS BIGINT) AS n_bytes,
+ CAST(abs(({hs}) % 1024) + 1 AS INT) AS width,
+ CAST((({h}) // 65536) % 1024 + 1 AS INT) AS height,
+ CAST(CASE WHEN doc_id % 3 = 2 THEN (({h}) // {TWO32}) % 300 + 1 ELSE 1 END AS INT) AS n_frames
+FROM documents"""
+
+    # ---- txt_fingerprint: winnowing min rolling hash + simhash ----
+    o["txt_fingerprint"] = f"""
+SELECT doc_id,
+ {rolling_min("text")} AS fp,
+ {to_signed(simhash("text"))} AS simhash
+FROM documents"""
+
+    # ---- ann_brute_topk: exact cosine top-10, queries = vec_id < 5 ----
+    o["ann_brute_topk"] = f"""
+SELECT q_id, vec_id, cos, rnk FROM (
+ SELECT q_id, vec_id, cos,
+  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+ FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+   {cosine("q.embedding", "c.embedding")} AS cos
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+  JOIN embeddings c ON c.vec_id != q.vec_id))
+WHERE rnk <= 10"""
+
+    # ---- dd_simhash: brute-force Hamming<=3 pairs (recall is exact
+    # by pigeonhole in the Spark banded version) ----
+    o["dd_simhash"] = f"""
+WITH docs AS ({PLANTED_DOCS}),
+sigs AS (SELECT doc_id, {to_signed(simhash("text"))} AS sig FROM docs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+ CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+
+    # ---- dd_embed_cosine: tiered exact — native float cosine as a
+    # loose prefilter (error ~1e-6 << 0.01 margin), bit-exact double
+    # formula decides at 0.98 ----
+    o["dd_embed_cosine"] = f"""
+WITH emb AS ({PLANTED_EMB})
+SELECT id_a, id_b, cos FROM (
+ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  {cosine("a.embedding", "b.embedding")} AS cos
+ FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.97)
+WHERE cos >= 0.98"""
+
+    # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
+    # size-ratio prefilter is sound (J <= min/max sizes) ----
+    gr = ngrams("text", 5)
+    o["dd_ngram_jaccard"] = f"""
+WITH docs AS ({PLANTED_DOCS}),
+grams AS (SELECT doc_id, {gr} AS g FROM docs)
+SELECT id_a, id_b, jaccard FROM (
+ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+    / length(list_distinct(list_concat(a.g, b.g))) AS jaccard
+ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+ WHERE least(len(a.g), len(b.g)) >= 0.7 * greatest(len(a.g), len(b.g)))
+WHERE jaccard >= 0.7"""
+
+    # ---- curate_pipeline: quality gate -> exact dedup keep-min-id ->
+    # drop higher id of every exact-Jaccard>=0.8 pair ----
+    o["curate_pipeline"] = f"""
+WITH docs AS ({PLANTED_DOCS}),
+scored AS (
+ SELECT doc_id, text,
+  CAST(length(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+    / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) * 0.4
+  + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) >= 3.0
+           AND CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) <= 10.0
+          THEN 0.3 ELSE 0.0 END)
+  + (CASE WHEN CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1
+          THEN 0.2 ELSE 0.0 END)
+  + (CASE WHEN CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.2
+          THEN 0.1 ELSE 0.0 END) AS quality
+ FROM docs),
+qualified AS (SELECT doc_id, text FROM scored WHERE quality >= 0.4),
+deduped AS (
+ SELECT doc_id, text FROM (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS keep
+  FROM qualified)
+ WHERE doc_id = keep),
+grams AS (SELECT doc_id, {gr} AS g FROM deduped),
+losers AS (
+ SELECT DISTINCT id_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+   CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+     / length(list_distinct(list_concat(a.g, b.g))) AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE least(len(a.g), len(b.g)) >= 0.8 * greatest(len(a.g), len(b.g)))
+ WHERE jaccard >= 0.8)
+SELECT doc_id FROM deduped WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
+
+    # ---- ann_lsh_topk: SRP buckets with the 64x8 coefficient table
+    # inlined as literals (same splitmix derivation as HashOps) ----
+    M = 1 << 64
+
+    def sm_py(seed):
+        z = (seed + 0x9e3779b97f4a7c15) % M
+        z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) % M
+        z = ((z ^ (z >> 27)) * 0x94d049bb133111eb) % M
+        return z ^ (z >> 31)
+
+    def coef(i, j):
+        return ((sm_py((i * 1315423911 + j) % M) & 0xffff) / 32768.0) - 1.0
+
+    planes, dim = 8, 64
+    ctab = ("[" + ",".join(
+        "[" + ",".join(repr(coef(i, j)) for i in range(dim)) + "]"
+        for j in range(planes)) + "]")
+    dot_j = ("list_sum(list_transform(range(1, len(embedding)+1), "
+             "i -> CAST(embedding[i] AS DOUBLE) * ct[j+1][i]))")
+    bucket = (f"list_sum(list_transform(range(0, {planes}), j -> "
+              f"CASE WHEN ({dot_j}) > 0 THEN CAST(1 AS BIGINT) << j "
+              f"ELSE CAST(0 AS BIGINT) END))")
+    o["ann_lsh_topk"] = f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket
+           FROM embeddings CROSS JOIN (SELECT {ctab} AS ct) _ct)
+SELECT q_id, vec_id, cos, rnk FROM (
+ SELECT q_id, vec_id, cos,
+  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+ FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+   {cosine("q.embedding", "c.embedding")} AS cos
+  FROM (SELECT * FROM b WHERE vec_id < 5) q
+  JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id))
+WHERE rnk <= 10"""
+
+    # ---- ann_ivf_topk: centroids = 16 smallest signed splitmix64(id);
+    # assignment/probing by exact cosine, ties like max(struct) ----
+    o["ann_ivf_topk"] = f"""
+WITH cent AS (
+ SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings
+ ORDER BY {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id LIMIT 16),
+assigned AS (
+ SELECT vec_id, embedding, cell FROM (
+  SELECT c.vec_id, c.embedding, t.cid AS cell,
+   row_number() OVER (PARTITION BY c.vec_id
+     ORDER BY {cosine("c.embedding", "t.cent_vec")} DESC, t.cid DESC) AS rn
+  FROM embeddings c CROSS JOIN cent t)
+ WHERE rn = 1),
+probes AS (
+ SELECT q_id, q_vec, cell FROM (
+  SELECT q.vec_id AS q_id, q.embedding AS q_vec, t.cid AS cell,
+   row_number() OVER (PARTITION BY q.vec_id
+     ORDER BY {cosine("q.embedding", "t.cent_vec")} DESC, t.cid) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cent t)
+ WHERE rn <= 4)
+SELECT q_id, vec_id, cos, rnk FROM (
+ SELECT q_id, vec_id, cos,
+  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+ FROM (
+  SELECT p.q_id, a.vec_id, {cosine("p.q_vec", "a.embedding")} AS cos
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND p.q_id != a.vec_id))
+WHERE rnk <= 10"""
+
+    return o
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].map(lambda v: repr(float(v)) if v == v else "nan")
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def emit_scala(path: str):
+    """Write the generated oracles as a Scala Map source file."""
+    o = build()
+    entries = []
+    for name in sorted(o):
+        sql = o[name].strip()
+        assert '"""' not in sql
+        entries.append(f'    "{name}" ->\n      """{sql}""",')
+    body = "\n".join(entries).rstrip(",")
+    src = f"""package graft
+
+/** GENERATED by scripts/gen_oracles.py — DO NOT EDIT BY HAND.
+  *
+  * DuckDB oracle SQL for the hash-kernel queries: brute-force,
+  * engine-independent re-computations of the LSH / ANN / fingerprint
+  * results. The 64-bit integer kernels (FNV-1a, SplitMix64, SimHash,
+  * Rabin-Karp winnowing) are replicated in HUGEINT mod-2^64
+  * arithmetic; doubles use the same ascending-index accumulation as
+  * graft.functions.HashOps, so every value is bit-exact across
+  * engines. Regenerate + re-verify with:
+  *   python3 scripts/gen_oracles.py <sfDir> <verifyOut>
+  *   python3 scripts/gen_oracles.py --emit
+  */
+object OracleSqlGen {{
+  val sql: Map[String, String] = Map(
+{body})
+}}
+"""
+    with open(path, "w") as f:
+        f.write(src)
+    print(f"wrote {path} ({len(o)} oracles)")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--emit":
+        emit_scala(sys.argv[2] if len(sys.argv) > 2
+                   else "src/main/scala/graft/OracleSqlGen.scala")
+        sys.exit(0)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = build()
+    fails = 0
+    import time
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            want = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: SQL error: {str(e).splitlines()[0][:200]}")
+            fails += 1
+            continue
+        dt = time.time() - t0
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            print(f"SKIP {name}: no Spark dump at {d}")
+            continue
+        got = norm(pd.read_parquet(d))
+        if got.equals(want):
+            print(f"  ok {name}: {len(got)} rows ({dt:.1f}s oracle)")
+        else:
+            fails += 1
+            print(f"FAIL {name}: shape {got.shape} vs {want.shape} ({dt:.1f}s)")
+            if got.shape == want.shape and list(got.columns) == list(want.columns):
+                diff = got.compare(want)
+                print(diff.head(5))
+            else:
+                print("  got cols:", list(got.columns), "want cols:", list(want.columns))
+                print("  got:", got.head(2).to_dict("records"))
+                print("  want:", want.head(2).to_dict("records"))
+    print("FAILURES:", fails)

@@ -323,8 +323,11 @@ object SparkEntry {
     },
 
     "dd_simhash" -> { (s, dir) =>
+      // maxHamming 3 with 4 banded 16-bit pieces ⇒ recall is EXACT by
+      // pigeonhole (≤3 differing bits can't touch all 4 pieces), which
+      // is what lets a brute-force DuckDB oracle hash-match this query
       Dedup.simhashPairs(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
-        maxHamming = 6)
+        maxHamming = 3)
     },
 
     "dd_ngram_jaccard" -> { (s, dir) =>
@@ -417,7 +420,12 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- oracle
 
-  def oracleSql: Map[String, String] = Map(
+  /** Hand-written oracles below; the hash-kernel queries (LSH / ANN /
+    * fingerprint / simhash / curation) get brute-force bit-exact
+    * oracles from [[OracleSqlGen]] (generated + verified by
+    * scripts/gen_oracles.py).
+    */
+  def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

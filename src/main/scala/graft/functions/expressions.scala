@@ -126,6 +126,19 @@ case class CosineBucketPairs(child: Expression, minCos: Double) extends UnaryExp
     copy(child = c)
 }
 
+/** SplitMix64 finalizer of a long — the deterministic pseudo-random
+  * order used for reproducible sampling (IVF centroid selection).
+  */
+case class Splitmix64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.splitmix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.splitmix64($c)")
+  override protected def withNewChildInternal(c: Expression): Splitmix64 = copy(child = c)
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -150,6 +163,7 @@ object F {
     column(MinHashSig(expression(c), shingle, perms))
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def splitmix64(c: Column): Column = column(Splitmix64(expression(c)))
   def sigMatchFrac(a: Column, b: Column): Column =
     column(SigMatchFrac(expression(a), expression(b)))
   def srpBucket(vec: Column, planes: Int): Column =

@@ -87,7 +87,7 @@ object Ann {
       excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
     val cent = broadcast(
-      c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids)
+      c.orderBy(F.splitmix64(col("vec_id")), col("vec_id")).limit(centroids)
         .select(col("vec_id").as("cid"), col("c_vec").as("cent_vec")))
     // corpus → nearest cell (deterministic tie-break on larger cid)
     val assigned = c.crossJoin(cent)

@@ -14,8 +14,9 @@ object Curation {
   /** Returns the surviving (doc_id, text) after:
     *  1. quality filter (composite score ≥ `minQuality`),
     *  2. exact dedup (keep min doc_id per content hash),
-    *  3. MinHash-LSH near-dup removal (of each near-dup pair, the
-    *     higher id is dropped).
+    *  3. near-dup removal: MinHash-LSH candidates verified by exact
+    *     character-5-gram Jaccard ≥ `minJaccard`; of each verified
+    *     pair, the higher id is dropped.
     */
   def curate(
       docs: DataFrame,
@@ -37,8 +38,13 @@ object Curation {
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = qualified.join(exactKeep, Seq("doc_id"), "left_semi").persist()
 
+    // Near-dup stage is EXACT-verified: MinHash-LSH proposes cheap
+    // candidates, the exact 5-gram set Jaccard decides (tiered, same
+    // shape as Dedup.ngramJaccard) — so "near-dup" has a precise,
+    // engine-independent definition a brute-force oracle can check.
     val nearDupLosers = Dedup
-      .minhashLsh(exactDeduped, col("doc_id"), col("text"), minJaccard = minJaccard)
+      .ngramJaccard(exactDeduped, col("doc_id"), col("text"),
+        n = 5, minJaccard = minJaccard, candidateMinEst = 0.5)
       .select(col("id_b").as("doc_id"))
       .distinct()
     // Materialize the result so the intermediates can be unpersisted
