@@ -51,6 +51,15 @@ SELECT q_id, vec_id, cos, rnk FROM (
   JOIN embeddings c ON c.vec_id != q.vec_id))
 WHERE rnk <= 10"""
 
+    # ---- ann_range_search: all corpus vectors with cos >= 0.2 ----
+    o["ann_range_search"] = f"""
+SELECT q_id, vec_id, cos FROM (
+ SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+  {cosine("q.embedding", "c.embedding")} AS cos
+ FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+ JOIN embeddings c ON c.vec_id != q.vec_id)
+WHERE cos >= 0.2"""
+
     # ---- dd_simhash: brute-force Hamming<=3 pairs (recall is exact
     # by pigeonhole in the Spark banded version) ----
     o["dd_simhash"] = f"""

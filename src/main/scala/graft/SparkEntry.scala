@@ -298,6 +298,113 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     },
 
+    "q_range_join" -> { (s, dir) =>
+      // value-band bucketing: non-equi join against a tiny broadcast
+      // range table (the 100 TB shape: fact side never shuffles)
+      val ranges = s.range(5).select(
+        col("id").as("bucket_id"),
+        (col("id") * 100).cast("double").as("lo"),
+        ((col("id") + 1) * 100).cast("double").as("hi"))
+      t(s, dir, "events")
+        .join(broadcast(ranges), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("bucket_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+    },
+
+    "q_first_last_agg" -> { (s, dir) =>
+      // min_by/max_by with a composite (date, key) order — exact
+      // "first/last per group" in ONE hash aggregation (no window
+      // sort of the whole table)
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min_by(col("o_orderpriority"),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("first_prio"),
+          max_by(col("o_orderpriority"),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("last_prio"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    "q_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_spend"))
+    },
+
+    "q_gaps_islands" -> { (s, dir) =>
+      // activity islands: consecutive-day runs per user via the
+      // classic day − row_number grouping (one shuffle on user_id)
+      val ev = t(s, dir, "events")
+      val day = floor(eventUs(ev, "ts") / 86400000000L).cast("long")
+      val days = ev.select(col("user_id"), day.as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(
+          min(col("day")).as("start_day"),
+          max(col("day")).as("end_day"),
+          count(lit(1)).as("n_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+    },
+
+    "q_exact_stats" -> { (s, dir) =>
+      graft.ops.Stats
+        .exactMoments(t(s, dir, "lineitem"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .withColumnRenamed("key", "l_returnflag")
+    },
+
+    "q_skew_join" -> { (s, dir) =>
+      // salted equi-join: 5 event types over 100k+ rows is maximal
+      // key skew; the salt spreads each type over 8 reducers
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("event_type").as("etype"))
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.Skew
+        .saltedJoin(ev, dim, col("event_type"), col("etype"), col("event_id"))
+        .groupBy(col("event_type"), col("type_n"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+    },
+
+    "q_flatten_struct" -> { (s, dir) =>
+      // pandas json_normalize(sep="_") twin on a parsed JSON payload
+      import org.apache.spark.sql.types.{IntegerType, StructType}
+      val schema = new StructType().add("k", IntegerType)
+      graft.sources.graphql.GraphQL.flattenStructs(
+        t(s, dir, "events").select(
+          col("event_id"),
+          from_json(col("props"), schema).as("props")))
+        .select(col("event_id"), col("props_k").cast("long").as("props_k"))
+    },
+
+    "txt_ngram_stats" -> { (s, dir) =>
+      TextAnalysis.ngramStats(t(s, dir, "documents"), col("text"), k = 20)
+    },
+
+    "dd_url_norm" -> { (s, dir) =>
+      // canonicalize synthesized crawl URLs, keep min doc_id per
+      // canonical form (web-pipeline first-pass dedup)
+      val url = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".COM/Doc/"),
+        (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 2 === 0, "?utm=x").otherwise("/"))
+      Dedup.urlNormKeepFirst(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"))
+    },
+
+    "ann_range_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Ann.rangeSearch(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        minCos = 0.2)
+    },
+
     // --- source: paginated GraphQL → flattened DataFrame ---
     "src_graphql_pages" -> { (s, dir) =>
       import graft.sources.graphql.{GraphQL, GraphQLFixtures}
@@ -607,6 +714,98 @@ object SparkEntry {
     "src_graphql_pages" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT bucket_id, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events
+        |JOIN (SELECT i AS bucket_id, CAST(i*100 AS DOUBLE) AS lo,
+        |             CAST((i+1)*100 AS DOUBLE) AS hi
+        |      FROM (SELECT unnest(range(0,5)) AS i)) r
+        |  ON value >= lo AND value < hi
+        |GROUP BY bucket_id""".stripMargin,
+
+    "q_first_last_agg" ->
+      """SELECT o_custkey,
+        | max(CASE WHEN rn_a = 1 THEN o_orderpriority END) AS first_prio,
+        | max(CASE WHEN rn_d = 1 THEN o_orderpriority END) AS last_prio,
+        | count(*) AS n_orders
+        |FROM (SELECT o_custkey, o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_a,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+        | FROM orders)
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+
+    "q_gaps_islands" ->
+      """SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        | count(*) AS n_days
+        |FROM (
+        | SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        | FROM (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |       FROM events))
+        |GROUP BY user_id, grp""".stripMargin,
+
+    "q_exact_stats" ->
+      """SELECT l_returnflag, n,
+        | sx / n AS mean_x,
+        | (n * sxx - sx * sx) / (n * n) AS var_x,
+        | sqrt((n * sxx - sx * sx) / (n * n)) AS std_x,
+        | (n * sxy - sx * sy)
+        |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |FROM (
+        | SELECT l_returnflag, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT e.event_type, d.type_n, count(*) AS n,
+        | CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events e
+        |JOIN (SELECT event_type AS etype, count(*) AS type_n
+        |      FROM events GROUP BY 1) d
+        |  ON e.event_type = d.etype
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_flatten_struct" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS props_k
+        |FROM events""".stripMargin,
+
+    "txt_ngram_stats" ->
+      """SELECT gram, n, rnk FROM (
+        | SELECT gram, n, row_number() OVER (ORDER BY n DESC, gram) AS rnk
+        | FROM (
+        |  SELECT gram, count(*) AS n FROM (
+        |   SELECT unnest(list_transform(range(1, len(toks)),
+        |                 i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |   FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                t -> t != '') AS toks
+        |         FROM documents))
+        |  GROUP BY gram))
+        |WHERE rnk <= 20""".stripMargin,
+
+    "dd_url_norm" ->
+      """SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n FROM (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   lower('HTTPS://WWW.' || upper(source) || '.COM/Doc/'
+        |         || CAST(doc_id % 100 AS VARCHAR)
+        |         || CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '/' END),
+        |   '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS norm_url
+        | FROM documents)
+        |GROUP BY norm_url""".stripMargin,
 
     "dd_exact_hash" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

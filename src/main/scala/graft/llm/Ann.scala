@@ -114,6 +114,24 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Range search: ALL corpus vectors with cosine ≥ `minCos` of each
+    * query (vs top-k's fixed count). Same broadcast shape as
+    * [[bruteTopK]] — the corpus never shuffles; the filter runs
+    * inside whole-stage codegen, so the scan streams at full rate.
+    */
+  def rangeSearch(
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      minCos: Double, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
+    val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"))
+    c.crossJoin(broadcast(q))
+      .filter(!lit(excludeSelf) || col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosineSim(col("q_vec"), col("c_vec")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join,
     * exact cosine ≥ `minCos` verification inside buckets.
     */

@@ -21,6 +21,23 @@ object Dedup {
     df.groupBy(md5(text).as("h"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n"))
 
+  /** URL-normalized dedup: canonicalize a URL column (lowercase,
+    * strip scheme / leading www / query string / trailing slash) and
+    * keep the minimal id per canonical URL — the standard first pass
+    * of a web-crawl pipeline. One hash aggregation, map-side partial.
+    */
+  def urlNormKeepFirst(df: DataFrame, id: Column, url: Column): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^https?://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+    df.groupBy(norm.as("norm_url"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n"))
+  }
+
   /** MinHash + banded LSH near-dup pairs.
     *
     * shingle→minhash→band→bucket-join: `perms`-wide signatures over

@@ -79,6 +79,28 @@ object TextAnalysis {
       best.getField("score").cast("long").as("marker_hits"))
   }
 
+  /** Corpus-wide top-k word bigrams with counts: per-doc bigram
+    * generation is a pure projection (no shuffle); the count is one
+    * hash aggregation with map-side partials; the final top-k is a
+    * single-partition sort of only `k`-bounded candidates via AQE.
+    * Deterministic: ties broken by gram text.
+    */
+  def ngramStats(df: DataFrame, text: Column, k: Int = 20): DataFrame = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+      transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(bigrams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("gram"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Winnowing fingerprint (codegen Expression): one long per doc —
     * equal fingerprints ⇒ near-identical content with high prob.
     */

@@ -13,6 +13,28 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Skew {
 
+  /** Salted equi-join for skewed keys when BOTH sides are too big to
+    * broadcast: the probe side gets a deterministic salt from
+    * `saltSource`, the build side is replicated `salts`× (explode of
+    * a literal range — no extra scan), and the join key becomes
+    * (key, salt). A heavy-hitter key's rows now spread over `salts`
+    * reducers instead of one. Results identical to a plain join.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: Column,
+      buildKey: Column,
+      saltSource: Column,
+      salts: Int = 8): DataFrame = {
+    val salted = probe.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
+    val replicated = build
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted
+      .join(replicated, probeKey === buildKey && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+
   /** count(*) and decimal-exact sum per key, two-phase via salt. */
   def saltedCountSum(
       df: DataFrame,

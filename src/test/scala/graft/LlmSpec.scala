@@ -135,4 +135,41 @@ class LlmSpec extends SparkSpec {
     assert(out.filter($"sh".isNull || $"fp".isNull).count() == 0)
     assert(out.select(size($"mh")).distinct().as[Int].collect().toSet == Set(16))
   }
+
+  test("rangeSearch returns every neighbor above the threshold") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val got = llm.Ann.rangeSearch(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), minCos = 0.2)
+    // brute-force the same threshold via the top-k path with k = corpus size
+    val n = e.count().toInt
+    val want = llm.Ann.bruteTopK(e, col("vec_id"), col("embedding"),
+      q, col("vec_id"), col("embedding"), k = n)
+      .filter(col("cos") >= 0.2)
+    assert(got.count() == want.count())
+    assert(got.filter(col("cos") < 0.2).count() == 0)
+  }
+
+  test("urlNormKeepFirst canonicalizes scheme/www/query/slash variants") {
+    val df = Seq(
+      (1L, "HTTPS://WWW.Example.com/a/"),
+      (2L, "http://example.com/a?q=1"),
+      (3L, "example.com/a"),
+      (4L, "https://other.com/b")
+    ).toDF("id", "url")
+    val rows = llm.Dedup.urlNormKeepFirst(df, col("id"), col("url"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows.head == ("example.com/a", 1L, 3L))
+    assert(rows(1) == ("other.com/b", 4L, 1L))
+  }
+
+  test("ngramStats counts bigrams with deterministic top-k order") {
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val got = llm.TextAnalysis.ngramStats(df, col("text"), k = 10)
+      .as[(String, Long, Long)].collect().toList
+    // "a b" x3 ranks first; ties by gram text
+    assert(got.head == ("a b", 3L, 1L))
+    assert(got.map(_._1).toSet == Set("a b", "b a", "b c"))
+  }
 }

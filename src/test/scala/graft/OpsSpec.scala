@@ -53,4 +53,25 @@ class OpsSpec extends SparkSpec {
     assert(got.count() == 3)
     assert(got.filter(col("key") === 1L && col("n_events") === 2).count() == 1)
   }
+
+  test("saltedJoin equals a plain join") {
+    val probe = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
+      .toDF("id", "k", "v")
+    val build = Seq(("a", 100), ("b", 200)).toDF("bk", "w")
+    val got = Skew.saltedJoin(probe, build, col("k"), col("bk"), col("id"), salts = 4)
+      .select(col("id"), col("w")).as[(Int, Int)].collect().toSet
+    val want = probe.join(build, col("k") === col("bk"))
+      .select(col("id"), col("w")).as[(Int, Int)].collect().toSet
+    assert(got == want && got.size == 3)
+  }
+
+  test("exactMoments matches closed-form on a tiny frame") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 3.0, 6.0), ("g", 5.0, 10.0))
+      .toDF("k", "x", "y")
+    val row = Stats.exactMoments(df, col("k"), col("x"), col("y")).collect()(0)
+    assert(row.getAs[Double]("mean_x") == 3.0)
+    assert(math.abs(row.getAs[Double]("var_x") - 8.0 / 3) < 1e-12)
+    // y = 2x exactly => corr 1
+    assert(math.abs(row.getAs[Double]("corr_xy") - 1.0) < 1e-12)
+  }
 }
