@@ -52,4 +52,44 @@ class GraphQLSpec extends SparkSpec {
       .select($"node_v").as[String].head()
     assert(got == "a\"b\\c\nd")
   }
+
+  test("mutation sink batches rows into list-input mutations") {
+    val sender = new CapturingSender
+    MutationSenders.register("cap", sender)
+    val df = spark.read.parquet(s"$sf/region.parquet")
+      .select(col("r_regionkey"), col("r_name"))
+    df.coalesce(1).write
+      .format("graft.sources.graphql.GraphQLSinkProvider")
+      .option("sender", "cap")
+      .option("mutation", "createRegions")
+      .option("batchSize", "2")
+      .mode("append").save()
+    val sent = sender.captured
+    // 5 regions at batchSize 2 from one partition → 3 mutations
+    assert(sent.size == 3)
+    assert(sent.forall(_.startsWith("mutation { createRegions(input: [")))
+    // every region name appears exactly once across the batches
+    val names = spark.read.parquet(s"$sf/region.parquet")
+      .select("r_name").as[String].collect()
+    names.foreach { n =>
+      assert(sent.count(_.contains("\"r_name\": \"" + n + "\"")) == 1)
+    }
+  }
+
+  test("mutation sink fans out across partitions") {
+    val sender = new CapturingSender
+    MutationSenders.register("cap2", sender)
+    spark.range(100).select(col("id"), concat(lit("u"), col("id")).as("name"))
+      .repartition(8)
+      .write.format("graft.sources.graphql.GraphQLSinkProvider")
+      .option("sender", "cap2")
+      .option("mutation", "createUsers")
+      .option("batchSize", "16")
+      .mode("append").save()
+    val sent = sender.captured
+    assert(sent.nonEmpty)
+    // all 100 ids arrive exactly once, any batch/partition order
+    val ids = sent.flatMap("\\\"id\\\": (\\d+)".r.findAllMatchIn(_).map(_.group(1).toLong))
+    assert(ids.sorted == (0L until 100L).toList)
+  }
 }
