@@ -92,13 +92,18 @@ object TextAnalysis {
         sequence(lit(0), size(toks) - 2),
         i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
-    df.select(explode(bigrams).as("gram"))
+    val top = df.select(explode(bigrams).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rnk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("gram"))).cast("long"))
-      .filter(col("rnk") <= k)
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+    // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    // top-k, driver merges k·p rows — never a global sort of all
+    // distinct grams (which a bare row_number window would be).
+    // The rank window then runs over only k rows.
+    top.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("gram"))).cast("long"))
   }
 
   /** Winnowing fingerprint (codegen Expression): one long per doc —
