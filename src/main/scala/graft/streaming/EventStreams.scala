@@ -44,6 +44,28 @@ object EventStreams {
       .groupBy(window(col("ts"), win), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
 
+  /** Streaming exact dedup (twin of the batch `dd_exact_hash` /
+    * `q_dedup_exact`): drop repeated ids, with state bounded by the
+    * event-time watermark — an id older than the watermark can no
+    * longer collide, so its state entry is reclaimed. Without the
+    * watermark the dedup map grows forever at 100 TB/day rates.
+    */
+  def dedup(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-static enrichment join: each micro-batch hash-joins
+    * against the (re-readable) static dimension — the streaming side
+    * never shuffles when the dim is broadcastable, and the dim can be
+    * updated between restarts without touching checkpoints.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when the next event arrives more than `gapUs` after the
     * last, or — when `timeoutMs > 0` — when the processing-time

@@ -42,4 +42,32 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("sessout").as[SessionOut].collect().toSet
     assert(got == Set(SessionOut(7L, 0L, 60L * us, 2L)))
   }
+
+  test("streaming dedup drops repeated ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    mem.addData((1L, at(0), "a"), (1L, at(1), "a-dup"), (2L, at(2), "b"))
+    val df = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = EventStreams.dedup(df, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup").select("event_id").as[Long].collect().toList.sorted
+    assert(got == List(1L, 2L))
+  }
+
+  test("stream-static enrich joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "click"), (2L, "view"), (3L, "click"))
+    val dim = Seq(("click", 10), ("view", 20)).toDF("event_type", "weight")
+    val df = mem.toDF().toDF("event_id", "event_type")
+    val q = EventStreams.enrich(df, dim, Seq("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched").select("event_id", "weight")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 10, 2L -> 20, 3L -> 10))
+  }
 }
