@@ -48,4 +48,31 @@ class PlanSpec extends SparkSpec {
     })
     assert(hasCustom, "fingerprint expressions missing from optimized plan")
   }
+
+  test("q_range_join broadcasts the range table (BNLJ, no cartesian)") {
+    val plan = physicalPlan("q_range_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "non-equi range join should be a broadcast nested loop")
+    assert(!plan.contains("CartesianProduct"),
+      "unbroadcast cartesian product appeared")
+  }
+
+  test("q_exact_stats is one shuffle with map-side partials") {
+    val plan = physicalPlan("q_exact_stats")
+    assert("partial_sum".r.findAllIn(plan).size >= 1, "no partial aggregation")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      "exact moments should need exactly one shuffle")
+  }
+
+  test("txt_ngram_stats uses distributed TakeOrdered, not a global sort") {
+    val plan = physicalPlan("txt_ngram_stats")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k should compile to TakeOrderedAndProject")
+  }
+
+  test("ann_range_search broadcasts queries and prunes with pushdown") {
+    val plan = physicalPlan("ann_range_search")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(plan.contains("LessThan(vec_id,5)"), "query-side filter not pushed to scan")
+  }
 }
