@@ -70,6 +70,35 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
 
+    # ---- dd_minhash_lsh: full signature + banding pipeline. Pairs
+    # share a (band, 4-long slice) bucket of size in [2, maxBucket],
+    # estimate = matching signature positions / 64 >= 0.5. (Spark
+    # buckets by hash(band, slice); equality-on-slice is the same
+    # relation modulo 32-bit hash collisions — none on this data.) ----
+    est = ("list_sum(list_transform(range(1, 65), "
+           "i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 64.0")
+    o["dd_minhash_lsh"] = f"""
+WITH docs AS ({PLANTED_DOCS}),
+sigs AS (SELECT doc_id, {minhash_sig("text")} AS sig FROM docs),
+banded AS (
+ SELECT doc_id, sig, band, sig[band*4+1 : band*4+4] AS sl
+ FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) _b),
+sized AS (
+ SELECT band, sl, count(*) AS bn FROM banded GROUP BY band, sl),
+cand AS (
+ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+ FROM banded a
+ JOIN banded b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+ JOIN sized s ON s.band = a.band AND s.sl = a.sl
+ WHERE s.bn BETWEEN 2 AND 64)
+SELECT id_a, id_b, jaccard_est FROM (
+ SELECT id_a, id_b, {est} AS jaccard_est
+ FROM (SELECT c.id_a, c.id_b, x.sig AS sa, y.sig AS sb
+       FROM cand c
+       JOIN sigs x ON x.doc_id = c.id_a
+       JOIN sigs y ON y.doc_id = c.id_b))
+WHERE jaccard_est >= 0.5"""
+
     # ---- dd_embed_cosine: tiered exact — native float cosine as a
     # loose prefilter (error ~1e-6 << 0.01 margin), bit-exact double
     # formula decides at 0.98 ----

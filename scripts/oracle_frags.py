@@ -138,6 +138,55 @@ def ngrams(text_expr: str, n: int = 5) -> str:
             f"i -> substring({text_expr}, CAST(i AS INT), {n}))) END)")
 
 
+def mulmod_var(h: str, a: str) -> str:
+    """(h * a) mod 2^64 for two variable nonneg HUGEINTs < 2^64:
+    split h into 32-bit halves so no product exceeds 2^96."""
+    return (f"((((({h}) // {TWO32}) * ({a})) % {TWO32}) * {TWO32} "
+            f"+ (({h}) % {TWO32}) * ({a})) % {TWO64}")
+
+
+# MinHash permutation coefficients — replicates HashOps.coefsFor:
+# a_i = splitmix64(0x5eed0000 + i) | 1, b_i = splitmix64(0xbeef0000 + i)
+def _sm_py(seed):
+    M = 1 << 64
+    z = (seed + 0x9e3779b97f4a7c15) % M
+    z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) % M
+    z = ((z ^ (z >> 27)) * 0x94d049bb133111eb) % M
+    return z ^ (z >> 31)
+
+
+MINHASH_A = [(_sm_py(0x5eed0000 + i) | 1) for i in range(64)]
+MINHASH_B = [_sm_py(0xbeef0000 + i) for i in range(64)]
+
+
+def fnv_window(cs: str, i: str, k: int) -> str:
+    """FNV-1a over the k bytes cs[i..i+k-1] (unrolled — the constant
+    prime fits the overflow-safe direct multiply)."""
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for j in range(k):
+        h = f"((xor({h}, {cs}[{i}+{j}]) * 1099511628211) % {TWO64})"
+    return h
+
+
+def minhash_sig(text_expr: str, k: int = 5, perms: int = 64) -> str:
+    """MinHash signature (HashOps.minhashSig) for ASCII text with
+    length >= k, as LIST of signed BIGINT (signature order). Min is
+    over SIGNED longs, as in the Scala kernel."""
+    A = "[" + ",".join(f"CAST({a} AS HUGEINT)" for a in MINHASH_A[:perms]) + "]"
+    B = "[" + ",".join(f"CAST({b} AS HUGEINT)" for b in MINHASH_B[:perms]) + "]"
+    BIAS = "9223372036854775808"
+    # signed order == unsigned order of (x XOR 2^63): bias inside the
+    # hot loop (one xor), un-bias + sign-convert once per signature slot
+    perm = f"(({mulmod_var('h', 'pa[p]')} + pb[p]) % {TWO64})"
+    mins = (f"list_transform(range(1, {perms}+1), p -> "
+            f"list_min(list_transform(hs, h -> xor({perm}, {BIAS}))))")
+    sig = f"list_transform(ms, m -> {to_signed(f'xor(m, {BIAS})')})"
+    hs = f"list_transform(range(1, len(cs)-{k}+2), i -> {fnv_window('cs', 'i', k)})"
+    return (f"(SELECT {sig} FROM (SELECT {mins} AS ms "
+            f"FROM (SELECT {hs} AS hs, {A} AS pa, {B} AS pb "
+            f"FROM (SELECT {chars(text_expr)} AS cs) _c) _h) _s)")
+
+
 PLANTED_DOCS = """
  SELECT doc_id, text FROM documents
  UNION ALL
