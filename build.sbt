@@ -15,6 +15,9 @@ run / fork := true
 // prefixes) — the driver parses Bench's single JSON stdout line.
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ... and keep it the LAST stdout line: suppress sbt's trailing
+// "[success] Total time" banner.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

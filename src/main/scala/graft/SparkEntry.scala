@@ -173,19 +173,27 @@ object SparkEntry {
     },
 
     "q_hierarchy_rollup" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
+      // Pre-aggregate the fact table to one row per order BEFORE any
+      // join: the orderkey shuffle then carries ~4× fewer rows, every
+      // downstream join fans out less, and countDistinct(o_orderkey)
+      // degenerates to a plain count (orders are unique post-agg) —
+      // no two-phase distinct expansion. Decimal sums re-associate
+      // exactly, so the result is bit-identical to the direct plan.
+      val revPerOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("order_rev"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
       val n = broadcast(t(s, dir, "nation"))
       val r = broadcast(t(s, dir, "region"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      revPerOrder.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(
-          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("order_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
     },
 
     "q_string_norm_join" -> { (s, dir) =>
