@@ -32,6 +32,40 @@ SELECT doc_id,
  CAST(CASE WHEN doc_id % 3 = 2 THEN (({h}) // {TWO32}) % 300 + 1 ELSE 1 END AS INT) AS n_frames
 FROM documents"""
 
+    # ---- mm_resize / mm_frame_sample: post-decode geometry plans on
+    # the same FNV-derived fake dims ----
+    feats = f"""
+ SELECT doc_id,
+  CASE CAST(doc_id % 3 AS BIGINT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+  CAST(abs(({hs}) % 1024) + 1 AS INT) AS width,
+  CAST((({h}) // 65536) % 1024 + 1 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN (({h}) // {TWO32}) % 300 + 1 ELSE 1 END AS INT) AS n_frames
+ FROM documents"""
+    o["mm_resize"] = f"""
+WITH feats AS ({feats})
+SELECT doc_id, modality, width, height,
+ CASE WHEN width >= height THEN least(width, 256)
+      ELSE greatest(1, CAST(floor((width * least(height, 256)) / height) AS INT))
+ END AS out_w,
+ CASE WHEN height > width THEN least(height, 256)
+      ELSE greatest(1, CAST(floor((height * least(width, 256)) / width) AS INT))
+ END AS out_h
+FROM feats"""
+
+    o["mm_frame_sample"] = f"""
+WITH feats AS ({feats})
+SELECT doc_id, modality, n_frames,
+ CASE WHEN modality = 'video'
+      THEN array_to_string(range(0, n_frames,
+             greatest(1, CAST(floor(n_frames / 8.0) AS INT))), ',')
+      ELSE '0' END AS frames,
+ CASE WHEN modality = 'video'
+      THEN CAST(len(range(0, n_frames,
+             greatest(1, CAST(floor(n_frames / 8.0) AS INT)))) AS BIGINT)
+      ELSE CAST(1 AS BIGINT) END AS n_sampled
+FROM feats"""
+
     # ---- txt_fingerprint: winnowing min rolling hash + simhash ----
     o["txt_fingerprint"] = f"""
 SELECT doc_id,

@@ -515,6 +515,35 @@ object SparkEntry {
         .toDF()
     },
 
+    "mm_resize" -> { (s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.fakeDecode(s,
+          Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")))
+          .toDF())
+    },
+
+    "mm_frame_sample" -> { (s, dir) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.fakeDecode(s,
+          Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")))
+          .toDF())
+        .select(
+          col("doc_id"), col("modality"), col("n_frames"),
+          array_join(col("frame_idx").cast("array<string>"), ",").as("frames"),
+          col("n_sampled"))
+    },
+
+    "q_percentiles" -> { (s, dir) =>
+      // exact interpolated quantiles — bit-identical to DuckDB's
+      // quantile_cont on this data (verified), unlike approx sketches
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          percentile(col("value"), lit(0.25)).as("q25"),
+          percentile(col("value"), lit(0.5)).as("q50"),
+          percentile(col("value"), lit(0.75)).as("q75"))
+    },
+
     "q_set_ops" -> { (s, dir) =>
       // set reconciliation: members of both cohorts / in first only
       val a = t(s, dir, "customer")
@@ -803,6 +832,13 @@ object SparkEntry {
         |         FROM documents))
         |  GROUP BY gram))
         |WHERE rnk <= 20""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.25) AS q25,
+        | quantile_cont(value, 0.5) AS q50,
+        | quantile_cont(value, 0.75) AS q75
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "dd_url_norm" ->
       """SELECT norm_url, min(doc_id) AS keep_id, count(*) AS n FROM (

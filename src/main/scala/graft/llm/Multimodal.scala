@@ -40,6 +40,39 @@ object Multimodal {
         .otherwise("video").as("modality"))
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
 
+  /** Resize plan for decoded media: cap the longest edge at `maxDim`
+    * preserving aspect ratio (integer arithmetic — the real resample
+    * happens in the stubbed codec; this computes the target geometry
+    * every image pipeline needs). Pure projection, zero shuffles.
+    */
+  def resizePlan(features: DataFrame, maxDim: Int = 256): DataFrame = {
+    // floor() on both engines — a bare double→int cast truncates in
+    // Spark but ROUNDS in DuckDB, which would break oracle parity
+    def scaled(a: Column, b: Column): Column =
+      greatest(lit(1), floor((a * least(b, lit(maxDim))) / b).cast("int"))
+    features.select(
+      col("doc_id"), col("modality"), col("width"), col("height"),
+      when(col("width") >= col("height"), least(col("width"), lit(maxDim)))
+        .otherwise(scaled(col("width"), col("height"))).as("out_w"),
+      when(col("height") > col("width"), least(col("height"), lit(maxDim)))
+        .otherwise(scaled(col("height"), col("width"))).as("out_h"))
+  }
+
+  /** Frame-sampling plan for video rows: every `stride`-th frame up
+    * to `maxFrames` samples — emits the sampled frame indices (the
+    * real frame extraction is codec work; the plan is what the
+    * pipeline schedules). Images/audio pass through with frame 0.
+    */
+  def frameSamplePlan(features: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val stride = greatest(lit(1), (col("n_frames") / maxFrames).cast("int"))
+    features.select(
+      col("doc_id"), col("modality"), col("n_frames"),
+      when(col("modality") === "video",
+        sequence(lit(0), col("n_frames") - 1, stride))
+        .otherwise(array(lit(0))).as("frame_idx"))
+      .withColumn("n_sampled", size(col("frame_idx")).cast("long"))
+  }
+
   /** STUB decode: deterministic fake dimensions derived from FNV of
     * the payload. Replaces a real codec; keeps the per-partition
     * batch shape (iterator-in/iterator-out, no per-row JVM↔native

@@ -172,4 +172,31 @@ class LlmSpec extends SparkSpec {
     assert(got.head == ("a b", 3L, 1L))
     assert(got.map(_._1).toSet == Set("a b", "b a", "b c"))
   }
+
+  test("resizePlan caps the long edge and preserves aspect") {
+    val feats = Seq(
+      (1L, "image", 10L, 1024, 512, 1),
+      (2L, "image", 10L, 100, 400, 1),
+      (3L, "image", 10L, 64, 64, 1)
+    ).toDF("doc_id", "modality", "n_bytes", "width", "height", "n_frames")
+    val got = llm.Multimodal.resizePlan(feats)
+      .select("doc_id", "out_w", "out_h").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((256, 128)))
+    assert(got(2L) == ((64, 256)))
+    assert(got(3L) == ((64, 64)))
+  }
+
+  test("frameSamplePlan strides videos to at most ~8+1 samples") {
+    val feats = Seq(
+      (1L, "video", 10L, 10, 10, 100),
+      (2L, "video", 10L, 10, 10, 3),
+      (3L, "image", 10L, 10, 10, 1)
+    ).toDF("doc_id", "modality", "n_bytes", "width", "height", "n_frames")
+    val got = llm.Multimodal.frameSamplePlan(feats)
+      .select("doc_id", "n_sampled").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 9) // stride 12: 0,12,...,96
+    assert(got(2L) == 3) // stride 1: 0,1,2
+    assert(got(3L) == 1) // non-video passes through
+  }
 }
