@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.ops.{Sessionize, Skew}
+
+/** Randomized equivalence properties (seeded — deterministic):
+  * the skew-safe rewrites must be EXACTLY the direct plans' results
+  * on arbitrary data, not just on the benchmark tables, and the
+  * sessionizer must satisfy its gap invariants on random event
+  * streams.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedCountSum equals direct groupBy on random skewed data") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed)
+      val rows = (1 to 800).map { i =>
+        // zipf-ish skew: most rows land on key 0
+        val k = if (rnd.nextDouble() < 0.7) "hot" else s"k${rnd.nextInt(20)}"
+        (i.toLong, k, math.round(rnd.nextDouble() * 1000) / 100.0)
+      }
+      val df = rows.toDF("id", "k", "v")
+      val salted = Skew.saltedCountSum(df, col("k"), col("v"), col("id"))
+        .select(col("key"), col("n"), col("v"))
+        .as[(String, Long, Double)].collect().map { case (k, n, v) => k -> ((n, v)) }.toMap
+      val direct = df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("v"))
+        .as[(String, Long, Double)].collect().map { case (k, n, v) => k -> ((n, v)) }.toMap
+      assert(salted == direct, s"seed $seed mismatch")
+    }
+  }
+
+  test("saltedJoin equals plain join on random many-to-many data") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 100)
+      val probe = (1 to 300).map(i => (i.toLong, s"k${rnd.nextInt(10)}")).toDF("id", "k")
+      val build = (1 to 30).map(i => (s"k${rnd.nextInt(12)}", i)).toDF("bk", "w")
+      val got = Skew.saltedJoin(probe, build, col("k"), col("bk"), col("id"), salts = 4)
+        .select(col("id"), col("w")).as[(Long, Int)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val want = probe.join(build, col("k") === col("bk"))
+        .select(col("id"), col("w")).as[(Long, Int)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == want, s"seed $seed mismatch (multiplicity-sensitive)")
+    }
+  }
+
+  test("sessionize: no intra-session gap exceeds the threshold, sessions cover all events") {
+    val gapUs = 1000L
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 200)
+      val events = (1 to 250).map { i =>
+        (rnd.nextInt(5).toLong, math.abs(rnd.nextLong() % 100000L), i.toLong)
+      }
+      val df = events.toDF("uid", "ts_us", "eid")
+      val sess = Sessionize.sessions(df, col("uid"), col("ts_us"), col("eid"), gapUs)
+        .select(col("key"), col("n_events"), col("start_us"), col("end_us"))
+        .as[(Long, Long, Long, Long)].collect()
+      // every event is in exactly one session
+      assert(sess.map(_._2).sum == events.length)
+      // sessions of one user never overlap and are separated by > gap
+      sess.groupBy(_._1).foreach { case (_, ss) =>
+        val sorted = ss.sortBy(_._3)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 - a._4 > gapUs,
+            s"sessions closer than gap: $a then $b")
+          case _ =>
+        }
+      }
+      // per-session span sanity: start <= end
+      assert(sess.forall(s => s._3 <= s._4))
+    }
+  }
+
+  test("HashOps.cosine is symmetric, bounded, and exact on unit axes") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 20) {
+      val n = 8 + rnd.nextInt(56)
+      val a = Array.fill(n)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(n)(rnd.nextFloat() * 2 - 1)
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      def ad(x: Array[Float]) = new GenericArrayData(x.map(_.asInstanceOf[Any]))
+      val ab = graft.functions.HashOps.cosine(ad(a), ad(b))
+      val ba = graft.functions.HashOps.cosine(ad(b), ad(a))
+      assert(ab == ba, "cosine not symmetric")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      assert(graft.functions.HashOps.cosine(ad(a), ad(a)) > 0.999999)
+    }
+  }
+}
