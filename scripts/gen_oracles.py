@@ -58,11 +58,11 @@ WITH feats AS ({feats})
 SELECT doc_id, modality, n_frames,
  CASE WHEN modality = 'video'
       THEN array_to_string(range(0, n_frames,
-             greatest(1, CAST(floor(n_frames / 8.0) AS INT))), ',')
+             greatest(1, CAST(floor((n_frames + 7) / 8.0) AS INT))), ',')
       ELSE '0' END AS frames,
  CASE WHEN modality = 'video'
       THEN CAST(len(range(0, n_frames,
-             greatest(1, CAST(floor(n_frames / 8.0) AS INT)))) AS BIGINT)
+             greatest(1, CAST(floor((n_frames + 7) / 8.0) AS INT)))) AS BIGINT)
       ELSE CAST(1 AS BIGINT) END AS n_sampled
 FROM feats"""
 
@@ -94,15 +94,28 @@ SELECT q_id, vec_id, cos FROM (
  JOIN embeddings c ON c.vec_id != q.vec_id)
 WHERE cos >= 0.2"""
 
-    # ---- dd_simhash: brute-force Hamming<=3 pairs (recall is exact
-    # by pigeonhole in the Spark banded version) ----
+    # ---- dd_simhash: banded Hamming<=3 pairs. Pigeonhole makes the
+    # 4x16-bit banding lossless for ham<=3 — but ONLY through buckets
+    # the [2, 256] size cap keeps, so the oracle replicates the
+    # banding + cap rather than brute-forcing all pairs (a degenerate
+    # piece value shared by >256 docs is dropped by both sides). The
+    # piece VALUE is the bucket key (no hash), so this is exact. ----
     o["dd_simhash"] = f"""
 WITH docs AS ({PLANTED_DOCS}),
-sigs AS (SELECT doc_id, {to_signed(simhash("text"))} AS sig FROM docs)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+sigs AS (SELECT doc_id, {to_signed(simhash("text"))} AS sig FROM docs),
+pieces AS (
+ SELECT doc_id, sig, piece,
+  (CAST(sig AS HUGEINT) + CASE WHEN sig < 0 THEN {TWO64} ELSE 0 END)
+    // ([1, 65536, 4294967296, 281474976710656])[piece+1] % 65536 AS pval
+ FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS piece) _p),
+sized AS (SELECT piece, pval, count(*) AS bn FROM pieces GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+FROM pieces a
+JOIN pieces b ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id
+JOIN sized s ON s.piece = a.piece AND s.pval = a.pval
+WHERE s.bn BETWEEN 2 AND 256
+  AND bit_count(xor(a.sig, b.sig)) <= 3"""
 
     # ---- dd_minhash_lsh: full signature + banding pipeline. Pairs
     # share a (band, 4-long slice) bucket of size in [2, maxBucket],
@@ -194,16 +207,8 @@ SELECT doc_id FROM deduped WHERE doc_id NOT IN (SELECT id_b FROM losers)"""
 
     # ---- ann_lsh_topk: SRP buckets with the 64x8 coefficient table
     # inlined as literals (same splitmix derivation as HashOps) ----
-    M = 1 << 64
-
-    def sm_py(seed):
-        z = (seed + 0x9e3779b97f4a7c15) % M
-        z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) % M
-        z = ((z ^ (z >> 27)) * 0x94d049bb133111eb) % M
-        return z ^ (z >> 31)
-
     def coef(i, j):
-        return ((sm_py((i * 1315423911 + j) % M) & 0xffff) / 32768.0) - 1.0
+        return ((sm_py(i * 1315423911 + j) & 0xffff) / 32768.0) - 1.0
 
     planes, dim = 8, 64
     ctab = ("[" + ",".join(
@@ -256,21 +261,6 @@ SELECT q_id, vec_id, cos, rnk FROM (
 WHERE rnk <= 10"""
 
     return o
-
-
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].map(lambda v: repr(float(v)) if v == v else "nan")
-        else:
-            try:
-                df[c] = df[c].astype("int64")
-            except (TypeError, ValueError):
-                df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def emit_scala(path: str):

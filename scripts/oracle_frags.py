@@ -138,6 +138,27 @@ def ngrams(text_expr: str, n: int = 5) -> str:
             f"i -> substring({text_expr}, CAST(i AS INT), {n}))) END)")
 
 
+def norm(df):
+    """THE normalization both dev gates share (column-name sort,
+    str/int/float-repr casts, row sort) — self_check.py and
+    gen_oracles.py must compare identically or one can pass what the
+    other fails. Takes/returns a pandas DataFrame."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            # full round-trip precision: any cross-engine double drift
+            # fails here exactly as it would fail the driver's hash
+            df[c] = df[c].map(lambda v: repr(float(v)) if v == v else "nan")
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
 def mulmod_var(h: str, a: str) -> str:
     """(h * a) mod 2^64 for two variable nonneg HUGEINTs < 2^64:
     split h into 32-bit halves so no product exceeds 2^96."""
@@ -145,9 +166,9 @@ def mulmod_var(h: str, a: str) -> str:
             f"+ (({h}) % {TWO32}) * ({a})) % {TWO64}")
 
 
-# MinHash permutation coefficients — replicates HashOps.coefsFor:
-# a_i = splitmix64(0x5eed0000 + i) | 1, b_i = splitmix64(0xbeef0000 + i)
-def _sm_py(seed):
+def sm_py(seed):
+    """Python reference SplitMix64 — the ONE copy every generator
+    derives constants from (SQL twin: splitmix())."""
     M = 1 << 64
     z = (seed + 0x9e3779b97f4a7c15) % M
     z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) % M
@@ -155,8 +176,10 @@ def _sm_py(seed):
     return z ^ (z >> 31)
 
 
-MINHASH_A = [(_sm_py(0x5eed0000 + i) | 1) for i in range(64)]
-MINHASH_B = [_sm_py(0xbeef0000 + i) for i in range(64)]
+# MinHash permutation coefficients — replicates HashOps.coefsFor:
+# a_i = splitmix64(0x5eed0000 + i) | 1, b_i = splitmix64(0xbeef0000 + i)
+MINHASH_A = [(sm_py(0x5eed0000 + i) | 1) for i in range(64)]
+MINHASH_B = [sm_py(0xbeef0000 + i) for i in range(64)]
 
 
 def fnv_window(cs: str, i: str, k: int) -> str:

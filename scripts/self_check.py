@@ -6,6 +6,8 @@ value-normalized). NOT part of the library."""
 import json, math, os, sys
 import duckdb
 import pandas as pd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_frags import norm
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -18,23 +20,6 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            # full round-trip precision (repr): any cross-engine double
-            # drift fails here exactly as it would fail the driver's
-            # hash compare — no looser than the real gate
-            df[c] = df[c].map(lambda v: repr(float(v)) if v == v else "nan")
-        else:
-            try:
-                df[c] = df[c].astype("int64")
-            except (TypeError, ValueError):
-                df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 fails = 0
 for name in sorted(os.listdir(out_dir)):

@@ -50,7 +50,9 @@ object Curation {
     // Materialize the result so the intermediates can be unpersisted
     // before returning — a long-lived session calling curate()
     // repeatedly must not accumulate cached blocks. The result stays
-    // cached; callers drop it with result.unpersist() when done.
+    // cached (callers drop it with result.unpersist() when done);
+    // repeated calls on the SAME input reuse one cache entry — the
+    // CacheManager dedupes identical plans, so this does not grow.
     val result = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti").persist()
     result.count()
     qualified.unpersist()

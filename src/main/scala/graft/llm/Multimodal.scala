@@ -58,13 +58,17 @@ object Multimodal {
         .otherwise(scaled(col("height"), col("width"))).as("out_h"))
   }
 
-  /** Frame-sampling plan for video rows: every `stride`-th frame up
-    * to `maxFrames` samples — emits the sampled frame indices (the
-    * real frame extraction is codec work; the plan is what the
-    * pipeline schedules). Images/audio pass through with frame 0.
+  /** Frame-sampling plan for video rows: at most `maxFrames` evenly
+    * strided frames — emits the sampled frame indices (the real frame
+    * extraction is codec work; the plan is what the pipeline
+    * schedules). Images/audio pass through with frame 0. Stride is
+    * ceil(n/maxFrames) so the sample count never exceeds `maxFrames`.
     */
   def frameSamplePlan(features: DataFrame, maxFrames: Int = 8): DataFrame = {
-    val stride = greatest(lit(1), (col("n_frames") / maxFrames).cast("int"))
+    // (n + maxFrames - 1) / maxFrames in exact integer math; the
+    // double-division + int cast truncates (positive) = floor
+    val stride = greatest(lit(1),
+      ((col("n_frames") + (maxFrames - 1)) / maxFrames).cast("int"))
     features.select(
       col("doc_id"), col("modality"), col("n_frames"),
       when(col("modality") === "video",

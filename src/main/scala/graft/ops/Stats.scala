@@ -14,13 +14,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
-  private def d(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
-
   /** Per-key n, mean, population variance/stddev of `x`, and Pearson
     * correlation of (`x`,`y`) — all derived from exact decimal
     * sums: var = (n·Σx² − (Σx)²)/n², corr = (n·Σxy − ΣxΣy)/√(…)·√(…).
+    *
+    * `scale` is the decimal scale inputs are quantized to before
+    * summing (default 2 — currency-style data). Inputs with more
+    * fractional digits than `scale` are ROUNDED first; raise it to
+    * match the data's precision.
     */
-  def exactMoments(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
+  def exactMoments(
+      df: DataFrame, key: Column, x: Column, y: Column,
+      scale: Int = 2): DataFrame = {
+    def d(c: Column): Column = c.cast(DecimalType(18, scale))
     val merged = df
       .groupBy(key)
       .agg(

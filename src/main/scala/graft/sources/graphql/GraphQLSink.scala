@@ -42,6 +42,7 @@ object MutationSenders {
   private val registry = TrieMap.empty[String, MutationSender]
   def register(name: String, s: MutationSender): Unit = registry.put(name, s)
   def apply(name: String): MutationSender = registry(name)
+  def get(name: String): Option[MutationSender] = registry.get(name)
 }
 
 /** In-memory capture for tests / local dry-runs: records every
@@ -75,7 +76,7 @@ private class GraphQLSinkTable(
   override def name(): String = s"graphql_sink($sender)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -89,16 +90,26 @@ private class MutationBatchWrite(
     schema: StructType, sender: String, mutation: String, batchSize: Int)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    MutationWriterFactory(schema, sender, mutation, batchSize)
+    // resolve the named sender HERE, on the driver, and ship the
+    // Serializable instance inside the factory — executor JVMs never
+    // saw the driver's register() call
+    MutationWriterFactory(schema, sender, MutationSenders(sender), mutation, batchSize)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private final case class MutationWriterFactory(
-    schema: StructType, sender: String, mutation: String, batchSize: Int)
+    schema: StructType, senderName: String, shipped: MutationSender,
+    mutation: String, batchSize: Int)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MutationDataWriter(schema, MutationSenders(sender), mutation, batchSize)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // Task closures are serialized even in local mode, so `shipped`
+    // is a COPY here. Prefer the registry's original when this JVM
+    // has one (local mode — lets tests observe a stateful sender);
+    // fall back to the shipped copy on real executors.
+    val sender = MutationSenders.get(senderName).getOrElse(shipped)
+    new MutationDataWriter(schema, sender, mutation, batchSize)
+  }
 }
 
 /** Renders rows into `mutation { <name>(input: [{...}, …]) }` batches

@@ -187,7 +187,7 @@ class LlmSpec extends SparkSpec {
     assert(got(3L) == ((64, 64)))
   }
 
-  test("frameSamplePlan strides videos to at most ~8+1 samples") {
+  test("frameSamplePlan never samples more than maxFrames frames") {
     val feats = Seq(
       (1L, "video", 10L, 10, 10, 100),
       (2L, "video", 10L, 10, 10, 3),
@@ -195,8 +195,9 @@ class LlmSpec extends SparkSpec {
     ).toDF("doc_id", "modality", "n_bytes", "width", "height", "n_frames")
     val got = llm.Multimodal.frameSamplePlan(feats)
       .select("doc_id", "n_sampled").as[(Long, Long)].collect().toMap
-    assert(got(1L) == 9) // stride 12: 0,12,...,96
+    assert(got(1L) == 8) // stride ceil(100/8)=13: 0,13,...,91
     assert(got(2L) == 3) // stride 1: 0,1,2
     assert(got(3L) == 1) // non-video passes through
+    assert(got.values.forall(_ <= 8))
   }
 }
