@@ -187,6 +187,23 @@ object HashOps {
     bucket
   }
 
+  /** Whitespace word bigrams ("tok1 tok2" strings) — the per-row hot
+    * loop of corpus n-gram statistics. Tokenization matches
+    * split(trim(s), "\\s+") exactly (same java.util.regex class the
+    * SQL split uses), so the DuckDB oracle tokenizes identically.
+    */
+  def wordBigrams(s: UTF8String): ArrayData = {
+    val toks = s.toString.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character n-grams of a string (insertion order —
     * deterministic). Whole string as single gram when shorter than n.
     */

@@ -67,6 +67,16 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression wit
   override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
 }
 
+case class WordBigrams(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.wordBigrams(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.wordBigrams($c)")
+  override protected def withNewChildInternal(c: Expression): WordBigrams = copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -170,6 +180,7 @@ object F {
     column(SrpBucket(expression(vec), planes))
   def charNgrams(c: Column, n: Int): Column =
     column(CharNgrams(expression(c), n))
+  def wordBigrams(c: Column): Column = column(WordBigrams(expression(c)))
   def minhashBucketPairs(items: Column, minEst: Double): Column =
     column(MinhashBucketPairs(expression(items), minEst))
   def simhashBucketPairs(items: Column, maxHam: Int): Column =
