@@ -544,6 +544,10 @@ object SparkEntry {
           percentile(col("value"), lit(0.75)).as("q75"))
     },
 
+    "q_profile_columns" -> { (s, dir) =>
+      graft.ops.DataProfile.profile(t(s, dir, "customer"))
+    },
+
     "q_set_ops" -> { (s, dir) =>
       // set reconciliation: members of both cohorts / in first only
       val a = t(s, dir, "customer")
@@ -832,6 +836,19 @@ object SparkEntry {
         |         FROM documents))
         |  GROUP BY gram))
         |WHERE rnk <= 20""".stripMargin,
+
+    "q_profile_columns" ->
+      """SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+        | count(*) - count(c_custkey) AS n_nulls,
+        | count(DISTINCT c_custkey) AS n_distinct FROM customer
+        |UNION ALL SELECT 'c_name', count(*), count(*) - count(c_name),
+        | count(DISTINCT c_name) FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+        | count(DISTINCT c_nationkey) FROM customer
+        |UNION ALL SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+        | count(DISTINCT c_acctbal) FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+        | count(DISTINCT c_mktsegment) FROM customer""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,

@@ -74,4 +74,18 @@ class OpsSpec extends SparkSpec {
     // y = 2x exactly => corr 1
     assert(math.abs(row.getAs[Double]("corr_xy") - 1.0) < 1e-12)
   }
+
+  test("DataProfile counts nulls and cardinality in one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (None, Some("a"))
+    ).toDF("x", "y")
+    val got = DataProfile.profile(df)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("x") == ((3L, 1L, 2L)))
+    assert(got("y") == ((3L, 1L, 1L)))
+    // single job: exactly one aggregation over the input
+    assert(DataProfile.profile(df).queryExecution.executedPlan.toString
+      .contains("HashAggregate") )
+  }
 }
