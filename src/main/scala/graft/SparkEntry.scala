@@ -300,6 +300,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_us"))
     },
 
+    "q_asof_join" -> { (s, dir) =>
+      // first-class as-of join between two frames (vs the windowed
+      // composition in q_asof_prev_event): error events pick up the
+      // user's latest click AT OR BEFORE them
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), us.as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), us.as("c_ts"), col("event_id").as("c_eid"))
+      graft.ops.AsOf.join(
+        errors, col("user_id"), col("ts_us"),
+        clicks, col("c_uid"), col("c_ts"),
+        rightPayload = Seq("click_ts" -> col("c_ts")),
+        rightTie = col("c_eid"))
+    },
+
     "q_salted_agg" -> { (s, dir) =>
       graft.ops.Skew.saltedCountSum(
         t(s, dir, "events"), col("event_type"), col("value"), col("event_id"))
@@ -735,6 +752,13 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
         | FROM events)
         |WHERE event_type = 'error'""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        | (SELECT max(epoch_us(c.ts)) FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |    AND epoch_us(c.ts) <= epoch_us(e.ts)) AS click_ts
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,

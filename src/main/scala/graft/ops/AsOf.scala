@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** First-class as-of join — each left row is matched with the LATEST
+  * right row whose timestamp is ≤ the left row's (per key), the
+  * operator kdb/QuestDB/Flink ship natively and Spark lacks.
+  *
+  * Implementation is the union trick, which is the scale-correct
+  * shape: tag both sides, union (no shuffle), ONE shuffle+sort per
+  * key, and a running `last(ignoreNulls)` window carries the most
+  * recent right payload forward into each left row. Never builds the
+  * (left × right-candidates) blow-up a range-condition join would;
+  * cost is O((|L|+|R|) log) per key, skew handled by AQE on the one
+  * shuffle.
+  */
+object AsOf {
+
+  /** `rightPayload` columns (evaluated against `right`) are attached
+    * to every left row, null when no right row precedes it. Ties: a
+    * right row at exactly the left row's timestamp DOES match
+    * (inclusive); multiple right rows at one timestamp resolve to the
+    * last by `rightTie` ordering.
+    */
+  def join(
+      left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      rightPayload: Seq[(String, Column)],
+      rightTie: Column = lit(0)): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
+    // resolve the payload struct type against `right`, so the left
+    // side can carry a matching typed null
+    val rBase = right.select(
+      rightKey.as("_k"), rightTs.as("_ts"), lit(0).as("_side"),
+      rightTie.cast("long").as("_tie"), payload.as("_rp"))
+    val rpType = rBase.schema("_rp").dataType
+    val rAligned = rBase.select(
+      Seq(col("_k"), col("_ts"), col("_side"), col("_tie"), col("_rp")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lAligned = left.select(
+      Seq(leftKey.as("_k"), leftTs.as("_ts"), lit(1).as("_side"),
+        lit(Long.MaxValue).as("_tie"), lit(null).cast(rpType).as("_rp")) ++
+        leftCols.map(col): _*)
+    // right rows sort BEFORE left at equal ts (side 0 < 1) → inclusive
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lAligned.unionByName(rAligned)
+      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
+  }
+}

@@ -88,4 +88,22 @@ class OpsSpec extends SparkSpec {
     assert(DataProfile.profile(df).queryExecution.executedPlan.toString
       .contains("HashAggregate") )
   }
+
+  test("AsOf.join picks the latest right row at-or-before each left row") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 150L))
+      .toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      ("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 200L, 12.0),
+      ("B", 160L, 99.0))
+      .toDF("q_sym", "q_ts", "px")
+    val got = AsOf.join(
+      trades, col("sym"), col("t_ts"),
+      quotes, col("q_sym"), col("q_ts"),
+      rightPayload = Seq("px" -> col("px")))
+      .select(col("trade_id"), col("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) == Some(11.0)) // inclusive: quote AT 100 matches
+    assert(got(2L) == Some(12.0)) // latest at-or-before 205
+    assert(got(3L) == None)       // B's only quote is later
+  }
 }
