@@ -30,6 +30,9 @@ object AsOf {
       rightPayload: Seq[(String, Column)],
       rightTie: Column = lit(0)): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Set("_k", "_ts", "_side", "_tie", "_rp", "_match")
+    require(!leftCols.exists(reserved), s"left columns collide with " +
+      s"as-of internals: ${leftCols.filter(reserved).mkString(", ")}")
     val payload = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
     // resolve the payload struct type against `right`, so the left
     // side can carry a matching typed null
