@@ -75,4 +75,8 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
     assert(plan.contains("LessThan(vec_id,5)"), "query-side filter not pushed to scan")
   }
+
+  test("driver entry() returns rows (smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }

@@ -70,4 +70,18 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 10, 2L -> 20, 3L -> 10))
   }
+
+  test("custom codegen expressions run inside a streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "hello world"), (2L, "hello world"), (3L, "different text"))
+    val df = mem.toDF().toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.F.simhash64($"text").as("sig"))
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName("streamsig").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("streamsig").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L), "identical docs must hash equal in-stream")
+    assert(got(1L) != got(3L))
+  }
 }
