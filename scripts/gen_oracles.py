@@ -66,6 +66,27 @@ SELECT doc_id, modality, n_frames,
       ELSE CAST(1 AS BIGINT) END AS n_sampled
 FROM feats"""
 
+    # ---- q_approx_distinct: KMV bottom-k estimate, recomputed from
+    # the k-th smallest biased splitmix hash (identical double ops) ----
+    hu = splitmix("CAST(user_id AS HUGEINT)")
+    o["q_approx_distinct"] = f"""
+WITH h AS (
+ SELECT DISTINCT event_type,
+  CAST(({hu}) - 9223372036854775808 AS BIGINT) AS hb
+ FROM events),
+r AS (
+ SELECT event_type, hb,
+  row_number() OVER (PARTITION BY event_type ORDER BY hb) AS rn,
+  count(*) OVER (PARTITION BY event_type) AS nd
+ FROM h)
+SELECT event_type,
+ CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      ELSE 63.0 * 1.8446744073709552E19
+           / (CAST(hb AS DOUBLE) + 9.223372036854776E18) END AS est_users,
+ CAST(nd AS BIGINT) AS exact_users
+FROM r
+WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END"""
+
     # ---- txt_fingerprint: winnowing min rolling hash + simhash ----
     o["txt_fingerprint"] = f"""
 SELECT doc_id,

@@ -561,6 +561,16 @@ object SparkEntry {
           percentile(col("value"), lit(0.75)).as("q75"))
     },
 
+    "q_approx_distinct" -> { (s, dir) =>
+      // bounded-memory KMV distinct sketch (custom Catalyst
+      // TypedImperativeAggregate) next to the exact count it estimates
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.KMinValues.kmvDistinct(col("user_id"), 64).as("est_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+    },
+
     "q_profile_columns" -> { (s, dir) =>
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },

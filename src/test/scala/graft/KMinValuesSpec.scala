@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashOps, KMinValues}
+
+class KMinValuesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k") {
+    val df = Seq(1L, 2L, 3L, 2L, 1L).toDF("v")
+    val est = df.agg(KMinValues.kmvDistinct(col("v"), 64)).head.getDouble(0)
+    assert(est == 3.0)
+  }
+
+  test("kmvDistinct estimate is deterministic and within KMV error bounds") {
+    val n = 20000
+    val df = spark.range(n).toDF("v")
+    val k = 256
+    val est = df.agg(KMinValues.kmvDistinct(col("v"), k)).head.getDouble(0)
+    // standard error ~ 1/sqrt(k-2); allow 5 sigma
+    val tol = 5.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est - n) / n < tol, s"est=$est n=$n")
+    // deterministic: same input → bit-identical estimate
+    val est2 = df.repartition(7).agg(KMinValues.kmvDistinct(col("v"), k))
+      .head.getDouble(0)
+    assert(est == est2)
+  }
+
+  test("kmvDistinct matches a driver-side recomputation of the bottom-k estimator") {
+    val vals = (0L until 1000L).map(_ * 7919L)
+    val k = 64
+    val df = vals.toDF("v")
+    val est = df.agg(KMinValues.kmvDistinct(col("v"), k)).head.getDouble(0)
+    val kth = vals.map(v => HashOps.splitmix64(v) + Long.MinValue)
+      .distinct.sorted.apply(k - 1)
+    val want = ((k - 1).toDouble * 1.8446744073709552e19) /
+      (kth.toDouble + 9.223372036854776e18)
+    assert(est == want)
+  }
+
+  test("kmvDistinct survives partial-aggregate serialize/merge across partitions") {
+    val df = spark.range(5000).select((col("id") % 100).as("g"), col("id").as("v"))
+      .repartition(8)
+    val rows = df.groupBy("g")
+      .agg(KMinValues.kmvDistinct(col("v"), 32).as("est"),
+        countDistinct(col("v")).as("exact"))
+      .collect()
+    assert(rows.length == 100)
+    // each group has 50 distinct values < k=32? no — 50 > 32, so estimated;
+    // estimates must be positive and in a sane range
+    rows.foreach { r =>
+      val est = r.getDouble(1)
+      assert(est > 10.0 && est < 200.0, s"g=${r.get(0)} est=$est")
+    }
+  }
+}
