@@ -87,6 +87,31 @@ SELECT event_type,
 FROM r
 WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END"""
 
+    # ---- ds_*: deterministic sampling/splitting/mixing — the
+    # per-mille bucket is (splitmix64(id+salt) >>> 1) % mod ----
+    def bucket(id_expr, salt, mod):
+        h = splitmix(f"CAST(({id_expr}) + {salt} AS HUGEINT)")
+        return f"((({h}) // 2) % {mod})"
+
+    o["ds_sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({bucket('doc_id', 0, 1000)}) < CASE lang WHEN 'en' THEN 500 ELSE 250 END"""
+
+    o["ds_split_assign"] = f"""
+SELECT doc_id,
+ CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, {bucket('doc_id', 42, 100)} AS b FROM documents) _s"""
+
+    o["ds_mix_weighted"] = f"""
+WITH m AS (
+ SELECT source, doc_id,
+  250 + (CAST(substring(source, 4) AS BIGINT) % 4) * 500 AS wpm,
+  {bucket('doc_id', 7, 1000)} AS b
+ FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+ CAST(sum((wpm // 1000) + CASE WHEN b < wpm % 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted
+FROM m GROUP BY source"""
+
     # ---- txt_fingerprint: winnowing min rolling hash + simhash ----
     o["txt_fingerprint"] = f"""
 SELECT doc_id,

@@ -575,6 +575,35 @@ object SparkEntry {
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },
 
+    "ds_sample_stratified" -> { (s, dir) =>
+      // deterministic per-stratum Bernoulli sample (map-only, no RNG
+      // state): en at 50%, other langs at 25%
+      graft.llm.Sampling.stratified(
+        t(s, dir, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 500, "zh" -> 250, "de" -> 250, "fr" -> 250, "es" -> 250))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    "ds_split_assign" -> { (s, dir) =>
+      // hash-stable 80/10/10 train/val/test assignment
+      graft.llm.Sampling.assignSplits(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("split"))
+    },
+
+    "ds_mix_weighted" -> { (s, dir) =>
+      // per-source epoch weights 0.25/0.75/1.25/1.75 derived from the
+      // source number; n_emitted counts floor(w) + Bernoulli(frac(w))
+      // copies per doc
+      val weights =
+        (0 until 20).map(i => s"src$i" -> (0.25 + (i % 4) * 0.5)).toMap
+      graft.llm.Sampling
+        .mixWeighted(t(s, dir, "documents"), col("doc_id"), col("source"), weights)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_copies")).cast("long").as("n_emitted"))
+    },
+
     "q_set_ops" -> { (s, dir) =>
       // set reconciliation: members of both cohorts / in first only
       val a = t(s, dir, "customer")

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+
+/** Deterministic dataset sampling / splitting / mixing for
+  * training-data pipelines.
+  *
+  * Everything here is a pure function of the row's id through
+  * SplitMix64 — no RNG state, no `rand()`. That is the property a
+  * 100 TB pipeline actually needs: the sample is reproducible across
+  * retries, executors, and engine versions; adding data never
+  * reshuffles previous decisions; and any row's fate can be audited
+  * offline. All ops are map-only (no shuffle): they compose with
+  * scans at full parallelism and survive any scale-up untouched.
+  *
+  * The per-mille bucket is `(splitmix64(id + salt) >>> 1) % 1000` —
+  * logical shift keeps the value nonnegative so signed `%` equals
+  * unsigned, and the identical arithmetic is replicable in any
+  * engine with 64-bit integers (the DuckDB oracle recomputes it in
+  * HUGEINT). Distinct `salt`s decorrelate decisions that compose in
+  * one pipeline (sample → split → mix).
+  */
+object Sampling {
+
+  /** Pseudo-random per-mille bucket of an id column: uniform in
+    * [0, 1000) and a deterministic function of (id, salt).
+    */
+  def permilleBucket(id: Column, salt: Long): Column =
+    shiftrightunsigned(F.splitmix64(id + lit(salt)), 1) % 1000
+
+  /** Deterministic Bernoulli sample: keep ~`permille`/1000 of rows. */
+  def bernoulli(df: DataFrame, id: Column, permille: Int, salt: Long = 0L): DataFrame =
+    df.filter(permilleBucket(id, salt) < permille)
+
+  /** Stratified sample with per-stratum keep rates (per-mille).
+    * Strata absent from `rates` keep `defaultPermille`. One map-side
+    * filter — the rate table is compiled into the predicate, so the
+    * scan's pushdown and partitioning are untouched.
+    */
+  def stratified(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      rates: Map[String, Int],
+      defaultPermille: Int = 0,
+      salt: Long = 0L): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(permilleBucket(id, salt) < rate)
+  }
+
+  /** Deterministic train/val/test assignment by id hash: adds a
+    * `split` column. Percentages are integer percents; rows land in
+    * train when bucket < pctTrain, val when < pctTrain+pctVal, else
+    * test. Stable under appends and engine changes.
+    */
+  def assignSplits(
+      df: DataFrame,
+      id: Column,
+      pctTrain: Int = 80,
+      pctVal: Int = 10,
+      salt: Long = 42L): DataFrame = {
+    val b = shiftrightunsigned(F.splitmix64(id + lit(salt)), 1) % 100
+    df.withColumn(
+      "split",
+      when(b < pctTrain, lit("train"))
+        .when(b < pctTrain + pctVal, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Weighted source mixing (epoch composition): each row gets
+    * `floor(w) + Bernoulli(frac(w))` copies where `w` is its
+    * source's weight — the standard way to up-/down-sample corpora
+    * into a training mix while keeping every decision a pure
+    * function of the row id. Weights are taken to per-mille
+    * precision. Adds `n_copies`; `explodeCopies` materializes the
+    * repetition (`copy_idx` distinguishes repeats downstream).
+    */
+  def mixWeighted(
+      df: DataFrame,
+      id: Column,
+      source: Column,
+      weights: Map[String, Double],
+      salt: Long = 7L): DataFrame = {
+    val wPm = weights.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (acc, (k, v)) =>
+        when(source === lit(k), lit(math.round(v * 1000).toInt)).otherwise(acc)
+    }
+    val whole = (wPm / 1000).cast("int")
+    val extra = when(permilleBucket(id, salt) < wPm % 1000, 1).otherwise(0)
+    df.withColumn("n_copies", (whole + extra).cast("int"))
+  }
+
+  /** Explode `n_copies` into one row per copy with a 0-based
+    * `copy_idx`; rows with zero copies disappear. Map-only.
+    */
+  def explodeCopies(df: DataFrame): DataFrame =
+    // sequence(a, b) with a > b yields a DESCENDING array, so guard
+    // n_copies = 0 explicitly rather than relying on an empty sequence
+    df.filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0), col("n_copies") - 1)))
+}

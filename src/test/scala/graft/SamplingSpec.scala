@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(10000).toDF("id")
+
+  test("bernoulli keeps ~permille/1000 and is deterministic") {
+    val n1 = Sampling.bernoulli(ids, col("id"), 300).count()
+    val n2 = Sampling.bernoulli(ids.repartition(5), col("id"), 300).count()
+    assert(n1 == n2) // partitioning-independent
+    assert(math.abs(n1 - 3000.0) / 3000.0 < 0.05, s"n=$n1")
+  }
+
+  test("bernoulli sample is monotone in rate (nested samples)") {
+    val s10 = Sampling.bernoulli(ids, col("id"), 100).select("id").as[Long].collect().toSet
+    val s30 = Sampling.bernoulli(ids, col("id"), 300).select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30)) // raising the rate only adds rows
+  }
+
+  test("stratified applies per-stratum rates") {
+    val df = ids.withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val got = Sampling.stratified(df, col("id"), col("g"), Map("a" -> 500, "b" -> 100))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("a") - 2500.0) / 2500.0 < 0.07, got.toString)
+    assert(math.abs(got("b") - 500.0) / 500.0 < 0.15, got.toString)
+  }
+
+  test("assignSplits is exhaustive, disjoint, and roughly 80/10/10") {
+    val got = Sampling.assignSplits(ids, col("id"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.sum == 10000)
+    assert(math.abs(got("train") - 8000.0) / 8000.0 < 0.05, got.toString)
+  }
+
+  test("mixWeighted emits floor(w)+Bernoulli(frac(w)) copies; explodeCopies indexes them") {
+    val df = ids.withColumn("src", when(col("id") < 5000, "up").otherwise("down"))
+    val mixed = Sampling.mixWeighted(df, col("id"), col("src"),
+      Map("up" -> 2.5, "down" -> 0.5))
+    val per = mixed.groupBy("src")
+      .agg(sum("n_copies").as("n"), count(lit(1)).as("d"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(math.abs(per("up") - 12500.0) / 12500.0 < 0.05, per.toString)
+    assert(math.abs(per("down") - 2500.0) / 2500.0 < 0.1, per.toString)
+    // "up" rows get at least 2 copies each; exploding matches the sum
+    assert(mixed.filter(col("src") === "up" && col("n_copies") < 2).count() == 0)
+    val exploded = Sampling.explodeCopies(mixed)
+    assert(exploded.count() == per.values.sum)
+    assert(exploded.agg(max("copy_idx")).head.getInt(0) == 2) // w=2.5 → max 3 copies
+  }
+
+  test("sampling decisions with different salts are decorrelated") {
+    val a = Sampling.bernoulli(ids, col("id"), 500, salt = 0).select("id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(ids, col("id"), 500, salt = 99).select("id").as[Long].collect().toSet
+    val overlap = a.intersect(b).size.toDouble
+    // independent 50% samples overlap on ~25% of the universe
+    assert(math.abs(overlap - 2500.0) / 2500.0 < 0.1, s"overlap=$overlap")
+  }
+}
