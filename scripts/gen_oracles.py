@@ -87,6 +87,42 @@ SELECT event_type,
 FROM r
 WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END"""
 
+    # ---- q_cms_heavy_hitters: Count-Min counters recomputed as
+    # sum-over-colliding-keys; est(key) = min over depth rows ----
+    cms_b = splitmix(f"(({fnv_text('uid')}) + d) % {TWO64}")
+    o["q_cms_heavy_hitters"] = f"""
+WITH k AS (
+ SELECT CAST(user_id AS VARCHAR) AS uid, count(*) AS n
+ FROM events GROUP BY 1),
+kb AS (
+ SELECT uid, n, d, (({cms_b}) // 2) % 256 AS bk
+ FROM k CROSS JOIN range(0, 4) r(d)),
+c AS (SELECT d, bk, sum(n) AS cnt FROM kb GROUP BY d, bk)
+SELECT uid, CAST(min(cnt) AS BIGINT) AS est_n,
+ CAST(max(n) AS BIGINT) AS exact_n
+FROM kb JOIN c USING (d, bk)
+GROUP BY uid
+ORDER BY est_n DESC, uid
+LIMIT 10"""
+
+    # ---- txt_decontaminate: training docs sharing any word 3-gram
+    # with the doc_id%97==0 benchmark set; n_shared counts distinct
+    # shared grams per doc ----
+    grams3 = ("list_distinct(list_transform(range(1, len(toks)-3+2), "
+              "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))")
+    toks = ("list_filter(regexp_split_to_array(text, '[ \\n\\t\\r]+'), "
+            "t -> t != '')")
+    o["txt_decontaminate"] = f"""
+WITH g AS (
+ SELECT doc_id, unnest({grams3}) AS gram
+ FROM (SELECT doc_id, {toks} AS toks FROM documents) _t
+ WHERE len(toks) >= 3),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM g JOIN b USING (gram)
+WHERE doc_id % 97 != 0
+GROUP BY doc_id"""
+
     # ---- ds_*: deterministic sampling/splitting/mixing — the
     # per-mille bucket is (splitmix64(id+salt) >>> 1) % mod ----
     def bucket(id_expr, salt, mod):

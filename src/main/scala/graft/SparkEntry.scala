@@ -575,6 +575,47 @@ object SparkEntry {
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },
 
+    "q_bloom_prune" -> { (s, dir) =>
+      // Bloom-pruned semi join: lineitem rows whose supplier clears a
+      // balance threshold; result identical to a plain semi join (the
+      // Bloom only cuts shuffle volume), aggregated per supplier
+      val rich = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 9000).select(col("s_suppkey"))
+      graft.functions.BloomOps.prunedSemiJoin(
+          t(s, dir, "lineitem"), col("l_suppkey"),
+          rich, col("s_suppkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+    },
+
+    "q_cms_heavy_hitters" -> { (s, dir) =>
+      // fixed-memory Count-Min frequency sketch (depth 4 × width 256)
+      // vs the exact per-key counts it screens for; top-10 estimated
+      import graft.functions.CountMinSketch.{cmsAgg, cmsEstimate}
+      val ev = t(s, dir, "events").select(col("user_id").cast("string").as("uid"))
+      val sk = ev.agg(cmsAgg(col("uid"), 4, 256).as("sk"))
+      ev.groupBy(col("uid")).agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(sk))
+        .select(
+          col("uid"),
+          cmsEstimate(col("sk"), col("uid"), 4, 256).as("est_n"),
+          col("exact_n"))
+        .orderBy(col("est_n").desc, col("uid"))
+        .limit(10)
+    },
+
+    "txt_decontaminate" -> { (s, dir) =>
+      // docs with doc_id % 97 == 0 act as the held-out benchmark;
+      // training docs sharing any word 3-gram with it are flagged
+      val d = t(s, dir, "documents")
+      graft.llm.TextAnalysis.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 97 === 0), col("text"),
+        n = 3)
+    },
+
     "ds_sample_stratified" -> { (s, dir) =>
       // deterministic per-stratum Bernoulli sample (map-only, no RNG
       // state): en at 50%, other langs at 25%
@@ -630,6 +671,13 @@ object SparkEntry {
     * scripts/gen_oracles.py).
     */
   def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+    "q_bloom_prune" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+        |GROUP BY l_suppkey""".stripMargin,
+
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

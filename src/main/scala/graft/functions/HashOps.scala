@@ -204,6 +204,28 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Distinct space-joined word n-grams (insertion order —
+    * deterministic); empty when the text has fewer than n tokens.
+    */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character n-grams of a string (insertion order —
     * deterministic). Whole string as single gram when shorter than n.
     */

@@ -77,6 +77,16 @@ case class WordBigrams(child: Expression) extends UnaryExpression with ImplicitC
   override protected def withNewChildInternal(c: Expression): WordBigrams = copy(child = c)
 }
 
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.wordNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -180,6 +190,8 @@ object F {
     column(SrpBucket(expression(vec), planes))
   def charNgrams(c: Column, n: Int): Column =
     column(CharNgrams(expression(c), n))
+  def wordNgrams(c: Column, n: Int): Column =
+    column(WordNgrams(expression(c), n))
   def wordBigrams(c: Column): Column = column(WordBigrams(expression(c)))
   def minhashBucketPairs(items: Column, minEst: Double): Column =
     column(MinhashBucketPairs(expression(items), minEst))

@@ -103,6 +103,34 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("gram"))).cast("long"))
   }
 
+  /** Benchmark decontamination: flag training docs sharing any word
+    * n-gram with a benchmark/eval set — the standard pre-training
+    * hygiene pass (an eval question leaking into the corpus inflates
+    * scores).
+    *
+    * Scale shape: the benchmark side is tiny relative to a 100 TB
+    * corpus, so its distinct grams are BROADCAST — the corpus is
+    * never shuffled; gram explosion is a pure projection (codegen
+    * kernel), and only matching (doc, gram) rows — a vanishing
+    * fraction — reach the final per-doc aggregation.
+    *
+    * Returns (doc_id, n_shared) for contaminated docs only; grams are
+    * distinct per doc so n_shared counts distinct shared grams.
+    */
+  def decontaminate(
+      train: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchGrams = bench
+      .select(explode(F.wordNgrams(benchText, n)).as("gram")).distinct()
+    train
+      .select(id.as("doc_id"), explode(F.wordNgrams(text, n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Winnowing fingerprint (codegen Expression): one long per doc —
     * equal fingerprints ⇒ near-identical content with high prob.
     */
