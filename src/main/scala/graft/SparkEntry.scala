@@ -575,6 +575,35 @@ object SparkEntry {
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },
 
+    "pack_sequences" -> { (s, dir) =>
+      // next-fit packing of docs into 2048-char training sequences
+      // per source; per-sequence fill summary
+      graft.ops.Packing.nextFit(
+          t(s, dir, "documents"),
+          col("source"), col("doc_id"), col("n_chars"), budget = 2048)
+        .groupBy(col("grp").as("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("chars"))
+    },
+
+    "q_scd2_history" -> { (s, dir) =>
+      // slowly-changing-dimension type 2: each user's event stream
+      // becomes versioned attribute rows with [valid_from, valid_to)
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      ev.select(
+          col("user_id"), col("event_id"),
+          col("event_type").as("attr"),
+          eventUs(ev, "ts").as("valid_from"))
+        .select(
+          col("user_id"),
+          row_number().over(w).cast("long").as("version"),
+          col("attr"),
+          col("valid_from"),
+          lead(col("valid_from"), 1).over(w).as("valid_to"),
+          lead(col("valid_from"), 1).over(w).isNull.as("is_current"))
+    },
+
     "q_bloom_prune" -> { (s, dir) =>
       // Bloom-pruned semi join: lineitem rows whose supplier clears a
       // balance threshold; result identical to a plain semi join (the
@@ -671,6 +700,35 @@ object SparkEntry {
     * scripts/gen_oracles.py).
     */
   def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+    "pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        | SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents),
+        |p AS (
+        | SELECT source, doc_id, n_chars, rn,
+        |  CAST(n_chars AS BIGINT) AS acc, CAST(0 AS BIGINT) AS seq
+        | FROM d WHERE rn = 1
+        | UNION ALL
+        | SELECT d.source, d.doc_id, d.n_chars, d.rn,
+        |  CASE WHEN p.acc + d.n_chars > 2048 THEN CAST(d.n_chars AS BIGINT)
+        |       ELSE p.acc + d.n_chars END,
+        |  p.seq + CASE WHEN p.acc + d.n_chars > 2048 THEN 1 ELSE 0 END
+        | FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM p GROUP BY source, seq""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT user_id,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | event_type AS attr,
+        | epoch_us(ts) AS valid_from,
+        | lead(epoch_us(ts)) OVER w AS valid_to,
+        | (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
     "q_bloom_prune" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
