@@ -206,8 +206,7 @@ WHERE s.bn BETWEEN 2 AND 256
     # relation modulo 32-bit hash collisions — none on this data.) ----
     est = ("list_sum(list_transform(range(1, 65), "
            "i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 64.0")
-    o["dd_minhash_lsh"] = f"""
-WITH docs AS ({PLANTED_DOCS}),
+    lsh_body = f"""docs AS ({PLANTED_DOCS}),
 sigs AS (SELECT doc_id, {minhash_sig("text")} AS sig FROM docs),
 banded AS (
  SELECT doc_id, sig, band, sig[band*4+1 : band*4+4] AS sl
@@ -227,6 +226,23 @@ SELECT id_a, id_b, jaccard_est FROM (
        JOIN sigs x ON x.doc_id = c.id_a
        JOIN sigs y ON y.doc_id = c.id_b))
 WHERE jaccard_est >= 0.5"""
+    o["dd_minhash_lsh"] = f"WITH {lsh_body}"
+
+    # ---- dd_components: transitive closure of the LSH pair graph;
+    # comp = min doc_id reachable (matches min-label propagation
+    # fixpoint) ----
+    pr_body = lsh_body.replace(
+        "WHERE s.bn BETWEEN 2 AND 64)\nSELECT id_a, id_b, jaccard_est FROM (",
+        "WHERE s.bn BETWEEN 2 AND 64),\npr AS MATERIALIZED (SELECT id_a, id_b FROM (", 1)
+    o["dd_components"] = f"""
+WITH RECURSIVE {pr_body}
+),
+e AS MATERIALIZED (SELECT id_a AS x, id_b AS y FROM pr
+      UNION SELECT id_b, id_a FROM pr),
+r AS (SELECT x, y FROM e
+      UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x)
+SELECT x AS doc_id, least(x, min(y)) AS comp
+FROM r GROUP BY x"""
 
     # ---- dd_embed_cosine: tiered exact — native float cosine as a
     # loose prefilter (error ~1e-6 << 0.01 margin), bit-exact double

@@ -454,6 +454,14 @@ object SparkEntry {
       Dedup.minhashLsh(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
     },
 
+    "dd_components" -> { (s, dir) =>
+      // near-dup pairs → canonical clusters (min-id label propagation
+      // to fixpoint): A~B, B~C collapse to one component
+      val pairs =
+        Dedup.minhashLsh(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+    },
+
     "dd_simhash" -> { (s, dir) =>
       // maxHamming 3 with 4 banded 16-bit pieces ⇒ recall is EXACT by
       // pigeonhole (≤3 differing bits can't touch all 4 pieces), which

@@ -138,4 +138,53 @@ object Dedup {
           size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Connected components over near-dup pairs: pairwise edges become
+    * canonical clusters (comp = min doc_id reachable), which is what
+    * dedup actually needs — "A~B, B~C" must collapse to ONE canonical
+    * doc even when A~C was never emitted as a pair.
+    *
+    * Min-label propagation with POINTER JUMPING: each round every
+    * node takes the smallest label among its neighbors, then chases
+    * its label one level (comp ← comp(comp)), which halves label-chain
+    * depth — O(log n) rounds even on a path graph, vs O(diameter) for
+    * plain propagation. Each round is two shuffle-joins + one
+    * aggregation, fully distributed (no driver-side graph), and
+    * `localCheckpoint` truncates the lineage so the plan stays flat
+    * across rounds. At extreme scale the same loop is run with
+    * large-star/small-star edge rewriting (Kiveris et al., "Connected
+    * Components in MapReduce", SOCC 2014) to bound per-key skew.
+    *
+    * Throws if `maxIter` rounds don't reach the fixpoint — a
+    * truncated propagation would silently mislabel components.
+    */
+  def connectedComponents(
+      pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+      .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val minNbr = edges.join(labels, edges("y") === labels("id"))
+        .groupBy(edges("x").as("nid")).agg(min(col("comp")).as("nbr"))
+      val prop = labels.join(minNbr, labels("id") === minNbr("nid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      val parent = prop.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = prop.join(parent, prop("comp") === parent("pid"), "left")
+        .select(prop("id"), coalesce(col("pcomp"), prop("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("comp"))
+  }
 }
