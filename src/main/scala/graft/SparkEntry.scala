@@ -583,6 +583,24 @@ object SparkEntry {
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },
 
+    "txt_repetition" -> { (s, dir) =>
+      graft.llm.TextAnalysis.repetition(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
+    "q_incremental_agg" -> { (s, dir) =>
+      // incremental view maintenance: state(base) ⊎ state(delta) must
+      // equal state(full) — the oracle recomputes from the full table
+      import graft.ops.Incremental
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val delta = ev.filter(col("event_id") % 10 >= 8)
+      Incremental.finish(Incremental.merge(
+        Incremental.state(base, col("event_type"), col("value")),
+        Incremental.state(delta, col("event_type"), col("value"))))
+        .withColumnRenamed("k", "event_type")
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // next-fit packing of docs into 2048-char training sequences
       // per source; per-sequence fill summary
@@ -708,6 +726,32 @@ object SparkEntry {
     * scripts/gen_oracles.py).
     */
   def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+    "txt_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, toks,
+        |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        | FROM t),
+        |tc AS (
+        | SELECT doc_id, tk, count(*) AS c
+        | FROM (SELECT doc_id, unnest(toks) AS tk FROM t) _u GROUP BY doc_id, tk),
+        |mx AS (SELECT doc_id, max(c) AS mc FROM tc GROUP BY doc_id)
+        |SELECT b.doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_toks,
+        | CASE WHEN len(bgs) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) END AS dup_bigram_frac,
+        | CAST(mc AS DOUBLE) / len(toks) AS top_tok_frac
+        |FROM b JOIN mx ON b.doc_id = mx.doc_id""".stripMargin,
+
+    "q_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "pack_sequences" ->
       """WITH RECURSIVE d AS (
         | SELECT source, doc_id, n_chars,

@@ -103,6 +103,34 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("gram"))).cast("long"))
   }
 
+  /** Within-document repetition stats — the boilerplate/spam signal
+    * every corpus quality filter uses (cf. Gopher/MassiveText rules):
+    * duplicate-bigram fraction and most-frequent-token share. High
+    * values mean templated or looping text.
+    *
+    * Bigram stats are a pure projection (codegen kernel); the
+    * top-token share is two hash aggregations keyed by doc — all
+    * shuffle-light and linear in corpus size.
+    */
+  def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(trim(text), "\\s+")
+    val bgs = F.wordBigrams(text)
+    val base = df.select(
+      id.as("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      when(size(bgs) === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(bgs)).cast("double") / size(bgs))
+        .as("dup_bigram_frac"))
+    val top = df
+      .select(id.as("doc_id"), explode(toks).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mc"))
+    base.join(top, Seq("doc_id"))
+      .withColumn("top_tok_frac", col("mc").cast("double") / col("n_toks"))
+      .drop("mc")
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * n-gram with a benchmark/eval set — the standard pre-training
     * hygiene pass (an eval question leaking into the corpus inflates

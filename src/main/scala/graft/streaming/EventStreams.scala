@@ -66,6 +66,29 @@ object EventStreams {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Stream-stream interval join: match each left event to right
+    * events for the same key within `[left.ts, left.ts + within]`.
+    * BOTH sides carry watermarks and the join condition bounds event
+    * time on both sides — that is what lets Spark reclaim buffered
+    * state (an unbounded stream-stream join would buffer each side
+    * forever). State per key ≈ rows inside the watermark+interval
+    * window only.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      within: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when the next event arrives more than `gapUs` after the
     * last, or — when `timeoutMs > 0` — when the processing-time

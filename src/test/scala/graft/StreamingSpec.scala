@@ -71,6 +71,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 10, 2L -> 20, 3L -> 10))
   }
 
+  test("stream-stream interval join matches within-window pairs only") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    clicks.addData((1L, at(0), 7L), (2L, at(30), 7L), (3L, at(5), 9L))
+    views.addData((100L, at(4), 7L), (101L, at(29), 7L), (102L, at(50), 9L))
+    val l = clicks.toDF().toDF("click_id", "ts", "user_id")
+    val r = views.toDF().toDF("view_id", "ts", "user_id")
+    val q = EventStreams.intervalJoin(l, r, "user_id", within = "10 minutes")
+      .select(col("click_id"), col("view_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+    // click1 at 0 matches view100 at 4 (within 10m); click2 at 30 has no
+    // view in [30,40]; click3 user 9 at 5: view102 at 50 is out of window
+    assert(got == Set((1L, 100L)))
+  }
+
   test("custom codegen expressions run inside a streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
