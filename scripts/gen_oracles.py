@@ -148,6 +148,22 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
  CAST(sum((wpm // 1000) + CASE WHEN b < wpm % 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted
 FROM m GROUP BY source"""
 
+    # ---- ds_shuffle_order / ds_sample_fixed_k: signed splitmix hash
+    # order (matches Spark's signed-long sort) ----
+    def hsigned(salt):
+        return to_signed(splitmix(f"CAST(doc_id + {salt} AS HUGEINT)"))
+
+    o["ds_shuffle_order"] = f"""
+SELECT doc_id, CAST(row_number() OVER (ORDER BY hs, doc_id) AS BIGINT) AS shuffle_pos
+FROM (SELECT doc_id, {hsigned(13)} AS hs FROM documents) _h"""
+
+    o["ds_sample_fixed_k"] = f"""
+SELECT doc_id, lang FROM (
+ SELECT doc_id, lang,
+  row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rk
+ FROM (SELECT doc_id, lang, {hsigned(0)} AS hs FROM documents) _h) _r
+WHERE rk <= 20"""
+
     # ---- txt_fingerprint: winnowing min rolling hash + simhash ----
     o["txt_fingerprint"] = f"""
 SELECT doc_id,

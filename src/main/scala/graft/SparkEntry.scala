@@ -583,6 +583,25 @@ object SparkEntry {
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },
 
+    "ds_shuffle_order" -> { (s, dir) =>
+      // reproducible global training order: range-partitioned sort on
+      // the id hash (one pass; no in-memory permutation)
+      graft.llm.Sampling.shuffleOrder(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_pos"))
+    },
+
+    "ds_sample_fixed_k" -> { (s, dir) =>
+      // exactly 20 docs per language, smallest-hash quota
+      graft.llm.Sampling.fixedKPerStratum(
+        t(s, dir, "documents"), col("doc_id"), col("lang"), k = 20)
+        .select(col("doc_id"), col("lang"))
+    },
+
+    "txt_normalize" -> { (s, dir) =>
+      graft.llm.TextAnalysis.normalize(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     "txt_repetition" -> { (s, dir) =>
       graft.llm.TextAnalysis.repetition(
         t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -726,6 +745,14 @@ object SparkEntry {
     * scripts/gen_oracles.py).
     */
   def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+    "txt_normalize" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(lower(trim(text)),
+        |   '[.,;:!?''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g') AS norm_text,
+        | CAST(length(regexp_replace(regexp_replace(lower(trim(text)),
+        |   '[.,;:!?''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm
+        |FROM documents""".stripMargin,
+
     "txt_repetition" ->
       """WITH t AS (
         | SELECT doc_id,

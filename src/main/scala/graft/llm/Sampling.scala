@@ -103,4 +103,35 @@ object Sampling {
     // n_copies = 0 explicitly rather than relying on an empty sequence
     df.filter(col("n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0), col("n_copies") - 1)))
+
+  /** Deterministic global shuffle: a total training order given by
+    * sorting on splitmix64(id+salt). At scale this is a RANGE
+    * partition + per-partition sort (Spark's global orderBy), i.e.
+    * one pass — not a random permutation held in memory — and the
+    * order is reproducible from the ids alone.
+    */
+  def shuffleOrder(df: DataFrame, id: Column, salt: Long = 13L): DataFrame =
+    df.withColumn("__h", F.splitmix64(id + lit(salt)))
+      .withColumn("shuffle_pos",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__h"), id))
+          .cast("long"))
+      .drop("__h")
+
+  /** Exactly-k-per-stratum deterministic sample: the k rows with the
+    * smallest id hash in each stratum (stable under appends ONLY in
+    * distribution, not membership — unlike rate-based sampling a
+    * fixed-k quota must re-rank). One shuffle on the stratum key;
+    * rank + filter never materializes more than each partition's
+    * running window.
+    */
+  def fixedKPerStratum(
+      df: DataFrame, id: Column, stratum: Column, k: Int,
+      salt: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(F.splitmix64(id + lit(salt)), id)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -103,6 +103,22 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("gram"))).cast("long"))
   }
 
+  /** Canonical text normalization (the pass run before hashing /
+    * dedup so trivial formatting differences don't defeat exact
+    * dedup): lowercase, trim, strip common punctuation, collapse
+    * whitespace runs. Pure projection — composes with any scan at
+    * full parallelism.
+    */
+  def normalize(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(trim(text)), "[.,;:!?'\"()\\[\\]{}]", ""),
+      "\\s+", " ")
+    df.select(
+      id.as("doc_id"),
+      norm.as("norm_text"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+
   /** Within-document repetition stats — the boilerplate/spam signal
     * every corpus quality filter uses (cf. Gopher/MassiveText rules):
     * duplicate-bigram fraction and most-frequent-token share. High

@@ -54,6 +54,30 @@ class SamplingSpec extends SparkSpec {
     assert(exploded.agg(max("copy_idx")).head.getInt(0) == 2) // w=2.5 → max 3 copies
   }
 
+  test("shuffleOrder is a permutation, reproducible at any partitioning") {
+    val df = ids.limit(3000)
+    val a = Sampling.shuffleOrder(df, col("id"))
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val b = Sampling.shuffleOrder(df.repartition(9), col("id"))
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSeq.sorted == (1L to 3000L)) // dense total order
+    // actually shuffled: identity prefix would mean the hash did nothing
+    assert((1L to 100L).count(i => a(i - 1) == i) < 5)
+  }
+
+  test("fixedKPerStratum returns exactly k per stratum, deterministically") {
+    val df = ids.withColumn("g", (col("id") % 5).cast("string"))
+    val got = Sampling.fixedKPerStratum(df, col("id"), col("g"), k = 7)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got.values.toSeq == Seq.fill(5)(7L))
+    val twice = Sampling.fixedKPerStratum(df.repartition(11), col("id"), col("g"), k = 7)
+      .select("id").as[Long].collect().toSet
+    val once = Sampling.fixedKPerStratum(df, col("id"), col("g"), k = 7)
+      .select("id").as[Long].collect().toSet
+    assert(once == twice)
+  }
+
   test("sampling decisions with different salts are decorrelated") {
     val a = Sampling.bernoulli(ids, col("id"), 500, salt = 0).select("id").as[Long].collect().toSet
     val b = Sampling.bernoulli(ids, col("id"), 500, salt = 99).select("id").as[Long].collect().toSet
