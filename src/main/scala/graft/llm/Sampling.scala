@@ -1,5 +1,7 @@
 package graft.llm
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -105,33 +107,75 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(0), col("n_copies") - 1)))
 
   /** Deterministic global shuffle: a total training order given by
-    * sorting on splitmix64(id+salt). At scale this is a RANGE
-    * partition + per-partition sort (Spark's global orderBy), i.e.
-    * one pass — not a random permutation held in memory — and the
-    * order is reproducible from the ids alone.
+    * sorting on splitmix64(id+salt).
+    *
+    * Scale shape: RANGE partition on the hash + per-partition sort +
+    * `zipWithIndex` (which turns per-partition counts into global
+    * offsets with one extra count job) — every partition stays
+    * parallel. A global `row_number()` window would funnel ALL rows
+    * through ONE partition, which is exactly the plan that dies at
+    * 100 TB. Positions are dense 1..n in (hash, id) order and
+    * reproducible from the ids alone.
     */
-  def shuffleOrder(df: DataFrame, id: Column, salt: Long = 13L): DataFrame =
-    df.withColumn("__h", F.splitmix64(id + lit(salt)))
-      .withColumn("shuffle_pos",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("__h"), id))
-          .cast("long"))
-      .drop("__h")
+  def shuffleOrder(df: DataFrame, id: Column, salt: Long = 13L): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df
+      .withColumn("__h", F.splitmix64(id + lit(salt)))
+      .withColumn("__id", id.cast("long"))
+      .repartitionByRange(col("__h"), col("__id"))
+      .sortWithinPartitions(col("__h"), col("__id"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(rows, schema).drop("__h", "__id")
+  }
 
   /** Exactly-k-per-stratum deterministic sample: the k rows with the
-    * smallest id hash in each stratum (stable under appends ONLY in
-    * distribution, not membership — unlike rate-based sampling a
-    * fixed-k quota must re-rank). One shuffle on the stratum key;
-    * rank + filter never materializes more than each partition's
-    * running window.
+    * smallest id hash in each stratum (a fixed QUOTA — unlike
+    * rate-based sampling, membership must re-rank under appends).
+    *
+    * Scale shape: a map-side bounded selection first — each input
+    * partition keeps only its local k smallest hashes per stratum
+    * (state: strata × k longs) — so the shuffle carries at most
+    * partitions × strata × k candidate rows instead of the full
+    * table; the exact window rank then runs on that sliver. A plain
+    * per-stratum window would sort entire strata (one 10 TB stratum
+    * = one sorting partition).
     */
   def fixedKPerStratum(
       df: DataFrame, id: Column, stratum: Column, k: Int,
       salt: Long = 0L): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df.select(
+      stratum.cast("string").as("__st"),
+      id.cast("long").as("__id"),
+      F.splitmix64(id + lit(salt)).as("__h"))
+    val localTop = keyed.as[(String, Long, Long)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[String, java.util.PriorityQueue[(Long, Long)]]
+      // max-heap on (hash, id): evict the largest once size > k
+      val cmp = Ordering.Tuple2(Ordering.Long, Ordering.Long).reverse
+      it.foreach { case (st, i, h) =>
+        val q = heaps.getOrElseUpdate(st,
+          new java.util.PriorityQueue[(Long, Long)](k + 1, cmp))
+        q.add((h, i))
+        if (q.size > k) q.poll()
+      }
+      heaps.iterator.flatMap { case (st, q) =>
+        q.iterator().asScala.map { case (h, i) => (st, i, h) }
+      }
+    }.toDF("__st", "__id", "__h")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(F.splitmix64(id + lit(salt)), id)
-    df.withColumn("__rk", row_number().over(w))
+      .partitionBy(col("__st")).orderBy(col("__h"), col("__id"))
+    val keep = localTop
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-      .drop("__rk")
+      .select(col("__id"))
+    df.join(broadcast(keep), id.cast("long") === keep("__id"), "left_semi")
   }
 }
