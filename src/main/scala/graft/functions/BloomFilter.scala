@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
 /** Bloom-filter runtime join pruning — the semi-join pattern that
@@ -133,19 +133,25 @@ object BloomOps {
     column(BloomMightContain(expression(words), expression(key), mBits, k))
 
   /** Semi join with Bloom runtime pruning: result is EXACTLY
-    * `big SEMI JOIN small ON bigKey = smallKey` — the broadcast Bloom
-    * probe only pre-filters `big` map-side so false positives are
-    * removed by the real join and only ~matching rows are shuffled.
+    * `big SEMI JOIN small ON bigKey = smallKey` — the Bloom probe
+    * only pre-filters `big` map-side (false positives are removed by
+    * the real join), so only ~matching rows reach the join's shuffle.
+    *
+    * The bit-set is aggregated EAGERLY (one job over `small`) and
+    * embedded as a literal, exactly how Spark's own AQE runtime
+    * bloom filter materializes at the driver: expressing the probe
+    * as a broadcast cross join instead lets Catalyst reorder the
+    * semi join BELOW the probe (measured — the full big side reached
+    * the shuffle first), while a literal predicate is pinned to the
+    * scan. Driver cost is mBits/8 bytes (8 KiB at the default).
     */
   def prunedSemiJoin(
       big: DataFrame, bigKey: Column,
       small: DataFrame, smallKey: Column,
       mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
-    val bf = small.agg(bloomAgg(smallKey, mBits, k).as("__bloom"))
-    val pruned = big
-      .crossJoin(broadcast(bf))
-      .filter(bloomMightContain(col("__bloom"), bigKey, mBits, k))
-      .drop("__bloom")
+    val words: Array[Long] =
+      small.agg(bloomAgg(smallKey, mBits, k)).head.getSeq[Long](0).toArray
+    val pruned = big.filter(bloomMightContain(lit(words), bigKey, mBits, k))
     pruned.join(small, bigKey === smallKey, "left_semi")
   }
 }

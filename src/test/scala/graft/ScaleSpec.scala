@@ -41,6 +41,50 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("deterministic sampling is map-only: no Exchange in the plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.llm.Sampling
+      .stratified(docs, col("doc_id"), col("lang"), Map("en" -> 500), 250)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sampling must compose with the scan shuffle-free:\n$plan")
+  }
+
+  test("Bloom probe prunes the big side BEFORE the semi join's shuffle") {
+    // the Bloom path matters in the no-broadcast regime (dim too big
+    // to broadcast → shuffle semi join); with broadcast on, Catalyst
+    // correctly reorders the cheap broadcast semi join first and the
+    // Bloom is redundant — so pin that regime here
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.read.parquet(s"$sf/lineitem.parquet")
+      val small = spark.read.parquet(s"$sf/supplier.parquet")
+        .filter(col("s_acctbal") > 1000).select(col("s_suppkey"))
+      val q = graft.functions.BloomOps.prunedSemiJoin(
+        big, col("l_suppkey"), small, col("s_suppkey"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("bloommightcontain"), s"no Bloom probe in plan:\n$plan")
+      // the probe is a literal predicate pinned below the big side's
+      // Exchange: filter first, shuffle the survivors
+      val exchangeIdx = plan.indexOf("Exchange hashpartitioning(l_suppkey")
+      val filterIdx = plan.indexOf("bloommightcontain")
+      assert(exchangeIdx >= 0 && exchangeIdx < filterIdx,
+        s"Bloom probe must run below the semi join's shuffle:\n$plan")
+      assert(q.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("decontaminate broadcasts the benchmark grams, never shuffles the corpus side for the join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.llm.TextAnalysis.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 97 === 0), col("text"), n = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set should broadcast:\n$plan")
+  }
+
   test("AQE coalesces the tiny post-shuffle partitions") {
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
