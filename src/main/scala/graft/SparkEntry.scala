@@ -583,6 +583,14 @@ object SparkEntry {
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },
 
+    "q_unpivot" -> { (s, dir) =>
+      // wide → long melt (inverse of q_pivot_wide)
+      t(s, dir, "customer").unpivot(
+        Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey").cast("double").as("c_nationkey")),
+        "attr", "val")
+    },
+
     "ds_shuffle_order" -> { (s, dir) =>
       // reproducible global training order: range-partitioned sort on
       // the id hash (one pass; no in-memory permutation)
@@ -745,6 +753,11 @@ object SparkEntry {
     * scripts/gen_oracles.py).
     */
   def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+    "q_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS attr, c_acctbal AS val FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""".stripMargin,
+
     "txt_normalize" ->
       """SELECT doc_id,
         | regexp_replace(regexp_replace(lower(trim(text)),

@@ -37,6 +37,34 @@ trait PageFetcher extends Serializable {
   def fetch(after: Option[String]): Page
 }
 
+/** Bounded-retry wrapper for transient transport failures (the
+  * reference's httpx POSTs against a live API): IOExceptions retry
+  * with exponential backoff up to `maxRetries`, anything else — a
+  * GraphQL error payload, a schema mismatch — propagates immediately
+  * (retrying a semantic error just hammers the API). The sleeper is
+  * injectable so specs run without wall-clock waits.
+  */
+final class RetryingFetcher(
+    inner: PageFetcher,
+    maxRetries: Int = 3,
+    baseDelayMs: Long = 100,
+    sleeper: Long => Unit = Thread.sleep)
+    extends PageFetcher {
+  override def fetch(after: Option[String]): Page = {
+    var attempt = 0
+    while (true) {
+      try return inner.fetch(after)
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= maxRetries) throw e
+          sleeper(baseDelayMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** Driver-side cursor walk: collect all page bodies. */
 object PagedGraphQL {
   def fetchAllPages(fetcher: PageFetcher): Seq[String] = {

@@ -76,6 +76,49 @@ class GraphQLSpec extends SparkSpec {
     }
   }
 
+  test("RetryingFetcher retries transient IO failures with backoff, then succeeds") {
+    import graft.sources.graphql.{Page, PageFetcher, PagedGraphQL, RetryingFetcher}
+    var calls = 0
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky = new PageFetcher {
+      override def fetch(after: Option[String]): Page = {
+        calls += 1
+        if (calls <= 2) throw new java.io.IOException("connection reset")
+        Page(s"""{"page":${calls}}""", None)
+      }
+    }
+    val pages = PagedGraphQL.fetchAllPages(
+      new RetryingFetcher(flaky, maxRetries = 3, baseDelayMs = 100, sleeper = delays += _))
+    assert(pages == Seq("""{"page":3}"""))
+    assert(delays.toSeq == Seq(100L, 200L)) // exponential schedule
+  }
+
+  test("RetryingFetcher gives up after maxRetries and rethrows") {
+    import graft.sources.graphql.{Page, PageFetcher, RetryingFetcher}
+    var calls = 0
+    val dead = new PageFetcher {
+      override def fetch(after: Option[String]): Page = {
+        calls += 1; throw new java.io.IOException("down")
+      }
+    }
+    val f = new RetryingFetcher(dead, maxRetries = 2, sleeper = _ => ())
+    intercept[java.io.IOException] { f.fetch(None) }
+    assert(calls == 3) // 1 try + 2 retries
+  }
+
+  test("RetryingFetcher does NOT retry semantic errors") {
+    import graft.sources.graphql.{Page, PageFetcher, RetryingFetcher}
+    var calls = 0
+    val broken = new PageFetcher {
+      override def fetch(after: Option[String]): Page = {
+        calls += 1; throw new IllegalArgumentException("GraphQL error: unknown field")
+      }
+    }
+    val f = new RetryingFetcher(broken, sleeper = _ => ())
+    intercept[IllegalArgumentException] { f.fetch(None) }
+    assert(calls == 1)
+  }
+
   test("mutation sink fans out across partitions") {
     val sender = new CapturingSender
     MutationSenders.register("cap2", sender)
