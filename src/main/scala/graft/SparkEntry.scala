@@ -286,6 +286,16 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("rev"))
     },
 
+    "q_cube_agg" -> { (s, dir) =>
+      // CUBE: all four grouping-set combinations in one pass
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .cube(col("order_year"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("rev"))
+    },
+
     "q_asof_prev_event" -> { (s, dir) =>
       // as-of join by composition: for every error event, the most
       // recent prior click of the same user (windowed max, no join)
@@ -980,6 +990,13 @@ object SparkEntry {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |FROM orders
         |GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin,
+
+    "q_cube_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+        | count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders
+        |GROUP BY CUBE (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin,
 
     "q_asof_prev_event" ->
       """SELECT event_id, user_id, ts_us, last_click_us FROM (
