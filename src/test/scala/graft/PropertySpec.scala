@@ -92,4 +92,51 @@ class PropertySpec extends SparkSpec {
       assert(graft.functions.HashOps.cosine(ad(a), ad(a)) > 0.999999)
     }
   }
+
+  test("nextFit packing invariants hold on random sizes and budgets") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val budget = 100L + rnd.nextInt(400)
+      val rows = (0 until 300).map { i =>
+        (s"g${rnd.nextInt(4)}", i.toLong, 1L + rnd.nextInt(budget.toInt))
+      }
+      val packed = graft.ops.Packing.nextFit(
+        rows.toDF("g", "id", "sz"), col("g"), col("id"), col("sz"), budget)
+        .select("grp", "ord", "sz", "seq_id")
+        .as[(String, Long, Long, Long)].collect()
+      assert(packed.length == 300)
+      packed.groupBy(_._1).foreach { case (g, rs) =>
+        val byOrd = rs.sortBy(_._2)
+        // seq ids start at 0, never decrease, step at most 1
+        assert(byOrd.head._4 == 0L, s"$g first seq != 0")
+        byOrd.sliding(2).foreach {
+          case Array(p, c) =>
+            assert(c._4 - p._4 >= 0 && c._4 - p._4 <= 1, s"$g seq jump")
+          case _ =>
+        }
+        // no sequence with >1 doc exceeds the budget
+        byOrd.groupBy(_._4).foreach { case (seq, docs) =>
+          if (docs.length > 1)
+            assert(docs.map(_._3).sum <= budget, s"$g/$seq overfull (trial $trial)")
+        }
+      }
+    }
+  }
+
+  test("Bloom prunedSemiJoin equals plain semi join on random keys and sizes") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val bigKeys = Seq.fill(500)(rnd.nextInt(200).toLong)
+      val smallKeys = Seq.fill(30)(rnd.nextInt(300).toLong).distinct
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "x")
+      val small = smallKeys.toDF("y")
+      val m = 64 << rnd.nextInt(3) // tiny filters: force false positives
+      val got = graft.functions.BloomOps
+        .prunedSemiJoin(big, col("x"), small, col("y"), mBits = m, k = 2)
+        .select("id").as[Long].collect().sorted.toSeq
+      val want = big.join(small, col("x") === col("y"), "left_semi")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"trial $trial mBits=$m")
+    }
+  }
 }
