@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.lit
@@ -31,7 +31,7 @@ case class BloomAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]]
-    with ExpectsInputTypes {
+    with ImplicitCastInputTypes {
 
   require(mBits >= 64 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
   require(k >= 1, "k >= 1")
@@ -83,7 +83,7 @@ case class BloomAgg(
 /** Membership probe against a Bloom bit-word array (codegen). */
 case class BloomMightContain(words: Expression, key: Expression, mBits: Int, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with ExpectsInputTypes {
+    with ImplicitCastInputTypes {
   override def left: Expression = words
   override def right: Expression = key
   override def inputTypes: Seq[DataType] =

@@ -80,5 +80,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_ngrams", "char_ngrams(str, n) - distinct character n-grams"),
       (args: Seq[Expression]) => { checkArity("char_ngrams", args, 1, 2)
         CharNgrams(args.head, if (args.length > 1) intArg(args(1), "n") else 3) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(str, n) - distinct space-joined word n-grams"),
+      (args: Seq[Expression]) => { checkArity("word_ngrams", args, 1, 2)
+        WordNgrams(args.head, if (args.length > 1) intArg(args(1), "n") else 3) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct",
+        "kmv_distinct(col, k) - deterministic bottom-k distinct-count estimate (aggregate)"),
+      (args: Seq[Expression]) => { checkArity("kmv_distinct", args, 1, 2)
+        KMinValues(args.head,
+          if (args.length > 1) intArg(args(1), "k") else 64).toAggregateExpression() }))
   }
 }

@@ -37,6 +37,12 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
           "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-12)
+      val wng = spark.sql("SELECT word_ngrams(txt, 2) FROM t").head().getSeq[String](0)
+      assert(wng == Seq("the quick", "quick brown", "brown fox"))
+      val kmv = spark.sql(
+        "SELECT kmv_distinct(x, 64) FROM (SELECT explode(sequence(1, 40)) AS x)")
+        .head().getDouble(0)
+      assert(kmv == 40.0) // below k: exact
     } finally {
       // restore the shared session; don't stop the shared SparkContext
       prevDefault.foreach(SparkSession.setDefaultSession)
