@@ -120,6 +120,39 @@ object SparkEntry {
         col("c_custkey") === col("o_custkey"))
     },
 
+    "q_merge_fallback_key" -> { (s, dir) =>
+      // the reference's dynamic reconcile key (ref 390-415): Unit =
+      // remoteId when the API has any usable remoteId, else normalized
+      // location name. Two API shapes exercise BOTH branches: `mixed`
+      // (some blank remoteIds → primary key) and `blank` (all blank →
+      // name fallback engages).
+      val file = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("unit"),
+        concat(col("c_name"), lit(" ")).as("loc_name"))
+      val apiMixed = t(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(
+          when(col("c_custkey") % 3 === 0, lit(""))
+            .otherwise(col("c_custkey").cast("string")).as("remote_id"),
+          lower(col("c_name")).as("api_name"))
+      val apiBlank = t(s, dir, "customer")
+        .filter(col("c_custkey") % 5 === 0)
+        .select(
+          lit("").as("remote_id"),
+          when(col("c_custkey") % 10 === 0, concat(lower(col("c_name")), lit("-x")))
+            .otherwise(lower(col("c_name"))).as("api_name"))
+      def counts(api: DataFrame, mode: String): DataFrame =
+        Reconcile.mergeIndicatorWithFallback(
+            file, api, col("remote_id"),
+            col("unit") === col("remote_id"),
+            Normalize.normEmail(col("loc_name")) === col("api_name"))
+          .groupBy(col(Reconcile.IndicatorCol))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("mode", lit(mode))
+      counts(apiMixed, "mixed").unionByName(counts(apiBlank, "blank"))
+        .select(col("mode"), col(Reconcile.IndicatorCol), col("n"))
+    },
+
     "q_anti_join" -> { (s, dir) =>
       // customers with no recent order — non-empty at the verify SF
       Reconcile
@@ -873,6 +906,40 @@ object SparkEntry {
         |FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000) o
         |  ON c.c_custkey = o.o_custkey
         |GROUP BY 1""".stripMargin,
+
+    // the dynamic fallback key is the CASE join key the reference's
+    // whole-frame `(remoteId == "").all()` branch amounts to: the
+    // usable-flag CTE picks unit-vs-name per API frame.
+    "q_merge_fallback_key" ->
+      """WITH file AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS unit, c_name || ' ' AS loc_name FROM customer),
+        |api_mixed AS (
+        |  SELECT CASE WHEN c_custkey % 3 = 0 THEN '' ELSE CAST(c_custkey AS VARCHAR) END AS remote_id,
+        |         lower(c_name) AS api_name
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |api_blank AS (
+        |  SELECT '' AS remote_id,
+        |         CASE WHEN c_custkey % 10 = 0 THEN lower(c_name) || '-x' ELSE lower(c_name) END AS api_name
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |fm AS (SELECT count(*) > 0 AS usable FROM api_mixed WHERE remote_id IS NOT NULL AND trim(remote_id) <> ''),
+        |fb AS (SELECT count(*) > 0 AS usable FROM api_blank WHERE remote_id IS NOT NULL AND trim(remote_id) <> ''),
+        |mixed AS (
+        |  SELECT CASE WHEN f.unit IS NOT NULL AND a.remote_id IS NOT NULL THEN 'both'
+        |              WHEN f.unit IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS merge_status
+        |  FROM (SELECT file.*, CASE WHEN fm.usable THEN unit ELSE lower(trim(loc_name)) END AS jk
+        |        FROM file CROSS JOIN fm) f
+        |  FULL JOIN (SELECT api_mixed.*, CASE WHEN fm.usable THEN remote_id ELSE api_name END AS jk
+        |             FROM api_mixed CROSS JOIN fm) a ON f.jk = a.jk),
+        |blank AS (
+        |  SELECT CASE WHEN f.unit IS NOT NULL AND a.remote_id IS NOT NULL THEN 'both'
+        |              WHEN f.unit IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS merge_status
+        |  FROM (SELECT file.*, CASE WHEN fb.usable THEN unit ELSE lower(trim(loc_name)) END AS jk
+        |        FROM file CROSS JOIN fb) f
+        |  FULL JOIN (SELECT api_blank.*, CASE WHEN fb.usable THEN remote_id ELSE api_name END AS jk
+        |             FROM api_blank CROSS JOIN fb) a ON f.jk = a.jk)
+        |SELECT 'mixed' AS mode, merge_status, count(*) AS n FROM mixed GROUP BY 2
+        |UNION ALL
+        |SELECT 'blank', merge_status, count(*) FROM blank GROUP BY 2""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -362,6 +362,39 @@ object HashOps {
     new GenericArrayData(out.result().toArray[Any])
   }
 
+  /** Nearest-centroid cell id: argmax over the (small, driver-
+    * materialized) centroid set of [[cosine]], ties to the LARGER cid
+    * — exactly `max(struct(cos, cid))`, which is what the IVF oracle
+    * replicates. One static call per row ⇒ corpus→cell assignment is
+    * a map-only projection with zero shuffle (the shape that survives
+    * 100 TB; the centroid matrix is a few KB of broadcast-task
+    * state).
+    */
+  def nearestCentroid(vec: ArrayData, cids: Array[Long], cents: Array[Array[Float]]): Long = {
+    var bestCos = Double.NegativeInfinity
+    var bestCid = Long.MinValue
+    var c = 0
+    while (c < cids.length) {
+      val b = cents(c)
+      val n = math.min(vec.numElements(), b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble
+        val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestCos || (cos == bestCos && cids(c) > bestCid)) {
+        bestCos = cos
+        bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either norm is
     * 0). Fixed left-to-right accumulation order → bit-deterministic.
     */

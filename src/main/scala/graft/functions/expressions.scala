@@ -159,6 +159,28 @@ case class Splitmix64(child: Expression) extends UnaryExpression with ImplicitCa
   override protected def withNewChildInternal(c: Expression): Splitmix64 = copy(child = c)
 }
 
+/** Map-only IVF cell assignment: nearest centroid (by [[HashOps
+  * .cosine]], ties to larger cid — `max(struct(cos, cid))` semantics)
+  * of a vector against a driver-materialized centroid set. The
+  * centroid matrix rides along as a codegen reference object, so
+  * corpus→cell assignment needs no join and no shuffle.
+  */
+case class NearestCentroid(child: Expression, cids: Array[Long], cents: Array[Array[Float]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.nearestCentroid(v.asInstanceOf[ArrayData], cids, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.nearestCentroid($c, $cidsRef, $centsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -199,4 +221,6 @@ object F {
     column(SimhashBucketPairs(expression(items), maxHam))
   def cosineBucketPairs(items: Column, minCos: Double): Column =
     column(CosineBucketPairs(expression(items), minCos))
+  def nearestCentroid(vec: Column, cids: Array[Long], cents: Array[Array[Float]]): Column =
+    column(NearestCentroid(expression(vec), cids, cents))
 }

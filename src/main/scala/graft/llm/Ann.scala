@@ -69,16 +69,36 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Corpus → nearest-cell assignment as a MAP-ONLY projection: the
+    * centroid set is materialized eagerly on the driver (it is
+    * `centroids` rows — control-plane-sized, same eager-literal
+    * pattern as the Bloom bit-set) and embedded in a codegen
+    * [[graft.functions.NearestCentroid]] expression, so the corpus is
+    * never joined, aggregated, or shuffled to learn its cell — the
+    * scan streams straight through one projection. Tie-break (larger
+    * cid at equal cosine) and double accumulation order are identical
+    * to `max(struct(cosine, cid))`, which the oracle replicates.
+    *
+    * `cent` must be a small (cid, cent_vec) frame; it is collected.
+    */
+  def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val centRows = cent.collect()
+    val cids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    corpus.withColumn("cell", F.nearestCentroid(col("c_vec"), cids, cents))
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are coarse-quantized to
     * their nearest of `centroids` cells; each query probes its
     * `nProbe` nearest cells and ranks exact cosine inside them.
     *
     * Centroids are a deterministic data sample (the `centroids`
-    * corpus vectors with the smallest xxhash64(id)) — no trained
-    * model, reproducible on any cluster. Scale shape: centroid table
-    * is broadcast both for corpus assignment and query probing; the
-    * corpus shuffles once on its cell key. Recall/compute trades via
-    * `centroids` × `nProbe`.
+    * corpus vectors with the smallest splitmix64(id)) — no trained
+    * model, reproducible on any cluster. Scale shape: corpus→cell
+    * assignment is map-only ([[assignCells]] — zero shuffle, zero
+    * join); the centroid table is broadcast only for query probing;
+    * the corpus shuffles once, on the probe join. Recall/compute
+    * trades via `centroids` × `nProbe`.
     */
   def ivfTopK(
       corpus: DataFrame, corpusId: Column, corpusVec: Column,
@@ -86,21 +106,15 @@ object Ann {
       k: Int, centroids: Int = 16, nProbe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
-    val cent = broadcast(
+    val cent =
       c.orderBy(F.splitmix64(col("vec_id")), col("vec_id")).limit(centroids)
-        .select(col("vec_id").as("cid"), col("c_vec").as("cent_vec")))
-    // corpus → nearest cell (deterministic tie-break on larger cid)
-    val assigned = c.crossJoin(cent)
-      .select(col("vec_id"), col("c_vec"),
-        struct(F.cosineSim(col("c_vec"), col("cent_vec")).as("cos"), col("cid")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("best"), first(col("c_vec")).as("c_vec"))
-      .select(col("vec_id"), col("c_vec"), col("best.cid").as("cell"))
+        .select(col("vec_id").as("cid"), col("c_vec").as("cent_vec"))
+    val assigned = assignCells(c, cent)
     // queries → nProbe nearest cells
     val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"))
     val probes = Collect
       .topKPerKey(
-        q.crossJoin(cent)
+        q.crossJoin(broadcast(cent))
           .select(col("q_id"), col("q_vec"), col("cid"),
             F.cosineSim(col("q_vec"), col("cent_vec")).as("ccos")),
         col("q_id"), nProbe, col("ccos").desc, col("cid"))

@@ -145,10 +145,20 @@ object Sampling {
     * table; the exact window rank then runs on that sliver. A plain
     * per-stratum window would sort entire strata (one 10 TB stratum
     * = one sorting partition).
+    *
+    * The final semi join back to the full rows broadcasts `keep`
+    * (exactly strata × k ids) only while that stays under
+    * `maxBroadcastRows`; past the bound — many strata × large k can
+    * exceed executor broadcast limits — it falls back to a shuffle
+    * semi join. The strata count driving the decision is either
+    * caller-supplied (`strataCount`, free) or computed with one
+    * column-pruned distinct-count over the stratum column.
     */
   def fixedKPerStratum(
       df: DataFrame, id: Column, stratum: Column, k: Int,
-      salt: Long = 0L): DataFrame = {
+      salt: Long = 0L,
+      strataCount: Option[Long] = None,
+      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val keyed = df.select(
@@ -176,6 +186,9 @@ object Sampling {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("__id"))
-    df.join(broadcast(keep), id.cast("long") === keep("__id"), "left_semi")
+    val nStrata = strataCount.getOrElse(
+      df.select(stratum.as("__st")).distinct().count())
+    val keepSide = if (nStrata * k <= maxBroadcastRows) broadcast(keep) else keep
+    df.join(keepSide, id.cast("long") === keepSide("__id"), "left_semi")
   }
 }

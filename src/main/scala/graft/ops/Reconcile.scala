@@ -38,6 +38,28 @@ object Reconcile {
       .drop(lTag, rTag)
   }
 
+  /** Dynamic reconcile key (reference 390-415, 481-506): join by the
+    * primary condition (file `Unit` = API `remoteId`) normally, but
+    * when the API frame's `rightPrimary` column is blank on EVERY row
+    * fall back to the secondary condition (normalized location name).
+    * The branch test is one `LIMIT 1` scan over the API frame — the
+    * same whole-frame decision the reference's `(remoteId == "").all()`
+    * makes, and the API extract is control-plane-sized next to the
+    * fact data — after which either branch is the one-shuffle
+    * [[mergeIndicator]].
+    */
+  def mergeIndicatorWithFallback(
+      left: DataFrame,
+      right: DataFrame,
+      rightPrimary: Column,
+      primaryCond: Column,
+      fallbackCond: Column): DataFrame = {
+    val anyUsableKey = !right
+      .filter(rightPrimary.isNotNull && trim(rightPrimary) =!= lit(""))
+      .isEmpty
+    mergeIndicator(left, right, if (anyUsableKey) primaryCond else fallbackCond)
+  }
+
   /** Rows of `left` with no match in `right` — the reference's
     * `_merge == "left_only"` split (new records not yet in the API).
     */
@@ -58,4 +80,27 @@ object Reconcile {
     mergeIndicator(left, right, cond)
       .groupBy(IndicatorCol)
       .agg(count(lit(1)).as("n"))
+
+  /** Post-load resync validation (reference 38-42): after the
+    * delete + reload cycle the just-loaded group count must equal the
+    * count the file asked for. Returns a one-row
+    * (loaded_n, expected_n, ok) report — two single-row aggregates,
+    * no data movement beyond the counts; with `strict` the mismatch
+    * raises, which is the reference's `raise Exception` behavior.
+    */
+  def loadedCountCheck(
+      loaded: DataFrame, expected: DataFrame,
+      strict: Boolean = false): DataFrame = {
+    val report = loaded.agg(count(lit(1)).as("loaded_n"))
+      .crossJoin(expected.agg(count(lit(1)).as("expected_n")))
+      .withColumn("ok", col("loaded_n") === col("expected_n"))
+    if (strict) {
+      val row = report.head()
+      if (!row.getAs[Boolean]("ok"))
+        throw new IllegalStateException(
+          s"loaded-count mismatch: loaded=${row.getAs[Long]("loaded_n")} " +
+            s"expected=${row.getAs[Long]("expected_n")}")
+    }
+    report
+  }
 }

@@ -15,6 +15,48 @@ class OpsSpec extends SparkSpec {
     assert(m == Map(1 -> "left_only", 2 -> "both", 3 -> "both", 4 -> "right_only"))
   }
 
+  test("mergeIndicatorWithFallback joins by primary key when any remoteId is usable") {
+    val file = Seq(("1", "Store A"), ("2", "Store B"), ("3", "Store C"))
+      .toDF("unit", "loc_name")
+    // unit 2's API row has a blank remoteId but a matching name: with
+    // OTHER usable remoteIds present the primary key must win, so it
+    // stays unmatched (left_only + right_only), not name-matched
+    val api = Seq(("1", "store a"), ("", "store b")).toDF("remote_id", "api_name")
+    val m = Reconcile.mergeIndicatorWithFallback(
+        file, api, col("remote_id"),
+        col("unit") === col("remote_id"),
+        lower(trim(col("loc_name"))) === col("api_name"))
+      .groupBy(col(Reconcile.IndicatorCol)).count()
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("both" -> 1L, "left_only" -> 2L, "right_only" -> 1L))
+  }
+
+  test("mergeIndicatorWithFallback falls back to the name key when every remoteId is blank") {
+    val file = Seq(("1", "Store A"), ("2", "Store B"), ("3", "Store C"))
+      .toDF("unit", "loc_name")
+    val api = Seq(("", "store a"), ("", "store b"), ("", "store zz"))
+      .toDF("remote_id", "api_name")
+    val m = Reconcile.mergeIndicatorWithFallback(
+        file, api, col("remote_id"),
+        col("unit") === col("remote_id"),
+        lower(trim(col("loc_name"))) === col("api_name"))
+      .groupBy(col(Reconcile.IndicatorCol)).count()
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("both" -> 2L, "left_only" -> 1L, "right_only" -> 1L))
+  }
+
+  test("loadedCountCheck reports equality and strict mode raises on mismatch") {
+    val loaded = Seq(1, 2, 3).toDF("id")
+    val expected = Seq(10, 20, 30).toDF("id")
+    val ok = Reconcile.loadedCountCheck(loaded, expected).head()
+    assert(ok.getAs[Boolean]("ok") && ok.getAs[Long]("loaded_n") == 3L)
+    val bad = Reconcile.loadedCountCheck(loaded, expected.limit(2))
+    assert(!bad.head().getAs[Boolean]("ok"))
+    intercept[IllegalStateException] {
+      Reconcile.loadedCountCheck(loaded, expected.limit(2), strict = true)
+    }
+  }
+
   test("anti+semi partition the left frame") {
     val c = spark.read.parquet(s"$sf/customer.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")

@@ -76,6 +76,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LessThan(vec_id,5)"), "query-side filter not pushed to scan")
   }
 
+  test("IVF cell assignment is map-only: zero Exchange between scan and cell") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("c_vec"))
+    val cent = e.orderBy(graft.functions.F.splitmix64(col("vec_id")), col("vec_id"))
+      .limit(4).select(col("vec_id").as("cid"), col("c_vec").as("cent_vec"))
+    val assigned = graft.llm.Ann.assignCells(e, cent)
+    val plan = assigned.queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"),
+      "corpus→cell assignment must not shuffle or join")
+    assert(plan.toString.toLowerCase.contains("nearestcentroid"),
+      "assignment should run through the NearestCentroid codegen expression")
+    // and the full query still carries the map-only shape: the only
+    // exchanges left belong to the probe join + final rank
+    val full = physicalPlan("ann_ivf_topk")
+    assert(!full.contains("CartesianProduct"), "assignment cross join reappeared")
+  }
+
   test("driver entry() returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -78,6 +78,32 @@ class SamplingSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("fixedKPerStratum broadcast guard: shuffle fallback selects the identical sample") {
+    // with size-based auto-broadcast off, the only broadcast left is
+    // the one the guard controls (at test SF the planner's own size
+    // estimate would otherwise re-broadcast the tiny keep set — at
+    // scale that estimate is exactly what can't be trusted)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val broadcasted = Sampling.fixedKPerStratum(
+        docs, col("doc_id"), col("lang"), k = 7)
+      // force the fallback path (bound below strata × k) on a high
+      // partitions × strata product: membership must be identical —
+      // the guard only changes the join strategy
+      val sharded = Sampling.fixedKPerStratum(
+        docs.repartition(64), col("doc_id"), col("lang"), k = 7,
+        maxBroadcastRows = 1)
+      val a = broadcasted.select(col("doc_id")).as[Long].collect().sorted.toSeq
+      val b = sharded.select(col("doc_id")).as[Long].collect().sorted.toSeq
+      assert(a == b && a.nonEmpty)
+      assert(!sharded.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "guard did not disable the broadcast hint")
+      assert(broadcasted.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "small keep set should still broadcast")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("sampling decisions with different salts are decorrelated") {
     val a = Sampling.bernoulli(ids, col("id"), 500, salt = 0).select("id").as[Long].collect().toSet
     val b = Sampling.bernoulli(ids, col("id"), 500, salt = 99).select("id").as[Long].collect().toSet
