@@ -909,7 +909,9 @@ object SparkEntry {
 
     // the dynamic fallback key is the CASE join key the reference's
     // whole-frame `(remoteId == "").all()` branch amounts to: the
-    // usable-flag CTE picks unit-vs-name per API frame.
+    // usable-flag CTE picks unit-vs-name per API frame (usable ⇔ any
+    // row where remoteId == '' fails: null or non-empty, matching
+    // pandas elementwise-== semantics on NaN).
     "q_merge_fallback_key" ->
       """WITH file AS (
         |  SELECT CAST(c_custkey AS VARCHAR) AS unit, c_name || ' ' AS loc_name FROM customer),
@@ -921,8 +923,8 @@ object SparkEntry {
         |  SELECT '' AS remote_id,
         |         CASE WHEN c_custkey % 10 = 0 THEN lower(c_name) || '-x' ELSE lower(c_name) END AS api_name
         |  FROM customer WHERE c_custkey % 5 = 0),
-        |fm AS (SELECT count(*) > 0 AS usable FROM api_mixed WHERE remote_id IS NOT NULL AND trim(remote_id) <> ''),
-        |fb AS (SELECT count(*) > 0 AS usable FROM api_blank WHERE remote_id IS NOT NULL AND trim(remote_id) <> ''),
+        |fm AS (SELECT count(*) > 0 AS usable FROM api_mixed WHERE remote_id IS NULL OR remote_id <> ''),
+        |fb AS (SELECT count(*) > 0 AS usable FROM api_blank WHERE remote_id IS NULL OR remote_id <> ''),
         |mixed AS (
         |  SELECT CASE WHEN f.unit IS NOT NULL AND a.remote_id IS NOT NULL THEN 'both'
         |              WHEN f.unit IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS merge_status

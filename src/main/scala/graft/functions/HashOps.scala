@@ -365,14 +365,19 @@ object HashOps {
   /** Nearest-centroid cell id: argmax over the (small, driver-
     * materialized) centroid set of [[cosine]], ties to the LARGER cid
     * — exactly `max(struct(cos, cid))`, which is what the IVF oracle
-    * replicates. One static call per row ⇒ corpus→cell assignment is
-    * a map-only projection with zero shuffle (the shape that survives
-    * 100 TB; the centroid matrix is a few KB of broadcast-task
-    * state).
+    * replicates. Comparison uses `java.lang.Double.compare`, which
+    * orders NaN above every value and -0.0 below 0.0 — the SAME total
+    * order Spark's double ordering (and hence `max(struct(...))`)
+    * uses, so a NaN-cosine centroid wins here exactly when it would
+    * win in the groupBy/max formulation. One static call per row ⇒
+    * corpus→cell assignment is a map-only projection with zero
+    * shuffle (the shape that survives 100 TB; the centroid matrix is
+    * a few KB of broadcast-task state).
     */
   def nearestCentroid(vec: ArrayData, cids: Array[Long], cents: Array[Array[Float]]): Long = {
     var bestCos = Double.NegativeInfinity
     var bestCid = Long.MinValue
+    var first = true
     var c = 0
     while (c < cids.length) {
       val b = cents(c)
@@ -386,9 +391,11 @@ object HashOps {
         i += 1
       }
       val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-      if (cos > bestCos || (cos == bestCos && cids(c) > bestCid)) {
+      val cmp = java.lang.Double.compare(cos, bestCos)
+      if (first || cmp > 0 || (cmp == 0 && cids(c) > bestCid)) {
         bestCos = cos
         bestCid = cids(c)
+        first = false
       }
       c += 1
     }

@@ -80,9 +80,16 @@ object Ann {
     * to `max(struct(cosine, cid))`, which the oracle replicates.
     *
     * `cent` must be a small (cid, cent_vec) frame; it is collected.
+    * The frame is cast to (bigint, array<float>) before the collect,
+    * so int-keyed or double-vector centroid frames coerce instead of
+    * throwing ClassCastException at collect time.
     */
   def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame = {
-    val centRows = cent.collect()
+    val centRows = cent
+      .select(
+        col(cent.columns(0)).cast("long"),
+        col(cent.columns(1)).cast("array<float>"))
+      .collect()
     val cids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Float](1).toArray)
     corpus.withColumn("cell", F.nearestCentroid(col("c_vec"), cids, cents))

@@ -150,9 +150,13 @@ object Sampling {
     * (exactly strata × k ids) only while that stays under
     * `maxBroadcastRows`; past the bound — many strata × large k can
     * exceed executor broadcast limits — it falls back to a shuffle
-    * semi join. The strata count driving the decision is either
-    * caller-supplied (`strataCount`, free) or computed with one
-    * column-pruned distinct-count over the stratum column.
+    * semi join. The bound is checked against a caller-supplied
+    * `strataCount` (free, fully lazy) when given; otherwise the keep
+    * sliver itself is cached and counted — NOT a distinct-count over
+    * the full stratum column — so the corpus is scanned once here
+    * (the same map-side selection the join needs, now cached and
+    * reused by it) and the decision compares actual kept rows. The
+    * cached sliver is ≤ strata × k ids and lives until session end.
     */
   def fixedKPerStratum(
       df: DataFrame, id: Column, stratum: Column, k: Int,
@@ -186,9 +190,13 @@ object Sampling {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("__id"))
-    val nStrata = strataCount.getOrElse(
-      df.select(stratum.as("__st")).distinct().count())
-    val keepSide = if (nStrata * k <= maxBroadcastRows) broadcast(keep) else keep
+    val keepSide = strataCount match {
+      case Some(n) =>
+        if (n * k <= maxBroadcastRows) broadcast(keep) else keep
+      case None =>
+        val cached = keep.persist()
+        if (cached.count() <= maxBroadcastRows) broadcast(cached) else cached
+    }
     df.join(keepSide, id.cast("long") === keepSide("__id"), "left_semi")
   }
 }

@@ -40,13 +40,15 @@ object Reconcile {
 
   /** Dynamic reconcile key (reference 390-415, 481-506): join by the
     * primary condition (file `Unit` = API `remoteId`) normally, but
-    * when the API frame's `rightPrimary` column is blank on EVERY row
-    * fall back to the secondary condition (normalized location name).
-    * The branch test is one `LIMIT 1` scan over the API frame — the
-    * same whole-frame decision the reference's `(remoteId == "").all()`
-    * makes, and the API extract is control-plane-sized next to the
-    * fact data — after which either branch is the one-shuffle
-    * [[mergeIndicator]].
+    * fall back to the secondary condition (normalized location name)
+    * exactly when the reference's `(remoteId == "").all()` is true —
+    * i.e. EVERY row of the API frame carries the literal empty
+    * string. Null (pandas NaN) and whitespace-only remoteIds make the
+    * elementwise `== ""` False, so their presence forces the PRIMARY
+    * branch, and an empty API frame vacuously falls back — both
+    * replicated here. The branch test is one `LIMIT 1` scan over the
+    * API frame (control-plane-sized next to the fact data), after
+    * which either branch is the one-shuffle [[mergeIndicator]].
     */
   def mergeIndicatorWithFallback(
       left: DataFrame,
@@ -54,8 +56,10 @@ object Reconcile {
       rightPrimary: Column,
       primaryCond: Column,
       fallbackCond: Column): DataFrame = {
+    // usable key ⇔ some row where (remoteId == "") does NOT hold:
+    // null or any non-empty string (whitespace included)
     val anyUsableKey = !right
-      .filter(rightPrimary.isNotNull && trim(rightPrimary) =!= lit(""))
+      .filter(rightPrimary.isNull || rightPrimary =!= lit(""))
       .isEmpty
     mergeIndicator(left, right, if (anyUsableKey) primaryCond else fallbackCond)
   }

@@ -45,6 +45,22 @@ class OpsSpec extends SparkSpec {
     assert(m == Map("both" -> 2L, "left_only" -> 1L, "right_only" -> 1L))
   }
 
+  test("mergeIndicatorWithFallback: null or whitespace remoteIds force the primary branch") {
+    // pandas `(remoteId == "").all()`: NaN and " " rows compare False,
+    // so the frame is NOT all-blank and the primary key is used even
+    // though no remoteId is actually usable — names must not match.
+    val file = Seq(("1", "Store A"), ("2", "Store B")).toDF("unit", "loc_name")
+    val api = Seq((null.asInstanceOf[String], "store a"), (" ", "store b"))
+      .toDF("remote_id", "api_name")
+    val m = Reconcile.mergeIndicatorWithFallback(
+        file, api, col("remote_id"),
+        col("unit") === col("remote_id"),
+        lower(trim(col("loc_name"))) === col("api_name"))
+      .groupBy(col(Reconcile.IndicatorCol)).count()
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("left_only" -> 2L, "right_only" -> 2L))
+  }
+
   test("loadedCountCheck reports equality and strict mode raises on mismatch") {
     val loaded = Seq(1, 2, 3).toDF("id")
     val expected = Seq(10, 20, 30).toDF("id")
