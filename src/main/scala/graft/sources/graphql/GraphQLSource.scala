@@ -19,11 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Split of labor at scale: cursor pagination is inherently serial,
   * so the *driver* walks `pageInfo.endCursor` (exactly like the
-  * reference's while-loop — this is control-plane traffic, each page
-  * a bounded JSON payload) and plans ONE partition PER PAGE carrying
-  * the raw page body; *executors* do all parsing, edge-explosion and
-  * flattening in parallel. A 10k-page extract becomes a 10k-partition
-  * scan with no driver-side row materialization.
+  * reference's while-loop) at planning time — but it keeps ONLY the
+  * per-page continuation cursors, discarding each page body as soon
+  * as its cursor is extracted. Planner-held state is O(pages ×
+  * cursor bytes), not O(pages × body bytes): a 10k-page × ~1 MB
+  * extract costs the driver ~10 GB if bodies are buffered, versus
+  * ~100 KB of cursors here. Each InputPartition carries (index,
+  * after-cursor, fetcher) and the *executor* re-fetches its single
+  * page, then does all parsing, edge-explosion and flattening in
+  * parallel. The trade is a second fetch per page (planning walk +
+  * executor read) — API round-trips are the currency that buys
+  * bounded driver heap; the walk is control-plane traffic either
+  * way. Fetchers must therefore be stateless in `after` (the same
+  * cursor re-yields the same page — true of any cursor-paginated
+  * API, and of [[RetryingFetcher]] re-sends).
   */
 
 /** One GraphQL page: raw JSON body + continuation token. */
@@ -65,8 +74,31 @@ final class RetryingFetcher(
   }
 }
 
-/** Driver-side cursor walk: collect all page bodies. */
+/** Driver-side cursor walk. */
 object PagedGraphQL {
+
+  /** Walk the pagination and return only each page's AFTER-cursor
+    * (`None` for the first page) — one body is resident at a time,
+    * discarded as soon as `endCursor` is read. This is what the
+    * planner holds: cursors, never bodies.
+    */
+  def fetchAllCursors(fetcher: PageFetcher): Seq[Option[String]] = {
+    val cursors = Seq.newBuilder[Option[String]]
+    var cursor: Option[String] = None
+    var more = true
+    while (more) {
+      cursors += cursor
+      val p = fetcher.fetch(cursor)
+      cursor = p.endCursor
+      more = p.endCursor.isDefined
+    }
+    cursors.result()
+  }
+
+  /** Collect all page bodies (driver-resident — fine for tests and
+    * control-plane-sized extracts; the scan path uses
+    * [[fetchAllCursors]] instead).
+    */
   def fetchAllPages(fetcher: PageFetcher): Seq[String] = {
     val pages = Seq.newBuilder[String]
     var cursor: Option[String] = None
@@ -121,17 +153,25 @@ private class GraphQLTable(fetcherName: String) extends Table with SupportsRead 
 private class GraphQLScan(fetcherName: String) extends Scan with Batch {
   override def readSchema(): StructType = GraphQLSource.pageSchema
   override def toBatch: Batch = this
-  // driver-side pagination at planning time; each page body ships
-  // inside its InputPartition (serializable → cluster-correct)
-  override def planInputPartitions(): Array[InputPartition] =
-    PagedGraphQL.fetchAllPages(PageFetchers(fetcherName))
+  // driver-side cursor walk at planning time; partitions carry only
+  // (index, after-cursor, fetcher) — bodies are fetched by executors.
+  // The fetcher instance ships inside the partition (Serializable),
+  // so a real cluster's executors don't need the driver's registry.
+  // Lazy: Spark calls planInputPartitions more than once per query
+  // (plan + exec), and the walk must not re-fetch each time.
+  private lazy val planned: Array[InputPartition] = {
+    val fetcher = PageFetchers(fetcherName)
+    PagedGraphQL.fetchAllCursors(fetcher)
       .zipWithIndex
-      .map { case (json, i) => PagePartition(i, json): InputPartition }
+      .map { case (after, i) => PagePartition(i, after, fetcher): InputPartition }
       .toArray
+  }
+  override def planInputPartitions(): Array[InputPartition] = planned
   override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
 }
 
-final case class PagePartition(idx: Int, json: String) extends InputPartition
+final case class PagePartition(idx: Int, after: Option[String], fetcher: PageFetcher)
+    extends InputPartition
 
 object PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -141,7 +181,9 @@ object PageReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = !emitted
       override def get(): InternalRow = {
         emitted = true
-        InternalRow(p.idx, UTF8String.fromString(p.json))
+        // executor-side single-page fetch: the only place a body
+        // materializes is the task that parses it
+        InternalRow(p.idx, UTF8String.fromString(p.fetcher.fetch(p.after).json))
       }
       override def close(): Unit = ()
     }
