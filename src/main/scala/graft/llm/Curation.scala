@@ -11,19 +11,32 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The curated frame plus a `release()` that drops the two cached
+    * intermediates once the caller has materialized (written/counted)
+    * `df` — calling it earlier is safe but forfeits the cache reuse.
+    */
+  final case class Curated(df: DataFrame, release: () => Unit)
+
   /** Returns the surviving (doc_id, text) after:
     *  1. quality filter (composite score ≥ `minQuality`),
     *  2. exact dedup (keep min doc_id per content hash),
     *  3. near-dup removal: MinHash-LSH candidates verified by exact
     *     character-5-gram Jaccard ≥ `minJaccard`; of each verified
     *     pair, the higher id is dropped.
+    *
+    * Fully lazy — building the plan runs ZERO Spark jobs; the single
+    * action that consumes the result computes each cached
+    * intermediate once (they are referenced twice in the plan, which
+    * is why they persist). Call `release()` after that action;
+    * [[curate]] is the fire-and-forget variant for sessions that end
+    * soon after (the two cached frames then live until session end).
     */
-  def curate(
+  def curateReleasable(
       docs: DataFrame,
       id: Column,
       text: Column,
       minQuality: Double = 0.4,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8): Curated = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
 
     val quality = TextAnalysis.qualityScore(base, col("doc_id"), col("text"))
@@ -47,16 +60,16 @@ object Curation {
         n = 5, minJaccard = minJaccard, candidateMinEst = 0.5)
       .select(col("id_b").as("doc_id"))
       .distinct()
-    // Materialize the result so the intermediates can be unpersisted
-    // before returning — a long-lived session calling curate()
-    // repeatedly must not accumulate cached blocks. The result stays
-    // cached (callers drop it with result.unpersist() when done);
-    // repeated calls on the SAME input reuse one cache entry — the
-    // CacheManager dedupes identical plans, so this does not grow.
-    val result = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti").persist()
-    result.count()
-    qualified.unpersist()
-    exactDeduped.unpersist()
-    result
+    val result = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    Curated(result, () => { qualified.unpersist(); exactDeduped.unpersist() })
   }
+
+  /** [[curateReleasable]] without the release handle. */
+  def curate(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minQuality: Double = 0.4,
+      minJaccard: Double = 0.8): DataFrame =
+    curateReleasable(docs, id, text, minQuality, minJaccard).df
 }

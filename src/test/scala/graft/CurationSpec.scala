@@ -34,4 +34,27 @@ class CurationSpec extends SparkSpec {
       s"planted copies kept: ${survivedOriginals.filter(surviving.contains)}")
     assert(surviving.nonEmpty)
   }
+
+  test("curate is lazy: zero jobs at plan build, release() drops the caches") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val curated = Curation.curateReleasable(docs, col("doc_id"), col("text"))
+      Thread.sleep(300) // listener events are delivered asynchronously
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} jobs")
+      assert(curated.df.count() > 0) // the one consuming action
+      curated.release()
+      // no curate-created blocks outlive release()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"release() left cached RDDs behind: $leaked")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
