@@ -785,6 +785,77 @@ object SparkEntry {
       graft.llm.Curation
         .curate(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
         .select(col("doc_id"))
+    },
+
+    // --- source: nested children connection + per-node pagination ---
+    "src_graphql_nested" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      import graft.sources.graphql.{GraphQL, GraphQLFixtures}
+      val name = GraphQLFixtures.registerNestedApi(s, dir)
+      val parentSchema = new StructType()
+        .add("parent_id", LongType).add("parent_name", StringType)
+      val childSchema = new StructType()
+        .add("child_id", LongType).add("child_name", StringType)
+      GraphQL.flattenNestedResponse(
+          s, GraphQL.readPages(s, name),
+          "hierarchyGroups", parentSchema, "children", childSchema,
+          key => s"$name#children#$key", "parent_id")
+        .select(
+          col("parent_id"), col("parent_name"),
+          col("children_child_id").as("child_id"),
+          col("children_child_name").as("child_name"))
+    },
+
+    // --- source: alignments CSV with the reference's cleaning ---
+    "src_csv_alignments" -> { (s, _) =>
+      // fixed committed fixture (the reference reads a local weekly
+      // file, not an SF-scaled table); the oracle reads the same path
+      graft.sources.AlignmentsFile.readCleaned(
+        s, "/root/repo/data/alignments_sample.csv")
+    },
+
+    // --- the reference's WHOLE weekly-alignments flow in one plan ---
+    "q_alignments_e2e" -> { (s, dir) =>
+      // Synthesize the reference's five input frames from test
+      // tables: the alignments sheet from customer (region =
+      // mktsegment, district derived per region, float unit, raw
+      // manager e-mails, some null districts to exercise dropna),
+      // the API locations (half the units, some blank remoteIds →
+      // the fallback merge takes its PRIMARY branch), equity users
+      // from region, and corporate/API users from customer e-mails
+      // so the already-assigned anti join has real overlap.
+      val c = t(s, dir, "customer")
+      val file = c.select(
+        col("c_mktsegment").as("region"),
+        when(col("c_custkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(concat(col("c_mktsegment"), lit("-D"),
+            (col("c_custkey") % 4).cast("string"))).as("district"),
+        (col("c_custkey") + lit(0.25)).as("unit"),
+        col("c_name").as("location_name"),
+        concat(upper(col("c_name")), lit("@CORP.COM ")).as("manager_email"))
+      val apiLocations = c.filter(col("c_custkey") % 2 === 0).select(
+        when(col("c_custkey") % 6 === 0, lit(""))
+          .otherwise(col("c_custkey").cast("string")).as("remote_id"),
+        lower(col("c_name")).as("loc_name"))
+      val equityUsers = t(s, dir, "region").select(
+        concat(upper(col("r_name")), lit("@EQ.COM ")).as("equity_email"))
+      val corporateUsers = c.filter(col("c_custkey") % 7 === 0).select(
+        concat(upper(col("c_name")), lit("@CORP.COM")).as("corporate_email"))
+      val apiUsers = c.filter(col("c_custkey") % 3 === 0).select(
+        concat(col("c_name"), lit("@corp.com")).as("user_email"))
+      val r = graft.ops.AlignmentsPipeline.run(
+        file, apiLocations, equityUsers, corporateUsers, apiUsers)
+      val nullS = lit(null).cast("string")
+      val stackOut = r.managerStack.select(
+        lit("stack").as("phase"), col("group_name"), col("email"),
+        col("level_name"), lit(null).cast("long").as("n"))
+      val corpOut = r.corporate.select(
+        lit("corporate").as("phase"), col("group_name"), col("email"),
+        col("level_name"), lit(null).cast("long").as("n"))
+      val valOut = r.validation.select(
+        lit("validation").as("phase"), col("phase").as("group_name"),
+        nullS.as("email"), nullS.as("level_name"), col("n"))
+      stackOut.unionByName(corpOut).unionByName(valOut)
     }
   )
 
@@ -796,6 +867,87 @@ object SparkEntry {
     * scripts/gen_oracles.py).
     */
   def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+    // round-trip: every (region, nation) pair must come back through
+    // the nested fixture, whether the child edge arrived inline or
+    // via the per-node continuation pages
+    "src_graphql_nested" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS parent_id, r_name AS parent_name,
+        | CAST(n_nationkey AS BIGINT) AS child_id, n_name AS child_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey""".stripMargin,
+
+    // nullif: DuckDB's CSV reader hands back '' for an empty VARCHAR
+    // field where Spark's yields NULL (pandas reads NaN) — fold the
+    // empty-string case to NULL so both engines agree
+    "src_csv_alignments" ->
+      """SELECT region, district,
+        | CAST(CAST(FLOOR(unit) AS BIGINT) AS VARCHAR) AS unit,
+        | location_name,
+        | nullif(split_part(zip_raw, '-', 1), '') AS zip,
+        | lower(trim(manager_email)) AS email
+        |FROM read_csv('/root/repo/data/alignments_sample.csv', header=true,
+        |  columns={'region':'VARCHAR','district':'VARCHAR','location_name':'VARCHAR',
+        |           'unit':'DOUBLE','manager_email':'VARCHAR','zip_raw':'VARCHAR'})
+        |WHERE region IS NOT NULL AND district IS NOT NULL
+        |  AND unit IS NOT NULL AND location_name IS NOT NULL""".stripMargin,
+
+    // Full pipeline replica: clean (dropna + unit floor-cast + email
+    // norm) → primary-branch reconcile (the api frame has non-blank
+    // remoteIds, so the dynamic key picks unit = remote_id; the
+    // fallback branch itself is oracle-covered by
+    // q_merge_fallback_key) → stack ∪ equity fan-out → corporate ×
+    // top groups minus already-assigned → indicator counts.
+    "q_alignments_e2e" ->
+      """WITH file AS (
+        |  SELECT c_mktsegment AS region,
+        |         CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |              ELSE c_mktsegment || '-D' || CAST(c_custkey % 4 AS VARCHAR) END AS district,
+        |         c_custkey + 0.25 AS unit,
+        |         c_name AS location_name,
+        |         upper(c_name) || '@CORP.COM ' AS manager_email
+        |  FROM customer),
+        |cleaned AS (
+        |  SELECT region, district,
+        |         CAST(CAST(FLOOR(unit) AS BIGINT) AS VARCHAR) AS unit,
+        |         location_name,
+        |         lower(trim(manager_email)) AS email
+        |  FROM file
+        |  WHERE region IS NOT NULL AND district IS NOT NULL AND unit IS NOT NULL),
+        |api AS (
+        |  SELECT CASE WHEN c_custkey % 6 = 0 THEN '' ELSE CAST(c_custkey AS VARCHAR) END AS remote_id,
+        |         lower(c_name) AS loc_name
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |mrg AS (
+        |  SELECT CASE WHEN f.unit IS NOT NULL AND a.remote_id IS NOT NULL THEN 'both'
+        |              WHEN f.unit IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS merge_status
+        |  FROM (SELECT DISTINCT unit, location_name, district FROM cleaned) f
+        |  FULL JOIN api a ON f.unit = a.remote_id),
+        |stack AS (
+        |  SELECT DISTINCT group_name, email, level_name FROM (
+        |    SELECT region AS group_name, email, 'Region' AS level_name FROM cleaned
+        |    UNION ALL
+        |    SELECT district, email, 'District' FROM cleaned
+        |    UNION ALL
+        |    SELECT reg.region, lower(trim(e.equity_email)), 'Region'
+        |    FROM (SELECT upper(r_name) || '@EQ.COM ' AS equity_email FROM region) e
+        |    CROSS JOIN (SELECT DISTINCT region FROM cleaned) reg)),
+        |corp_users AS (
+        |  SELECT DISTINCT lower(u.user_email) AS email
+        |  FROM (SELECT c_name || '@corp.com' AS user_email FROM customer WHERE c_custkey % 3 = 0) u
+        |  WHERE lower(u.user_email) IN (
+        |    SELECT lower(trim(upper(c_name) || '@CORP.COM')) FROM customer WHERE c_custkey % 7 = 0)),
+        |tops AS (SELECT DISTINCT region AS group_name FROM cleaned),
+        |corp AS (
+        |  SELECT t.group_name, cu.email, 'Region' AS level_name
+        |  FROM corp_users cu CROSS JOIN tops t
+        |  WHERE NOT EXISTS (SELECT 1 FROM stack s
+        |                    WHERE s.group_name = t.group_name AND s.email = cu.email)),
+        |v AS (SELECT merge_status, count(*) AS n FROM mrg GROUP BY 1)
+        |SELECT 'stack' AS phase, group_name, email, level_name, CAST(NULL AS BIGINT) AS n FROM stack
+        |UNION ALL
+        |SELECT 'corporate', group_name, email, level_name, NULL FROM corp
+        |UNION ALL
+        |SELECT 'validation', merge_status, NULL, NULL, n FROM v""".stripMargin,
+
     "q_unpivot" ->
       """SELECT c_custkey, 'c_acctbal' AS attr, c_acctbal AS val FROM customer
         |UNION ALL

@@ -41,6 +41,79 @@ object GraphQL {
     flattenStructs(edges)
   }
 
+  /** Parse pages whose nodes carry a NESTED child connection — the
+    * reference's `QUERY_HIERARCHY_GROUPS` shape (`weekly alignments
+    * GQL API.py:1027-1042`: each hierarchy-group node embeds a
+    * `children { pageInfo, edges }` connection) — and return one row
+    * per (parent, child) edge with `sep="_"` flattened columns.
+    *
+    * Pagination happens at BOTH levels: the outer connection is the
+    * standard partition-per-page scan, and any node whose inline
+    * `children.pageInfo.hasNextPage` is true gets its remaining child
+    * pages fetched through a per-node continuation fetcher
+    * (`childFetcherName(nodeKey)` — the reference would re-query the
+    * API with that node's child cursor). The continuation node list
+    * is collected on the driver, but it is only (nodeKey, count)
+    * pairs for nodes with >1 child page — control-plane-sized, the
+    * same cursor-walk currency as the outer scan; all page BODIES
+    * stay on executors (same cursor-only planning as the outer
+    * source). Extra child rows parse with the identical envelope so
+    * the union is column-compatible.
+    */
+  def flattenNestedResponse(
+      spark: SparkSession,
+      pages: DataFrame,
+      queryType: String,
+      nodeSchema: StructType,
+      childField: String,
+      childSchema: StructType,
+      childFetcherName: String => String,
+      nodeKey: String): DataFrame = {
+    val childConn = connectionSchema(childSchema)
+    val envelope = new StructType().add(
+      "data", new StructType().add(
+        queryType, new StructType()
+          .add("pageInfo", new StructType()
+            .add("hasNextPage", "boolean").add("endCursor", "string"))
+          .add("edges", org.apache.spark.sql.types.ArrayType(
+            new StructType().add("cursor", "string")
+              .add("node", nodeSchema.add(childField, childConn))))))
+    val nodes = pages
+      .select(from_json(col("json"), envelope).as("r"))
+      .select(explode(col(s"r.data.$queryType.edges")).as("edge"))
+      .select(col("edge.node.*"))
+    // inline child edges: one row per (parent, child)
+    val inline = nodes.select(
+      (nodeSchema.fieldNames.map(col) :+
+        explode(col(s"$childField.edges.node")).as("__child")): _*)
+    // nodes with MORE child pages → fetch their continuations through
+    // the DSv2 source (per-node fetcher); only keys cross the driver
+    val moreKeys = nodes
+      .filter(col(s"$childField.pageInfo.hasNextPage"))
+      .select(col(nodeKey).cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    val childEnvelope = new StructType().add(
+      "data", new StructType().add(childField, childConn))
+    val continued = moreKeys.map { key =>
+      val parent = nodes.filter(col(nodeKey).cast("string") === key)
+        .select(nodeSchema.fieldNames.map(col): _*)
+      val extra = readPages(spark, childFetcherName(key))
+        .select(from_json(col("json"), childEnvelope).as("r"))
+        .select(explode(col(s"r.data.$childField.edges.node")).as("__child"))
+      parent.crossJoin(extra) // parent is exactly one row → broadcastable
+    }
+    val all = continued.foldLeft(inline)(_ unionByName _)
+    flattenStructs(all.withColumnRenamed("__child", childField))
+  }
+
+  /** Standard `pageInfo + edges[]{cursor, node}` connection schema. */
+  def connectionSchema(nodeSchema: StructType): StructType =
+    new StructType()
+      .add("pageInfo", new StructType()
+        .add("hasNextPage", "boolean").add("endCursor", "string"))
+      .add("edges", org.apache.spark.sql.types.ArrayType(
+        new StructType().add("cursor", "string").add("node", nodeSchema)))
+
   /** Recursively flatten struct columns into `parent_sep_child`
     * top-level columns (pandas `json_normalize(sep=...)` twin). Pure
     * projection — zero shuffles, fully codegen'd.

@@ -50,6 +50,67 @@ object GraphQLFixtures {
     s"""{"data": {"$queryType": {"pageInfo": {"hasNextPage": $hasNext, "endCursor": "$pageIdx"}, "edges": $edges}}}"""
   }
 
+  /** Register a fixture API with the reference's NESTED shape
+    * (`QUERY_HIERARCHY_GROUPS`, ref 1015-1042): region rows as parent
+    * nodes, their nations as an embedded `children` connection. Each
+    * parent inlines at most `inlineChildren` child edges; parents
+    * with more get `children.pageInfo.hasNextPage = true` and a
+    * registered continuation fetcher at `<name>#children#<parentId>`
+    * serving the remainder in `childPageSize` pages — the per-node
+    * second-level pagination a real API would answer. Returns the
+    * top-level fetcher name.
+    */
+  def registerNestedApi(
+      spark: SparkSession,
+      dir: String,
+      queryType: String = "hierarchyGroups",
+      pageSize: Int = 2,
+      inlineChildren: Int = 3,
+      childPageSize: Int = 2): String = {
+    import org.apache.spark.sql.functions.col
+    val name = s"$queryType@$dir#nested"
+    val regions = spark.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().sortBy(_.getLong(0))
+    val nations = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_regionkey").cast("long"),
+        col("n_nationkey").cast("long"), col("n_name"))
+      .collect().groupBy(_.getLong(0))
+
+    def childEdge(n: Row, i: Int): String =
+      s"""{"cursor": "k$i", "node": {"child_id": ${n.getLong(1)}, "child_name": "${jsonEscape(n.getString(2))}"}}"""
+    def childConn(edges: Seq[String], hasNext: Boolean, cur: String): String =
+      s"""{"pageInfo": {"hasNextPage": $hasNext, "endCursor": "$cur"}, "edges": ${edges.mkString("[", ", ", "]")}}"""
+
+    val parentPages = regions.grouped(pageSize).toVector
+    val pages = parentPages.zipWithIndex.map { case (grp, pi) =>
+      val nodes = grp.map { r =>
+        val rk = r.getLong(0)
+        val kids = nations.getOrElse(rk, Array.empty[Row]).sortBy(_.getLong(1)).toSeq
+        val inline = kids.take(inlineChildren)
+        val more = kids.length > inlineChildren
+        if (more) {
+          val rest = kids.drop(inlineChildren)
+          val restPages0 = rest.grouped(childPageSize).toVector
+          val childPages = restPages0.zipWithIndex.map { case (cg, ci) =>
+            val conn = childConn(
+              cg.zipWithIndex.map { case (n, i) => childEdge(n, i) },
+              hasNext = ci < restPages0.length - 1, cur = ci.toString)
+            s"""{"data": {"children": $conn}}"""
+          }
+          PageFetchers.register(s"$name#children#$rk", FixturePageFetcher(childPages))
+        }
+        val conn = childConn(
+          inline.zipWithIndex.map { case (n, i) => childEdge(n, i) },
+          hasNext = more, cur = "inline")
+        s"""{"cursor": "p$pi", "node": {"parent_id": $rk, "parent_name": "${jsonEscape(r.getString(1))}", "children": $conn}}"""
+      }
+      s"""{"data": {"$queryType": {"pageInfo": {"hasNextPage": ${pi < parentPages.length - 1}, "endCursor": "$pi"}, "edges": ${nodes.mkString("[", ", ", "]")}}}}"""
+    }
+    PageFetchers.register(name, FixturePageFetcher(pages))
+    name
+  }
+
   /** Register a fixture API serving `table` from `dir` under query
     * type `queryType`; returns (fetcherName, nodeSchema).
     */

@@ -119,6 +119,65 @@ class GraphQLSpec extends SparkSpec {
     assert(calls == 1)
   }
 
+  test("planner holds cursors, not bodies: partitions carry no page payload") {
+    // structural guarantee that planInputPartitions cannot buffer
+    // bodies: the partition type has no body field to put them in
+    val fields = classOf[PagePartition].getDeclaredFields.map(_.getName).toSet
+    assert(!fields.contains("json"), s"PagePartition holds a body field: $fields")
+    assert(fields.contains("after") && fields.contains("fetcher"))
+    // and the planning walk yields after-cursors in page order
+    val f = GraphQLFixtures.FixturePageFetcher(Vector("p0", "p1", "p2"))
+    assert(PagedGraphQL.fetchAllCursors(f) == Seq(None, Some("0"), Some("1")))
+  }
+
+  test("many-page read: one planning fetch + one executor fetch per page, exact content") {
+    // 25 pages: the driver walk touches each page once for its
+    // cursor, each executor task once for its body
+    val counts = GraphQLSpecFixtures.counts
+    counts.clear()
+    val nPages = 25
+    val bodies = (0 until nPages).map { i =>
+      s"""{"data": {"things": {"pageInfo": {"hasNextPage": ${i < nPages - 1}, "endCursor": "$i"}, "edges": [{"cursor": "c$i", "node": {"v": "row$i"}}]}}}"""
+    }.toVector
+    PageFetchers.register(
+      "counting",
+      GraphQLSpecFixtures.CountingFetcher(GraphQLFixtures.FixturePageFetcher(bodies)))
+    val schema = new org.apache.spark.sql.types.StructType().add("v", "string")
+    val got = GraphQL
+      .flattenResponse(GraphQL.readPages(spark, "counting"), "things", schema)
+      .select($"node_v").as[String].collect().sorted
+    assert(got.toSeq == (0 until nPages).map(i => s"row$i").sorted)
+    // one action ⇒ exactly 2 fetches per page (cursor walk + body read)
+    import scala.jdk.CollectionConverters._
+    assert(counts.asScala.values.forall(_ == 2),
+      s"unexpected fetch counts: ${counts.asScala.toMap}")
+    assert(counts.size == nPages)
+  }
+
+  test("nested children connection: inline + per-node continuation pages round-trip") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val name = GraphQLFixtures.registerNestedApi(
+      spark, sf, pageSize = 2, inlineChildren = 3, childPageSize = 2)
+    val parentSchema = new StructType()
+      .add("parent_id", LongType).add("parent_name", StringType)
+    val childSchema = new StructType()
+      .add("child_id", LongType).add("child_name", StringType)
+    val got = GraphQL.flattenNestedResponse(
+        spark, GraphQL.readPages(spark, name),
+        "hierarchyGroups", parentSchema, "children", childSchema,
+        key => s"$name#children#$key", "parent_id")
+      .select($"parent_id", $"children_child_id".as("child_id"))
+      .as[(Long, Long)].collect().toSet
+    val want = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_regionkey".cast("long"), $"n_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    // every region has 5 nations but only 3 inline edges: equality
+    // proves the continuation pages (2 children × per-node fetcher)
+    // arrived, not just the inline ones
+    assert(got == want)
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("mutation sink fans out across partitions") {
     val sender = new CapturingSender
     MutationSenders.register("cap2", sender)
@@ -134,5 +193,23 @@ class GraphQLSpec extends SparkSpec {
     // all 100 ids arrive exactly once, any batch/partition order
     val ids = sent.flatMap("\\\"id\\\": (\\d+)".r.findAllMatchIn(_).map(_.group(1).toLong))
     assert(ids.sorted == (0L until 100L).toList)
+  }
+}
+
+/** Static home for the counting fetcher: the fetcher instance is
+  * serialized into each PagePartition (even in local mode), so
+  * per-fetch state must live in a JVM-static object the deserialized
+  * copy re-references — an instance field would be a silent copy.
+  */
+object GraphQLSpecFixtures {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  final case class CountingFetcher(inner: GraphQLFixtures.FixturePageFetcher)
+      extends PageFetcher {
+    override def fetch(after: Option[String]): Page = {
+      counts.merge(after.getOrElse("<first>"), 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      inner.fetch(after)
+    }
   }
 }
