@@ -83,6 +83,25 @@ class AlignmentsSpec extends SparkSpec {
     assert(!rows.contains("Location 3") && !rows.contains("Location 7"))
   }
 
+  test("plan shapes: fan-outs broadcast, reconcile is one full-outer join") {
+    val (file, apiLocations, equityUsers, corporateUsers, apiUsers) = inputs
+    val r = AlignmentsPipeline.run(
+      file, apiLocations, equityUsers, corporateUsers, apiUsers)
+    // the equity and corporate cross joins must be broadcast nested-
+    // loop joins against the tiny frames — at scale the fact-sized
+    // side must never shuffle for a fan-out
+    val corpPlan = r.corporate.queryExecution.sparkPlan.toString
+    assert(corpPlan.contains("BroadcastNestedLoopJoin"),
+      s"corporate fan-out is not broadcast:\n$corpPlan")
+    val stackPlan = r.managerStack.queryExecution.sparkPlan.toString
+    assert(stackPlan.contains("BroadcastNestedLoopJoin"),
+      s"equity fan-out is not broadcast:\n$stackPlan")
+    // reconcile: exactly one join, and it is the full-outer merge
+    val mergePlan = r.locationMerge.queryExecution.sparkPlan.toString
+    assert("FullOuter".r.findAllIn(mergePlan).size == 1,
+      s"expected exactly one full-outer join:\n$mergePlan")
+  }
+
   test("load phase: every stacked row lands in exactly one mutation batch") {
     val (file, apiLocations, equityUsers, corporateUsers, apiUsers) = inputs
     val r = AlignmentsPipeline.run(
