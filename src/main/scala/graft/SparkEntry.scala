@@ -816,35 +816,7 @@ object SparkEntry {
 
     // --- the reference's WHOLE weekly-alignments flow in one plan ---
     "q_alignments_e2e" -> { (s, dir) =>
-      // Synthesize the reference's five input frames from test
-      // tables: the alignments sheet from customer (region =
-      // mktsegment, district derived per region, float unit, raw
-      // manager e-mails, some null districts to exercise dropna),
-      // the API locations (half the units, some blank remoteIds →
-      // the fallback merge takes its PRIMARY branch), equity users
-      // from region, and corporate/API users from customer e-mails
-      // so the already-assigned anti join has real overlap.
-      val c = t(s, dir, "customer")
-      val file = c.select(
-        col("c_mktsegment").as("region"),
-        when(col("c_custkey") % 13 === 0, lit(null).cast("string"))
-          .otherwise(concat(col("c_mktsegment"), lit("-D"),
-            (col("c_custkey") % 4).cast("string"))).as("district"),
-        (col("c_custkey") + lit(0.25)).as("unit"),
-        col("c_name").as("location_name"),
-        concat(upper(col("c_name")), lit("@CORP.COM ")).as("manager_email"))
-      val apiLocations = c.filter(col("c_custkey") % 2 === 0).select(
-        when(col("c_custkey") % 6 === 0, lit(""))
-          .otherwise(col("c_custkey").cast("string")).as("remote_id"),
-        lower(col("c_name")).as("loc_name"))
-      val equityUsers = t(s, dir, "region").select(
-        concat(upper(col("r_name")), lit("@EQ.COM ")).as("equity_email"))
-      val corporateUsers = c.filter(col("c_custkey") % 7 === 0).select(
-        concat(upper(col("c_name")), lit("@CORP.COM")).as("corporate_email"))
-      val apiUsers = c.filter(col("c_custkey") % 3 === 0).select(
-        concat(col("c_name"), lit("@corp.com")).as("user_email"))
-      val r = graft.ops.AlignmentsPipeline.run(
-        file, apiLocations, equityUsers, corporateUsers, apiUsers)
+      val r = alignmentsRun(s, dir)
       val nullS = lit(null).cast("string")
       val stackOut = r.managerStack.select(
         lit("stack").as("phase"), col("group_name"), col("email"),
@@ -856,8 +828,58 @@ object SparkEntry {
         lit("validation").as("phase"), col("phase").as("group_name"),
         nullS.as("email"), nullS.as("level_name"), col("n"))
       stackOut.unionByName(corpOut).unionByName(valOut)
+    },
+
+    // --- the pipeline's remaining composed phases: hierarchy build +
+    //     per-district location assignments (ref 276-322, 563-574) ---
+    "q_alignments_phases" -> { (s, dir) =>
+      val r = alignmentsRun(s, dir)
+      val groupsOut = r.groups.select(
+        concat(lit("group:"), col("level_name")).as("phase"),
+        col("group_name").as("key"),
+        col("parent_name").as("value"),
+        lit(null).cast("long").as("n"))
+      val asgOut = r.assignments.select(
+        lit("assign").as("phase"), col("district").as("key"),
+        col("collected").as("value"), col("n"))
+      groupsOut.unionByName(asgOut)
     }
   )
+
+  /** Shared input synthesis + run for the two alignments composition
+    * queries. The reference's five input frames come from test
+    * tables: the alignments sheet from customer (region = mktsegment,
+    * district derived per region, float unit, raw manager e-mails,
+    * some null districts to exercise dropna), the API locations (half
+    * the units, some blank remoteIds → the fallback merge takes its
+    * PRIMARY branch), equity users from region, and corporate/API
+    * users from customer e-mails so the already-assigned anti join
+    * has real overlap.
+    */
+  private def alignmentsRun(
+      s: SparkSession, dir: String): graft.ops.AlignmentsPipeline.Result = {
+    val c = t(s, dir, "customer")
+    val file = c.select(
+      col("c_mktsegment").as("region"),
+      when(col("c_custkey") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(col("c_mktsegment"), lit("-D"),
+          (col("c_custkey") % 4).cast("string"))).as("district"),
+      (col("c_custkey") + lit(0.25)).as("unit"),
+      col("c_name").as("location_name"),
+      concat(upper(col("c_name")), lit("@CORP.COM ")).as("manager_email"))
+    val apiLocations = c.filter(col("c_custkey") % 2 === 0).select(
+      when(col("c_custkey") % 6 === 0, lit(""))
+        .otherwise(col("c_custkey").cast("string")).as("remote_id"),
+      lower(col("c_name")).as("loc_name"))
+    val equityUsers = t(s, dir, "region").select(
+      concat(upper(col("r_name")), lit("@EQ.COM ")).as("equity_email"))
+    val corporateUsers = c.filter(col("c_custkey") % 7 === 0).select(
+      concat(upper(col("c_name")), lit("@CORP.COM")).as("corporate_email"))
+    val apiUsers = c.filter(col("c_custkey") % 3 === 0).select(
+      concat(col("c_name"), lit("@corp.com")).as("user_email"))
+    graft.ops.AlignmentsPipeline.run(
+      file, apiLocations, equityUsers, corporateUsers, apiUsers)
+  }
 
   // ----------------------------------------------------------------- oracle
 
@@ -889,6 +911,47 @@ object SparkEntry {
         |           'unit':'DOUBLE','manager_email':'VARCHAR','zip_raw':'VARCHAR'})
         |WHERE region IS NOT NULL AND district IS NOT NULL
         |  AND unit IS NOT NULL AND location_name IS NOT NULL""".stripMargin,
+
+    // hierarchy + assignment phases of the same composed run: groups
+    // as two distinct aggregations, assignments as the sorted distinct
+    // matched-location collect per district
+    "q_alignments_phases" ->
+      """WITH file AS (
+        |  SELECT c_mktsegment AS region,
+        |         CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |              ELSE c_mktsegment || '-D' || CAST(c_custkey % 4 AS VARCHAR) END AS district,
+        |         c_custkey + 0.25 AS unit,
+        |         c_name AS location_name
+        |  FROM customer),
+        |cleaned AS (
+        |  SELECT region, district,
+        |         CAST(CAST(FLOOR(unit) AS BIGINT) AS VARCHAR) AS unit,
+        |         location_name
+        |  FROM file
+        |  WHERE region IS NOT NULL AND district IS NOT NULL AND unit IS NOT NULL),
+        |api AS (
+        |  SELECT CASE WHEN c_custkey % 6 = 0 THEN '' ELSE CAST(c_custkey AS VARCHAR) END AS remote_id,
+        |         lower(c_name) AS loc_name
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |mrg AS (
+        |  SELECT f.location_name, f.district,
+        |         CASE WHEN f.unit IS NOT NULL AND a.remote_id IS NOT NULL THEN 'both'
+        |              WHEN f.unit IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS merge_status
+        |  FROM (SELECT DISTINCT unit, location_name, district FROM cleaned) f
+        |  FULL JOIN api a ON f.unit = a.remote_id),
+        |asg AS (
+        |  SELECT district AS key,
+        |         array_to_string(list_sort(list(DISTINCT location_name)), ',') AS value,
+        |         count(*) AS n
+        |  FROM mrg WHERE merge_status = 'both' GROUP BY district)
+        |SELECT 'group:Region' AS phase, region AS key,
+        |       CAST(NULL AS VARCHAR) AS value, CAST(NULL AS BIGINT) AS n
+        |FROM (SELECT DISTINCT region FROM cleaned)
+        |UNION ALL
+        |SELECT 'group:District', district, region, NULL
+        |FROM (SELECT DISTINCT district, region FROM cleaned)
+        |UNION ALL
+        |SELECT 'assign', key, value, n FROM asg""".stripMargin,
 
     // Full pipeline replica: clean (dropna + unit floor-cast + email
     // norm) → primary-branch reconcile (the api frame has non-blank
