@@ -568,6 +568,10 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
 
+    "txt_char_stats" -> { (s, dir) =>
+      TextAnalysis.charStats(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     // --- M: multimodal plumbing (documents as fake media) ---
     "mm_meta" -> { (s, dir) =>
       Multimodal
@@ -1015,6 +1019,30 @@ object SparkEntry {
       """SELECT c_custkey, 'c_acctbal' AS attr, c_acctbal AS val FROM customer
         |UNION ALL
         |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""".stripMargin,
+
+    // all-integer aggregates + one final double division per column:
+    // no float accumulation order and no libm transcendental, so the
+    // values are bit-identical across engines by construction
+    "txt_char_stats" ->
+      """WITH pc AS (
+        |  SELECT doc_id, ch, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(str_split(text, '')) AS ch FROM documents) _u
+        |  WHERE ch <> ''
+        |  GROUP BY doc_id, ch),
+        |pr AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[ -~]')) AS BIGINT) AS p
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |         CAST(count(*) AS BIGINT) AS distinct_chars,
+        |         CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |  FROM pc GROUP BY doc_id)
+        |SELECT a.doc_id, n_chars, distinct_chars,
+        |  CAST(sum_c2 AS DOUBLE)
+        |    / (CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS char_collision,
+        |  CAST(p AS DOUBLE) / CAST(n_chars AS DOUBLE) AS printable_ratio
+        |FROM a JOIN pr ON a.doc_id = pr.doc_id""".stripMargin,
 
     "txt_normalize" ->
       """SELECT doc_id,

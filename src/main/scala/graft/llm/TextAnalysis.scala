@@ -147,6 +147,46 @@ object TextAnalysis {
       .drop("mc")
   }
 
+  /** Character-level quality signals: total/distinct char counts, the
+    * Simpson collision index Σ(cᵢ/n)² (the entropy-style
+    * repetitiveness measure — near 1 for degenerate one-char spam,
+    * near 1/alphabet for diverse text) and the printable-ASCII ratio
+    * (binary-garbage detector).
+    *
+    * Determinism by construction: every aggregate is an exact INTEGER
+    * sum (Σc, Σc², counts), with a single double division at the end —
+    * no float accumulation order to diverge between engines, and no
+    * transcendental (`ln`) whose libm bits differ, which is why this
+    * uses the collision index rather than Shannon entropy. Shape: one
+    * shuffle on (doc, char) with map-side partials, then a per-doc
+    * reduce — linear, skew-free (alphabet-bounded keys per doc).
+    */
+  def charStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val perChar = df
+      .select(
+        id.as("doc_id"),
+        size(regexp_extract_all(text, lit("[ -~]"), lit(0))).cast("long")
+          .as("n_printable"),
+        explode(split(text, "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"), min(col("n_printable")).as("p"))
+    perChar
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("distinct_chars"),
+        sum(col("c") * col("c")).cast("long").as("sum_c2"),
+        min(col("p")).as("n_printable"))
+      .select(
+        col("doc_id"), col("n_chars"), col("distinct_chars"),
+        (col("sum_c2").cast("double")
+          / (col("n_chars").cast("double") * col("n_chars").cast("double")))
+          .as("char_collision"),
+        (col("n_printable").cast("double") / col("n_chars").cast("double"))
+          .as("printable_ratio"))
+  }
+
   /** Benchmark decontamination: flag training docs sharing any word
     * n-gram with a benchmark/eval set — the standard pre-training
     * hygiene pass (an eval question leaking into the corpus inflates

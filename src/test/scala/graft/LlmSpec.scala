@@ -115,6 +115,16 @@ class LlmSpec extends SparkSpec {
     assert(got._2 == 6)            // hello|world|,|42|times|!
   }
 
+  test("charStats: exact collision index and printable ratio on known text") {
+    // "aab\t": counts a=2, b=1, tab=1; n=4; sum_c2=4+1+1=6;
+    // collision=6/16; printable 3 of 4 (tab is outside [ -~])
+    val df = Seq((1L, "aab\t")).toDF("id", "txt")
+    val got = TextAnalysis.charStats(df, col("id"), col("txt"))
+      .select($"n_chars", $"distinct_chars", $"char_collision", $"printable_ratio")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got == ((4L, 3L, 6.0 / 16.0, 3.0 / 4.0)))
+  }
+
   test("multimodal payload + stub decode keeps schema and determinism") {
     val withPayload = Multimodal.attachPayload(docs, col("doc_id"), col("text"))
     assert(withPayload.schema("payload").dataType.typeName == "binary")
