@@ -374,6 +374,14 @@ SELECT q_id, vec_id, cos, rnk FROM (
   FROM assigned a JOIN probes p ON a.cell = p.cell AND p.q_id != a.vec_id))
 WHERE rnk <= 10"""
 
+    # ---- q_checksum: order-independent table fingerprint — XOR of
+    # splitmix64(fnv1a(text) ^ doc_id) per source, with rollup total ----
+    hck = splitmix(f"xor({fnv_text('text')}, CAST(doc_id AS HUGEINT))")
+    o["q_checksum"] = f"""
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(hb) AS xor_hash
+FROM (SELECT source AS grp, {to_signed(hck)} AS hb FROM documents)
+GROUP BY ROLLUP(grp)"""
+
     return o
 
 

@@ -847,6 +847,64 @@ object SparkEntry {
         lit("assign").as("phase"), col("district").as("key"),
         col("collected").as("value"), col("n"))
       groupsOut.unionByName(asgOut)
+    },
+
+    // --- binned interval-overlap join: urgent orders × low-priority
+    //     orders whose service windows overlap, no cross product ---
+    "q_interval_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def ivs(prio: String, k: String, st: String, en: String) = o
+        .filter(col("o_orderpriority") === prio)
+        .select(
+          col("o_orderkey").as(k),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as(st),
+          (datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")) + col("o_orderkey") % 20)
+            .cast("long").as(en))
+      graft.ops.Intervals
+        .overlapPairs(
+          ivs("1-URGENT", "a_key", "a_start", "a_end"), "a_start", "a_end",
+          ivs("5-LOW", "b_key", "b_start", "b_end"), "b_start", "b_end",
+          binWidth = 16L)
+        .groupBy(col("a_key"))
+        .agg(
+          count(lit(1)).as("n_overlap"),
+          sum(col("overlap_len")).as("sum_overlap"))
+    },
+
+    // --- daily resample + forward fill (pandas ffill, distributed) ---
+    "q_resample_fill" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .groupBy(
+          col("o_custkey").as("cust"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .agg(dsum(col("o_totalprice")).as("day_total"))
+      graft.ops.Timeseries.resampleFill(daily, "cust", "day", "day_total")
+    },
+
+    // --- order-independent table checksum with rollup grand total ---
+    "q_checksum" -> { (s, dir) =>
+      import graft.functions.F
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.checksumRollup(
+        d, col("source"),
+        F.splitmix64(F.fnvText(col("text")).bitwiseXOR(col("doc_id"))))
+    },
+
+    // --- explicit GROUPING SETS (beyond rollup/cube) ---
+    "q_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          year(col("o_orderdate").cast("date")).cast("bigint").as("yr"),
+          col("o_orderpriority").as("pri"),
+          col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("yr"), col("pri")), Seq(col("yr")), Seq()),
+          col("yr"), col("pri"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     }
   )
 
@@ -1509,6 +1567,48 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CASE CAST(doc_id % 3 AS BIGINT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS modality
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // brute-force overlap join — the engine's binned equi-join must
+    // produce exactly the naive theta-join's pairs
+    "q_interval_join" ->
+      """WITH iv AS (
+        | SELECT o_orderkey AS k,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS s,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' + o_orderkey % 20 AS BIGINT) AS e,
+        |  o_orderpriority AS p
+        | FROM orders)
+        |SELECT a.k AS a_key,
+        | count(*) AS n_overlap,
+        | CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT) AS sum_overlap
+        |FROM iv a JOIN iv b
+        |  ON a.p = '1-URGENT' AND b.p = '5-LOW' AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY a.k""".stripMargin,
+
+    "q_resample_fill" ->
+      """WITH daily AS (
+        | SELECT o_custkey AS cust,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        | FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT cust, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT cust, unnest(generate_series(d0, d1)) AS day FROM bounds),
+        |j AS (SELECT s.cust, s.day, d.day_total
+        |      FROM spine s LEFT JOIN daily d ON s.cust = d.cust AND s.day = d.day)
+        |SELECT cust, CAST(day AS BIGINT) AS day,
+        | last_value(day_total IGNORE NULLS) OVER w AS filled,
+        | CAST(day - last_value(CASE WHEN day_total IS NOT NULL THEN day END IGNORE NULLS)
+        |   OVER w AS BIGINT) AS staleness
+        |FROM j
+        |WINDOW w AS (PARTITION BY cust ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        | o_orderpriority AS pri,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((yr, pri), (yr), ())""".stripMargin
   )
 }

@@ -29,6 +29,14 @@ object HashOps {
     h
   }
 
+  /** FNV-1a 64 of a string's UTF-8 bytes — the row-hash primitive for
+    * order-independent table checksums.
+    */
+  def fnvText(s: UTF8String): Long = {
+    val b = s.getBytes
+    fnv1a64(b, 0, b.length)
+  }
+
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

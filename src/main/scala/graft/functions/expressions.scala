@@ -149,6 +149,17 @@ case class CosineBucketPairs(child: Expression, minCos: Double) extends UnaryExp
 /** SplitMix64 finalizer of a long — the deterministic pseudo-random
   * order used for reproducible sampling (IVF centroid selection).
   */
+/** FNV-1a 64 of a string's UTF-8 bytes (codegen, one static call). */
+case class FnvText(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.fnvText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.fnvText($c)")
+  override protected def withNewChildInternal(c: Expression): FnvText = copy(child = c)
+}
+
 case class Splitmix64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
@@ -206,6 +217,7 @@ object F {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def splitmix64(c: Column): Column = column(Splitmix64(expression(c)))
+  def fnvText(c: Column): Column = column(FnvText(expression(c)))
   def sigMatchFrac(a: Column, b: Column): Column =
     column(SigMatchFrac(expression(a), expression(b)))
   def srpBucket(vec: Column, planes: Int): Column =
