@@ -894,6 +894,18 @@ object SparkEntry {
         F.splitmix64(F.fnvText(col("text")).bitwiseXOR(col("doc_id"))))
     },
 
+    // --- per-doc top terms by rational TF-IDF (tf·N/df) ---
+    "txt_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
+    },
+
+    // --- duplicate word-8-gram spans (exact-substring-dedup signal) ---
+    "dd_dup_spans" -> { (s, dir) =>
+      Dedup.duplicateSpans(
+        docsWithPlantedDups(s, dir), col("doc_id"), col("text"), n = 8)
+    },
+
     // --- explicit GROUPING SETS (beyond rollup/cube) ---
     "q_grouping_sets" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -1602,6 +1614,44 @@ object SparkEntry {
         |FROM j
         |WINDOW w AS (PARTITION BY cust ORDER BY day
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        | WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nq AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |       CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN nq)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | score,
+        | CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, term) AS BIGINT) AS rnk
+        |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    "dd_dup_spans" ->
+      """WITH docs_wd AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate suffix' AS text
+        | FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs_wd),
+        |grams AS (
+        | SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |        array_to_string(ts[i:i+7], ' ') AS gram
+        | FROM toks, unnest(range(1, len(ts) - 7 + 1)) AS u(i)),
+        |flagged AS (
+        | SELECT doc_id,
+        |  (row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) = 1) AS is_first
+        | FROM grams)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        | CAST(count(*) - sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | CAST(count(*) - sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM flagged GROUP BY doc_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,

@@ -234,6 +234,26 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** ALL space-joined word n-grams in token order (duplicates kept,
+    * array index = token position) — the occurrence-level variant of
+    * [[wordNgrams]] for duplicate-span statistics; empty when the
+    * text has fewer than n tokens.
+    */
+  def wordNgramsAll(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character n-grams of a string (insertion order —
     * deterministic). Whole string as single gram when shorter than n.
     */

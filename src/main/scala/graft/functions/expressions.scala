@@ -77,6 +77,19 @@ case class WordBigrams(child: Expression) extends UnaryExpression with ImplicitC
   override protected def withNewChildInternal(c: Expression): WordBigrams = copy(child = c)
 }
 
+/** Occurrence-level word n-grams: all grams in token order, index =
+  * position (no within-doc dedup, unlike [[WordNgrams]]).
+  */
+case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.wordNgramsAll(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.wordNgramsAll($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramsAll = copy(child = c)
+}
+
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -226,6 +239,8 @@ object F {
     column(CharNgrams(expression(c), n))
   def wordNgrams(c: Column, n: Int): Column =
     column(WordNgrams(expression(c), n))
+  def wordNgramsAll(c: Column, n: Int): Column =
+    column(WordNgramsAll(expression(c), n))
   def wordBigrams(c: Column): Column = column(WordBigrams(expression(c)))
   def minhashBucketPairs(items: Column, minEst: Double): Column =
     column(MinhashBucketPairs(expression(items), minEst))

@@ -187,4 +187,44 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("comp"))
   }
+
+  /** Duplicate-span statistics — the signal behind exact substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022): every word `n`-gram occurrence is
+    * globally classified as the corpus-first occurrence (smallest
+    * (doc_id, pos)) or a duplicate of one, and per-doc counts come
+    * back. A doc whose spans are mostly non-first is a copy.
+    *
+    * Shape: posexplode n-grams (n× token inflation, map-side), one
+    * shuffle keyed by the gram for the min-(doc,pos) aggregate
+    * (map-side combine keeps it ~distinct-gram-sized), join back on
+    * the gram, per-doc count aggregate. At 100 TB the gram key
+    * would be hashed to 64-bit first (shuffle carries 8 bytes, not
+    * ~50-byte strings) — kept as the string here so the oracle is
+    * plain SQL; semantics identical modulo 2^-64 collisions.
+    */
+  def duplicateSpans(
+      docs: DataFrame, id: Column, text: Column, n: Int = 8): DataFrame = {
+    val grams = docs.select(
+      id.as("doc_id"),
+      posexplode(F.wordNgramsAll(text, n)).as(Seq("pos", "gram")))
+    val first = grams
+      .groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    grams
+      .join(first, "gram")
+      .select(
+        col("doc_id"),
+        (col("first.doc_id") === col("doc_id") &&
+          col("first.pos") === col("pos")).as("is_first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_first"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_first"),
+        (col("n_grams") - col("n_first")).as("n_dup"),
+        ((col("n_grams") - col("n_first")).cast("double")
+          / col("n_grams").cast("double")).as("dup_frac"))
+  }
 }

@@ -223,4 +223,39 @@ object TextAnalysis {
       id.as("doc_id"),
       F.rollingFingerprint(text, window).as("fp"),
       F.simhash64(text).as("simhash"))
+
+  /** Per-document top-k terms by TF-IDF, rational IDF variant:
+    * score = tf · N / df. For a fixed corpus N this ranks identically
+    * to the log form but stays bit-exact cross-engine (one integer
+    * multiply — exact in a double below 2^53 — and one IEEE division;
+    * no libm `ln`).
+    *
+    * Shape: explode → (doc, term) count with map-side combine →
+    * document-frequency aggregate on term → shuffled join back on
+    * term (both sides are vocabulary-sized — no broadcast assumption)
+    * → per-doc top-k window. `nDocs` defaults to one column-pruned
+    * count of `docs` at plan-build time (the eager-literal pattern:
+    * the scalar rides into the plan like the Bloom bit-set / IVF
+    * centroids).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 5, nDocs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = nDocs.getOrElse(docs.select(id).count())
+    val tf = docs
+      .select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("score",
+        (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
 }

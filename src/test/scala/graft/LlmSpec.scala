@@ -210,4 +210,48 @@ class LlmSpec extends SparkSpec {
     assert(got(3L) == 1) // non-video passes through
     assert(got.values.forall(_ <= 8))
   }
+
+  test("tfidfTopTerms ranks rarer terms above common ones, k bounds output") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common common")
+    ).toDF("doc_id", "text")
+    val top = llm.TextAnalysis
+      .tfidfTopTerms(docs, col("doc_id"), col("text"), k = 2)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._6).map(_._2).toSeq }
+    // doc 1: apple tf=2 df=1 (score 6.0) beats banana tf=1 df=2 (1.5)
+    assert(top(1L) == Seq("apple", "banana"))
+    // doc 2: cherry df=1 (3.0) beats banana df=2 (1.5)
+    assert(top(2L) == Seq("cherry", "banana"))
+    // doc 3: only 'common' qualifies — fewer than k rows is fine
+    assert(top(3L) == Seq("common"))
+  }
+
+  test("duplicateSpans: copied docs show duplicated grams, originals stay first") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, base),                        // original: all grams first
+      (2L, base + " tail1 tail2"),       // copy + unique tail
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")    // unrelated: single gram, first
+    ).toDF("doc_id", "text")
+    val got = llm.Dedup
+      .duplicateSpans(docs, col("doc_id"), col("text"), n = 8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, 0L)))    // 10 tokens -> 3 grams, all first
+    assert(got(2L) == ((5L, 2L, 3L)))    // shares doc 1's 3 grams, 2 new
+    assert(got(3L) == ((1L, 1L, 0L)))
+  }
+
+  test("duplicateSpans counts within-doc repeats as duplicates") {
+    val docs = Seq((1L, "a b a b a b a b a b a b")).toDF("doc_id", "text")
+    // 12 tokens -> 5 8-grams but only 2 distinct (alternating), so
+    // 3 occurrences are within-doc duplicates
+    val got = llm.Dedup
+      .duplicateSpans(docs, col("doc_id"), col("text"), n = 8)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((1L, 5L, 2L, 3L, 0.6)))
+  }
 }
