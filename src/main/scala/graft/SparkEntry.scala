@@ -917,6 +917,62 @@ object SparkEntry {
           Seq(Seq(col("yr"), col("pri")), Seq(col("yr")), Seq()),
           col("yr"), col("pri"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // --- snapshot diff (CDC): old vs deterministically-perturbed new ---
+    "q_snapshot_diff" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val next = c
+        .filter(col("c_custkey") % 7 =!= 3) // deletions
+        .select(
+          col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"), // changes
+          col("c_mktsegment"))
+        .unionByName(c
+          .filter(col("c_custkey") % 11 === 0) // additions
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment")))
+      graft.ops.Snapshot.diff(
+        c, next, "c_custkey", Seq("c_acctbal", "c_mktsegment"))
+    },
+
+    // --- ordered conversion funnel view→click→purchase per user ---
+    "q_funnel" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val ev = e.select(
+        col("user_id"), eventUs(e, "ts").as("ts_us"),
+        col("event_id"), col("event_type"))
+      graft.ops.Funnel.stages(
+        ev, col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase")
+    },
+
+    // --- weekly cohort retention matrix over events ---
+    "q_retention" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val ev = e.select(
+        col("user_id"),
+        eventUs(e, "ts").as("ts_us"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      graft.ops.Funnel.retention(ev, "user_id", col("day"))
+    },
+
+    // --- PII scrub: plant deterministic PII, count + redact + hash ---
+    "txt_pii" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"),
+            lit(" reach j"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 ref 987654321"),
+            when(col("doc_id") % 51 === 0, lit(" cc backup1234@test.org"))
+              .otherwise(lit(""))))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.piiRedact(d, col("doc_id"), col("text"))
     }
   )
 
@@ -1659,6 +1715,82 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
-        |GROUP BY GROUPING SETS ((yr, pri), (yr), ())""".stripMargin
+        |GROUP BY GROUPING SETS ((yr, pri), (yr), ())""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |news AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        | FROM base WHERE c_custkey % 7 <> 3
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        | FROM base WHERE c_custkey % 11 = 0)
+        |SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        | CASE WHEN o.c_custkey IS NULL THEN 'added'
+        |      WHEN n.c_custkey IS NULL THEN 'deleted'
+        |      WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+        |       AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment THEN 'same'
+        |      ELSE 'changed' END AS status
+        |FROM base o FULL JOIN news n ON o.c_custkey = n.c_custkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |w1 AS (
+        | SELECT user_id, ts_us, event_id, event_type,
+        |  CASE WHEN event_type = 'view' THEN ts_us END AS q1
+        | FROM ev),
+        |w2 AS (
+        | SELECT *, CASE WHEN event_type = 'click' AND
+        |   min(q1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+        |  THEN ts_us END AS q2
+        | FROM w1),
+        |w3 AS (
+        | SELECT *, CASE WHEN event_type = 'purchase' AND
+        |   min(q2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+        |  THEN ts_us END AS q3
+        | FROM w2)
+        |SELECT user_id AS "user", min(q1) AS t1, min(q2) AS t2, min(q3) AS t3,
+        | CAST(CASE WHEN min(q3) IS NOT NULL THEN 3
+        |           WHEN min(q2) IS NOT NULL THEN 2
+        |           WHEN min(q1) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM w3 GROUP BY user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1)
+        |SELECT first_day // 7 AS cohort_week, (day - first_day) // 7 AS week_offset,
+        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM ev JOIN fd USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "txt_pii" ->
+      """WITH docs_p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN text || ' reach j' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 555-123-4567 ref 987654321' ||
+        |    CASE WHEN doc_id % 51 = 0 THEN ' cc backup1234@test.org' ELSE '' END
+        |  ELSE text END AS text
+        | FROM documents),
+        |r1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                 '<EMAIL>', 'g') AS e1
+        | FROM docs_p),
+        |r2 AS (SELECT *, regexp_replace(e1, '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS e2
+        | FROM r1),
+        |r3 AS (SELECT *, regexp_replace(e2, '\d{9}\d*', '<ID>', 'g') AS e3 FROM r2)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(e1, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        | CAST(len(regexp_extract_all(e2, '\d{9}\d*')) AS BIGINT) AS n_id,
+        | CAST(length(e3) AS BIGINT) AS red_len,
+        | md5(e3) AS red_md5
+        |FROM r3""".stripMargin
   )
 }

@@ -258,4 +258,38 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
+
+  // Patterns restricted to syntax with identical semantics in Java
+  // regex (Spark) and RE2 (DuckDB/Go): classes, bounded repeats,
+  // alternation-free — no lookaround, no backrefs.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private[graft] val LongIdRe = "\\d{9}\\d*"
+
+  /** PII scrub: count and redact e-mail addresses, dashed phone
+    * numbers, and long (≥9-digit) identifier runs — the masking pass a
+    * training corpus goes through before anything else sees it.
+    *
+    * The three patterns are applied IN SEQUENCE (each count runs on
+    * the text as already redacted by the previous pass), so a digit
+    * run inside an e-mail local part is never double-counted as an
+    * identifier. Output per doc: the three counts, the redacted
+    * length, and an MD5 of the redacted text (cheap equality witness —
+    * the full redacted corpus never needs to be compared).
+    *
+    * Shape: a pure projection — codegen regexp over each partition,
+    * zero shuffles, trivially scale-free.
+    */
+  def piiRedact(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val e1 = regexp_replace(text, EmailRe, "<EMAIL>")
+    val e2 = regexp_replace(e1, PhoneRe, "<PHONE>")
+    val e3 = regexp_replace(e2, LongIdRe, "<ID>")
+    df.select(
+      id.as("doc_id"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(e1, lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_count(e2, lit(LongIdRe)).cast("long").as("n_id"),
+      length(e3).cast("long").as("red_len"),
+      md5(e3.cast("binary")).as("red_md5"))
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnel, Snapshot}
+import graft.llm.TextAnalysis
+
+class FunnelSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Snapshot.diff classifies added/deleted/changed/same, null-safe") {
+    val oldS = Seq(
+      (1L, Some(10.0), "A"), // same
+      (2L, Some(20.0), "B"), // changed (value)
+      (3L, None: Option[Double], "C"), // same (null payload both sides)
+      (4L, Some(40.0), "D") // deleted
+    ).toDF("k", "v", "s")
+    val newS = Seq(
+      (1L, Some(10.0), "A"),
+      (2L, Some(21.0), "B"),
+      (3L, None: Option[Double], "C"),
+      (5L, Some(50.0), "E") // added
+    ).toDF("k", "v", "s")
+    val got = Snapshot.diff(oldS, newS, "k", Seq("v", "s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "same", 2L -> "changed", 3L -> "same",
+      4L -> "deleted", 5L -> "added"))
+  }
+
+  test("Funnel.stages requires strictly-earlier previous step") {
+    val ev = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      // user 2: click BEFORE any view never qualifies; purchase needs
+      // a qualifying click, so stage stops at 1
+      (2L, 10L, 4L, "click"), (2L, 20L, 5L, "view"), (2L, 30L, 6L, "purchase"),
+      // user 3: same ts, ordering falls to the tie column — the click
+      // (tie 8) sees the view (tie 7) as a preceding row
+      (3L, 10L, 7L, "view"), (3L, 10L, 8L, "click"),
+      // user 4: nothing relevant
+      (4L, 10L, 9L, "error")
+    ).toDF("u", "ts", "eid", "et")
+    val got = Funnel.stages(
+      ev, col("u"), col("ts"), col("eid"),
+      col("et") === "view", col("et") === "click", col("et") === "purchase")
+      .select(col("user"), col("stage"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("Funnel.stages plan shuffles once (windows + agg share the user key)") {
+    val ev = Seq((1L, 10L, 1L, "view")).toDF("u", "ts", "eid", "et")
+    val plan = Funnel.stages(
+      ev, col("u"), col("ts"), col("eid"),
+      col("et") === "view", col("et") === "click", col("et") === "purchase")
+      .queryExecution.executedPlan.toString
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected one exchange:\n$plan")
+  }
+
+  test("Funnel.retention buckets by first-week cohort and offset") {
+    val ev = Seq(
+      (1L, 0L), (1L, 8L),  // cohort 0, offsets 0 and 1
+      (2L, 7L), (2L, 8L),  // cohort 1, offset 0 twice
+      (3L, 7L)             // cohort 1, offset 0
+    ).toDF("user_id", "d")
+    val got = Funnel.retention(ev, "user_id", col("d"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L, 1L), (0L, 1L, 1L, 1L), (1L, 0L, 2L, 3L)))
+  }
+
+  test("piiRedact counts sequentially and redacts all three kinds") {
+    val d = Seq(
+      (1L, "mail me a.b-c@x-mail.co.uk and 555-123-4567 ref 1234567890 ok"),
+      (2L, "digits 12345678 stay, 123-456-7890 goes"),
+      (3L, "clean text only")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(d, col("doc_id"), col("text"))
+      .select("doc_id", "n_email", "n_phone", "n_id", "red_len")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, // one of each
+      "mail me <EMAIL> and <PHONE> ref <ID> ok".length.toLong)))
+    assert(got(2L) == ((0L, 1L, 0L, // 8-digit run is NOT an id
+      "digits 12345678 stay, <PHONE> goes".length.toLong)))
+    assert(got(3L) == ((0L, 0L, 0L, "clean text only".length.toLong)))
+  }
+}
