@@ -374,6 +374,41 @@ SELECT q_id, vec_id, cos, rnk FROM (
   FROM assigned a JOIN probes p ON a.cell = p.cell AND p.q_id != a.vec_id))
 WHERE rnk <= 10"""
 
+    # ---- ann_pq_topk: PQ/ADC — codebook = 16 smallest signed
+    # splitmix64(id) (same sample as IVF centroids); per subspace j of
+    # 8 (8 dims each) the code minimizes squared L2 (double, ascending
+    # dims, ties/NaN -> smallest index); ADC = dot(query,
+    # reconstructed) ascending over the full 64 dims, identical to
+    # HashOps.pqAdc's j-then-i accumulation ----
+    sq_l2 = ("list_sum(list_transform(range(j*8+1, j*8+9), "
+             "i -> (CAST(c.embedding[i] AS DOUBLE) - CAST(k.embedding[i] AS DOUBLE))"
+             " * (CAST(c.embedding[i] AS DOUBLE) - CAST(k.embedding[i] AS DOUBLE))))")
+    o["ann_pq_topk"] = f"""
+WITH book AS (
+ SELECT row_number() OVER (ORDER BY
+   {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id) - 1 AS b, embedding
+ FROM embeddings
+ ORDER BY {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id LIMIT 16),
+codes AS (
+ SELECT vec_id, j, b FROM (
+  SELECT c.vec_id, g.j, k.b,
+   row_number() OVER (PARTITION BY c.vec_id, g.j
+     ORDER BY {sq_l2}, k.b) AS rn
+  FROM embeddings c CROSS JOIN range(0, 8) g(j) CROSS JOIN book k)
+ WHERE rn = 1),
+recon AS (
+ SELECT c.vec_id,
+  flatten(list(k.embedding[c.j*8+1:c.j*8+8] ORDER BY c.j)) AS rvec
+ FROM codes c JOIN book k USING (b) GROUP BY c.vec_id)
+SELECT q_id, vec_id, adc, rnk FROM (
+ SELECT q_id, vec_id, adc,
+  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rnk
+ FROM (
+  SELECT q.vec_id AS q_id, r.vec_id, {dot_d("q.embedding", "r.rvec")} AS adc
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN recon r
+  WHERE r.vec_id != q.vec_id))
+WHERE rnk <= 10"""
+
     # ---- q_checksum: order-independent table fingerprint — XOR of
     # splitmix64(fnv1a(text) ^ doc_id) per source, with rollup total ----
     hck = splitmix(f"xor({fnv_text('text')}, CAST(doc_id AS HUGEINT))")

@@ -551,6 +551,14 @@ object SparkEntry {
         k = 10)
     },
 
+    "ann_pq_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Ann.pqTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10)
+    },
+
     // --- T: text analysis (documents) ---
     "txt_tokens" -> { (s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))

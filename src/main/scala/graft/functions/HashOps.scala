@@ -430,6 +430,71 @@ object HashOps {
     bestCid
   }
 
+  /** Product-quantization encode (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 2011): subspace `j` of
+    * `m` covers dims [j·ds, (j+1)·ds) with ds = D/m; the code is the
+    * index of the codebook row whose subvector minimizes squared L2
+    * distance (double accumulation, ascending dims; ties and NaN
+    * distances resolve to the SMALLEST index — `Double.compare` treats
+    * NaN as +∞, so a NaN distance never beats a finite one). Codes
+    * pack 4 bits each (codebook ≤ 16 rows), LSB-first — a 64-dim
+    * vector compresses to one long (64×: 256 B of floats → 8 B).
+    */
+  def pqEncode(vec: ArrayData, book: Array[Array[Float]], m: Int): Long = {
+    val d = vec.numElements()
+    val ds = d / m
+    var packed = 0L
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var b = 0
+      while (b < book.length) {
+        val cw = book(b)
+        val end = math.min((j + 1) * ds, math.min(d, cw.length))
+        var dist = 0.0
+        var i = j * ds
+        while (i < end) {
+          val diff = vec.getFloat(i).toDouble - cw(i).toDouble
+          dist += diff * diff
+          i += 1
+        }
+        if (java.lang.Double.compare(dist, bestDist) < 0) {
+          bestDist = dist; best = b
+        }
+        b += 1
+      }
+      packed |= best.toLong << (4 * j)
+      j += 1
+    }
+    packed
+  }
+
+  /** Asymmetric-distance (ADC) approximate dot product: decode each
+    * 4-bit code to its codebook subvector and accumulate
+    * query[i]·codeword[i] ascending over the FULL dimension range —
+    * bit-identical to a plain [[cosine]]-style dot of the query
+    * against the reconstructed vector, which is what the oracle
+    * computes.
+    */
+  def pqAdc(packed: Long, q: ArrayData, book: Array[Array[Float]], m: Int): Double = {
+    val d = book(0).length
+    val ds = d / m
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val cw = book(((packed >>> (4 * j)) & 15L).toInt)
+      val end = math.min((j + 1) * ds, math.min(d, q.numElements()))
+      var i = j * ds
+      while (i < end) {
+        acc += q.getFloat(i).toDouble * cw(i).toDouble
+        i += 1
+      }
+      j += 1
+    }
+    acc
+  }
+
   /** Cosine similarity of two float vectors (0.0 when either norm is
     * 0). Fixed left-to-right accumulation order → bit-deterministic.
     */

@@ -205,6 +205,42 @@ case class NearestCentroid(child: Expression, cids: Array[Long], cents: Array[Ar
     copy(child = c)
 }
 
+/** Product-quantization encode against a driver-materialized codebook
+  * (same eager-literal pattern as [[NearestCentroid]]): vector →
+  * packed 4-bit codes, map-only.
+  */
+case class PqEncode(child: Expression, book: Array[Array[Float]], m: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.pqEncode(v.asInstanceOf[ArrayData], book, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("book", book, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.pqEncode($c, $bookRef, $m)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** ADC approximate dot of a query vector against packed PQ codes. */
+case class PqAdc(left: Expression, right: Expression,
+    book: Array[Array[Float]], m: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(code: Any, q: Any): Any =
+    HashOps.pqAdc(code.asInstanceOf[Long], q.asInstanceOf[ArrayData], book, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("book", book, "float[][]")
+    defineCodeGen(ctx, ev,
+      (c, q) => s"graft.functions.HashOps.pqAdc($c, $q, $bookRef, $m)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -250,4 +286,8 @@ object F {
     column(CosineBucketPairs(expression(items), minCos))
   def nearestCentroid(vec: Column, cids: Array[Long], cents: Array[Array[Float]]): Column =
     column(NearestCentroid(expression(vec), cids, cents))
+  def pqEncode(vec: Column, book: Array[Array[Float]], m: Int): Column =
+    column(PqEncode(expression(vec), book, m))
+  def pqAdc(code: Column, q: Column, book: Array[Array[Float]], m: Int): Column =
+    column(PqAdc(expression(code), expression(q), book, m))
 }

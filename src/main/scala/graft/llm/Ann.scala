@@ -135,6 +135,50 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Product-quantization ANN (Jégou et al., IEEE TPAMI 2011): the
+    * corpus is compressed map-only to packed 4-bit PQ codes (a 64-dim
+    * float vector becomes ONE long — 32× smaller than the raw
+    * embedding), and queries rank candidates by asymmetric-distance
+    * (ADC) approximate dot product against the codes alone.
+    *
+    * The codebook is a deterministic data sample (the `codebookSize`
+    * corpus vectors with the smallest splitmix64(id) — the same
+    * no-trained-model recipe as [[ivfTopK]]'s centroids), collected on
+    * the driver (≤16 rows — control-plane) and embedded in the
+    * codegen [[graft.functions.PqEncode]]/[[graft.functions.PqAdc]]
+    * expressions.
+    *
+    * Scale shape: encode is a zero-shuffle projection; the scoring
+    * scan reads ONLY (vec_id, code) — at 100 TB of embeddings the ADC
+    * pass touches ~1/32 of the bytes a brute-force pass reads, which
+    * is the whole point of PQ; queries broadcast; the corpus never
+    * shuffles. Recall/compression trades via `m` (subspaces) ×
+    * `codebookSize`.
+    */
+  def pqTopK(
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, m: Int = 8, codebookSize: Int = 16,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(codebookSize <= 16, "codes pack 4 bits — codebook must be <= 16 rows")
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
+    val book = c
+      .orderBy(F.splitmix64(col("vec_id")), col("vec_id")).limit(codebookSize)
+      .select(col("c_vec").cast("array<float>"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codes = c.select(
+      col("vec_id"), F.pqEncode(col("c_vec"), book, m).as("code"))
+    val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(!lit(excludeSelf) || col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.pqAdc(col("code"), col("q_vec"), book, m).as("adc"))
+    Collect
+      .topKPerKey(scored, col("q_id"), k, col("adc").desc, col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("adc"), col("rnk"))
+  }
+
   /** Range search: ALL corpus vectors with cosine ≥ `minCos` of each
     * query (vs top-k's fixed count). Same broadcast shape as
     * [[bruteTopK]] — the corpus never shuffles; the filter runs

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.llm.Ann
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Long, d: Int = 64): Array[Float] =
+    Array.tabulate(d) { i =>
+      // deterministic pseudo-random floats in [-1, 1)
+      val h = graft.functions.HashOps.splitmix64(seed * 131 + i)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  test("pqEncode of a codebook row codes to itself; ADC is then the exact dot") {
+    val book = Array.tabulate(16)(b => vec(b.toLong))
+    val q = vec(99L)
+    for (r <- Seq(0, 5, 15)) {
+      // own subvector has squared-L2 zero in every subspace
+      val code = graft.functions.HashOps.pqEncode(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(book(r)), book, 8)
+      (0 until 8).foreach { j =>
+        assert(((code >>> (4 * j)) & 15L) == r, s"subspace $j of row $r")
+      }
+      val adc = graft.functions.HashOps.pqAdc(
+        code, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q), book, 8)
+      val exact = (0 until 64).foldLeft(0.0)((a, i) =>
+        a + q(i).toDouble * book(r)(i).toDouble)
+      assert(adc == exact)
+    }
+  }
+
+  test("pqTopK returns k ranked rows per query with finite scores") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Ann.pqTopK(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 5)
+      .collect()
+    assert(out.length == 15)
+    assert(out.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.map(_.getLong(3)).sorted.toSeq == (1L to 5L)))
+  }
+
+  test("PQ encode stage is map-only: zero Exchange between scan and codes") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("c_vec"))
+    val book = e.orderBy(F.splitmix64(col("vec_id")), col("vec_id")).limit(16)
+      .select(col("c_vec")).collect().map(_.getSeq[Float](0).toArray)
+    val codes = e.select(col("vec_id"), F.pqEncode(col("c_vec"), book, 8).as("code"))
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected map-only encode:\n$plan")
+  }
+}
