@@ -927,6 +927,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
     },
 
+    // --- equi-width histogram, all-integer bin math ---
+    "q_histogram" -> { (s, dir) =>
+      graft.ops.Stats.histogram(
+        t(s, dir, "lineitem"), col("l_extendedprice"), 5000L)
+    },
+
+    // --- per-key Tukey-fence outlier report on exact quartiles ---
+    "q_outliers_iqr" -> { (s, dir) =>
+      graft.ops.Stats.iqrOutliers(
+        t(s, dir, "events"), col("event_type"), col("value"))
+    },
+
+    // --- Z-order layout: per-Z-bucket locality stats ---
+    "ds_zorder" -> { (s, dir) =>
+      val d = t(s, dir, "orders").select(
+        (col("o_custkey") % 65536).as("ck"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("dy"))
+      graft.ops.Layout.zOrderStats(d, col("ck"), col("dy"), bucketShift = 16)
+    },
+
     // --- snapshot diff (CDC): old vs deterministically-perturbed new ---
     "q_snapshot_diff" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -1724,6 +1745,40 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((yr, pri), (yr), ())""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        | min(v) AS v_min, max(v) AS v_max, CAST(bin * 5000 AS BIGINT) AS bin_lo
+        |FROM (SELECT v, v // 5000 AS bin
+        |      FROM (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem))
+        |GROUP BY bin""".stripMargin,
+
+    "q_outliers_iqr" ->
+      """WITH f AS (
+        | SELECT event_type AS key,
+        |  quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        | FROM events GROUP BY 1)
+        |SELECT key, count(*) AS n,
+        | CAST(sum(CASE WHEN value < q1 - (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        | CAST(sum(CASE WHEN value > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        | q1, q3,
+        | q1 - (q3 - q1) * 1.5 AS fence_lo,
+        | q3 + (q3 - q1) * 1.5 AS fence_hi
+        |FROM events e JOIN f ON e.event_type = f.key
+        |GROUP BY key, q1, q3""".stripMargin,
+
+    "ds_zorder" ->
+      """WITH d AS (
+        | SELECT o_custkey % 65536 AS a,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS b
+        | FROM orders),
+        |z AS (
+        | SELECT a, b, CAST(list_sum(list_transform(range(0, 16),
+        |   i -> (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+        | FROM d)
+        |SELECT zkey >> 16 AS zbucket, count(*) AS n,
+        | min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+        |FROM z GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),

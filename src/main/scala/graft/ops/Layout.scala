@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering: Z-order (Morton) interleaving of two
+  * dimension columns, so that sorting/range-partitioning by ONE key
+  * gives file-level min-max locality on BOTH dimensions — the layout
+  * that makes parquet row-group skipping work for queries filtering
+  * either (or both) dimensions. At 100 TB this is the difference
+  * between a full scan and reading a few percent of files for a
+  * two-dimensional predicate.
+  */
+object Layout {
+
+  /** Morton/Z-order key: interleave the low `bits` bits of `a` (even
+    * positions) and `b` (odd positions). Inputs must already be
+    * non-negative dimension indexes (bucketize/rank first); only the
+    * low `bits` bits participate. Built from shift/mask primitives —
+    * whole-stage-codegen, map-only, engine-replicable (the oracle
+    * computes the identical bit sum).
+    */
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_)).cast("long")
+  }
+
+  /** Physically cluster `df` by the Z-key of two dimensions: range
+    * partition (so files hold contiguous Z-ranges) and sort within
+    * partitions. The write path after this produces files whose
+    * min-max stats are tight on BOTH `a` and `b`. Range boundaries
+    * come from Spark's reservoir sampling — layout-only, so sampling
+    * nondeterminism is fine here (the DATA is unchanged; only file
+    * assignment varies), which is why the oracle checks
+    * [[zOrderKey]] math through fixed-shift buckets instead.
+    */
+  def cluster(
+      df: DataFrame, a: Column, b: Column,
+      partitions: Int, bits: Int = 16): DataFrame = {
+    val keyed = df.withColumn("_zkey", zOrderKey(a, b, bits))
+    keyed
+      .repartitionByRange(partitions, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+  }
+
+  /** Per-Z-bucket locality stats (deterministic — buckets are fixed
+    * `zkey >> (2·bits − log2Buckets)` prefixes, not sampled ranges):
+    * row count and the min/max of each dimension inside the bucket.
+    * Tight per-bucket dimension ranges are exactly the property that
+    * makes min-max skipping effective after a Z-order write.
+    */
+  def zOrderStats(
+      df: DataFrame, a: Column, b: Column,
+      bits: Int = 16, bucketShift: Int = 24): DataFrame =
+    df.select(a.as("_a"), b.as("_b"))
+      .withColumn("zbucket",
+        shiftright(zOrderKey(col("_a"), col("_b"), bits), bucketShift))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("_a")).as("a_min"), max(col("_a")).as("a_max"),
+        min(col("_b")).as("b_min"), max(col("_b")).as("b_max"))
+}

@@ -61,6 +61,58 @@ object Stats {
     * one shuffle on the group key, a few bytes of state per group.
     * Two 100 TB tables compare by exchanging O(groups) rows.
     */
+  /** Equi-width histogram in pure integer math: the value is floored
+    * to a long, then integer-divided by `binWidth` — every step
+    * bit-exact on any engine (no double division whose rounding could
+    * shift an edge value across a bin boundary). One hash aggregation
+    * with map-side partials; bins arrive sorted nowhere — order is
+    * the consumer's concern. Values are assumed non-negative (integer
+    * division = floor there).
+    */
+  def histogram(df: DataFrame, value: Column, binWidth: Long): DataFrame =
+    df.select(floor(value).cast("long").as("_v"))
+      .groupBy(expr(s"_v div $binWidth").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("_v")).as("v_min"),
+        max(col("_v")).as("v_max"))
+      .withColumn("bin_lo", col("bin") * binWidth)
+
+  /** Per-key IQR outlier report: exact interpolated quartiles (the
+    * same bit-exact `percentile` as `q_percentiles`), Tukey fences at
+    * 1.5·IQR, and counts below/above the fences.
+    *
+    * Shape: one aggregation for per-key quartiles, then the fences
+    * join BACK to the data on the key — the fence frame is
+    * key-cardinality-sized, so the join broadcasts and the data
+    * stream is never shuffled a second time; the final count
+    * re-aggregates on the same key.
+    */
+  def iqrOutliers(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val fences = df
+      .groupBy(key.as("_key"))
+      .agg(
+        percentile(value, lit(0.25)).as("q1"),
+        percentile(value, lit(0.75)).as("q3"))
+      .select(
+        col("_key"),
+        col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("fence_lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("fence_hi"))
+    df.select(key.as("_key"), value.as("_v"))
+      .join(broadcast(fences), "_key")
+      .groupBy(col("_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_v") < col("fence_lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("_v") > col("fence_hi"), 1L).otherwise(0L)).as("n_above"),
+        first(col("q1")).as("q1"),
+        first(col("q3")).as("q3"),
+        first(col("fence_lo")).as("fence_lo"),
+        first(col("fence_hi")).as("fence_hi"))
+      .withColumnRenamed("_key", "key")
+  }
+
   def checksumRollup(df: DataFrame, group: Column, rowHash: Column): DataFrame =
     df.select(group.as("grp"), rowHash.as("_h"))
       .rollup(col("grp"))
