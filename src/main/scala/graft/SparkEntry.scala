@@ -893,6 +893,27 @@ object SparkEntry {
       graft.ops.Timeseries.resampleFill(daily, "cust", "day", "day_total")
     },
 
+    // --- trailing 7-row moving average, decimal-exact window sum ---
+    "q_moving_avg" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .groupBy(
+          col("o_custkey").as("cust"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .agg(dsum(col("o_totalprice")).as("day_total"))
+      graft.ops.Timeseries.movingAvg(daily, "cust", "day", "day_total")
+    },
+
+    // --- top user-journey trigrams across all event streams ---
+    "q_journey_paths" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      graft.ops.Funnel.pathTrigrams(
+        e.select(col("user_id"), eventUs(e, "ts").as("ts_us"),
+          col("event_id"), col("event_type")),
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    },
+
     // --- order-independent table checksum with rollup grand total ---
     "q_checksum" -> { (s, dir) =>
       import graft.functions.F
@@ -1699,6 +1720,35 @@ object SparkEntry {
         |FROM j
         |WINDOW w AS (PARTITION BY cust ORDER BY day
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        | SELECT o_custkey AS cust,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        | FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1, 2)
+        |SELECT cust, day, day_total,
+        | CAST(sum(CAST(day_total AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   / (count(*) OVER w) AS mavg,
+        | CAST(count(*) OVER w AS BIGINT) AS n_window
+        |FROM daily
+        |WINDOW w AS (PARTITION BY cust ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_journey_paths" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |tg AS (
+        | SELECT s, s1, s2 FROM (
+        |  SELECT event_type AS s,
+        |   lead(event_type, 1) OVER w AS s1,
+        |   lead(event_type, 2) OVER w AS s2
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        | WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+        |c AS (SELECT s || '>' || s1 || '>' || s2 AS path, count(*) AS n
+        |      FROM tg GROUP BY 1)
+        |SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+        |FROM c QUALIFY rnk <= 20""".stripMargin,
 
     "txt_tfidf" ->
       """WITH tf AS (

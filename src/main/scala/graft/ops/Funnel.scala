@@ -53,6 +53,34 @@ object Funnel {
           .cast("int"))
   }
 
+  /** Corpus-wide top-k user-journey trigrams: consecutive
+    * (step, next, next²) triples in each user's (`ord`, `tie`)-ordered
+    * event stream, counted across all users. The product-analytics
+    * "what paths do users actually take" primitive.
+    *
+    * Shape: `lead` windows on the user key (one shuffle), hash count
+    * with map-side partials, and the final top-k is TakeOrdered over
+    * k·partitions candidates — never a global sort. Deterministic
+    * tiebreak on the path string.
+    */
+  def pathTrigrams(
+      events: DataFrame, user: Column, ord: Column, tie: Column,
+      step: Column, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ord, tie)
+    val top = events
+      .select(step.as("_s"),
+        lead(step, 1).over(w).as("_s1"),
+        lead(step, 2).over(w).as("_s2"))
+      .filter(col("_s1").isNotNull && col("_s2").isNotNull)
+      .select(concat_ws(">", col("_s"), col("_s1"), col("_s2")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n").desc, col("path"))).cast("long"))
+  }
+
   /** Cohort retention: users bucketed by the week of their first
     * event; activity counted per (cohort week, whole weeks since the
     * user's first event).

@@ -30,6 +30,28 @@ object Timeseries {
     * re-accumulation, so the result is deterministic at any
     * parallelism.
     */
+  /** Trailing moving average over the last `window` OBSERVED rows per
+    * key (compose with [[resampleFill]] first if the average must be
+    * over calendar steps instead). The windowed sum stays in exact
+    * decimal — only the final divide is double — so the result is
+    * bit-deterministic at any parallelism. One shuffle on the key.
+    */
+  def movingAvg(
+      daily: DataFrame, key: String, step: String, value: String,
+      window: Int = 7, scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(step))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily.select(
+      col(key), col(step),
+      col(value),
+      (sum(col(value).cast(DecimalType(18, scale))).over(w).cast("double")
+        / count(lit(1)).over(w)).as("mavg"),
+      count(lit(1)).over(w).cast("long").as("n_window"))
+  }
+
   def resampleFill(
       daily: DataFrame, key: String, step: String, value: String): DataFrame = {
     val bounds = daily

@@ -69,6 +69,28 @@ class FunnelSnapshotSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 1L, 1L), (0L, 1L, 1L, 1L), (1L, 0L, 2L, 3L)))
   }
 
+  test("pathTrigrams counts consecutive triples per user, ranked") {
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"), (1L, 4L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"), (2L, 3L, 7L, "c")
+    ).toDF("u", "ts", "eid", "et")
+    val got = Funnel.pathTrigrams(
+      ev, col("u"), col("ts"), col("eid"), col("et"), k = 10)
+      .select("path", "n", "rnk").as[(String, Long, Long)].collect().toSeq
+    // a>b>c twice (both users), b>c>b once (user 1)
+    assert(got == Seq(("a>b>c", 2L, 1L), ("b>c>b", 1L, 2L)))
+  }
+
+  test("movingAvg averages the trailing window in exact decimal") {
+    val daily = Seq(
+      ("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 30.0), ("k", 4L, 40.0))
+      .toDF("key", "day", "v")
+    val got = graft.ops.Timeseries.movingAvg(daily, "key", "day", "v", window = 3)
+      .select("day", "mavg", "n_window")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10.0, 1L), (2L, 15.0, 2L), (3L, 20.0, 3L), (4L, 30.0, 3L)))
+  }
+
   test("piiRedact counts sequentially and redacts all three kinds") {
     val d = Seq(
       (1L, "mail me a.b-c@x-mail.co.uk and 555-123-4567 ref 1234567890 ok"),
