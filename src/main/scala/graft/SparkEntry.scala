@@ -969,6 +969,26 @@ object SparkEntry {
       graft.ops.Layout.zOrderStats(d, col("ck"), col("dy"), bucketShift = 16)
     },
 
+    // --- blocked fuzzy (Levenshtein) reconcile of clean vs dirty names ---
+    "q_fuzzy_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val clean = c.select(col("c_custkey").as("ka"), lower(col("c_name")).as("na"))
+      val dirty = c.select(
+        (col("c_custkey") + 1000000L).as("kb"),
+        when(col("c_custkey") % 2 === 0,
+          concat(substring(lower(col("c_name")), 1, 5),
+            lower(col("c_name")).substr(lit(7), lit(1000000))))
+          .otherwise(lower(col("c_name"))).as("nb"))
+      Reconcile
+        .fuzzyJoin(clean, col("ka"), col("na"), dirty, col("kb"), col("nb"),
+          maxDist = 1)
+        .groupBy(col("id_a"))
+        .agg(
+          count(lit(1)).as("n_match"),
+          min(col("d")).as("best_dist"),
+          min_by(col("id_b"), struct(col("d"), col("id_b"))).as("best_match"))
+    },
+
     // --- snapshot diff (CDC): old vs deterministically-perturbed new ---
     "q_snapshot_diff" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -1829,6 +1849,23 @@ object SparkEntry {
         |SELECT zkey >> 16 AS zbucket, count(*) AS n,
         | min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
         |FROM z GROUP BY 1""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH clean AS (SELECT c_custkey AS ka, lower(c_name) AS na FROM customer),
+        |dirty AS (
+        | SELECT c_custkey + 1000000 AS kb,
+        |  CASE WHEN c_custkey % 2 = 0
+        |   THEN substr(lower(c_name), 1, 5) || substr(lower(c_name), 7)
+        |   ELSE lower(c_name) END AS nb
+        | FROM customer),
+        |p AS (
+        | SELECT ka AS id_a, kb AS id_b, CAST(levenshtein(na, nb) AS BIGINT) AS d
+        | FROM clean JOIN dirty ON substr(na, 1, 3) = substr(nb, 1, 3)
+        | WHERE levenshtein(na, nb) <= 1)
+        |SELECT id_a, count(*) AS n_match, min(d) AS best_dist,
+        | min(CASE WHEN d = md THEN id_b END) AS best_match
+        |FROM (SELECT *, min(d) OVER (PARTITION BY id_a) AS md FROM p)
+        |GROUP BY id_a""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),

@@ -85,6 +85,35 @@ object Reconcile {
       .groupBy(IndicatorCol)
       .agg(count(lit(1)).as("n"))
 
+  /** Blocked fuzzy join: candidate pairs share a `blockPrefix`-char
+    * prefix of the (pre-normalized) match string; only candidates are
+    * scored with Levenshtein and kept at distance ≤ `maxDist`. The
+    * approximate-match half of the reference's name-fallback
+    * reconcile (reference 390-415 joins on normalized names exactly;
+    * this tolerates typos/truncations).
+    *
+    * Shape: one equi-shuffle per side on the block key — never an
+    * all-pairs product; the quadratic work is confined to within a
+    * block, so prefix length tunes the block-size/recall trade
+    * (lengthen it, or compose a second blocking pass, when a hot
+    * prefix dominates). Levenshtein runs inside whole-stage codegen.
+    * Distance semantics are engine-portable (unit-cost edit distance,
+    * identical in DuckDB).
+    */
+  def fuzzyJoin(
+      left: DataFrame, leftId: Column, leftStr: Column,
+      right: DataFrame, rightId: Column, rightStr: Column,
+      maxDist: Int, blockPrefix: Int = 3): DataFrame = {
+    val l = left.select(leftId.as("id_a"), leftStr.as("_sa"))
+    val r = right.select(rightId.as("id_b"), rightStr.as("_sb"))
+    l.join(r,
+        substring(col("_sa"), 1, blockPrefix) ===
+          substring(col("_sb"), 1, blockPrefix))
+      .withColumn("d", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("d") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
+  }
+
   /** Post-load resync validation (reference 38-42): after the
     * delete + reload cycle the just-loaded group count must equal the
     * count the file asked for. Returns a one-row

@@ -91,6 +91,19 @@ class FunnelSnapshotSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0, 1L), (2L, 15.0, 2L), (3L, 20.0, 3L), (4L, 30.0, 3L)))
   }
 
+  test("fuzzyJoin scores only within-block candidates") {
+    val l = Seq((1L, "martha king"), (2L, "zachary s")).toDF("id", "s")
+    val r = Seq(
+      (10L, "marta king"),  // deletion, same 3-prefix -> d=1
+      (11L, "xachary s"),   // d=1 but prefix differs -> blocked out
+      (12L, "martha king")  // exact
+    ).toDF("id", "s")
+    val got = graft.ops.Reconcile.fuzzyJoin(
+      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (1L, 12L, 0L)))
+  }
+
   test("piiRedact counts sequentially and redacts all three kinds") {
     val d = Seq(
       (1L, "mail me a.b-c@x-mail.co.uk and 555-123-4567 ref 1234567890 ok"),
