@@ -97,6 +97,47 @@ object EventStreams {
     * NoTimeout: sessions close only via in-stream gaps, which is
     * fully deterministic for replay/testing.
     */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  case class FunnelOut(
+      user_id: Long, t1: Long, t2: Long, t3: Long, stage: Int)
+
+  /** Streaming funnel automaton (twin of the batch `q_funnel` /
+    * `ops.Funnel.stages`): per-user state advances step k when an
+    * already-recorded step k−1 precedes the incoming event; -1 marks
+    * an unreached step. Within a micro-batch events are processed in
+    * (ts, event_id) order, so the in-batch semantics match the batch
+    * operator's strictly-earlier-row rule; ACROSS batches the
+    * automaton sees arrival order (a step-1 event arriving after a
+    * step-2 event was already rejected does not retroactively advance
+    * the funnel) — the standard streaming trade, stated rather than
+    * hidden. State is O(3 longs) per user; emits the user's current
+    * stage each batch (Update mode).
+    */
+  def funnel(
+      events: Dataset[Event],
+      step1: String, step2: String, step3: String): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == step1 && s.t1 < 0)
+              s = s.copy(t1 = e.ts_us)
+            else if (e.event_type == step2 && s.t1 >= 0 && s.t2 < 0)
+              s = s.copy(t2 = e.ts_us)
+            else if (e.event_type == step3 && s.t2 >= 0 && s.t3 < 0)
+              s = s.copy(t3 = e.ts_us)
+          }
+          state.update(s)
+          val stage =
+            if (s.t3 >= 0) 3 else if (s.t2 >= 0) 2 else if (s.t1 >= 0) 1 else 0
+          FunnelOut(userId, s.t1, s.t2, s.t3, stage)
+      }
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapUs: Long,

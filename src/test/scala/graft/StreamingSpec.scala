@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{Event, SessionOut}
+import graft.streaming.EventStreams.{Event, FunnelOut, SessionOut}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -41,6 +41,30 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val got = spark.table("sessout").as[SessionOut].collect().toSet
     assert(got == Set(SessionOut(7L, 0L, 60L * us, 2L)))
+  }
+
+  test("streaming funnel advances per-user stage across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val out = EventStreams.funnel(mem.toDS(), "view", "click", "purchase")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("funout").start()
+    // batch 1: user 7 views; user 8 clicks with no prior view
+    mem.addData(
+      Event(1, 10L * us, 7L, "view", 1.0),
+      Event(2, 10L * us, 8L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 7 clicks then purchases (in-batch order by ts);
+    // user 8 views — click arrived earlier so stage stays 1
+    mem.addData(
+      Event(3, 20L * us, 7L, "click", 1.0),
+      Event(4, 30L * us, 7L, "purchase", 1.0),
+      Event(5, 20L * us, 8L, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("funout").as[FunnelOut].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.stage).max }
+    assert(last == Map(7L -> 3, 8L -> 1))
   }
 
   test("streaming dedup drops repeated ids within the watermark") {
