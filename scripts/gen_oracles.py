@@ -164,6 +164,22 @@ SELECT doc_id, lang FROM (
  FROM (SELECT doc_id, lang, {hsigned(0)} AS hs FROM documents) _h) _r
 WHERE rk <= 20"""
 
+    # ---- q_approx_quantiles: exact quantiles over the bottom-200-
+    # by-signed-splitmix64(event_id+7) sample per event_type (same
+    # keep rule as ds_sample_fixed_k, same interpolation kernel as
+    # q_percentiles) ----
+    he = to_signed(splitmix("CAST(event_id + 7 AS HUGEINT)"))
+    o["q_approx_quantiles"] = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+ quantile_cont(value, 0.5) AS q50_est,
+ quantile_cont(value, 0.9) AS q90_est
+FROM (
+ SELECT event_type, value,
+  row_number() OVER (PARTITION BY event_type ORDER BY hs, event_id) AS rk
+ FROM (SELECT event_type, event_id, value, {he} AS hs FROM events) _h) _r
+WHERE rk <= 200
+GROUP BY event_type"""
+
     # ---- txt_fingerprint: winnowing min rolling hash + simhash ----
     o["txt_fingerprint"] = f"""
 SELECT doc_id,

@@ -360,6 +360,25 @@ object SparkEntry {
         rightTie = col("c_eid"))
     },
 
+    "q_asof_tolerance" -> { (s, dir) =>
+      // as-of join with a staleness bound (pandas merge_asof
+      // tolerance / kdb wj): clicks older than 1h don't match.
+      // Same one-shuffle union plan; the bound is a post-filter on
+      // the single carried match
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), us.as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), us.as("c_ts"), col("event_id").as("c_eid"))
+      graft.ops.AsOf.join(
+        errors, col("user_id"), col("ts_us"),
+        clicks, col("c_uid"), col("c_ts"),
+        rightPayload = Seq("click_ts" -> col("c_ts")),
+        rightTie = col("c_eid"),
+        tolerance = Some(3600L * 1000000L))
+    },
+
     "q_salted_agg" -> { (s, dir) =>
       graft.ops.Skew.saltedCountSum(
         t(s, dir, "events"), col("event_type"), col("value"), col("event_id"))
@@ -622,6 +641,24 @@ object SparkEntry {
           percentile(col("value"), lit(0.25)).as("q25"),
           percentile(col("value"), lit(0.5)).as("q50"),
           percentile(col("value"), lit(0.75)).as("q75"))
+    },
+
+    "q_approx_quantiles" -> { (s, dir) =>
+      // mergeable bounded-state quantile estimate: exact quantiles
+      // over a deterministic bottom-k-by-hash uniform sample (the
+      // sample IS a mergeable summary — bottom-k sets merge by
+      // union+truncate). At 100 TB the sample is built map-side with
+      // O(k) state per stratum while q_percentiles must shuffle every
+      // row; bit-exact replicable because every keep decision is
+      // splitmix64(event_id) and the interpolation kernel matches
+      // quantile_cont
+      val sampled = graft.llm.Sampling.fixedKPerStratum(
+        t(s, dir, "events"), col("event_id"), col("event_type"),
+        k = 200, salt = 7L)
+      sampled.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_sample"),
+        percentile(col("value"), lit(0.5)).as("q50_est"),
+        percentile(col("value"), lit(0.9)).as("q90_est"))
     },
 
     "q_approx_distinct" -> { (s, dir) =>
@@ -967,6 +1004,29 @@ object SparkEntry {
         datediff(col("o_orderdate").cast("date"),
           lit("1992-01-01").cast("date")).cast("long").as("dy"))
       graft.ops.Layout.zOrderStats(d, col("ck"), col("dy"), bucketShift = 16)
+    },
+
+    // --- bucketed co-located join: layout amortizes the shuffle ---
+    "q_bucket_join" -> { (s, dir) =>
+      // write both sides bucketed+sorted on the join key once, then
+      // join/agg through the catalog tables: the join needs no
+      // Exchange and no Sort (PlanSpec asserts the shape with
+      // broadcast disabled). At 100 TB: one bucketed write of the
+      // fact table turns every later custkey join into a local merge
+      import graft.ops.Layout
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      Layout.bucketWrite(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_bucketed_orders", s"$base/orders", 8, "o_custkey")
+      Layout.bucketWrite(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_bucketed_customer", s"$base/customer", 8, "c_custkey")
+      s.table("graft_bucketed_orders")
+        .join(s.table("graft_bucketed_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
     },
 
     // --- blocked fuzzy (Levenshtein) reconcile of clean vs dirty names ---
@@ -1521,6 +1581,20 @@ object SparkEntry {
         |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
         |    AND epoch_us(c.ts) <= epoch_us(e.ts)) AS click_ts
         |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        | (SELECT max(epoch_us(c.ts)) FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |    AND epoch_us(c.ts) <= epoch_us(e.ts)
+        |    AND epoch_us(c.ts) >= epoch_us(e.ts) - 3600000000) AS click_ts
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,

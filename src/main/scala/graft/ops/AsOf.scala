@@ -23,17 +23,29 @@ object AsOf {
     * right row at exactly the left row's timestamp DOES match
     * (inclusive); multiple right rows at one timestamp resolve to the
     * last by `rightTie` ordering.
+    *
+    * `tolerance` (same units as the timestamp columns) bounds match
+    * staleness: a right row older than `leftTs - tolerance` does not
+    * match (kdb's `wj`/pandas `merge_asof(tolerance=)` semantics).
+    * Because the as-of match is the LATEST preceding right row, the
+    * bound is a post-filter on the single carried match — no change
+    * to the one-shuffle union plan.
     */
   def join(
       left: DataFrame, leftKey: Column, leftTs: Column,
       right: DataFrame, rightKey: Column, rightTs: Column,
       rightPayload: Seq[(String, Column)],
-      rightTie: Column = lit(0)): DataFrame = {
+      rightTie: Column = lit(0),
+      tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val reserved = Set("_k", "_ts", "_side", "_tie", "_rp", "_match")
     require(!leftCols.exists(reserved), s"left columns collide with " +
       s"as-of internals: ${leftCols.filter(reserved).mkString(", ")}")
-    val payload = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
+    // with a tolerance the match timestamp rides inside the payload
+    // struct so the staleness bound can be applied after the window
+    val payloadCols = rightPayload.map { case (n, c) => c.as(n) } ++
+      (if (tolerance.isDefined) Seq(rightTs.cast("long").as("__mts")) else Nil)
+    val payload = struct(payloadCols: _*)
     // resolve the payload struct type against `right`, so the left
     // side can carry a matching typed null
     val rBase = right.select(
@@ -51,10 +63,15 @@ object AsOf {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    lAligned.unionByName(rAligned)
+    val matched = lAligned.unionByName(rAligned)
       .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++
-        rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
+    val bounded = tolerance match {
+      case Some(tol) => matched.withColumn("_match",
+        when(col("_ts").cast("long") - col("_match.__mts") <= tol, col("_match")))
+      case None => matched
+    }
+    bounded.select(leftCols.map(col) ++
+      rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
   }
 }

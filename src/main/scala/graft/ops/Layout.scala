@@ -47,6 +47,43 @@ object Layout {
       .drop("_zkey")
   }
 
+  /** Write `df` as a bucketed + per-bucket-sorted external table: the
+    * hash-partitioned layout that AMORTIZES the join/agg shuffle. Two
+    * tables bucketed on the same key with the same bucket count
+    * sort-merge join with ZERO Exchange, and a groupBy on the bucket
+    * key needs no shuffle — at 100 TB, writing the fact table
+    * bucketed once turns every subsequent key-join/agg from a
+    * full-data shuffle into a local merge. The per-bucket `sortBy`
+    * additionally elides the merge's Sort when
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` is on
+    * (post-SPARK-28632 the scan only advertises the ordering behind
+    * that flag; the one-file-per-bucket precondition it needs is
+    * guaranteed here by the pre-repartition). External path +
+    * `saveAsTable` (bucket metadata lives in the catalog; files live
+    * at `path`).
+    */
+  def bucketWrite(
+      df: DataFrame, table: String, path: String,
+      buckets: Int, key: String, moreKeys: String*): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // repartition on the bucket key first: one file per bucket, not
+    // one per (task × bucket). That is what keeps the downstream
+    // merge SORT-FREE (multi-file buckets lose the sortBy guarantee
+    // and reintroduce a Sort) and what stops a 10k-task write from
+    // spraying 10k tiny files into every bucket. repartition() and
+    // bucketBy share Murmur3 hash partitioning, so the alignment is
+    // exact. One shuffle at write time buys shuffle-AND-sort-free
+    // joins/aggs on the key forever after.
+    df.repartition(buckets, (key +: moreKeys).map(col): _*)
+      .write
+      .option("path", path)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
   /** Per-Z-bucket locality stats (deterministic — buckets are fixed
     * `zkey >> (2·bits − log2Buckets)` prefixes, not sampled ranges):
     * row count and the min/max of each dimension inside the bucket.

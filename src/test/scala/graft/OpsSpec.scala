@@ -164,4 +164,21 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == Some(12.0)) // latest at-or-before 205
     assert(got(3L) == None)       // B's only quote is later
   }
+
+  test("AsOf.join tolerance nulls matches staler than the bound") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "A", 500L))
+      .toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 200L, 12.0))
+      .toDF("q_sym", "q_ts", "px")
+    val got = AsOf.join(
+      trades, col("sym"), col("t_ts"),
+      quotes, col("q_sym"), col("q_ts"),
+      rightPayload = Seq("px" -> col("px")),
+      tolerance = Some(50L))
+      .select(col("trade_id"), col("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) == Some(10.0)) // 100-90=10 ≤ 50
+    assert(got(2L) == Some(12.0)) // 205-200=5 ≤ 50
+    assert(got(3L) == None)       // latest quote 200 is 300 stale
+  }
 }

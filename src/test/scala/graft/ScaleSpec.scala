@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
 class ScaleSpec extends SparkSpec {
 
   test("bucketed join on co-located keys runs with zero exchanges") {
-    val c = spark.read.parquet(s"$sf/customer.parquet")
-    val o = spark.read.parquet(s"$sf/orders.parquet")
-    c.write.mode("overwrite").bucketBy(4, "c_custkey")
-      .sortBy("c_custkey").saveAsTable("cust_b")
-    o.write.mode("overwrite").bucketBy(4, "o_custkey")
-      .sortBy("o_custkey").saveAsTable("ord_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bk").toString
+    graft.ops.Layout.bucketWrite(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      "cust_b", s"$dir/cust_b", 4, "c_custkey")
+    graft.ops.Layout.bucketWrite(
+      spark.read.parquet(s"$sf/orders.parquet"),
+      "ord_b", s"$dir/ord_b", 4, "o_custkey")
     val joined = spark.table("cust_b")
       .join(spark.table("ord_b"), col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
@@ -26,6 +27,38 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n$plan")
     assert(joined.count() > 0)
+  }
+
+  test("q_bucket_join: the sort-merge join subtree has no Exchange and no Sort") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE's wrapper hides the join subtree from node collection;
+    // the static plan is what the shape assertion needs
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // since SPARK-28632 the scan only reports the buckets' sortBy
+    // ordering behind this flag (it requires one file per bucket,
+    // which Layout.bucketWrite guarantees via its pre-repartition)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = SparkEntry.queries("q_bucket_join")(spark, sf)
+      val smj = df.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.isDefined, "expected a sort-merge join of the bucketed tables")
+      val exchanges = smj.get.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      val sorts = smj.get.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(exchanges.isEmpty, "bucketed join should read buckets in place")
+      assert(sorts.isEmpty, "sortBy buckets should make the merge sort-free")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
   }
 
   test("date-partitioned layout prunes partitions at the scan") {
