@@ -87,6 +87,43 @@ SELECT event_type,
 FROM r
 WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END"""
 
+    # ---- q_kmv_set_ops: KMV sketch set algebra — bottom-64 biased
+    # hashes per cohort, union estimate from the merged k-th hash,
+    # Jaccard from the both-members fraction of the merged sketch ----
+    o["q_kmv_set_ops"] = f"""
+WITH ha AS (
+ SELECT DISTINCT CAST(({hu}) - 9223372036854775808 AS BIGINT) AS h
+ FROM events WHERE event_type = 'click'),
+hb AS (
+ SELECT DISTINCT CAST(({hu}) - 9223372036854775808 AS BIGINT) AS h
+ FROM events WHERE event_type = 'purchase'),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+mg AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) _u
+       ORDER BY h LIMIT 64),
+ms AS (SELECT count(*) AS msize, max(h) AS kth FROM mg),
+ic AS (SELECT count(*) AS icnt FROM mg
+       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+fl AS (SELECT user_id,
+        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ib
+       FROM events WHERE event_type IN ('click', 'purchase')
+       GROUP BY user_id),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+        CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS exact_intersect FROM fl)
+SELECT
+ CASE WHEN msize < 64 THEN CAST(msize AS DOUBLE)
+      ELSE 63.0 * 1.8446744073709552E19
+           / (CAST(kth AS DOUBLE) + 9.223372036854776E18) END AS est_union,
+ CAST(icnt AS DOUBLE) / CAST(msize AS DOUBLE) AS jaccard_est,
+ (CAST(icnt AS DOUBLE) / CAST(msize AS DOUBLE)) *
+  (CASE WHEN msize < 64 THEN CAST(msize AS DOUBLE)
+        ELSE 63.0 * 1.8446744073709552E19
+             / (CAST(kth AS DOUBLE) + 9.223372036854776E18) END) AS est_intersect,
+ exact_union, exact_intersect
+FROM ms, ic, ex"""
+
     # ---- q_cms_heavy_hitters: Count-Min counters recomputed as
     # sum-over-colliding-keys; est(key) = min over depth rows ----
     cms_b = splitmix(f"(({fnv_text('uid')}) + d) % {TWO64}")

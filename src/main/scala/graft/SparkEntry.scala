@@ -671,6 +671,46 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))
     },
 
+    "q_kmv_set_ops" -> { (s, dir) =>
+      // distributed set algebra on KMV sketches: two cohorts reduce
+      // to k longs each; union-cardinality, Jaccard and intersection
+      // estimates come from merge+truncate of the two sketches
+      // (Beyer et al., SIGMOD 2007). Exact counts alongside show the
+      // estimator's error; at 100 TB the exact path is a full-data
+      // shuffle while the sketches are map-side O(k) state
+      import graft.functions.KMinValues.kmvSketch
+      val k = 64
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click")
+        .agg(kmvSketch(col("user_id"), k).as("ska"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .agg(kmvSketch(col("user_id"), k).as("skb"))
+      val flags = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("ia"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("ib"))
+      val exact = flags.agg(
+        count(lit(1)).as("exact_union"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .cast("long").as("exact_intersect"))
+      a.crossJoin(b).crossJoin(exact)
+        .withColumn("_m", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+        .withColumn("_msize", size(col("_m")))
+        .withColumn("est_union",
+          when(col("_msize") < k, col("_msize").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 1.8446744073709552E19) /
+              (element_at(col("_m"), k).cast("double") + lit(9.223372036854776E18))))
+        .withColumn("_icnt",
+          size(array_intersect(array_intersect(col("_m"), col("ska")), col("skb"))))
+        .withColumn("jaccard_est",
+          col("_icnt").cast("double") / col("_msize").cast("double"))
+        .withColumn("est_intersect", col("jaccard_est") * col("est_union"))
+        .select(
+          col("est_union"), col("jaccard_est"), col("est_intersect"),
+          col("exact_union"), col("exact_intersect"))
+    },
+
     "q_profile_columns" -> { (s, dir) =>
       graft.ops.DataProfile.profile(t(s, dir, "customer"))
     },

@@ -23,20 +23,20 @@ import org.apache.spark.sql.types._
   * (Bar-Yossef et al., RANDOM 2002). Exact when fewer than k distinct
   * values were seen.
   */
-case class KMinValues(
-    child: Expression,
-    k: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+/** Shared bottom-k buffer mechanics for the KMV aggregates: biased
+  * SplitMix64 hashing, k-bounded TreeSet update/merge, and the
+  * length-prefixed serialization.
+  */
+trait KmvAggregate
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
     with ImplicitCastInputTypes {
 
-  require(k >= 2, "KMinValues needs k >= 2")
+  def child: Expression
+  def k: Int
 
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = DoubleType
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -44,7 +44,7 @@ case class KMinValues(
   /** Biased hash: SplitMix64 shifted into signed range so natural
     * Long ordering equals unsigned hash ordering (wraparound add).
     */
-  private def biasedHash(v: Long): Long =
+  protected def biasedHash(v: Long): Long =
     HashOps.splitmix64(v) + Long.MinValue
 
   override def update(
@@ -65,16 +65,6 @@ case class KMinValues(
     a
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toDouble
-    else {
-      // u(k) in [0, 2^64): un-bias by adding 2^63 in double space —
-      // the SQL oracle performs the IDENTICAL double ops
-      val kth = buf.last().longValue()
-      ((k - 1).toDouble * 1.8446744073709552E19) /
-        (kth.toDouble + 9.223372036854776E18)
-    }
-
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.size)
     bb.putInt(buf.size)
@@ -90,6 +80,28 @@ case class KMinValues(
     while (i < n) { s.add(bb.getLong); i += 1 }
     s
   }
+}
+
+case class KMinValues(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends KmvAggregate {
+
+  require(k >= 2, "KMinValues needs k >= 2")
+
+  override def dataType: DataType = DoubleType
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else {
+      // u(k) in [0, 2^64): un-bias by adding 2^63 in double space —
+      // the SQL oracle performs the IDENTICAL double ops
+      val kth = buf.last().longValue()
+      ((k - 1).toDouble * 1.8446744073709552E19) /
+        (kth.toDouble + 9.223372036854776E18)
+    }
 
   override def withNewMutableAggBufferOffset(offset: Int): KMinValues =
     copy(mutableAggBufferOffset = offset)
@@ -99,8 +111,45 @@ case class KMinValues(
     copy(child = c.head)
 }
 
+/** The sketch ITSELF (ascending biased-hash array) instead of the
+  * point estimate — the mergeable summary that enables distributed
+  * set algebra: bottom-k sets of two cohorts union by merge+truncate,
+  * estimate |A∪B| from the merged k-th hash, and estimate Jaccard /
+  * |A∩B| from the fraction of merged-sketch members present in both
+  * (Bar-Yossef et al., RANDOM 2002; Beyer et al., SIGMOD 2007). Two
+  * 100 TB cohorts compare through 2·k longs.
+  */
+case class KMinValuesSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends KmvAggregate {
+
+  require(k >= 2, "KMinValuesSketch needs k >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator() // TreeSet iterates ascending
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KMinValuesSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KMinValuesSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KMinValuesSketch =
+    copy(child = c.head)
+}
+
 object KMinValues {
   import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
   def kmvDistinct(c: Column, k: Int = 64): Column =
     column(KMinValues(expression(c), k).toAggregateExpression())
+  def kmvSketch(c: Column, k: Int = 64): Column =
+    column(KMinValuesSketch(expression(c), k).toAggregateExpression())
 }

@@ -94,5 +94,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { checkArity("kmv_distinct", args, 1, 2)
         KMinValues(args.head,
           if (args.length > 1) intArg(args(1), "k") else 64).toAggregateExpression() }))
+
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(col, k) - bottom-k hash sketch array for distributed set algebra (aggregate)"),
+      (args: Seq[Expression]) => { checkArity("kmv_sketch", args, 1, 2)
+        KMinValuesSketch(args.head,
+          if (args.length > 1) intArg(args(1), "k") else 64).toAggregateExpression() }))
   }
 }

@@ -43,6 +43,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT kmv_distinct(x, 64) FROM (SELECT explode(sequence(1, 40)) AS x)")
         .head().getDouble(0)
       assert(kmv == 40.0) // below k: exact
+      val sk = spark.sql(
+        "SELECT kmv_sketch(x, 16) FROM (SELECT explode(sequence(1, 40)) AS x)")
+        .head().getSeq[Long](0)
+      assert(sk.size == 16 && sk == sk.sorted) // k-truncated, ascending
     } finally {
       // restore the shared session; don't stop the shared SparkContext
       prevDefault.foreach(SparkSession.setDefaultSession)

@@ -34,6 +34,37 @@ class SketchSpec extends SparkSpec {
     assert(est(1) == est(13))
   }
 
+  test("KMV sketch set algebra: merge+truncate equals the direct union sketch") {
+    import graft.functions.KMinValues.kmvSketch
+    val k = 32
+    val a = spark.range(0, 500).toDF("id")          // 500 ids
+    val b = spark.range(300, 900).toDF("id")        // overlap 300-499
+    val u = a.union(b)
+    val ska = a.agg(kmvSketch(col("id"), k)).head().getSeq[Long](0)
+    val skb = b.agg(kmvSketch(col("id"), k)).head().getSeq[Long](0)
+    val sku = u.agg(kmvSketch(col("id"), k)).head().getSeq[Long](0)
+    // the sketch is a true monoid summary: merging two cohort
+    // sketches must give exactly the union's sketch
+    assert((ska ++ skb).distinct.sorted.take(k) == sku)
+    // and it is insensitive to partitioning
+    val sku13 = u.repartition(13).agg(kmvSketch(col("id"), k)).head().getSeq[Long](0)
+    assert(sku13 == sku)
+  }
+
+  test("KMV set-op estimates are exact below k") {
+    // cohorts smaller than k: the sketches hold every hash, so the
+    // q_kmv_set_ops algebra must return exact values
+    val df = SparkEntry.queries("q_kmv_set_ops")(spark, sf)
+    val r = df.head()
+    val (estU, estI) = (r.getDouble(0), r.getDouble(2))
+    val (exU, exI) = (r.getLong(3), r.getLong(4))
+    if (exU <= 64) assert(estU == exU.toDouble && estI == exI.toDouble)
+    else {
+      assert(math.abs(estU - exU) / exU < 0.5, s"union est $estU vs $exU")
+      assert(estI >= 0 && estU > 0)
+    }
+  }
+
   test("Bloom prunedSemiJoin equals a plain semi join even with a tiny filter") {
     val big = spark.range(2000).toDF("x")
     val small = spark.range(0, 2000, 37).toDF("y") // 55 keys
