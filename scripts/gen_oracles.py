@@ -339,6 +339,23 @@ SELECT id_a, id_b, jaccard FROM (
  WHERE least(len(a.g), len(b.g)) >= 0.7 * greatest(len(a.g), len(b.g)))
 WHERE jaccard >= 0.7"""
 
+    # ---- dd_containment: directed |A∩B|/|A| over discriminative
+    # char 5-grams (df in [2, 50]); planted orig→dup pairs hit 1.0 ----
+    o["dd_containment"] = f"""
+WITH docs AS ({PLANTED_DOCS}),
+g AS (SELECT doc_id, unnest({gr}) AS gram FROM docs),
+b AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+r AS (SELECT doc_id, gram FROM g JOIN b USING (gram) WHERE df BETWEEN 2 AND 50),
+nc AS (SELECT doc_id, count(*) AS n_rare FROM r GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS shared
+      FROM r a JOIN r b2 USING (gram) WHERE a.doc_id != b2.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, containment FROM (
+ SELECT id_a, id_b,
+  CAST(shared AS DOUBLE) / CAST(n_rare AS DOUBLE) AS containment
+ FROM p JOIN nc ON nc.doc_id = p.id_a) _c
+WHERE containment >= 0.8"""
+
     # ---- curate_pipeline: quality gate -> exact dedup keep-min-id ->
     # drop higher id of every exact-Jaccard>=0.8 pair ----
     o["curate_pipeline"] = f"""

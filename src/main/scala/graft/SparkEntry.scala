@@ -540,6 +540,15 @@ object SparkEntry {
         n = 5, minJaccard = 0.7, candidateMinEst = 0.5)
     },
 
+    "dd_containment" -> { (s, dir) =>
+      // directed rare-gram containment: catches a doc EMBEDDED in a
+      // larger one (Jaccard-blind). The planted orig→dup pairs score
+      // exactly 1.0 — every discriminative gram of the original
+      // appears in its suffixed copy
+      Dedup.containmentPairs(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+        n = 5, maxDf = 50, minContainment = 0.8)
+    },
+
     "dd_embed_cosine" -> { (s, dir) =>
       Ann.cosineNearDupPairs(embWithPlantedDups(s, dir), col("vec_id"),
         col("embedding"), minCos = 0.98)

@@ -139,6 +139,53 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Directed rare-gram CONTAINMENT pairs — |A∩B| / |A| over
+    * character n-grams, the asymmetric measure that catches a
+    * document EMBEDDED in a larger one (quotes, page wrappers,
+    * aggregator shells), which symmetric Jaccard misses: a 1 KB doc
+    * inside a 100 KB doc has Jaccard ≈ 0.01 but containment 1.0.
+    *
+    * Both sides of the ratio are restricted to DISCRIMINATIVE grams —
+    * document frequency in [2, maxDf]: df=1 grams cannot pair, and
+    * df>maxDf stop-grams ("&nbsp;", " the ") would blow the per-gram
+    * pair expansion quadratically while carrying no identity signal.
+    * The pruned universe makes the measure self-consistent
+    * (numerator and denominator share it) and bounds the inverted-
+    * index fan-out at maxDf² rows per gram.
+    *
+    * Plan shape (single lineage, three shuffles, no self-join that
+    * would re-execute the gram aggregation): explode grams → ONE
+    * groupBy(gram) posting aggregation with the df cap applied as a
+    * size filter → per-doc rare-gram counts via a window on the
+    * posting stream (not a second aggregation over the subtree) →
+    * pair expansion from each posting list → groupBy(pair).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 5,
+      maxDf: Int = 50,
+      minContainment: Double = 0.8): DataFrame = {
+    val grams = df.select(id.as("doc_id"), explode(F.charNgrams(text, n)).as("gram"))
+    val postings = grams
+      .groupBy(col("gram"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
+    postings
+      .select(explode(col("docs")).as("id_a"), col("docs"))
+      .withColumn("n_rare", count(lit(1)).over(w))
+      .select(col("id_a"), col("n_rare"), explode(col("docs")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"), max(col("n_rare")).as("n_rare"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") / col("n_rare").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Connected components over near-dup pairs: pairwise edges become
     * canonical clusters (comp = min doc_id reachable), which is what
     * dedup actually needs — "A~B, B~C" must collapse to ONE canonical

@@ -45,6 +45,25 @@ class LlmSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing ${expected.diff(pairs)}")
   }
 
+  test("containment is directed: embedded doc scores 1.0, container does not") {
+    // doc 1 is wholly embedded in doc 2 (which is ~3× larger); doc 3
+    // shares the wrapper text so the universe has df>=2 grams beyond
+    // the embedded span
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val wrapper = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val d = Seq(
+      (1L, small),
+      (2L, s"$wrapper $small $wrapper"),
+      (3L, s"$wrapper other words entirely distinct here $wrapper"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+      n = 5, maxDf = 10, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got.get((1L, 2L)).contains(1.0), s"embedded doc must be fully contained: $got")
+    assert(!got.contains((2L, 1L)), "container must NOT be contained in the embedded doc")
+  }
+
   test("embedding cosine near-dup finds scaled copies") {
     val planted = emb.select($"vec_id", $"embedding").unionByName(
       emb.filter($"vec_id" % 50 === 0).select(
