@@ -297,6 +297,12 @@ SELECT id_a, id_b, jaccard_est FROM (
 WHERE jaccard_est >= 0.5"""
     o["dd_minhash_lsh"] = f"WITH {lsh_body}"
 
+    # ---- dd_incremental_lsh: the same full pipeline restricted to
+    # pairs touching the delta (planted ids >= 1000000) — the
+    # incremental operator must equal this exactly ----
+    o["dd_incremental_lsh"] = (
+        f"WITH {lsh_body}\n AND (id_a >= 1000000 OR id_b >= 1000000)")
+
     # ---- dd_components: transitive closure of the LSH pair graph;
     # comp = min doc_id reachable (matches min-label propagation
     # fixpoint) ----

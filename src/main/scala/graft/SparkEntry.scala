@@ -540,6 +540,19 @@ object SparkEntry {
         n = 5, minJaccard = 0.7, candidateMinEst = 0.5)
     },
 
+    "dd_incremental_lsh" -> { (s, dir) =>
+      // incremental ingest: the planted-dup batch arrives as a delta
+      // and is LSH-probed against the corpus — only buckets the
+      // delta touches aggregate; result = full LSH restricted to
+      // delta-touching pairs
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = d.filter(col("doc_id") % 50 === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" near duplicate suffix")).as("text"))
+      Dedup.minhashLshDelta(d, delta, col("doc_id"), col("text"))
+    },
+
     "dd_containment" -> { (s, dir) =>
       // directed rare-gram containment: catches a doc EMBEDDED in a
       // larger one (Jaccard-blind). The planted orig→dup pairs score

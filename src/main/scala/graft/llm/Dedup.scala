@@ -82,6 +82,64 @@ object Dedup {
       .agg(max(col("jaccard_est")).as("jaccard_est"))
   }
 
+  /** INCREMENTAL MinHash-LSH: near-dup pairs of an incoming `delta`
+    * batch against the `base` corpus (plus within-delta pairs) —
+    * result equals [[minhashLsh]] over base ∪ delta restricted to
+    * pairs touching the delta.
+    *
+    * The scale shape is what matters: only LSH buckets the delta
+    * lands in are aggregated. The delta's (band, bucket) key set —
+    * O(|delta| · bands), tiny next to the corpus — is broadcast as a
+    * semi-join filter on the banded stream, so the nightly 0.1 %
+    * ingest probes the corpus instead of re-clustering it (in
+    * production the base's signatures/buckets are a stored table;
+    * the `is_delta` filter here prunes the base branch of the union
+    * at plan time, so delta keys never cost a base pass). Bucket
+    * membership, the `maxBucket` skew cap and the estimate threshold
+    * are evaluated on full buckets — identical semantics to the full
+    * run, minus the untouched buckets.
+    */
+  def minhashLshDelta(
+      base: DataFrame,
+      delta: DataFrame,
+      id: Column,
+      text: Column,
+      shingle: Int = 5,
+      perms: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    val tagged = base
+      .select(id.as("doc_id"), text.as("_t"), lit(false).as("is_delta"))
+      .unionByName(delta
+        .select(id.as("doc_id"), text.as("_t"), lit(true).as("is_delta")))
+    val banded = tagged
+      .select(col("doc_id"), col("is_delta"),
+        F.minhashSig(col("_t"), shingle, perms).as("sig"))
+      .select(col("doc_id"), col("is_delta"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+    val deltaBuckets = banded.filter(col("is_delta"))
+      .select(col("band"), col("bucket")).distinct()
+    val deltaIds = delta.select(id.cast("long").as("d_id")).distinct()
+    banded
+      .join(broadcast(deltaBuckets), Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(F.minhashBucketPairs(col("items"), minJaccard)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
+      // base-base pairs sharing a delta bucket are not the delta's
+      // concern; the delta id set is tiny → broadcast semi
+      .join(broadcast(deltaIds),
+        col("id_a") === col("d_id") || col("id_b") === col("d_id"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard_est")).as("jaccard_est"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, banded into 16-bit
     * pieces (any shared piece → candidate; Hamming ≤ `maxHamming`
     * verified exactly via bit_count(xor)). Guarantees recall for

@@ -45,6 +45,20 @@ class LlmSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing ${expected.diff(pairs)}")
   }
 
+  test("incremental LSH equals the full run restricted to delta-touching pairs") {
+    val base = docs.select($"doc_id", $"text")
+    val delta = base.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" near duplicate suffix")).as("text"))
+    val incr = Dedup.minhashLshDelta(base, delta, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLsh(base.unionByName(delta), col("doc_id"), col("text"))
+      .filter($"id_a" >= 1000000L || $"id_b" >= 1000000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr == full, s"incremental diverges: ${incr.diff(full)} / ${full.diff(incr)}")
+    assert(incr.nonEmpty, "planted delta dups must be found")
+  }
+
   test("containment is directed: embedded doc scores 1.0, container does not") {
     // doc 1 is wholly embedded in doc 2 (which is ~3× larger); doc 3
     // shares the wrapper text so the universe has df>=2 grams beyond
