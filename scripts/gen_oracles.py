@@ -124,6 +124,30 @@ SELECT
  exact_union, exact_intersect
 FROM ms, ic, ex"""
 
+    # ---- q_sliding_distinct: per-wday KMV estimate over the raw
+    # union (equals merged daily sketches by the bottom-k merge
+    # property); same biased hash + estimator as q_approx_distinct ----
+    o["q_sliding_distinct"] = f"""
+WITH e AS (
+ SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+  CAST(({hu}) - 9223372036854775808 AS BIGINT) AS h
+ FROM events),
+d AS (SELECT DISTINCT day FROM e),
+wd AS (SELECT day + off AS wday, day FROM d CROSS JOIN range(0, 7) r(off)),
+nd_days AS (SELECT wday, CAST(count(*) AS BIGINT) AS n_days FROM wd GROUP BY wday),
+wh AS (SELECT DISTINCT w.wday, e.h FROM e JOIN wd w ON e.day = w.day),
+r AS (
+ SELECT wday, h,
+  row_number() OVER (PARTITION BY wday ORDER BY h) AS rn,
+  count(*) OVER (PARTITION BY wday) AS nd
+ FROM wh)
+SELECT r.wday, n_days,
+ CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      ELSE 63.0 * 1.8446744073709552E19
+           / (CAST(h AS DOUBLE) + 9.223372036854776E18) END AS est_users
+FROM r JOIN nd_days USING (wday)
+WHERE rn = CASE WHEN nd < 64 THEN 1 ELSE 64 END"""
+
     # ---- q_cms_heavy_hitters: Count-Min counters recomputed as
     # sum-over-colliding-keys; est(key) = min over depth rows ----
     cms_b = splitmix(f"(({fnv_text('uid')}) + d) % {TWO64}")

@@ -717,12 +717,11 @@ object SparkEntry {
         sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
           .cast("long").as("exact_intersect"))
       a.crossJoin(b).crossJoin(exact)
-        .withColumn("_m", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+        .withColumn("_m",
+          graft.functions.KMinValues.mergeSketches(array(col("ska"), col("skb")), k))
         .withColumn("_msize", size(col("_m")))
         .withColumn("est_union",
-          when(col("_msize") < k, col("_msize").cast("double"))
-            .otherwise(lit((k - 1).toDouble * 1.8446744073709552E19) /
-              (element_at(col("_m"), k).cast("double") + lit(9.223372036854776E18))))
+          graft.functions.KMinValues.estimateFromSketch(col("_m"), k))
         .withColumn("_icnt",
           size(array_intersect(array_intersect(col("_m"), col("ska")), col("skb"))))
         .withColumn("jaccard_est",
@@ -731,6 +730,33 @@ object SparkEntry {
         .select(
           col("est_union"), col("jaccard_est"), col("est_intersect"),
           col("exact_union"), col("exact_intersect"))
+    },
+
+    "q_sliding_distinct" -> { (s, dir) =>
+      // sliding 7-day distinct users from MERGED daily KMV sketches:
+      // one pass builds a 64-long sketch per day; each window then
+      // merges 7 sketches (union+truncate is exact sketch algebra) —
+      // the raw data is never replicated 7× the way an exact sliding
+      // countDistinct would, and daily sketches are reusable state
+      // for any window length
+      import graft.functions.KMinValues._
+      val k = 64
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(eventUs(ev, "ts").as("ts_us"), col("user_id"))
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(kmvSketch(col("user_id"), k).as("sk"))
+      daily
+        .select(col("day"), col("sk"),
+          explode(sequence(lit(0L), lit(6L))).as("off"))
+        .select((col("day") + col("off")).as("wday"), col("sk"))
+        .groupBy(col("wday"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          mergeSketches(collect_list(col("sk")), k).as("m"))
+        .select(col("wday"), col("n_days"),
+          estimateFromSketch(col("m"), k).as("est_users"))
     },
 
     "q_profile_columns" -> { (s, dir) =>

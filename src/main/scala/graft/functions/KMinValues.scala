@@ -148,8 +148,26 @@ case class KMinValuesSketch(
 
 object KMinValues {
   import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
+  import org.apache.spark.sql.functions._
+
   def kmvDistinct(c: Column, k: Int = 64): Column =
     column(KMinValues(expression(c), k).toAggregateExpression())
   def kmvSketch(c: Column, k: Int = 64): Column =
     column(KMinValuesSketch(expression(c), k).toAggregateExpression())
+
+  /** Merge a collected list of sketch arrays: union + truncate. The
+    * bottom-k of a union IS the bottom-k of the union of bottom-k's,
+    * so merged sketches are exactly the sketch of the merged data.
+    */
+  def mergeSketches(sketchList: Column, k: Int): Column =
+    slice(array_sort(array_distinct(flatten(sketchList))), 1, k)
+
+  /** The KMV estimate from a sketch array — IDENTICAL double ops to
+    * [[KMinValues.eval]] (and to the SQL oracle): exact size below
+    * k, else (k−1)·2^64 / u(k).
+    */
+  def estimateFromSketch(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1.8446744073709552E19) /
+        (element_at(sketch, k).cast("double") + lit(9.223372036854776E18)))
 }
