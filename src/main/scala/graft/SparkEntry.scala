@@ -600,6 +600,16 @@ object SparkEntry {
         k = 10)
     },
 
+    "ann_refine_topk" -> { (s, dir) =>
+      // two-stage serving: ADC shortlist of 50 per query from packed
+      // codes, exact cosine re-rank of only those 50 → top-10
+      val e = t(s, dir, "embeddings")
+      Ann.pqRefineTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10, shortlist = 50)
+    },
+
     // --- T: text analysis (documents) ---
     "txt_tokens" -> { (s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), col("doc_id"), col("text"))

@@ -179,6 +179,36 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("adc"), col("rnk"))
   }
 
+  /** Two-stage ANN serving: PQ/ADC compressed-domain scan shortlists
+    * `shortlist` candidates per query, then ONLY those re-rank by
+    * exact cosine — the standard IVFPQ+refine pattern (Jégou et al.,
+    * TPAMI 2011 §V). At 100 TB the scoring scan reads packed 4-bit
+    * codes (1/32 of the vector bytes); full vectors are fetched for
+    * |queries|·shortlist rows via a broadcast hash join against the
+    * corpus scan — the corpus never shuffles in either stage.
+    */
+  def pqRefineTopK(
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, shortlist: Int = 50, m: Int = 8, codebookSize: Int = 16,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cand = pqTopK(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec,
+      k = shortlist, m = m, codebookSize = codebookSize,
+      excludeSelf = excludeSelf)
+      .select(col("q_id"), col("vec_id"))
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
+    val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"))
+    val exact = c
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosineSim(col("q_vec"), col("c_vec")).as("cos"))
+    Collect
+      .topKPerKey(exact, col("q_id"), k, col("cos").desc, col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
   /** Range search: ALL corpus vectors with cosine ≥ `minCos` of each
     * query (vs top-k's fixed count). Same broadcast shape as
     * [[bruteTopK]] — the corpus never shuffles; the filter runs

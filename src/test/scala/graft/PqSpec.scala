@@ -44,6 +44,29 @@ class PqSpec extends SparkSpec {
     assert(perQ.values.forall(_.map(_.getLong(3)).sorted.toSeq == (1L to 5L)))
   }
 
+  test("exact re-rank recall >= PQ-only recall against brute-force truth") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val truth = topSet(Ann.bruteTopK(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10))
+    val pq = topSet(Ann.pqTopK(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10))
+    val refined = topSet(Ann.pqRefineTopK(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10, shortlist = 50))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.keys.map(q => got.getOrElse(q, Set.empty)
+        .intersect(truth(q)).size.toDouble / truth(q).size).sum / truth.size
+    assert(recall(refined) >= recall(pq),
+      s"refine ${recall(refined)} must not lose to raw PQ ${recall(pq)}")
+    assert(refined.values.forall(_.size == 10))
+  }
+
   test("PQ encode stage is map-only: zero Exchange between scan and codes") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("c_vec"))
