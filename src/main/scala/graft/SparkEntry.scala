@@ -664,6 +664,22 @@ object SparkEntry {
           col("n_sampled"))
     },
 
+    "mm_shard_manifest" -> { (s, dir) =>
+      // webdataset-style shard assembly: pack binary payloads into
+      // byte-budgeted shards per modality (next-fit over the real
+      // payload plumbing) and emit the shard manifest — contiguous
+      // doc ranges per shard, the delivery unit a training loader
+      // actually consumes
+      val p = Multimodal.attachPayload(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+      graft.ops.Packing.nextFit(
+          p, col("modality"), col("doc_id"), col("n_bytes"), budget = 8192)
+        .groupBy(col("grp").as("modality"), col("seq_id").as("shard_id"))
+        .agg(
+          count(lit(1)).as("n_files"), sum(col("sz")).as("bytes"),
+          min(col("ord")).as("first_doc"), max(col("ord")).as("last_doc"))
+    },
+
     "q_percentiles" -> { (s, dir) =>
       // exact interpolated quantiles — bit-identical to DuckDB's
       // quantile_cont on this data (verified), unlike approx sketches
@@ -1450,6 +1466,32 @@ object SparkEntry {
         |SELECT source, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM p GROUP BY source, seq""".stripMargin,
+
+    "mm_shard_manifest" ->
+      """WITH RECURSIVE d AS (
+        | SELECT
+        |  CASE CAST(doc_id % 3 AS BIGINT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  row_number() OVER (
+        |    PARTITION BY CASE CAST(doc_id % 3 AS BIGINT) WHEN 0 THEN 'image'
+        |                      WHEN 1 THEN 'audio' ELSE 'video' END
+        |    ORDER BY doc_id) AS rn
+        | FROM documents),
+        |p AS (
+        | SELECT modality, doc_id, n_bytes, rn,
+        |  n_bytes AS acc, CAST(0 AS BIGINT) AS seq
+        | FROM d WHERE rn = 1
+        | UNION ALL
+        | SELECT d.modality, d.doc_id, d.n_bytes, d.rn,
+        |  CASE WHEN p.acc + d.n_bytes > 8192 THEN d.n_bytes
+        |       ELSE p.acc + d.n_bytes END,
+        |  p.seq + CASE WHEN p.acc + d.n_bytes > 8192 THEN 1 ELSE 0 END
+        | FROM p JOIN d ON d.modality = p.modality AND d.rn = p.rn + 1)
+        |SELECT modality, seq AS shard_id, CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(n_bytes) AS BIGINT) AS bytes,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY modality, seq""".stripMargin,
 
     "q_scd2_history" ->
       """SELECT user_id,

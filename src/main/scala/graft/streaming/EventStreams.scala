@@ -97,6 +97,49 @@ object EventStreams {
     * NoTimeout: sessions close only via in-stream gaps, which is
     * fully deterministic for replay/testing.
     */
+  case class KmvOut(
+      event_type: String,
+      est_users: Double,
+      state_size: Int,
+      n_seen: Long)
+
+  /** Running distinct-count estimate per key with O(k) state — the
+    * per-key state is the bottom-k biased-SplitMix64 hash set, the
+    * SAME mergeable KMV summary as the batch `KMinValues` aggregate
+    * (twin: `q_approx_distinct`), so after any prefix of the stream
+    * the estimate EQUALS the batch aggregate over that prefix
+    * (spec-checked). The state never exceeds k longs per key no
+    * matter how many events or distinct users flow through —
+    * streaming cardinality at 100 TB/day without unbounded maps.
+    */
+  def kmvDistinct(events: Dataset[Event], k: Int = 64): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Array[Long], Long), KmvOut](GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Event], state: GroupState[(Array[Long], Long)]) =>
+          val (prev, seen) = state.getOption.getOrElse((Array.empty[Long], 0L))
+          val set = new java.util.TreeSet[java.lang.Long]()
+          prev.foreach(v => set.add(v))
+          var n = seen
+          batch.foreach { e =>
+            set.add(graft.functions.HashOps.splitmix64(e.user_id) + Long.MinValue)
+            if (set.size > k) set.pollLast()
+            n += 1
+          }
+          val arr = new Array[Long](set.size)
+          var i = 0
+          val it = set.iterator()
+          while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+          state.update((arr, n))
+          val est =
+            if (arr.length < k) arr.length.toDouble
+            else ((k - 1).toDouble * 1.8446744073709552E19) /
+              (arr(k - 1).toDouble + 9.223372036854776E18)
+          KmvOut(key, est, arr.length, n)
+      }
+  }
+
   case class FunnelState(t1: Long, t2: Long, t3: Long)
 
   case class FunnelOut(

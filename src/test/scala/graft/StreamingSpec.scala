@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{Event, FunnelOut, SessionOut}
+import graft.streaming.EventStreams.{Event, FunnelOut, KmvOut, SessionOut}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -65,6 +65,29 @@ class StreamingSpec extends SparkSpec {
     val last = spark.table("funout").as[FunnelOut].collect()
       .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.stage).max }
     assert(last == Map(7L -> 3, 8L -> 1))
+  }
+
+  test("streaming KMV distinct equals the batch sketch over the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val out = EventStreams.kmvDistinct(mem.toDS(), k = 8)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("kmvout").start()
+    val batch1 = (1 to 20).map(i => Event(i, i * us, (i % 25).toLong, "click", 1.0))
+    val batch2 = (21 to 40).map(i => Event(i, i * us, ((i * 7) % 100).toLong, "click", 1.0))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("kmvout").as[KmvOut].collect()
+    val streamed = rows.maxBy(_.n_seen) // final state after both batches
+    assert(streamed.n_seen == 40L && streamed.state_size == 8)
+    val batchEst = (batch1 ++ batch2).toDF()
+      .agg(graft.functions.KMinValues.kmvDistinct(col("user_id"), 8))
+      .head().getDouble(0)
+    assert(streamed.est_users == batchEst,
+      s"stream ${streamed.est_users} != batch $batchEst")
   }
 
   test("streaming dedup drops repeated ids within the watermark") {
