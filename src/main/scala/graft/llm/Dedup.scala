@@ -211,12 +211,14 @@ object Dedup {
     * (numerator and denominator share it) and bounds the inverted-
     * index fan-out at maxDf² rows per gram.
     *
-    * Plan shape (single lineage, three shuffles, no self-join that
+    * Plan shape (single lineage, TWO shuffles, no self-join that
     * would re-execute the gram aggregation): explode grams → ONE
     * groupBy(gram) posting aggregation with the df cap applied as a
     * size filter → per-doc rare-gram counts via a window on the
     * posting stream (not a second aggregation over the subtree) →
-    * pair expansion from each posting list → groupBy(pair).
+    * pair expansion from each posting list → groupBy(id_a, id_b),
+    * which reuses the window's id_a hash partitioning (subset
+    * clustering satisfies the grouping) — asserted by PlanSpec.
     */
   def containmentPairs(
       df: DataFrame,

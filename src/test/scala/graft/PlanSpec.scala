@@ -94,6 +94,31 @@ class PlanSpec extends SparkSpec {
     assert(!full.contains("CartesianProduct"), "assignment cross join reappeared")
   }
 
+  test("dd_containment is single-lineage: exactly three shuffles, no join") {
+    val plan = physicalPlan("dd_containment")
+    // gram-posting aggregation + per-doc window; the pair
+    // aggregation reuses the window's id_a partitioning (subset
+    // clustering), and a self-join formulation would add joins and
+    // re-execute the posting subtree
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly 2 hash exchanges")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "containment must not join")
+  }
+
+  test("dd_incremental_lsh probes buckets via broadcast, never shuffles the corpus for the probe") {
+    val plan = physicalPlan("dd_incremental_lsh")
+    assert(plan.contains("BroadcastExchange"),
+      "delta bucket keys should broadcast")
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      "bucket prune + delta-pair filter should both be semi joins")
+    // the only hash shuffle is the surviving buckets' aggregation +
+    // the final pair dedup — the banded corpus stream itself must
+    // reach the semi probe unshuffled
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-side shuffle join appeared in the delta probe")
+  }
+
   test("driver entry() returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
