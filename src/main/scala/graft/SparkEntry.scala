@@ -977,6 +977,20 @@ object SparkEntry {
         s, "/root/repo/data/alignments_sample.csv")
     },
 
+    "src_jsonl_events" -> { (s, _) =>
+      // JSONL ingestion with corrupt-record quarantine: malformed
+      // lines survive verbatim with valid=false instead of killing
+      // the job or vanishing; fixed committed fixture, oracle
+      // classifies the same lines with json_valid
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      graft.sources.JsonLines.readWithQuarantine(
+        s, "/root/repo/data/events_sample.jsonl",
+        StructType(Seq(
+          StructField("id", LongType),
+          StructField("kind", StringType),
+          StructField("amount", DoubleType))))
+    },
+
     // --- the reference's WHOLE weekly-alignments flow in one plan ---
     "q_alignments_e2e" -> { (s, dir) =>
       val r = alignmentsRun(s, dir)
@@ -1285,6 +1299,19 @@ object SparkEntry {
         |           'unit':'DOUBLE','manager_email':'VARCHAR','zip_raw':'VARCHAR'})
         |WHERE region IS NOT NULL AND district IS NOT NULL
         |  AND unit IS NOT NULL AND location_name IS NOT NULL""".stripMargin,
+
+    "src_jsonl_events" ->
+      """SELECT
+        | CASE WHEN json_valid(line)
+        |      THEN TRY_CAST(json_extract(line, '$.id') AS BIGINT) END AS id,
+        | CASE WHEN json_valid(line)
+        |      THEN json_extract_string(line, '$.kind') END AS kind,
+        | CASE WHEN json_valid(line)
+        |      THEN TRY_CAST(json_extract(line, '$.amount') AS DOUBLE) END AS amount,
+        | CASE WHEN json_valid(line) THEN NULL ELSE line END AS raw,
+        | json_valid(line) AS valid
+        |FROM read_csv('/root/repo/data/events_sample.jsonl', header=false,
+        |  columns={'line': 'VARCHAR'}, delim='|', quote='')""".stripMargin,
 
     // hierarchy + assignment phases of the same composed run: groups
     // as two distinct aggregations, assignments as the sorted distinct

@@ -83,6 +83,27 @@ class AlignmentsSpec extends SparkSpec {
     assert(!rows.contains("Location 3") && !rows.contains("Location 7"))
   }
 
+  test("JSONL ingestion quarantines malformed lines, parses the rest") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val df = graft.sources.JsonLines.readWithQuarantine(
+      spark, "/root/repo/data/events_sample.jsonl",
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("kind", StringType),
+        StructField("amount", DoubleType))))
+    val rows = df.collect()
+    assert(rows.length == 14, "every input line must be accounted for")
+    val bad = rows.filter(!_.getAs[Boolean]("valid"))
+    assert(bad.length == 2, "exactly the two malformed lines quarantine")
+    assert(bad.forall(r => r.getAs[String]("raw") != null && r.isNullAt(0)),
+      "quarantined rows carry the verbatim line and no parsed fields")
+    val good = rows.filter(_.getAs[Boolean]("valid"))
+    assert(good.forall(_.getAs[String]("raw") == null))
+    // missing field parses to null without quarantining the row
+    val r8 = good.find(_.getAs[Long]("id") == 8L).get
+    assert(r8.isNullAt(2) && r8.getAs[String]("kind") == "view")
+  }
+
   test("plan shapes: fan-outs broadcast, reconcile is one full-outer join") {
     val (file, apiLocations, equityUsers, corporateUsers, apiUsers) = inputs
     val r = AlignmentsPipeline.run(
