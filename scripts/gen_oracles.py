@@ -343,6 +343,43 @@ r AS (SELECT x, y FROM e
 SELECT x AS doc_id, least(x, min(y)) AS comp
 FROM r GROUP BY x"""
 
+    # composite quality score (shared by dd_keep_best and
+    # curate_pipeline; must stay operation-for-operation identical to
+    # TextAnalysis.qualityScore for bit-exact doubles)
+    quality_expr = """CAST(length(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+    / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) * 0.4
+  + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) >= 3.0
+           AND CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) <= 10.0
+          THEN 0.3 ELSE 0.0 END)
+  + (CASE WHEN CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1
+          THEN 0.2 ELSE 0.0 END)
+  + (CASE WHEN CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.2
+          THEN 0.1 ELSE 0.0 END)"""
+
+    # ---- dd_keep_best: per-cluster canonical by quality argmax
+    # (tie -> min doc_id) over the same LSH-pair closure ----
+    o["dd_keep_best"] = f"""
+WITH RECURSIVE {pr_body}
+),
+e AS MATERIALIZED (SELECT id_a AS x, id_b AS y FROM pr
+      UNION SELECT id_b, id_a FROM pr),
+r AS (SELECT x, y FROM e
+      UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x),
+comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM r GROUP BY x),
+scored AS (
+ SELECT doc_id,
+  {quality_expr} AS quality
+ FROM docs),
+cq AS (SELECT c.comp, c.doc_id, s.quality
+       FROM comp c JOIN scored s USING (doc_id))
+SELECT comp, n_members, doc_id AS keep_id, best_quality FROM (
+ SELECT comp, doc_id,
+  row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn,
+  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members,
+  max(quality) OVER (PARTITION BY comp) AS best_quality
+ FROM cq) _k
+WHERE rn = 1"""
+
     # ---- dd_embed_cosine: tiered exact — native float cosine as a
     # loose prefilter (error ~1e-6 << 0.01 margin), bit-exact double
     # formula decides at 0.98 ----
@@ -392,15 +429,7 @@ WHERE containment >= 0.8"""
 WITH docs AS ({PLANTED_DOCS}),
 scored AS (
  SELECT doc_id, text,
-  CAST(length(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
-    / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) * 0.4
-  + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) >= 3.0
-           AND CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) <= 10.0
-          THEN 0.3 ELSE 0.0 END)
-  + (CASE WHEN CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1
-          THEN 0.2 ELSE 0.0 END)
-  + (CASE WHEN CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.2
-          THEN 0.1 ELSE 0.0 END) AS quality
+  {quality_expr} AS quality
  FROM docs),
 qualified AS (SELECT doc_id, text FROM scored WHERE quality >= 0.4),
 deduped AS (

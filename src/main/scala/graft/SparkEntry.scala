@@ -553,6 +553,25 @@ object SparkEntry {
       Dedup.minhashLshDelta(d, delta, col("doc_id"), col("text"))
     },
 
+    "dd_keep_best" -> { (s, dir) =>
+      // canonical selection per near-dup cluster by QUALITY (argmax,
+      // tie → min id) — the curation policy that keeps the cleanest
+      // member, not the oldest: LSH pairs → connected components →
+      // per-cluster arg-max over the composite quality score, one
+      // aggregation past the clustering
+      val docs = docsWithPlantedDups(s, dir)
+      val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"))
+      val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      val q = TextAnalysis.qualityScore(docs, col("doc_id"), col("text"))
+      comps.join(q, Seq("doc_id"))
+        .groupBy(col("comp"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+            .as("keep_id"),
+          max(col("quality")).as("best_quality"))
+    },
+
     "dd_containment" -> { (s, dir) =>
       // directed rare-gram containment: catches a doc EMBEDDED in a
       // larger one (Jaccard-blind). The planted orig→dup pairs score
