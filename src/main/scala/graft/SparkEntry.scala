@@ -863,6 +863,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("chars"))
     },
 
+    "q_upsert_compact" -> { (s, dir) =>
+      // SCD1 upsert compaction — the primitive behind MERGE INTO:
+      // base ∪ delta, keep the LATEST version per key ((ts, event_id)
+      // order), delta wins ties via the side tag. One union (no
+      // shuffle) + one window shuffle on the key; at 100 TB this is
+      // the nightly compaction of an append log into a current-state
+      // table
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val base = ev.filter(col("event_id") % 10 < 8)
+        .select(col("user_id"), col("event_type"), col("value"),
+          us.as("ts_us"), col("event_id"), lit(0).as("side"))
+      val delta = ev.filter(col("event_id") % 10 >= 8)
+        .select(col("user_id"), col("event_type"), col("value"),
+          us.as("ts_us"), col("event_id"), lit(1).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("side").desc, col("event_id").desc)
+      base.unionByName(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts_us"), col("event_id"))
+    },
+
     "q_scd2_history" -> { (s, dir) =>
       // slowly-changing-dimension type 2: each user's event stream
       // becomes versioned attribute rows with [valid_from, valid_to)
@@ -1538,6 +1562,17 @@ object SparkEntry {
         | CAST(sum(n_bytes) AS BIGINT) AS bytes,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM p GROUP BY modality, seq""".stripMargin,
+
+    "q_upsert_compact" ->
+      """SELECT user_id, event_type, value, ts_us, event_id FROM (
+        | SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id,
+        |  CASE WHEN event_id % 10 >= 8 THEN 1 ELSE 0 END AS side,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC,
+        |             CASE WHEN event_id % 10 >= 8 THEN 1 ELSE 0 END DESC,
+        |             event_id DESC) AS rn
+        | FROM events) _u
+        |WHERE rn = 1""".stripMargin,
 
     "q_scd2_history" ->
       """SELECT user_id,
