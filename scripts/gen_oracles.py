@@ -194,6 +194,17 @@ GROUP BY doc_id"""
 SELECT doc_id, lang FROM documents
 WHERE ({bucket('doc_id', 0, 1000)}) < CASE lang WHEN 'en' THEN 500 ELSE 250 END"""
 
+    # ---- ds_correlated_sample: the SAME per-mille decision on the
+    # shared custkey samples both tables -> referentially intact ----
+    o["ds_correlated_sample"] = f"""
+SELECT c_mktsegment, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+ CAST(count(*) AS BIGINT) AS n_orders,
+ CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE ({bucket('o_custkey', 21, 1000)}) < 100
+  AND ({bucket('c_custkey', 21, 1000)}) < 100
+GROUP BY c_mktsegment"""
+
     o["ds_split_assign"] = f"""
 SELECT doc_id,
  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

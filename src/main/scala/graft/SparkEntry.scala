@@ -830,6 +830,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    "ds_correlated_sample" -> { (s, dir) =>
+      // correlated sampling: the SAME splitmix decision on the
+      // shared key samples every table, so a 10% dev slice keeps
+      // referential integrity — a sampled order's customer is
+      // always present (independent per-table sampling orphans ~90%
+      // of joins; SamplingSpec demonstrates both). Map-only filters,
+      // pushed to both scans
+      import graft.llm.Sampling
+      val cust = t(s, dir, "customer")
+        .filter(Sampling.permilleBucket(col("c_custkey"), 21L) < 100)
+      val ords = t(s, dir, "orders")
+        .filter(Sampling.permilleBucket(col("o_custkey"), 21L) < 100)
+      ords.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+    },
+
     "txt_normalize" -> { (s, dir) =>
       graft.llm.TextAnalysis.normalize(
         t(s, dir, "documents"), col("doc_id"), col("text"))

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 import graft.llm.Sampling
 
 class SamplingSpec extends SparkSpec {
+
+  test("correlated sampling keeps referential integrity; independent sampling breaks it") {
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(Sampling.permilleBucket(col("c_custkey"), 21L) < 100)
+    val ordsCorrelated = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(Sampling.permilleBucket(col("o_custkey"), 21L) < 100)
+    val orphansCorrelated = ordsCorrelated
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(orphansCorrelated == 0, "shared-key sampling must keep every FK resolvable")
+    // independent decision (different key) orphans most sampled orders
+    val ordsIndependent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(Sampling.permilleBucket(col("o_orderkey"), 21L) < 100)
+    val orphansIndependent = ordsIndependent
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(orphansIndependent > 0, "independent sampling should orphan joins")
+  }
   import spark.implicits._
 
   private lazy val ids = spark.range(10000).toDF("id")
