@@ -140,6 +140,39 @@ object EventStreams {
       }
   }
 
+  case class UpsertOut(
+      user_id: Long,
+      event_type: String,
+      value: Double,
+      ts_us: Long,
+      event_id: Long)
+
+  /** Streaming SCD1 upsert — per-key LATEST-state maintenance, the
+    * stream form of `q_upsert_compact`: state per key is one row
+    * (O(1)); each micro-batch replaces it when a newer (ts, id)
+    * arrives. After any prefix of the stream the emitted state
+    * equals the batch latest-per-key compaction over that prefix
+    * (spec-checked) — arrival order never matters because the
+    * (ts_us, event_id) total order decides, not processing order.
+    */
+  def upsertLatest(events: Dataset[Event]): Dataset[UpsertOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Event, UpsertOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Event]) =>
+          var best = state.getOption.orNull
+          batch.foreach { e =>
+            if (best == null ||
+              e.ts_us > best.ts_us ||
+              (e.ts_us == best.ts_us && e.event_id > best.event_id))
+              best = e
+          }
+          state.update(best)
+          UpsertOut(userId, best.event_type, best.value, best.ts_us, best.event_id)
+      }
+  }
+
   case class FunnelState(t1: Long, t2: Long, t3: Long)
 
   case class FunnelOut(

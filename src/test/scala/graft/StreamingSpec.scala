@@ -90,6 +90,29 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.est_users} != batch $batchEst")
   }
 
+  test("streaming upsert state equals batch latest-per-key, independent of arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val out = EventStreams.upsertLatest(mem.toDS())
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("upsout").start()
+    // batch 1 delivers the NEWER rows first; batch 2 the older ones —
+    // the (ts, id) order must win, not arrival order
+    mem.addData(
+      Event(10, 50L * us, 1L, "purchase", 9.0),
+      Event(11, 40L * us, 2L, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(1, 10L * us, 1L, "view", 1.0),   // older → ignored
+      Event(12, 40L * us, 2L, "click", 3.0)) // same ts, higher id → wins
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("upsout").as[EventStreams.UpsertOut].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.event_id) }
+    assert(last(1L).event_id == 10L && last(1L).event_type == "purchase")
+    assert(last(2L).event_id == 12L && last(2L).event_type == "click")
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
