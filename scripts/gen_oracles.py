@@ -194,6 +194,17 @@ GROUP BY doc_id"""
 SELECT doc_id, lang FROM documents
 WHERE ({bucket('doc_id', 0, 1000)}) < CASE lang WHEN 'en' THEN 500 ELSE 250 END"""
 
+    # ---- ds_temperature_sample: τ=1/2 source rebalance — keep iff
+    # u53 < min(1, 2/sqrt(n_src)); the uniform is the top-53-bit
+    # splitmix fraction (exact double), sqrt/div are IEEE-exact ----
+    u53 = (f"(CAST(({splitmix('CAST(doc_id + 19 AS HUGEINT)')}) // 2048 "
+           f"AS DOUBLE) * 1.1102230246251565e-16)")
+    o["ds_temperature_sample"] = f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source)
+SELECT doc_id, source FROM documents JOIN c USING (source)
+WHERE {u53} < least(1.0, 2.0 / sqrt(CAST(n AS DOUBLE)))"""
+
     # ---- ds_correlated_sample: the SAME per-mille decision on the
     # shared custkey samples both tables -> referentially intact ----
     o["ds_correlated_sample"] = f"""
@@ -402,6 +413,93 @@ SELECT id_a, id_b, cos FROM (
  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.97)
 WHERE cos >= 0.98"""
+
+    # ---- integer-exact Lloyd k-means (Cluster.kmeans): init = k
+    # smallest signed splitmix64(id); assignment = max(struct(cos,
+    # cid)) (ties -> larger cid, like IVF); update = per-dim
+    # fixed-point mean floorDiv(sum(floor(v*2^20)), n) / 2^20 —
+    # integer sums are order-invariant, so this replicates Spark's
+    # VectorSumLong bit-for-bit ----
+    def kmeans_ctes(src, k=8, iters=2):
+        sm = to_signed(splitmix("CAST(vec_id AS HUGEINT)"))
+        def assign(name, cent):
+            return f"""{name} AS (
+ SELECT vec_id, embedding, cell FROM (
+  SELECT c.vec_id, c.embedding, t.cid AS cell,
+   row_number() OVER (PARTITION BY c.vec_id
+     ORDER BY {cosine("c.embedding", "t.cent_vec")} DESC, t.cid DESC) AS rn
+  FROM {src} c CROSS JOIN {cent} t)
+ WHERE rn = 1)"""
+        ctes = [f"""cent0 AS (
+ SELECT vec_id AS cid, embedding AS cent_vec FROM {src}
+ ORDER BY {sm}, vec_id LIMIT {k})"""]
+        cur = "cent0"
+        for r in range(1, iters + 1):
+            ctes.append(assign(f"a{r}", cur))
+            ctes.append(f"""q{r} AS (
+ SELECT cell, i,
+  SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+  CAST(COUNT(*) AS BIGINT) AS n
+ FROM a{r} CROSS JOIN range(1, 65) r(i)
+ GROUP BY cell, i)""")
+            ctes.append(f"""cent{r} AS (
+ SELECT cell AS cid,
+  list(CAST((s - ((s % n + n) % n)) // n AS DOUBLE) / 1048576.0 ORDER BY i)
+    AS cent_vec
+ FROM q{r} GROUP BY cell)""")
+            cur = f"cent{r}"
+        ctes.append(assign("afin", cur))
+        return ",\n".join(ctes), cur
+
+    km_ctes, km_cent = kmeans_ctes("emb")
+    o["dd_semantic"] = f"""
+WITH emb AS ({PLANTED_EMB}),
+{km_ctes}
+SELECT cell, id_a, id_b, cos FROM (
+ SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+  {cosine("a.embedding", "b.embedding")} AS cos
+ FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.97)
+WHERE cos >= 0.98"""
+
+    o["q_kmeans_cells"] = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+{km_ctes}
+SELECT a.cell, CAST(count(*) AS BIGINT) AS n_members, t.cent_vec[1] AS c0
+FROM afin a JOIN {km_cent} t ON t.cid = a.cell
+GROUP BY a.cell, t.cent_vec[1]"""
+
+    # ---- q_pagerank: scaled-integer PageRank, 3 unrolled rounds
+    # (Graph.pageRank): rank0 = scale//N; contrib = rank//deg;
+    # rank' = (3·scale//20)//N + (Σcontrib·17)//20 — all BIGINT floor
+    # division on positives, order-invariant, bit-exact ----
+    SCALE = "1000000000000"
+    pr_iters = []
+    prev = "r0"
+    for i in range(1, 4):
+        pr_iters.append(f"""c{i} AS (
+ SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS m
+ FROM e JOIN {prev} r ON r.node = e.src JOIN od d ON d.src = e.src
+ GROUP BY e.dst),
+r{i} AS (
+ SELECT nd.node,
+  CAST(bb.b + ((coalesce(c.m, 0) * 17) // 20) AS BIGINT) AS rank
+ FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node CROSS JOIN basec bb)""")
+        prev = f"r{i}"
+    pr_body = ",\n".join(pr_iters)
+    o["q_pagerank"] = f"""
+WITH p AS (
+ SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+ FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+basec AS (SELECT (({SCALE} * 3) // 20) // n AS b FROM nn),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, {SCALE} // n AS rank FROM nodes CROSS JOIN nn),
+{pr_body}
+SELECT node, rank FROM {prev}"""
 
     # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
     # size-ratio prefilter is sound (J <= min/max sizes) ----

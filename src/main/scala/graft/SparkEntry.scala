@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 
-import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Cluster, Dedup, Multimodal, TextAnalysis}
 import graft.ops.{Collect, Hierarchy, Normalize, Reconcile, Sessionize}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
@@ -586,6 +586,25 @@ object SparkEntry {
         col("embedding"), minCos = 0.98)
     },
 
+    "dd_semantic" -> { (s, dir) =>
+      // SemDeDup: near-dup search scoped to k-means cells (global
+      // geometry) instead of SRP buckets (random hyperplanes) — the
+      // planted scaled copies land in their original's cell because
+      // cosine is scale-invariant, so recall on them is exact
+      Cluster.semanticNearDupPairs(
+        embWithPlantedDups(s, dir), col("vec_id"), col("embedding"),
+        minCos = 0.98, k = 8, iters = 2)
+    },
+
+    "q_kmeans_cells" -> { (s, dir) =>
+      // deterministic integer-exact Lloyd k-means: cell sizes +
+      // first centroid component hash-check the whole clustering
+      val e = t(s, dir, "embeddings")
+      Cluster.cellStats(
+        Cluster.kmeans(e, col("vec_id"), col("embedding"),
+          k = 8, iters = 2))
+    },
+
     // --- A: similarity search (embeddings) ---
     "ann_brute_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
@@ -982,6 +1001,14 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     },
 
+    "ds_temperature_sample" -> { (s, dir) =>
+      // τ=1/2 temperature rebalance: keep P = min(1, 2/√n_source) per
+      // row — big sources flatten toward √n, small ones pass whole
+      graft.llm.Sampling.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), k = 2.0)
+    },
+
     "ds_mix_weighted" -> { (s, dir) =>
       // per-source epoch weights 0.25/0.75/1.25/1.75 derived from the
       // source number; n_emitted counts floor(w) + Bernoulli(frac(w))
@@ -1142,6 +1169,20 @@ object SparkEntry {
         col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
     },
 
+    "q_pagerank" -> { (s, dir) =>
+      // customer↔supplier interaction graph (orders⋈lineitem, both
+      // directions so rank flows multi-hop); node ids disambiguated
+      // by parity. Integer-exact PR — see ops/Graph.pageRank.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val e = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
+    },
+
     // --- order-independent table checksum with rollup grand total ---
     "q_checksum" -> { (s, dir) =>
       import graft.functions.F
@@ -1155,6 +1196,13 @@ object SparkEntry {
     "txt_tfidf" -> { (s, dir) =>
       TextAnalysis.tfidfTopTerms(
         t(s, dir, "documents"), col("doc_id"), col("text"), k = 5)
+    },
+
+    "txt_rare_tokens" -> { (s, dir) =>
+      // hapax/rare-vocabulary profile: distinct tokens occurring in
+      // fewer than 2 docs corpus-wide, per document
+      TextAnalysis.rareTokenStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"), minDf = 2)
     },
 
     // --- duplicate word-8-gram spans (exact-substring-dedup signal) ---
@@ -2100,6 +2148,19 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY doc_id
         |   ORDER BY score DESC, term) AS BIGINT) AS rnk
         |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    "txt_rare_tokens" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_distinct(list_filter(
+        |   regexp_split_to_array(trim(text), '[ \n\t\r]+'), t -> t != ''))) AS tok
+        | FROM documents),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY tok) AS df FROM toks)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        | CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        | CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS rare_ratio
+        |FROM d GROUP BY doc_id""".stripMargin,
 
     "dd_dup_spans" ->
       """WITH docs_wd AS (

@@ -97,6 +97,35 @@ object Sampling {
     df.withColumn("n_copies", (whole + extra).cast("int"))
   }
 
+  /** Temperature-rebalanced source sampling (the τ=1/2 "temperature"
+    * downsampling used to flatten a skewed source mix): each row of
+    * source s survives with probability p_s = min(1, k / √n_s), so a
+    * source's expected contribution is min(n_s, k·√n_s) — huge
+    * sources are downsampled toward the τ=0.5 power of their size,
+    * tiny sources pass through whole.
+    *
+    * Deterministic AND engine-exact: the per-row uniform is the
+    * 53-bit splitmix64 fraction (exact in a double), and p_s uses
+    * only count→double (exact below 2^53), IEEE sqrt (correctly
+    * rounded, bit-identical everywhere) and one division — so the
+    * oracle reproduces every decision bit-for-bit.
+    *
+    * Scale shape: one map-combined count aggregation over the corpus
+    * (a few-row result), broadcast back, then a map-only filter —
+    * the data never shuffles.
+    */
+  def temperatureSample(
+      df: DataFrame, id: Column, source: Column,
+      k: Double, salt: Long = 19L): DataFrame = {
+    val counts = df.groupBy(source.as("_src")).agg(count(lit(1)).as("_n"))
+    val u = shiftrightunsigned(F.splitmix64(id + lit(salt)), 11)
+      .cast("double") * lit(1.1102230246251565e-16) // 2^-53
+    val p = least(lit(1.0), lit(k) / sqrt(col("_n").cast("double")))
+    df.join(broadcast(counts), source === col("_src"))
+      .filter(u < p)
+      .drop("_src", "_n")
+  }
+
   /** Explode `n_copies` into one row per copy with a 0-based
     * `copy_idx`; rows with zero copies disappear. Map-only.
     */

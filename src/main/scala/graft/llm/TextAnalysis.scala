@@ -259,6 +259,34 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** Rare-token (out-of-vocabulary) profile per document: of a doc's
+    * DISTINCT whitespace tokens, how many occur in fewer than `minDf`
+    * documents corpus-wide. A high rare fraction flags noisy or
+    * garbled text (hapax-heavy docs) — the vocabulary-level quality
+    * signal length/punct ratios can't see.
+    *
+    * Shape: explode distinct tokens → one shuffle keyed by token for
+    * the document-frequency window → one shuffle back to the doc key
+    * for the rollup. The ratio is one integer-to-double division —
+    * engine-exact.
+    */
+  def rareTokenStats(
+      df: DataFrame, id: Column, text: Column, minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(id.as("doc_id"),
+        explode(array_distinct(split(trim(text), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_distinct_tokens").cast("double"))
+  }
+
   // Patterns restricted to syntax with identical semantics in Java
   // regex (Spark) and RE2 (DuckDB/Go): classes, bounded repeats,
   // alternation-free — no lookaround, no backrefs.

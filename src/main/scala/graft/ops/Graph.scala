@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed iterative graph analytics (beyond the label-propagation
+  * connected components in [[graft.llm.Dedup.connectedComponents]]).
+  *
+  * PageRank here is made fully deterministic the same way the k-means
+  * centroid update is: ALL arithmetic is scaled-integer. Float
+  * summation order would make the ranks partition-dependent; integer
+  * contribution sums are commutative, so the result is bit-identical
+  * on any cluster and recomputable by a SQL oracle with the division
+  * chain unrolled.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in scaled-integer arithmetic.
+    *
+    * Semantics (unnormalized variant — deterministic and oracle-
+    * checkable):
+    *   rank_0(v)   = scale div N
+    *   contrib(u→v)= rank_t(u) div outdeg(u)
+    *   rank_{t+1}(v) = (3·scale div 20) div N + (Σ contrib · 17) div 20
+    * i.e. damping 0.85 = 17/20 as exact integer ops; mass lost to
+    * dangling nodes and floor-division remainders is NOT redistributed
+    * (ranks are scores, not a probability distribution — ordering is
+    * what matters, and floor loss is ≤ outdeg ULPs per node).
+    *
+    * Scale shape per iteration: one shuffle joining ranks to edges on
+    * src + one aggregation on dst — the canonical distributed PR
+    * round. `edges` is cached by the caller if reused; the node count
+    * is the only driver-side scalar (one count job, control-plane).
+    */
+  def pageRank(
+      edges: DataFrame, src: Column, dst: Column,
+      iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = (scale * 3 / 20) / n
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(outdeg, Seq("src"))
+    var rank = nodes.withColumn("rank", lit(scale / n))
+    var it = 0
+    while (it < iters) {
+      val contribs = edgesDeg
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      rank = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(coalesce(in_mass, 0L) * 17) div 20")).as("rank"))
+      it += 1
+    }
+    rank
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+import graft.llm.{Sampling, TextAnalysis}
+
+/** Integer-exact PageRank + the r4 sampling/text additions. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank is partition-insensitive (integer contribution sums)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(e, col("src"), col("dst"), iters = 3)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(e.repartition(5), col("src"), col("dst"), iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getLong(1) > 0L))
+  }
+
+  test("pageRank orders a star graph correctly: hub above leaves") {
+    // leaves all point at the hub and the hub points back — the hub
+    // aggregates every leaf's mass, each leaf gets 1/n of the hub's
+    val leaves = (2L to 6L)
+    val e = (leaves.map(l => (l, 1L)) ++ leaves.map(l => (1L, l))).toDF("src", "dst")
+    val r = Graph.pageRank(e, col("src"), col("dst"), iters = 3)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(leaves.forall(l => r(1L) > r(l)), s"hub must outrank leaves: $r")
+    // symmetric leaves tie exactly — integer arithmetic, no noise
+    assert(leaves.map(r).toSet.size == 1, "equivalent leaves must tie bit-exactly")
+  }
+
+  test("temperatureSample flattens big sources and passes small ones whole") {
+    val df = (1L to 2000L).map(i => (i, if (i <= 1900) "big" else "small"))
+      .toDF("doc_id", "source")
+    // k = 2: p_small = min(1, 2/10) = 0.2 (n=100), p_big = 2/√1900 ≈ .046
+    val kept = Sampling.temperatureSample(df, col("doc_id"), col("source"), k = 2.0)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = bySrc.getOrElse("big", 0L).toDouble
+    val small = bySrc.getOrElse("small", 0L).toDouble
+    // expected: big ≈ 1900·0.0459 ≈ 87, small ≈ 100·0.2 = 20; the
+    // REBALANCE property is big/small shrinking from 19× to ~4×
+    assert(big / small < 10.0, s"big source must be flattened: $bySrc")
+    assert(small > 5 && big > 40, s"both sources must survive: $bySrc")
+    // deterministic: same decisions under repartitioning
+    val again = Sampling
+      .temperatureSample(df.repartition(7), col("doc_id"), col("source"), k = 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("temperatureSample with k covering every source keeps everything") {
+    val df = (1L to 50L).map(i => (i, "only")).toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(df, col("doc_id"), col("source"), k = 8.0)
+    assert(kept.count() == 50L, "p = min(1, 8/√50) > 1 clamps to keep-all")
+  }
+
+  test("rareTokenStats counts hapax tokens against corpus df") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha epsilon epsilon")).toDF("doc_id", "text")
+    // df: alpha=3, beta=2, gamma=1, delta=1, epsilon=1 (distinct per doc)
+    val r = TextAnalysis.rareTokenStats(df, col("doc_id"), col("text"), minDf = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((3L, 1L, 1.0 / 3.0)))   // gamma rare
+    assert(r(2L) == ((3L, 1L, 1.0 / 3.0)))   // delta rare
+    assert(r(3L) == ((2L, 1L, 0.5)))         // epsilon distinct-counted once
+  }
+}
