@@ -22,7 +22,10 @@ object Bench {
     "q_agg_pricing", "q_hierarchy_rollup", "q_merge_indicator",
     "q_window_topk", "q_sessionize", "q_events_window",
     "dd_exact_hash", "dd_minhash_lsh", "dd_components",
-    "ann_brute_topk", "txt_quality", "curate_pipeline")
+    "ann_brute_topk", "txt_quality", "curate_pipeline",
+    // r4 additions: the two iterative heavyweights (Lloyd rounds /
+    // PR rounds — driver-chained jobs, the hardest local[32] shape)
+    "dd_semantic", "q_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,15 +35,20 @@ object Graph {
   def pageRank(
       edges: DataFrame, src: Column, dst: Column,
       iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    // localCheckpoint each round (the connectedComponents idiom):
+    // without it iteration t's LAZY plan re-executes iterations
+    // 1..t−1, turning k rounds into O(k²) work and unbounded plan
+    // depth — the difference between 3 rounds locally and 50 rounds
+    // on a cluster.
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val base = (scale * 3 / 20) / n
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = e.join(outdeg, Seq("src"))
+    val edgesDeg = e.join(outdeg, Seq("src")).localCheckpoint()
     var rank = nodes.withColumn("rank", lit(scale / n))
     var it = 0
     while (it < iters) {
@@ -54,6 +59,7 @@ object Graph {
       rank = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(coalesce(in_mass, 0L) * 17) div 20")).as("rank"))
+        .localCheckpoint()
       it += 1
     }
     rank
