@@ -205,6 +205,17 @@ WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
 SELECT doc_id, source FROM documents JOIN c USING (source)
 WHERE {u53} < least(1.0, 2.0 / sqrt(CAST(n AS DOUBLE)))"""
 
+    # ---- ds_interleave: weighted interleave key — (53-bit splitmix
+    # fraction as an integer) floor-div weight; sorting by ikey gives
+    # every prefix the weight-proportional source mix ----
+    o["ds_interleave"] = f"""
+SELECT doc_id, source,
+ CAST((({splitmix('CAST(doc_id + 23 AS HUGEINT)')}) // 2048)
+  // (CASE WHEN source IN ('src0','src1','src2','src3','src4',
+        'src5','src6','src7','src8','src9') THEN 1000 ELSE 250 END)
+  AS BIGINT) AS ikey
+FROM documents"""
+
     # ---- ds_correlated_sample: the SAME per-mille decision on the
     # shared custkey samples both tables -> referentially intact ----
     o["ds_correlated_sample"] = f"""

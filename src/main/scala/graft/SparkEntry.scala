@@ -1169,6 +1169,38 @@ object SparkEntry {
         col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
     },
 
+    "q_anomaly" -> { (s, dir) =>
+      // event-volume anomaly watch: per-type daily counts scored
+      // against the strictly-trailing 7-day window (the data-quality
+      // monitor a production feed runs)
+      val ev = t(s, dir, "events")
+      val counts = ev
+        .select(col("event_type"), eventUs(ev, "ts").as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+      graft.ops.Timeseries.anomalyScores(
+        counts, "event_type", "day", "n_events", window = 7)
+    },
+
+    "q_quantile_bins" -> { (s, dir) =>
+      // equi-depth feature bucketization: price deciles per return
+      // flag with a unique tiebreak so the split is engine-exact
+      val l = t(s, dir, "lineitem")
+      graft.ops.Stats.quantileBins(
+        l, col("l_returnflag"), col("l_extendedprice").cast("double"),
+        col("l_orderkey") * 10 + col("l_linenumber"), bins = 10)
+    },
+
+    "ds_interleave" -> { (s, dir) =>
+      // weighted interleave order: src0-9 at weight 1000, src10-19 at
+      // 250 — sorting by ikey gives every prefix a 4:1 source ratio
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> (if (i < 10) 1000 else 250)).toMap
+      graft.llm.Sampling.interleaveKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), weights)
+    },
+
     "q_pagerank" -> { (s, dir) =>
       // customer↔supplier interaction graph (orders⋈lineitem, both
       // directions so rank flows multi-hop); node ids disambiguated
@@ -2148,6 +2180,36 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY doc_id
         |   ORDER BY score DESC, term) AS BIGINT) AS rnk
         |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, day, n_events,
+        |  CAST(sum(n_events) OVER win AS DOUBLE) AS s1,
+        |  CAST(sum(n_events * n_events) OVER win AS DOUBLE) AS s2,
+        |  count(*) OVER win AS n
+        | FROM c WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events,
+        | s1 / 7.0 AS baseline_mean,
+        | CASE WHEN ((s2 - (s1 * s1) / 7.0) / 6.0) > 0.0
+        |      THEN (CAST(n_events AS DOUBLE) - s1 / 7.0)
+        |           / sqrt((s2 - (s1 * s1) / 7.0) / 6.0)
+        |      ELSE NULL END AS z
+        |FROM w WHERE n = 7""".stripMargin,
+
+    "q_quantile_bins" ->
+      """SELECT key, bin, CAST(count(*) AS BIGINT) AS n,
+        | min(v) AS lo, max(v) AS hi FROM (
+        | SELECT l_returnflag AS key, CAST(l_extendedprice AS DOUBLE) AS v,
+        |  CAST(ntile(10) OVER (PARTITION BY l_returnflag
+        |    ORDER BY CAST(l_extendedprice AS DOUBLE),
+        |             l_orderkey * 10 + l_linenumber) AS BIGINT) AS bin
+        | FROM lineitem)
+        |GROUP BY key, bin""".stripMargin,
 
     "txt_rare_tokens" ->
       """WITH toks AS (

@@ -126,6 +126,32 @@ object Sampling {
       .drop("_src", "_n")
   }
 
+  /** Weighted interleave ORDER (the epoch scheduling companion to
+    * [[mixWeighted]]'s copy counts): sorting by the emitted `ikey`
+    * yields a global training order in which EVERY prefix contains
+    * sources in proportion to their weights — rows with hash h sort
+    * at h/w, so a prefix cut at threshold τ holds each source's rows
+    * with h < τ·w, a fraction ∝ w.
+    *
+    * ikey = (splitmix64(id+salt) >>> 11) div w_permille — pure
+    * integer math on the 53-bit hash, map-only (no per-source rank
+    * window, which would funnel each source through one partition at
+    * scale). Compose with [[shuffleOrder]]'s range-partition sort to
+    * materialize the order.
+    */
+  def interleaveKey(
+      df: DataFrame, id: Column, source: Column,
+      weightsPermille: Map[String, Int], salt: Long = 23L): DataFrame = {
+    require(weightsPermille.values.forall(_ > 0), "weights must be positive")
+    val wPm = weightsPermille.toSeq.sortBy(_._1).foldLeft(lit(1)) {
+      case (acc, (k, v)) => when(source === lit(k), lit(v)).otherwise(acc)
+    }
+    df.withColumn("_u", shiftrightunsigned(F.splitmix64(id + lit(salt)), 11))
+      .withColumn("_w", wPm.cast("long"))
+      .withColumn("ikey", expr("_u div _w"))
+      .drop("_u", "_w")
+  }
+
   /** Explode `n_copies` into one row per copy with a 0-based
     * `copy_idx`; rows with zero copies disappear. Map-only.
     */

@@ -78,6 +78,37 @@ object Stats {
         max(col("_v")).as("v_max"))
       .withColumn("bin_lo", col("bin") * binWidth)
 
+  /** Equi-depth (quantile) binning — the feature-engineering
+    * bucketizer: `bins`-way ntile over a TOTAL order (value +
+    * unique tiebreak, so tied values split deterministically and the
+    * result is engine-exact), summarized per (key, bin) as count +
+    * value range. Both Spark and DuckDB implement ntile with the
+    * same floor-split rule (earlier tiles take the remainder), so
+    * the bin boundaries match bit-for-bit.
+    *
+    * Shape: one shuffle on the key for the window; the summary
+    * aggregation then groups by (key, bin) — a subset of rows per
+    * key, map-side combinable. At 100 TB, keys must be reasonably
+    * numerous (per-key windows sort within a partition); for ONE
+    * global key use `q_percentiles`-style interpolated quantile cuts
+    * instead.
+    */
+  def quantileBins(
+      df: DataFrame, key: Column, value: Column, tiebreak: Column,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(key.as("_key"), value.as("_v"), tiebreak.as("_t"))
+      .withColumn("bin",
+        ntile(bins).over(
+          Window.partitionBy(col("_key")).orderBy(col("_v"), col("_t")))
+          .cast("long"))
+      .groupBy(col("_key").as("key"), col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("_v")).as("lo"),
+        max(col("_v")).as("hi"))
+  }
+
   /** Per-key IQR outlier report: exact interpolated quartiles (the
     * same bit-exact `percentile` as `q_percentiles`), Tukey fences at
     * 1.5·IQR, and counts below/above the fences.

@@ -52,6 +52,43 @@ object Timeseries {
       count(lit(1)).over(w).cast("long").as("n_window"))
   }
 
+  /** Trailing-window z-score anomaly detection: each observation is
+    * scored against the mean/std of the `window` rows strictly BEFORE
+    * it (so the anomaly never contaminates its own baseline). Only
+    * rows with a full baseline window emit a score — partial windows
+    * would make the early scores depend on series start, which is
+    * noise, not signal.
+    *
+    * Determinism: the windowed aggregates are INTEGER sums (the value
+    * must be integral — counts); mean/var/z are then a fixed dag of
+    * double ops on those integers, so every engine computes the same
+    * bits. Sample variance via the power-sum identity
+    * (Σx² − (Σx)²/n)/(n−1). One shuffle on the key.
+    */
+  def anomalyScores(
+      counts: DataFrame, key: String, step: String, value: String,
+      window: Int = 7): DataFrame = {
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(step))
+      .rowsBetween(-window, -1)
+    val s1 = sum(col(value)).over(w).cast("double")
+    val s2 = sum(col(value) * col(value)).over(w).cast("double")
+    val n = count(lit(1)).over(w)
+    val nd = lit(window).cast("double")
+    val mean = s1 / nd
+    val variance = (s2 - (s1 * s1) / nd) / (nd - 1.0)
+    counts
+      .select(col(key), col(step), col(value),
+        n.as("_n"), mean.as("baseline_mean"), variance.as("_var"))
+      .filter(col("_n") === window)
+      .select(col(key), col(step), col(value),
+        col("baseline_mean"),
+        when(col("_var") > 0.0,
+          (col(value).cast("double") - col("baseline_mean")) / sqrt(col("_var")))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   def resampleFill(
       daily: DataFrame, key: String, step: String, value: String): DataFrame = {
     val bounds = daily

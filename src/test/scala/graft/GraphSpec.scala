@@ -58,6 +58,51 @@ class GraphSpec extends SparkSpec {
     assert(kept.count() == 50L, "p = min(1, 8/√50) > 1 clamps to keep-all")
   }
 
+  test("anomalyScores uses the strictly-trailing window and needs a full baseline") {
+    // key k: 7 days at 10, then a spike of 24
+    val rows = ((1 to 7).map(d => ("k", d.toLong, 10L)) :+ (("k", 8L, 24L))).toDF(
+      "key", "day", "n")
+    val r = graft.ops.Timeseries.anomalyScores(rows, "key", "day", "n", window = 7)
+      .collect()
+    // days 1..7 lack a full trailing window; only day 8 scores
+    assert(r.length == 1 && r.head.getLong(1) == 8L)
+    assert(r.head.getDouble(3) == 10.0, "baseline excludes the spike itself")
+    assert(r.head.isNullAt(4), "zero baseline variance yields null z, not Inf")
+    // with variance: 6 tens + one 17 baseline, spike vs it
+    val rows2 = ((1 to 6).map(d => ("k", d.toLong, 10L)) ++
+      Seq(("k", 7L, 17L), ("k", 8L, 24L))).toDF("key", "day", "n")
+    val z = graft.ops.Timeseries.anomalyScores(rows2, "key", "day", "n", window = 7)
+      .collect().head.getDouble(4)
+    assert(z > 4.0 && z < 5.5, s"spike should score strongly positive, got $z")
+  }
+
+  test("quantileBins splits equi-depth with the standard ntile remainder rule") {
+    val df = (1L to 23L).map(i => ("g", i.toDouble, i)).toDF("g", "v", "id")
+    val bins = graft.ops.Stats.quantileBins(df, col("g"), col("v"), col("id"), bins = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // 23 rows into 4 tiles: 6,6,6,5 with earlier tiles taking extras
+    assert(bins(1L) == ((6L, 1.0, 6.0)))
+    assert(bins(2L) == ((6L, 7.0, 12.0)))
+    assert(bins(3L) == ((6L, 13.0, 18.0)))
+    assert(bins(4L) == ((5L, 19.0, 23.0)))
+  }
+
+  test("interleaveKey prefixes hold weight-proportional source mixes, map-only") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val keyed = Sampling.interleaveKey(df, col("doc_id"), col("source"),
+      Map("a" -> 1000, "b" -> 250))
+    assert(!keyed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "interleave key must be a pure projection")
+    // first quarter of the ikey order: a (4x weight) should outnumber
+    // b by roughly 4:1 (both have 2000 rows total)
+    val prefix = keyed.orderBy("ikey").limit(1000).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratio = prefix("a").toDouble / prefix("b").toDouble
+    assert(ratio > 2.5 && ratio < 6.0, s"expected ~4:1 prefix mix, got $prefix")
+  }
+
   test("rareTokenStats counts hapax tokens against corpus df") {
     val df = Seq(
       (1L, "alpha beta gamma"),
