@@ -102,5 +102,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { checkArity("kmv_sketch", args, 1, 2)
         KMinValuesSketch(args.head,
           if (args.length > 1) intArg(args(1), "k") else 64).toAggregateExpression() }))
+
+    ext.injectFunction((
+      FunctionIdentifier("quantize_vec"),
+      info("quantize_vec",
+        "quantize_vec(vec, bits) - fixed-point floor(v*2^bits) per component, array<float> -> array<long>"),
+      (args: Seq[Expression]) => { checkArity("quantize_vec", args, 1, 2)
+        QuantizeVec(args.head, if (args.length > 1) intArg(args(1), "bits") else 20) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum_long"),
+      info("vec_sum_long",
+        "vec_sum_long(vec) - element-wise sum of array<long> columns, order-invariant (aggregate)"),
+      (args: Seq[Expression]) => { checkArity("vec_sum_long", args, 1, 1)
+        VectorSumLong(args.head).toAggregateExpression() }))
   }
 }

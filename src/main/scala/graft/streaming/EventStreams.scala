@@ -140,6 +140,55 @@ object EventStreams {
       }
   }
 
+  case class DayCount(event_type: String, day: Long, n: Long)
+
+  case class AnomalyOut(
+      event_type: String,
+      day: Long,
+      n_events: Long,
+      baseline_mean: Double,
+      z: Option[Double])
+
+  /** Streaming trailing-window anomaly watch — the stream form of
+    * `q_anomaly` (`ops/Timeseries.anomalyScores`): per key the state
+    * is the last `window` (day, count) pairs — O(window) longs
+    * forever — and each arriving closed-day count is z-scored
+    * against them with the IDENTICAL integer-sums → double dag, so
+    * when days arrive in ascending day order the emitted scores
+    * EQUAL the batch operator over the same prefix (spec-checked;
+    * out-of-order days score against whatever the trailing buffer
+    * holds — the arrival-order trade `st_funnel` also states).
+    * Rows without a full baseline emit nothing, like the batch op.
+    */
+  def anomalyWatch(
+      counts: Dataset[DayCount], window: Int = 7): Dataset[AnomalyOut] = {
+    import counts.sparkSession.implicits._
+    counts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[(Long, Long)], AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[DayCount], state: GroupState[Array[(Long, Long)]]) =>
+          var ring = state.getOption.getOrElse(Array.empty[(Long, Long)])
+          val out = Vector.newBuilder[AnomalyOut]
+          batch.toSeq.sortBy(c => (c.day, c.n)).foreach { c =>
+            if (ring.length == window) {
+              var s1l = 0L; var s2l = 0L
+              ring.foreach { case (_, n) => s1l += n; s2l += n * n }
+              val nd = window.toDouble
+              val s1 = s1l.toDouble; val s2 = s2l.toDouble
+              val mean = s1 / nd
+              val variance = (s2 - (s1 * s1) / nd) / (nd - 1.0)
+              val z = if (variance > 0.0)
+                Some((c.n.toDouble - mean) / math.sqrt(variance)) else None
+              out += AnomalyOut(key, c.day, c.n, mean, z)
+            }
+            ring = (ring :+ (c.day, c.n)).takeRight(window)
+          }
+          state.update(ring)
+          out.result().iterator
+      }
+  }
+
   case class UpsertOut(
       user_id: Long,
       event_type: String,

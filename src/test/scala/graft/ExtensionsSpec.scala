@@ -47,6 +47,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT kmv_sketch(x, 16) FROM (SELECT explode(sequence(1, 40)) AS x)")
         .head().getSeq[Long](0)
       assert(sk.size == 16 && sk == sk.sorted) // k-truncated, ascending
+      val qv = spark.sql(
+        "SELECT quantize_vec(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 20)")
+        .head().getSeq[Long](0)
+      assert(qv == Seq(524288L, -262144L)) // floor(v * 2^20), exact
+      val vs = spark.sql(
+        """SELECT vec_sum_long(v) FROM (
+          |  SELECT array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)) AS v
+          |  UNION ALL SELECT array(CAST(10 AS BIGINT), CAST(20 AS BIGINT)))""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(vs == Seq(11L, 22L))
     } finally {
       // restore the shared session; don't stop the shared SparkContext
       prevDefault.foreach(SparkSession.setDefaultSession)

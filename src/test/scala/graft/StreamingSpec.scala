@@ -161,6 +161,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 100L)))
   }
 
+  test("streaming anomaly watch equals the batch scorer over in-order days") {
+    import graft.streaming.EventStreams.{AnomalyOut, DayCount}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DayCount]
+    val out = EventStreams.anomalyWatch(mem.toDS(), window = 7)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("anomout").start()
+    // 10 days of counts with variance, split across micro-batches to
+    // prove state carries the trailing buffer over
+    val counts = Seq(10L, 12L, 9L, 11L, 10L, 13L, 10L, 30L, 11L, 10L)
+      .zipWithIndex.map { case (n, i) => DayCount("click", i + 1L, n) }
+    mem.addData(counts.take(6): _*)
+    q.processAllAvailable()
+    mem.addData(counts.drop(6): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("anomout").as[AnomalyOut].collect()
+      .map(a => (a.day, a.n_events, a.baseline_mean, a.z.getOrElse(Double.NaN)))
+      .toSet
+    val batch = graft.ops.Timeseries
+      .anomalyScores(counts.toDF("event_type", "day", "n"),
+        "event_type", "day", "n", window = 7)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed.exists { case (day, _, _, z) => day == 8L && z > 4.0 },
+      "the planted spike on day 8 must score")
+  }
+
   test("custom codegen expressions run inside a streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
