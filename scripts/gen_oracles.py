@@ -325,6 +325,19 @@ JOIN sized s ON s.piece = a.piece AND s.pval = a.pval
 WHERE s.bn BETWEEN 2 AND 256
   AND bit_count(xor(a.sig, b.sig)) <= 3"""
 
+    # ---- dd_lsh_stats: bucket-size histogram per band (raw-slice
+    # bucket keys — engine-exact, no hash) ----
+    o["dd_lsh_stats"] = f"""
+WITH sigs AS (SELECT doc_id, {minhash_sig("text")} AS sig FROM documents),
+b AS (
+ SELECT band, sig[band*4+1 : band*4+4] AS bkey
+ FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) _b),
+g AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS bucket_size
+      FROM b GROUP BY band, bkey)
+SELECT CAST(band AS BIGINT) AS band, bucket_size,
+ CAST(count(*) AS BIGINT) AS n_buckets
+FROM g GROUP BY band, bucket_size"""
+
     # ---- dd_minhash_lsh: full signature + banding pipeline. Pairs
     # share a (band, 4-long slice) bucket of size in [2, maxBucket],
     # estimate = matching signature positions / 64 >= 0.5. (Spark

@@ -586,6 +586,12 @@ object SparkEntry {
         col("embedding"), minCos = 0.98)
     },
 
+    "dd_lsh_stats" -> { (s, dir) =>
+      // LSH parameter tuning: bucket-size histogram per band — the
+      // report that says whether (shingle, bands) fits this corpus
+      Dedup.lshBucketStats(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     "dd_semantic" -> { (s, dir) =>
       // SemDeDup: near-dup search scoped to k-means cells (global
       // geometry) instead of SRP buckets (random hyperplanes) — the

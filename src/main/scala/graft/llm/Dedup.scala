@@ -82,6 +82,39 @@ object Dedup {
       .agg(max(col("jaccard_est")).as("jaccard_est"))
   }
 
+  /** LSH tuning report: the bucket-size DISTRIBUTION per band —
+    * (band, bucket_size, n_buckets). This is how band/row parameters
+    * are chosen operationally: a healthy configuration shows mostly
+    * size-1 buckets with a thin near-dup tail; mass above
+    * [[minhashLsh]]'s `maxBucket` cap means the shingle/band choice
+    * is degenerate for this corpus and pairs are being dropped.
+    * Buckets are keyed by the raw band slice (no hash), so the
+    * report is engine-exact.
+    *
+    * Shape: map-side signatures + band explode, one (band, key)
+    * aggregation (map-combining), then the histogram rollup on
+    * (band, size) — both shuffles carry bucket-cardinality rows.
+    */
+  def lshBucketStats(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingle: Int = 5,
+      perms: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    df.select(id.as("doc_id"), F.minhashSig(text, shingle, perms).as("sig"))
+      .select(
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("band").cast("long").as("band"),
+        slice(col("sig"), col("band") * rows + 1, lit(rows)).as("bkey"))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
   /** INCREMENTAL MinHash-LSH: near-dup pairs of an incoming `delta`
     * batch against the `base` corpus (plus within-delta pairs) —
     * result equals [[minhashLsh]] over base ∪ delta restricted to

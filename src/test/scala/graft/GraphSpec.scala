@@ -103,6 +103,19 @@ class GraphSpec extends SparkSpec {
     assert(ratio > 2.5 && ratio < 6.0, s"expected ~4:1 prefix mix, got $prefix")
   }
 
+  test("lshBucketStats conserves corpus mass per band") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val stats = graft.llm.Dedup.lshBucketStats(docs, col("doc_id"), col("text"))
+    // every doc lands in exactly one bucket per band
+    val perBand = stats
+      .groupBy("band")
+      .agg(sum(col("bucket_size") * col("n_buckets")).as("mass"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBand.size == 16 && perBand.values.forall(_ == n), s"mass: $perBand")
+  }
+
   test("rareTokenStats counts hapax tokens against corpus df") {
     val df = Seq(
       (1L, "alpha beta gamma"),
