@@ -325,6 +325,30 @@ JOIN sized s ON s.piece = a.piece AND s.pval = a.pval
 WHERE s.bn BETWEEN 2 AND 256
   AND bit_count(xor(a.sig, b.sig)) <= 3"""
 
+    # ---- mm_phash_dedup: banded Hamming<=3 on the stubbed pHash
+    # (splitmix of payload FNV); planted copies flip bit doc_id%64 —
+    # same banding + cap replication as dd_simhash ----
+    ph = to_signed(splitmix(fnv_text("text")))
+    flip = to_signed("(CAST(1 AS HUGEINT) << CAST(doc_id % 64 AS INT))")
+    o["mm_phash_dedup"] = f"""
+WITH base AS (SELECT doc_id, {ph} AS sig FROM documents),
+pl AS (SELECT doc_id + 1000000 AS doc_id, xor(sig, {flip}) AS sig
+       FROM base WHERE doc_id % 50 = 0),
+sigs AS (SELECT doc_id, sig FROM base UNION ALL SELECT doc_id, sig FROM pl),
+pieces AS (
+ SELECT doc_id, sig, piece,
+  (CAST(sig AS HUGEINT) + CASE WHEN sig < 0 THEN {TWO64} ELSE 0 END)
+    // ([1, 65536, 4294967296, 281474976710656])[piece+1] % 65536 AS pval
+ FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS piece) _p),
+sized AS (SELECT piece, pval, count(*) AS bn FROM pieces GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+ CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM pieces a
+JOIN pieces b ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id
+JOIN sized s ON s.piece = a.piece AND s.pval = a.pval
+WHERE s.bn BETWEEN 2 AND 256
+  AND bit_count(xor(a.sig, b.sig)) <= 3"""
+
     # ---- dd_lsh_stats: bucket-size histogram per band (raw-slice
     # bucket keys — engine-exact, no hash) ----
     o["dd_lsh_stats"] = f"""

@@ -724,6 +724,25 @@ object SparkEntry {
           min(col("ord")).as("first_doc"), max(col("ord")).as("last_doc"))
     },
 
+    "mm_phash_dedup" -> { (s, dir) =>
+      // perceptual-hash media dedup: base corpus hashes its payloads
+      // (the [[Multimodal.phashDedupPairs]] path — stubbed pHash,
+      // real banding); planted copies perturb ONE hash bit (a
+      // lightly-edited image) and the banded pigeonhole must
+      // recover every one exactly
+      import graft.functions.F
+      val base = Multimodal
+        .attachPayload(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          F.splitmix64(F.fnvBinary(col("payload"))).as("sig"))
+      val planted = base.filter(col("doc_id") % 50 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        col("sig").bitwiseXOR(
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 64 AS INT))"))
+          .as("sig"))
+      Dedup.hammingPairs(base.unionByName(planted), maxHamming = 3)
+    },
+
     "q_percentiles" -> { (s, dir) =>
       // exact interpolated quantiles — bit-identical to DuckDB's
       // quantile_cont on this data (verified), unlike approx sketches

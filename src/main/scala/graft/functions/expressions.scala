@@ -173,6 +173,22 @@ case class FnvText(child: Expression) extends UnaryExpression with ImplicitCastI
   override protected def withNewChildInternal(c: Expression): FnvText = copy(child = c)
 }
 
+/** FNV-1a 64 of a binary payload (codegen) — the byte-level twin of
+  * [[FnvText]] for multimodal columns.
+  */
+case class FnvBinary(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    HashOps.fnv1a64(b, 0, b.length)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.fnv1a64($c, 0, ($c).length)")
+  override protected def withNewChildInternal(c: Expression): FnvBinary = copy(child = c)
+}
+
 case class Splitmix64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
@@ -267,6 +283,7 @@ object F {
     column(CosineSim(expression(a), expression(b)))
   def splitmix64(c: Column): Column = column(Splitmix64(expression(c)))
   def fnvText(c: Column): Column = column(FnvText(expression(c)))
+  def fnvBinary(c: Column): Column = column(FnvBinary(expression(c)))
   def sigMatchFrac(a: Column, b: Column): Column =
     column(SigMatchFrac(expression(a), expression(b)))
   def srpBucket(vec: Column, planes: Int): Column =

@@ -183,8 +183,21 @@ object Dedup {
       id: Column,
       text: Column,
       maxHamming: Int = 3,
+      maxBucket: Int = 256): DataFrame =
+    hammingPairs(df.select(id.as("doc_id"), F.simhash64(text).as("sig")),
+      maxHamming, maxBucket)
+
+  /** Banded Hamming-distance pairs over PRECOMPUTED 64-bit
+    * signatures (doc_id, sig) — the engine under [[simhashPairs]],
+    * exposed so any 64-bit similarity hash (SimHash, perceptual
+    * image hashes, audio fingerprints) reuses the same scale
+    * machinery. 4 bands of 16 bits make recall pigeonhole-EXACT for
+    * maxHamming ≤ 3: ≤3 differing bits cannot touch all 4 pieces.
+    */
+  def hammingPairs(
+      sigs: DataFrame,
+      maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
-    val sigs = df.select(id.as("doc_id"), F.simhash64(text).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("piece"))

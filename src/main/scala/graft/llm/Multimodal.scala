@@ -27,6 +27,24 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
+  /** Perceptual-hash near-duplicate pairs over binary payloads — the
+    * image/audio twin of SimHash text dedup. The pHash itself is
+    * STUBBED deterministically (splitmix64 of the payload's FNV-1a —
+    * a production pipeline swaps in a DCT/radial pHash, same 64-bit
+    * shape, nothing else changes); everything downstream is the real
+    * scale machinery: [[Dedup.hammingPairs]]' 4×16-bit banding, one
+    * shuffle, pigeonhole-exact recall for Hamming ≤ 3.
+    */
+  def phashDedupPairs(
+      df: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.functions.F
+    Dedup.hammingPairs(
+      df.select(id.as("doc_id"),
+        F.splitmix64(F.fnvBinary(payload)).as("sig")),
+      maxHamming)
+  }
+
   /** Attach an opaque binary payload + modality metadata to a
     * documents frame. Payload here is the UTF-8 encoding of the text
     * (deterministic stand-in for real media bytes).

@@ -116,6 +116,30 @@ class GraphSpec extends SparkSpec {
     assert(perBand.size == 16 && perBand.values.forall(_ == n), s"mass: $perBand")
   }
 
+  test("phashDedupPairs recovers identical payloads; hammingPairs is exact to 3 bits") {
+    val df = Seq(
+      (1L, "media-bytes-alpha"), (2L, "media-bytes-alpha"), // exact dup
+      (3L, "media-bytes-gamma")).toDF("doc_id", "txt")
+      .select(col("doc_id"), col("txt").cast("binary").as("payload"))
+    val pairs = graft.llm.Multimodal
+      .phashDedupPairs(df, col("doc_id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L)), s"got $pairs")
+    // 1-, 2-, 3-bit perturbations are all recovered by the 4x16
+    // banding (pigeonhole); 4 spread bits (one per piece) are not
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      10L -> base, 11L -> (base ^ 1L), 12L -> (base ^ (1L << 16) ^ (1L << 32)),
+      13L -> (base ^ (1L << 63) ^ (1L << 47) ^ (1L << 31)),
+      14L -> (base ^ 1L ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)))
+      .toDF("doc_id", "sig")
+    val got = graft.llm.Dedup.hammingPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 11L)) && got.contains((10L, 12L)) &&
+      got.contains((10L, 13L)), s"got $got")
+    assert(!got.contains((10L, 14L)), "4 differing bits must not pair with base")
+  }
+
   test("rareTokenStats counts hapax tokens against corpus df") {
     val df = Seq(
       (1L, "alpha beta gamma"),
