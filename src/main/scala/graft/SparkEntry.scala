@@ -1194,6 +1194,13 @@ object SparkEntry {
         col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
     },
 
+    "q_key_skew" -> { (s, dir) =>
+      // shuffle-planning skew report: per event type, the per-user
+      // frequency distribution that decides salting vs plain groupBy
+      graft.ops.DataProfile.keySkew(
+        t(s, dir, "events"), col("event_type"), col("user_id"))
+    },
+
     "q_anomaly" -> { (s, dir) =>
       // event-volume anomaly watch: per-type daily counts scored
       // against the strictly-trailing 7-day window (the data-quality
@@ -2205,6 +2212,17 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY doc_id
         |   ORDER BY score DESC, term) AS BIGINT) AS rnk
         |FROM s QUALIFY rnk <= 5""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH c AS (
+        | SELECT event_type AS grp, user_id AS k, CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+        | CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_n,
+        | quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90,
+        | quantile_cont(n, 0.99) AS p99,
+        | CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_share
+        |FROM c GROUP BY grp""".stripMargin,
 
     "q_anomaly" ->
       """WITH c AS (

@@ -139,4 +139,43 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial mBits=$m")
     }
   }
+
+  test("hammingPairs equals brute force on random signatures") {
+    val rnd = new Random(17)
+    for (trial <- 1 to 2) {
+      // cluster sigs around a few centers so some pairs are close
+      val centers = Seq.fill(5)(rnd.nextLong())
+      val sigs = (1 to 120).map { i =>
+        val c = centers(rnd.nextInt(centers.length))
+        val flips = rnd.nextInt(6) // 0..5 bit flips off the center
+        val s = (1 to flips).foldLeft(c)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+        (i.toLong, s)
+      }
+      val got = graft.llm.Dedup.hammingPairs(sigs.toDF("doc_id", "sig"), maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (ia, ib, h.toLong)).toSet
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("VectorSumLong is partition-count invariant and equals explicit sums") {
+    val rnd = new Random(23)
+    val dim = 16
+    val rows = (1 to 300).map { i =>
+      (i.toLong % 4, Seq.fill(dim)(rnd.nextInt(2000).toLong - 1000))
+    }
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(_._2).transpose.map(_.sum)
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = rows.toDF("k", "v").repartition(parts)
+        .groupBy("k")
+        .agg(graft.functions.VectorSum.vecSumLong(col("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
