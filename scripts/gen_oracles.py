@@ -242,6 +242,26 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
  CAST(sum((wpm // 1000) + CASE WHEN b < wpm % 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted
 FROM m GROUP BY source"""
 
+    # ---- ds_epoch_plan: mix copies -> per-copy rows -> interleave
+    # key on the per-copy id (doc_id*8 + copy_idx, salt 23) ----
+    o["ds_epoch_plan"] = f"""
+WITH m AS (
+ SELECT source, doc_id,
+  250 + (CAST(substring(source, 4) AS BIGINT) % 4) * 500 AS wpm,
+  {bucket('doc_id', 7, 1000)} AS b
+ FROM documents),
+e AS (SELECT source, doc_id,
+  (wpm // 1000) + CASE WHEN b < wpm % 1000 THEN 1 ELSE 0 END AS nc
+ FROM m),
+x AS (SELECT source, doc_id, unnest(range(0, nc)) AS copy_idx
+      FROM e WHERE nc > 0)
+SELECT doc_id, CAST(copy_idx AS BIGINT) AS copy_idx, source,
+ CAST((({splitmix('CAST(doc_id * 8 + copy_idx + 23 AS HUGEINT)')}) // 2048)
+  // (CASE WHEN source IN ('src0','src1','src2','src3','src4',
+        'src5','src6','src7','src8','src9') THEN 1000 ELSE 250 END)
+  AS BIGINT) AS ikey
+FROM x"""
+
     # ---- ds_shuffle_order / ds_sample_fixed_k: signed splitmix hash
     # order (matches Spark's signed-long sort) ----
     def hsigned(salt):

@@ -1034,6 +1034,26 @@ object SparkEntry {
         col("doc_id"), col("source"), k = 2.0)
     },
 
+    "ds_epoch_plan" -> { (s, dir) =>
+      // the FULL epoch assembly a training loader consumes: weighted
+      // repetition (floor(w)+Bernoulli copies) → one row per copy →
+      // weighted interleave order — every decision splitmix-keyed,
+      // the whole composition map-only
+      val weights =
+        (0 until 20).map(i => s"src$i" -> (0.25 + (i % 4) * 0.5)).toMap
+      val wPm = (0 until 20)
+        .map(i => s"src$i" -> (if (i < 10) 1000 else 250)).toMap
+      val mixed = graft.llm.Sampling.explodeCopies(
+        graft.llm.Sampling.mixWeighted(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id"), col("source"), weights))
+      graft.llm.Sampling
+        .interleaveKey(mixed, col("doc_id") * 8 + col("copy_idx"),
+          col("source"), wPm)
+        .select(col("doc_id"), col("copy_idx").cast("long").as("copy_idx"),
+          col("source"), col("ikey"))
+    },
+
     "ds_mix_weighted" -> { (s, dir) =>
       // per-source epoch weights 0.25/0.75/1.25/1.75 derived from the
       // source number; n_emitted counts floor(w) + Bernoulli(frac(w))
