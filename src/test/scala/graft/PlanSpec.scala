@@ -119,6 +119,29 @@ class PlanSpec extends SparkSpec {
       "corpus-side shuffle join appeared in the delta probe")
   }
 
+  test("ds_temperature_sample broadcasts counts; the data stream never shuffles") {
+    val plan = physicalPlan("ds_temperature_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      "source-count frame must broadcast back onto the scan")
+    // the only exchanges allowed belong to the tiny counts aggregation
+    // (partial/final + its broadcast); the document stream itself must
+    // not hash-repartition
+    assert(!plan.contains("SortMergeJoin"), "data-side shuffle join appeared")
+  }
+
+  test("q_key_skew is two chained hash aggregations, no joins") {
+    val plan = physicalPlan("q_key_skew")
+    assert(!plan.contains("Join"), "skew profile must not join")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      "expected at most (group,key) + (group) shuffles")
+  }
+
+  test("ds_epoch_plan stays map-only end to end") {
+    val plan = physicalPlan("ds_epoch_plan")
+    assert(!plan.contains("Exchange"),
+      "epoch composition must be a pure projection chain")
+  }
+
   test("driver entry() returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
