@@ -1295,6 +1295,55 @@ object SparkEntry {
         docsWithPlantedDups(s, dir), col("doc_id"), col("text"), n = 8)
     },
 
+    // --- span-level exact dedup with reconstruction ---
+    "dd_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedup(
+        docsWithPlantedDups(s, dir), col("doc_id"), col("text"), chunk = 16)
+    },
+
+    // --- inverted index with bounded posting lists ---
+    "txt_inverted_index" -> { (s, dir) =>
+      TextAnalysis.invertedIndex(
+        t(s, dir, "documents"), col("doc_id"), col("text"), maxPostings = 8)
+    },
+
+    // --- map-only type/token lexical stats ---
+    "txt_type_token" -> { (s, dir) =>
+      TextAnalysis.typeToken(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
+    // --- single-pass data-quality expectation suite ---
+    "q_expectations" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      check(
+        t(s, dir, "lineitem"),
+        Seq(
+          NotNull("notnull_shipdate", col("l_shipdate")),
+          InRange("qty_in_1_40", col("l_quantity"), 1, 40),
+          InRange("disc_in_0_01", col("l_discount"), 0, 0.1),
+          InSet("flag_in_anr", col("l_returnflag"), Seq("A", "N", "R")),
+          Unique("orderkey_unique", col("l_orderkey")),
+          RefIntegrity("fk_orders", col("l_orderkey"),
+            t(s, dir, "orders"), "o_orderkey")))
+    },
+
+    // --- deterministic mode (most frequent value) per group ---
+    "q_mode" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counted = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      counted
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"),
+          col("cnt"))
+    },
+
     // --- explicit GROUPING SETS (beyond rollup/cube) ---
     "q_grouping_sets" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -2308,6 +2357,85 @@ object SparkEntry {
         | CAST(count(*) - sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) AS dup_frac
         |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    "dd_span_dedup" ->
+      """WITH docs_wd AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate suffix' AS text
+        | FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs_wd),
+        |segs AS (
+        | SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |        array_to_string(ts[i*16+1 : i*16+16], ' ') AS seg_text
+        | FROM toks, unnest(range(0, CAST(ceil(len(ts) / 16.0) AS BIGINT))) AS u(i)),
+        |flagged AS (
+        | SELECT doc_id, seg_idx, seg_text,
+        |  row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+        | FROM segs)
+        |SELECT doc_id, count(*) AS n_segs,
+        | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | coalesce(string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg_idx), '')
+        |   AS text_deduped
+        |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    "txt_inverted_index" ->
+      """WITH tok AS (
+        | SELECT doc_id, t AS token
+        | FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        | WHERE len(t) > 0),
+        |pd AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+        |r AS (SELECT token, doc_id, tf,
+        |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM pd)
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+        | list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 8) AS postings
+        |FROM r GROUP BY token""".stripMargin,
+
+    "txt_type_token" ->
+      """WITH tok AS (
+        | SELECT doc_id, t FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        | WHERE len(t) > 0),
+        |c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num,
+        | CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_expectations" ->
+      """WITH j AS (
+        | SELECT l.*, o.__pk
+        | FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS __pk FROM orders) o
+        |   ON l.l_orderkey = o.__pk),
+        |a AS (
+        | SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND NOT (l_quantity BETWEEN 1 AND 40) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |  CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |    AND NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+        |    AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+        |  CAST(count(l_orderkey) - count(DISTINCT l_orderkey) AS BIGINT) AS v_uniq,
+        |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND __pk IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_fk
+        | FROM j)
+        |SELECT 'notnull_shipdate' AS rule, n AS n_rows, v_notnull AS violations,
+        |       v_notnull = 0 AS passed FROM a
+        |UNION ALL SELECT 'qty_in_1_40', n, v_qty, v_qty = 0 FROM a
+        |UNION ALL SELECT 'disc_in_0_01', n, v_disc, v_disc = 0 FROM a
+        |UNION ALL SELECT 'flag_in_anr', n, v_flag, v_flag = 0 FROM a
+        |UNION ALL SELECT 'orderkey_unique', n, v_uniq, v_uniq = 0 FROM a
+        |UNION ALL SELECT 'fk_orders', n, v_fk, v_fk = 0 FROM a""".stripMargin,
+
+    "q_mode" ->
+      """SELECT o_orderstatus, mode_priority, cnt FROM (
+        | SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority) AS rn
+        | FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |       FROM orders GROUP BY 1, 2))
+        |WHERE rn = 1""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,

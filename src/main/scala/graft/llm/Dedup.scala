@@ -380,4 +380,53 @@ object Dedup {
         ((col("n_grams") - col("n_first")).cast("double")
           / col("n_grams").cast("double")).as("dup_frac"))
   }
+
+  /** Span-level exact dedup WITH reconstruction: chunk each document
+    * into non-overlapping `chunk`-word segments, keep only the
+    * globally-first occurrence of every distinct segment (first =
+    * minimal (doc_id, seg_idx)), and reassemble each document from
+    * its surviving segments in order. This is the remove-and-rebuild
+    * counterpart of [[duplicateSpans]] (which only measures): the
+    * exact-substring-dedup recipe of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") at fixed-chunk
+    * granularity, the variant that keeps reconstruction unambiguous
+    * (non-overlapping chunks never partially overlap a removal).
+    *
+    * Scale shape: two shuffles total — one window keyed by the
+    * segment text to rank occurrences (at 100 TB the key would be a
+    * 64-bit hash of the segment; kept as the string so the oracle is
+    * plain SQL), one groupBy doc_id to reassemble. Per-key state is
+    * bounded (occurrence lists stream through the window; the rebuild
+    * collects only a document's own kept segments).
+    *
+    * Requires non-empty text (a zero-word document would need a
+    * degenerate empty segment; callers filter blanks first).
+    */
+  def spanDedup(
+      df: DataFrame, id: Column, text: Column, chunk: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(text, " ")
+    val nSegs = floor((size(words) + (chunk - 1)) / lit(chunk)).cast("int")
+    val segs = df.select(
+      id.as("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), nSegs - 1),
+        i => array_join(slice(words, i * chunk + 1, lit(chunk)), " ")))
+        .as(Seq("seg_idx", "seg_text")))
+    val ranked = segs.withColumn(
+      "rn",
+      row_number().over(
+        Window.partitionBy(col("seg_text")).orderBy(col("doc_id"), col("seg_idx"))))
+    ranked
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("seg_idx"), col("seg_text"))))),
+            s => s.getField("seg_text")),
+          " ").as("text_deduped"))
+  }
 }

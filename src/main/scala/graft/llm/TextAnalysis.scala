@@ -320,4 +320,63 @@ object TextAnalysis {
       length(e3).cast("long").as("red_len"),
       md5(e3.cast("binary")).as("red_md5"))
   }
+
+  /** Inverted index with BOUNDED posting lists: token → document
+    * frequency, total term frequency, and the first `maxPostings`
+    * doc_ids (ascending). The structure behind corpus-level lookup
+    * services (decontamination checks, attribution probes).
+    *
+    * Scale shape: explode → per-(token, doc) partial-aggregated count
+    * (shuffle 1) → window ranked by doc_id within token (shuffle 2) →
+    * final groupBy(token) reuses the window's hash partitioning, so no
+    * third exchange. Per-token collected state is capped at
+    * `maxPostings` ids — a stop-word appearing in every document of a
+    * 100 TB corpus still collects only `maxPostings` entries; the
+    * unbounded-collect_set formulation would OOM on exactly those keys.
+    */
+  def invertedIndex(
+      df: DataFrame, id: Column, text: Column, maxPostings: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df
+      .select(id.as("doc_id"), explode(split(text, " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val perDoc = tok.groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val ranked = perDoc.withColumn(
+      "rn", row_number().over(Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+    ranked.groupBy(col("token")).agg(
+      count(lit(1)).as("df"),
+      sum(col("tf")).as("tf_total"),
+      array_sort(collect_list(when(col("rn") <= maxPostings, col("doc_id"))))
+        .as("postings"))
+  }
+
+  /** Map-only type/token lexical statistics per document: token count,
+    * type (distinct-token) count, hapax legomena count, the integer
+    * Simpson-diversity numerator Σc·(c−1) (an order-independent,
+    * float-free repetition signal: the number of ordered same-token
+    * pairs — 0 for all-distinct text, n·(n−1) for one token repeated),
+    * and the type/token ratio.
+    *
+    * Everything is computed with higher-order array functions inside
+    * one codegen projection — zero shuffles at any corpus size. The
+    * per-row cost is O(words²) on short documents (bounded by doc
+    * length, not corpus size); integer counts make every output exact,
+    * and the single ttr division is IEEE-exact cross-engine.
+    */
+  def typeToken(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = filter(split(text, " "), w => length(w) > 0)
+    val types = array_distinct(words)
+    def cnt(x: Column): Column = size(filter(words, y => y === x))
+    df.select(
+      id.as("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      size(types).cast("long").as("n_types"),
+      size(filter(types, x => cnt(x) === 1)).cast("long").as("n_hapax"),
+      aggregate(
+        types, lit(0L),
+        (acc, x) => acc + cnt(x).cast("long") * (cnt(x).cast("long") - 1L))
+        .as("simpson_num"),
+      (size(types).cast("double") / size(words).cast("double")).as("ttr"))
+  }
 }

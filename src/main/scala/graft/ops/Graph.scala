@@ -34,7 +34,8 @@ object Graph {
     */
   def pageRank(
       edges: DataFrame, src: Column, dst: Column,
-      iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+      iters: Int = 3, scale: Long = 1000000000000L,
+      maxBroadcastNodes: Long = 10000000L): DataFrame = {
     // localCheckpoint each round (the connectedComponents idiom):
     // without it iteration t's LAZY plan re-executes iterations
     // 1..t−1, turning k rounds into O(k²) work and unbounded plan
@@ -46,20 +47,36 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
+    // A checkpointed frame has no catalog stats, so Catalyst will
+    // never broadcast the rank side on its own and every round pays a
+    // full edge shuffle. The node count is already on the driver:
+    // below the bound, hint the (node, rank) side broadcast — each
+    // round then joins map-side against the stationary edge partitions
+    // and the only shuffle left is the dst aggregation. Past the
+    // bound (rank table genuinely cluster-sized), fall back to the
+    // co-partitioned shuffle join: edgesDeg is checkpointed once and
+    // both sides hash on the join key.
+    val small = n <= maxBroadcastNodes
+    def bcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = (scale * 3 / 20) / n
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = e.join(outdeg, Seq("src")).localCheckpoint()
+    val edgesDeg = e.join(bcast(outdeg), Seq("src")).localCheckpoint()
     var rank = nodes.withColumn("rank", lit(scale / n))
     var it = 0
     while (it < iters) {
       val contribs = edgesDeg
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(bcast(rank.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       rank = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(coalesce(in_mass, 0L) * 17) div 20")).as("rank"))
         .localCheckpoint()
+      // round t−1's checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reassignment drops the last
+      // reference — a 50-round run tends toward one live rank RDD,
+      // not 50 (localCheckpoint blocks are not CacheManager entries;
+      // an explicit Dataset.unpersist would be a no-op here).
       it += 1
     }
     rank

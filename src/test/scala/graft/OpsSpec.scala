@@ -181,4 +181,44 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == Some(12.0)) // 205-200=5 ≤ 50
     assert(got(3L) == None)       // latest quote 200 is 300 stale
   }
+
+  test("Expectations: null semantics per rule family") {
+    import Expectations._
+    // k: 1,1,2,null — v: 5, 50, null, 7
+    val fact = Seq(
+      (Option(1L), Option(5.0)), (Option(1L), Option(50.0)),
+      (Option(2L), None), (Option.empty[Long], Option(7.0)))
+      .toDF("k", "v")
+    val dim = Seq(1L).toDF("pk")
+    val got = check(fact, Seq(
+      NotNull("v_notnull", col("v")),       // 1 null v
+      InRange("v_range", col("v"), 0, 10),  // 50 violates; null v skipped
+      Unique("k_unique", col("k")),         // 3 non-null k, 2 distinct → 1
+      RefIntegrity("k_fk", col("k"), dim, "pk"))) // k=2 misses; null k skipped
+      .select(col("rule"), col("violations"), col("passed"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("v_notnull") == ((1L, false)))
+    assert(got("v_range") == ((1L, false)))
+    assert(got("k_unique") == ((1L, false)))
+    assert(got("k_fk") == ((1L, false)))
+    // all-pass suite on the clean subset
+    val clean = check(fact.filter(col("k") === 1 && col("v") === 5.0),
+      Seq(NotNull("nn", col("v")), Unique("u", col("k"))))
+    assert(clean.filter(!col("passed")).count() == 0)
+  }
+
+  test("spanDedup drops repeated chunks and rebuilds survivors in order") {
+    import graft.llm.Dedup
+    // chunk=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d"))
+      .toDF("id", "txt")
+    val got = Dedup.spanDedup(docs, col("id"), col("txt"), chunk = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d")))  // first owner keeps all
+    assert(got(2L) == ((2L, 1L, "x y")))      // [a b] deduped away
+    assert(got(3L) == ((1L, 0L, "")))         // [c d] fully deduped
+  }
 }

@@ -142,6 +142,30 @@ class PlanSpec extends SparkSpec {
       "epoch composition must be a pure projection chain")
   }
 
+  test("txt_type_token is a single map-only projection") {
+    val plan = physicalPlan("txt_type_token")
+    assert(!plan.contains("Exchange"),
+      "lexical stats must not shuffle — higher-order funcs, not explode+groupBy")
+  }
+
+  test("dd_span_dedup uses exactly two shuffles: rank-by-segment, rebuild-by-doc") {
+    val plan = physicalPlan("dd_span_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      "expected seg_text window + doc_id rebuild only")
+  }
+
+  test("txt_inverted_index final groupBy reuses the window's token partitioning") {
+    val plan = physicalPlan("txt_inverted_index")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      "expected (token,doc) agg + token window; final agg must not re-shuffle")
+  }
+
+  test("q_expectations: one fact pass, dims broadcast, no fact shuffle join") {
+    val plan = physicalPlan("q_expectations")
+    assert(plan.contains("BroadcastHashJoin"), "FK dimension must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact-side shuffle join appeared")
+  }
+
   test("driver entry() returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
