@@ -1267,6 +1267,24 @@ object SparkEntry {
       graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
     },
 
+    // --- exact triangle counts on the part co-occurrence graph ---
+    "q_triangles" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("pa"))
+      val b = li.select(col("ok"), col("pk").as("pb"))
+      val pairs = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      graft.ops.Graph.triangleCounts(pairs, col("pa"), col("pb"))
+    },
+
+    // --- trailing dyadic EWMA (α=1/2), integer-exact ---
+    "q_ewma" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.ops.Timeseries.ewmaDyadic(
+        ev, col("user_id"), Seq(eventUs(ev, "ts"), col("event_id")),
+        col("value"), k = 32)
+    },
+
     // --- order-independent table checksum with rollup grand total ---
     "q_checksum" -> { (s, dir) =>
       import graft.functions.F
@@ -2427,6 +2445,50 @@ object SparkEntry {
         |UNION ALL SELECT 'flag_in_anr', n, v_flag, v_flag = 0 FROM a
         |UNION ALL SELECT 'orderkey_unique', n, v_uniq, v_uniq = 0 FROM a
         |UNION ALL SELECT 'fk_orders', n, v_fk, v_fk = 0 FROM a""".stripMargin,
+
+    "q_triangles" ->
+      """WITH pairs AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        | SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        | GROUP BY node),
+        |ed AS (
+        | SELECT CASE WHEN (d1.d, p.u) < (d2.d, p.v) THEN p.u ELSE p.v END AS s,
+        |        CASE WHEN (d1.d, p.u) < (d2.d, p.v) THEN p.v ELSE p.u END AS t,
+        |        CASE WHEN (d1.d, p.u) < (d2.d, p.v) THEN d2.d ELSE d1.d END AS dt
+        | FROM pairs p JOIN deg d1 ON p.u = d1.node JOIN deg d2 ON p.v = d2.node),
+        |tri AS (
+        | SELECT e1.s AS s, e1.t AS x, e2.t AS y
+        | FROM ed e1 JOIN ed e2 ON e1.s = e2.s AND (e1.dt, e1.t) < (e2.dt, e2.t)
+        | JOIN ed e3 ON e3.s = e1.t AND e3.t = e2.t)
+        |SELECT node, count(*) AS n_tri FROM (
+        | SELECT s AS node FROM tri
+        | UNION ALL SELECT x FROM tri
+        | UNION ALL SELECT y FROM tri)
+        |GROUP BY node""".stripMargin,
+
+    "q_ewma" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |w AS (
+        | SELECT user_id, event_id,
+        |  list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS wl
+        | FROM e),
+        |n AS (
+        | SELECT user_id, event_id, CAST(len(wl) AS BIGINT) AS n_window,
+        |  CAST(list_sum(list_transform(range(1, len(wl) + 1),
+        |    i -> wl[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS ewma_num
+        | FROM w)
+        |SELECT user_id AS key, event_id AS ord, n_window, ewma_num,
+        | CAST(ewma_num AS DOUBLE)
+        |   / CAST((CAST(1 AS BIGINT) << CAST(n_window AS INT)) - 1 AS DOUBLE) AS ewma
+        |FROM n""".stripMargin,
 
     "q_mode" ->
       """SELECT o_orderstatus, mode_priority, cnt FROM (

@@ -81,4 +81,48 @@ object Graph {
     }
     rank
   }
+
+  /** Exact per-node triangle counts via degree-ordered orientation —
+    * the standard communication-optimal distributed algorithm: orient
+    * every undirected edge from its lower-(degree, id) endpoint to the
+    * higher one, so each triangle {s,a,b} is generated exactly once as
+    * a wedge at its smallest vertex (s→a, s→b with key(a) < key(b))
+    * closed by the oriented edge a→b. Wedge work is Σ outdeg² which
+    * orientation bounds by O(m^1.5) total — the reason this survives
+    * power-law degree skew where a naive s-keyed self-join on the
+    * unoriented graph explodes at hub nodes.
+    *
+    * Shuffles: dedup (1), degree agg + two degree joins, wedge
+    * self-join keyed on s, closure join keyed on the (a,b) pair, final
+    * participation agg. Every join key is data-sized, never a cross
+    * product. Output: (node, n_tri) for nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val e0 = edges
+      .select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id); carry the head's key for wedge ordering
+    val ed = e0
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val e1 = ed.select(col("s"), col("t").as("x"), col("dt").as("dx"))
+    val e2 = ed.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+    val wedges = e1.join(e2, Seq("s"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tri = wedges.join(
+      ed.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"))
+    tri
+      .select(explode(array(col("s"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
 }

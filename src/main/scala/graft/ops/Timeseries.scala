@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,5 +109,41 @@ object Timeseries {
         last(col(value), ignoreNulls = true).over(w).as("filled"),
         (col(step) - last(when(col(value).isNotNull, col(step)), ignoreNulls = true)
           .over(w)).cast("long").as("staleness"))
+  }
+
+  /** Trailing exponentially-weighted moving average with α = 1/2,
+    * bit-exact across engines: the value is quantized to integer
+    * cents, the window's weighted sum uses powers of two (weight of
+    * the i-th oldest of m rows = 2^i — a pure bit-shift, no float
+    * pow), and the normalizer 2^m − 1 makes the weights sum to 1.
+    * `ewma = Σ centsᵢ·2^i / (2^m − 1)` is one integer sum and ONE
+    * IEEE division — no accumulation-order dependence anywhere, so
+    * the result is identical at any parallelism AND recomputable by
+    * the SQL oracle (float EWMAs are neither). The window is capped
+    * at `k` rows, so the weighted sum stays within Long for any
+    * realistic magnitude (cents·2^(k−1) with k = 32 ⇒ values up to
+    * ~2^31 cents are safe).
+    *
+    * One shuffle (key window); bounded per-row state (k longs).
+    */
+  def ewmaDyadic(
+      df: DataFrame, key: Column, order: Seq[Column], value: Column,
+      k: Int = 32): DataFrame = {
+    require(k >= 1 && k <= 62, "window must fit long shifts")
+    val w = Window.partitionBy(key).orderBy(order: _*).rowsBetween(-(k - 1), 0)
+    val cents = floor(value * 100).cast("long")
+    df
+      .withColumn("_w", collect_list(cents).over(w))
+      .select(
+        key.as("key"),
+        order.last.as("ord"),
+        size(col("_w")).cast("long").as("n_window"),
+        expr("aggregate(transform(_w, (x, i) -> shiftleft(x, i)), 0L, (a, x) -> a + x)")
+          .as("ewma_num"))
+      .withColumn(
+        "ewma",
+        col("ewma_num").cast("double")
+          / (expr("shiftleft(CAST(1 AS BIGINT), CAST(n_window AS INT))") - lit(1L))
+              .cast("double"))
   }
 }

@@ -152,4 +152,33 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == ((3L, 1L, 1.0 / 3.0)))   // delta rare
     assert(r(3L) == ((2L, 1L, 0.5)))         // epsilon distinct-counted once
   }
+
+  test("triangleCounts: K4 plus a pendant edge") {
+    import graft.ops.Graph
+    // K4 on {1,2,3,4} = 4 triangles, every K4 node in 3 of them;
+    // pendant 4–5 (and a duplicate + reversed + self-loop to exercise
+    // cleanup) adds none
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (2L, 1L), (3L, 3L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("ewmaDyadic: hand-computed trailing weights, window cap respected") {
+    import graft.ops.Timeseries
+    // one key, values 1.00, 2.00, 3.00 → cents 100, 200, 300
+    val df = Seq((7L, 1L, 1.0), (7L, 2L, 2.0), (7L, 3L, 3.0))
+      .toDF("k", "t", "v")
+    val got = Timeseries.ewmaDyadic(
+        df, col("k"), Seq(col("t")), col("v"), k = 2)
+      .select(col("ord"), col("n_window"), col("ewma_num"), col("ewma"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((1L, 100L, 100.0)))            // [100]: 100·2^0 / 1
+    assert(got(2L) == ((2L, 100 + 400L, 500.0 / 3)))  // [100,200]: 100+200·2 / 3
+    assert(got(3L) == ((2L, 200 + 600L, 800.0 / 3)))  // capped: [200,300]
+  }
 }
