@@ -1267,6 +1267,39 @@ object SparkEntry {
       graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
     },
 
+    // --- exact-decimal Pearson correlation matrix ---
+    "q_corr_matrix" -> { (s, dir) =>
+      // corr over decimal-exact moments: every Σx / Σx² / Σxy is an
+      // exact DECIMAL sum (order-independent), cast to double once,
+      // and combined by a fixed chain of IEEE ops — so the matrix is
+      // bit-identical at any parallelism, unlike corr() over float
+      // sums. One hash-agg pass computes all 4+10 moments.
+      val li = t(s, dir, "lineitem")
+      val namesToCols = Seq(
+        "d" -> "l_discount", "p" -> "l_extendedprice",
+        "q" -> "l_quantity", "t" -> "l_tax")
+      def d4(c: String): Column = col(c).cast(DecimalType(18, 4))
+      val moments =
+        namesToCols.map { case (n, c) => sum(d4(c)).cast("double").as(s"s_$n") } ++
+        (for {
+          (ni, ci) <- namesToCols; (nj, cj) <- namesToCols if ni <= nj
+        } yield sum((d4(ci) * d4(cj)).cast(DecimalType(38, 8)))
+          .cast("double").as(s"s_$ni$nj"))
+      val a = li.agg(count(lit(1)).cast("double").as("n"), moments: _*)
+      val pairs = for {
+        (ni, _) <- namesToCols; (nj, _) <- namesToCols if ni < nj
+      } yield (ni, nj)
+      a.select(explode(array(pairs.map { case (i, j) =>
+        struct(
+          lit(s"${i}_$j").as("pair"),
+          ((col("n") * col(s"s_$i$j") - col(s"s_$i") * col(s"s_$j"))
+            / (sqrt(col("n") * col(s"s_$i$i") - col(s"s_$i") * col(s"s_$i"))
+              * sqrt(col("n") * col(s"s_$j$j") - col(s"s_$j") * col(s"s_$j"))))
+            .as("corr"))
+      }: _*)).as("e"))
+        .select(col("e.pair").as("pair"), col("e.corr").as("corr"))
+    },
+
     // --- exact triangle counts on the part co-occurrence graph ---
     "q_triangles" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -2445,6 +2478,31 @@ object SparkEntry {
         |UNION ALL SELECT 'flag_in_anr', n, v_flag, v_flag = 0 FROM a
         |UNION ALL SELECT 'orderkey_unique', n, v_uniq, v_uniq = 0 FROM a
         |UNION ALL SELECT 'fk_orders', n, v_fk, v_fk = 0 FROM a""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH a AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_d,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_p,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_q,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS s_t,
+        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dd,
+        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dp,
+        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dq,
+        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dt,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_pp,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_pq,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_pt,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_qq,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_qt,
+        |  CAST(sum(CAST(CAST(l_tax AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_tt
+        | FROM lineitem)
+        |SELECT 'd_p' AS pair, (n*s_dp - s_d*s_p) / (sqrt(n*s_dd - s_d*s_d) * sqrt(n*s_pp - s_p*s_p)) AS corr FROM a
+        |UNION ALL SELECT 'd_q', (n*s_dq - s_d*s_q) / (sqrt(n*s_dd - s_d*s_d) * sqrt(n*s_qq - s_q*s_q)) FROM a
+        |UNION ALL SELECT 'd_t', (n*s_dt - s_d*s_t) / (sqrt(n*s_dd - s_d*s_d) * sqrt(n*s_tt - s_t*s_t)) FROM a
+        |UNION ALL SELECT 'p_q', (n*s_pq - s_p*s_q) / (sqrt(n*s_pp - s_p*s_p) * sqrt(n*s_qq - s_q*s_q)) FROM a
+        |UNION ALL SELECT 'p_t', (n*s_pt - s_p*s_t) / (sqrt(n*s_pp - s_p*s_p) * sqrt(n*s_tt - s_t*s_t)) FROM a
+        |UNION ALL SELECT 'q_t', (n*s_qt - s_q*s_t) / (sqrt(n*s_qq - s_q*s_q) * sqrt(n*s_tt - s_t*s_t)) FROM a""".stripMargin,
 
     "q_triangles" ->
       """WITH pairs AS (

@@ -302,4 +302,62 @@ object EventStreams {
           }
       }
   }
+
+  case class TopKOut(
+      event_type: String,
+      top_users: Seq[Long],
+      top_counts: Seq[Long],
+      n_seen: Long)
+
+  /** Running heavy hitters per key with O(k) state: the SpaceSaving
+    * summary (Metwally et al. 2005) — k (item, count, err) counters;
+    * an unseen item past capacity replaces the minimum counter and
+    * inherits its count (+1) with `err` = that minimum. Guarantees:
+    * any item with true frequency > n/k is present, and every reported
+    * count overestimates by at most its `err`. With < k distinct items
+    * the summary is EXACT, order-independent, and equal to the batch
+    * groupBy-count twin (spec-checked); eviction ties break toward the
+    * smallest item id so replacement is deterministic.
+    *
+    * State is k counters per key no matter how many events flow
+    * through — streaming top-k at unbounded cardinality. Output per
+    * micro-batch: the current top `report` items by (count desc, id).
+    */
+  def topkHeavyHitters(
+      events: Dataset[Event], k: Int = 8, report: Int = 5): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    // state: (items, counts, errs, nSeen) — parallel arrays (stable
+    // product encoder, no Map encoder dependence)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Array[Long], Array[Long], Array[Long], Long), TopKOut](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Event],
+            state: GroupState[(Array[Long], Array[Long], Array[Long], Long)]) =>
+          val (pi, pc, pe, pn) = state.getOption
+            .getOrElse((Array.empty[Long], Array.empty[Long], Array.empty[Long], 0L))
+          val items = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+          pi.indices.foreach(i => items(pi(i)) = (pc(i), pe(i)))
+          var n = pn
+          batch.foreach { e =>
+            val u = e.user_id
+            items.get(u) match {
+              case Some((c, err)) => items(u) = (c + 1, err)
+              case None if items.size < k => items(u) = (1L, 0L)
+              case None =>
+                val (minItem, (minC, _)) =
+                  items.minBy { case (item, (c, _)) => (c, item) }
+                items.remove(minItem)
+                items(u) = (minC + 1, minC)
+            }
+            n += 1
+          }
+          val arr = items.toArray
+          state.update((arr.map(_._1), arr.map(_._2._1), arr.map(_._2._2), n))
+          val top = arr
+            .sortBy { case (item, (c, _)) => (-c, item) }
+            .take(report)
+          TopKOut(key, top.map(_._1).toSeq, top.map(_._2._1).toSeq, n)
+      }
+  }
 }

@@ -90,6 +90,33 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.est_users} != batch $batchEst")
   }
 
+  test("streaming top-k: exact below capacity, SpaceSaving eviction above") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val out = EventStreams.topkHeavyHitters(mem.toDS(), k = 2, report = 2)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("topkout").start()
+    // batch 1: users 1×3, 2×2 — fits k=2 exactly
+    mem.addData(
+      Event(1, 1L * us, 1L, "click", 0), Event(2, 2L * us, 1L, "click", 0),
+      Event(3, 3L * us, 1L, "click", 0), Event(4, 4L * us, 2L, "click", 0),
+      Event(5, 5L * us, 2L, "click", 0))
+    q.processAllAvailable()
+    val afterB1 = spark.table("topkout").as[EventStreams.TopKOut]
+      .collect().maxBy(_.n_seen)
+    assert(afterB1.top_users == Seq(1L, 2L) && afterB1.top_counts == Seq(3L, 2L)
+      && afterB1.n_seen == 5L, s"exact phase wrong: $afterB1")
+    // batch 2: ONE event for unseen user 9 → evicts min counter
+    // (user 2, count 2); user 9 inherits count 2+1 = 3
+    mem.addData(Event(6, 6L * us, 9L, "click", 0))
+    q.processAllAvailable(); q.stop()
+    val afterB2 = spark.table("topkout").as[EventStreams.TopKOut]
+      .collect().maxBy(_.n_seen)
+    assert(afterB2.top_users == Seq(1L, 9L) && afterB2.top_counts == Seq(3L, 3L)
+      && afterB2.n_seen == 6L, s"eviction phase wrong: $afterB2")
+  }
+
   test("streaming upsert state equals batch latest-per-key, independent of arrival order") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
