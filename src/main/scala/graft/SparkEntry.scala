@@ -1267,6 +1267,40 @@ object SparkEntry {
       graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
     },
 
+    // --- exact weighted quantiles per group (integer cumweights) ---
+    "q_weighted_pct" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val cum = Window.partitionBy(col("flag"))
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("flag"))
+      li.select(
+          col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cum", sum(col("w")).over(cum))
+        .withColumn("tw", sum(col("w")).over(tot))
+        .groupBy(col("flag"))
+        .agg(
+          min(when(col("cum") * 4 >= col("tw"), col("v"))).as("p25"),
+          min(when(col("cum") * 2 >= col("tw"), col("v"))).as("p50"),
+          min(when(col("cum") * 4 >= col("tw") * 3, col("v"))).as("p75"),
+          max(col("tw")).as("total_w"))
+    },
+
+    // --- token-budget mixture allocation (integer waterfilling) ---
+    "ds_token_budget" -> { (s, dir) =>
+      // per-source totals get a deterministic quadratic skew profile
+      // ((source index + 1)² × word count) so BOTH waterfilling
+      // regimes — fully-funded tail, capped head — are exercised on
+      // the near-uniform synthetic corpus
+      val sid = substring(col("source"), 4, 10).cast("long")
+      graft.llm.Sampling.tokenBudgetAllocation(
+        t(s, dir, "documents"), col("source"),
+        size(split(col("text"), " ")).cast("long") * (sid + 1L) * (sid + 1L))
+    },
+
     // --- exact-decimal Pearson correlation matrix ---
     "q_corr_matrix" -> { (s, dir) =>
       // corr over decimal-exact moments: every Σx / Σx² / Σxy is an
@@ -2478,6 +2512,53 @@ object SparkEntry {
         |UNION ALL SELECT 'flag_in_anr', n, v_flag, v_flag = 0 FROM a
         |UNION ALL SELECT 'orderkey_unique', n, v_uniq, v_uniq = 0 FROM a
         |UNION ALL SELECT 'fk_orders', n, v_fk, v_fk = 0 FROM a""".stripMargin,
+
+    "q_weighted_pct" ->
+      """WITH c AS (
+        | SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+        | FROM lineitem)
+        |SELECT flag,
+        | min(CASE WHEN cum * 4 >= tw THEN v END) AS p25,
+        | min(CASE WHEN cum * 2 >= tw THEN v END) AS p50,
+        | min(CASE WHEN cum * 4 >= tw * 3 THEN v END) AS p75,
+        | CAST(max(tw) AS BIGINT) AS total_w
+        |FROM c GROUP BY flag""".stripMargin,
+
+    "ds_token_budget" ->
+      """WITH ps AS (
+        | SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))
+        |    * (CAST(substr(source, 4) AS BIGINT) + 1)
+        |    * (CAST(substr(source, 4) AS BIGINT) + 1)) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |r AS (
+        | SELECT source, n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens, source) AS rn,
+        |  sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  count(*) OVER () AS k,
+        |  sum(n_tokens) OVER () AS total
+        | FROM ps),
+        |f AS (
+        | SELECT *, (total * 3) // 5 AS budget,
+        |  n_tokens * (k - rn + 1) <= ((total * 3) // 5) - (cum - n_tokens) AS funded
+        | FROM r),
+        |g AS (
+        | SELECT *, sum(CASE WHEN funded THEN n_tokens END) OVER () AS cum_funded,
+        |  sum(CASE WHEN funded THEN 1 ELSE 0 END) OVER () AS n_funded
+        | FROM f)
+        |SELECT source, n_tokens,
+        | CAST(CASE WHEN funded THEN n_tokens
+        |   ELSE (budget - coalesce(cum_funded, 0)) // (k - n_funded) END AS BIGINT) AS alloc,
+        | funded,
+        | CAST(CASE WHEN funded THEN n_tokens
+        |   ELSE (budget - coalesce(cum_funded, 0)) // (k - n_funded) END AS DOUBLE)
+        |   / CAST(n_tokens AS DOUBLE) AS rate
+        |FROM g""".stripMargin,
 
     "q_corr_matrix" ->
       """WITH a AS (

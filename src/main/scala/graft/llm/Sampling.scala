@@ -254,4 +254,59 @@ object Sampling {
     }
     df.join(keepSide, id.cast("long") === keepSide("__id"), "left_semi")
   }
+
+  /** Token-budget mixture allocation by integer waterfilling: given a
+    * per-source token total and a corpus-wide budget B (`budgetNum/
+    * budgetDen` of all tokens), fully fund every source small enough
+    * that granting it leaves at least its own size × remaining-source
+    * count on the table, and split what is left evenly (floor) among
+    * the large sources — the standard "cap the head, keep the tail"
+    * mixture rule (each source gets min(nₛ, cap) with one shared cap).
+    * The greedy criterion is monotone in source size, so a per-row
+    * window test decides funded/capped without iteration.
+    *
+    * All arithmetic is integer (sums, products, floor-div) — the
+    * allocation is bit-exact everywhere; `rate = alloc / n` is the
+    * only IEEE op. Floor remainders stay unallocated (≤ #capped
+    * sources tokens, documented, deterministic).
+    *
+    * Scale: one map-combined agg reduces the corpus to a SOURCES-sized
+    * frame; the waterfilling windows run on that tiny frame (a global
+    * window over k sources, not over data — explicitly fine). Apply
+    * the resulting rate with a splitmix threshold filter (the
+    * `ds_temperature_sample` idiom) for the data-plane pass.
+    */
+  def tokenBudgetAllocation(
+      df: DataFrame, source: Column, tokens: Column,
+      budgetNum: Long = 3, budgetDen: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = df.groupBy(source.as("source"))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+    val ordered = Window.orderBy(col("n_tokens"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val ranked = perSource
+      .withColumn("rn", row_number().over(Window.orderBy(col("n_tokens"), col("source"))))
+      .withColumn("cum", sum(col("n_tokens")).over(ordered))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("total", sum(col("n_tokens")).over(all))
+      .withColumn("budget", expr(s"(total * $budgetNum) div $budgetDen"))
+      // funded ⇔ granting n to this and every remaining (larger)
+      // source would not exceed what is left before this row
+      .withColumn("funded",
+        expr("n_tokens * (k - rn + 1) <= budget - (cum - n_tokens)"))
+    val capped = ranked
+      .withColumn("cum_funded", sum(when(col("funded"), col("n_tokens"))).over(all))
+      .withColumn("n_funded", sum(when(col("funded"), 1L).otherwise(0L)).over(all))
+      .withColumn("cap",
+        expr("CASE WHEN k > n_funded THEN " +
+          "(budget - coalesce(cum_funded, 0L)) div (k - n_funded) END"))
+    capped.select(
+      col("source"),
+      col("n_tokens"),
+      when(col("funded"), col("n_tokens")).otherwise(col("cap")).as("alloc"),
+      col("funded"),
+      (when(col("funded"), col("n_tokens")).otherwise(col("cap")).cast("double")
+        / col("n_tokens").cast("double")).as("rate"))
+  }
 }
