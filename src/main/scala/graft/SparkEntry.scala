@@ -1267,6 +1267,29 @@ object SparkEntry {
       graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
     },
 
+    // --- fixed-round k-core peel on the part co-occurrence graph ---
+    "q_kcore_peel" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val a = li.select(col("ok"), col("pk").as("pa"))
+      val b = li.select(col("ok"), col("pk").as("pb"))
+      val pairs = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      graft.ops.Graph.kcorePeel(pairs, col("pa"), col("pb"), k = 90, rounds = 3)
+    },
+
+    // --- curriculum phases: easy→hard quality schedule ---
+    "ds_curriculum" -> { (s, dir) =>
+      val q = TextAnalysis.qualityScore(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+      graft.llm.Sampling.curriculumPhases(
+        q, col("doc_id"), col("quality"), phases = 4)
+    },
+
+    // --- log-free unigram surprisal (rare-vocabulary rank) ---
+    "txt_surprisal" -> { (s, dir) =>
+      TextAnalysis.surprisal(t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     // --- exact weighted quantiles per group (integer cumweights) ---
     "q_weighted_pct" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -2512,6 +2535,66 @@ object SparkEntry {
         |UNION ALL SELECT 'flag_in_anr', n, v_flag, v_flag = 0 FROM a
         |UNION ALL SELECT 'orderkey_unique', n, v_uniq, v_uniq = 0 FROM a
         |UNION ALL SELECT 'fk_orders', n, v_fk, v_fk = 0 FROM a""".stripMargin,
+
+    "q_kcore_peel" ->
+      """WITH e0 AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d0 AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+        |k0 AS (SELECT node FROM d0 WHERE d >= 90),
+        |e1 AS (SELECT e0.u, e0.v FROM e0
+        |  JOIN k0 x ON e0.u = x.node JOIN k0 y ON e0.v = y.node),
+        |d1 AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY node),
+        |k1 AS (SELECT node FROM d1 WHERE d >= 90),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |  JOIN k1 x ON e1.u = x.node JOIN k1 y ON e1.v = y.node),
+        |d2 AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY node),
+        |k2 AS (SELECT node FROM d2 WHERE d >= 90),
+        |e3 AS (SELECT e2.u, e2.v FROM e2
+        |  JOIN k2 x ON e2.u = x.node JOIN k2 y ON e2.v = y.node)
+        |SELECT node, count(*) AS deg FROM (
+        | SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY node HAVING count(*) >= 90""".stripMargin,
+
+    "ds_curriculum" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(length(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+        |    / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 0.4
+        |  + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 3.0
+        |           AND CAST(length(text) AS DOUBLE) / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) <= 10.0
+        |          THEN 0.3 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1
+        |          THEN 0.2 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.2
+        |          THEN 0.1 ELSE 0.0 END) AS score
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score, doc_id) AS rank,
+        |  count(*) OVER () AS n
+        | FROM s)
+        |SELECT doc_id, score, rank,
+        | CAST(((rank - 1) * 4) // n AS BIGINT) AS phase
+        |FROM r""".stripMargin,
+
+    "txt_surprisal" ->
+      """WITH tok AS (
+        | SELECT doc_id, t AS token
+        | FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        | WHERE len(t) > 0),
+        |cf AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+        |n AS (SELECT CAST(sum(cf) AS BIGINT) AS n_corpus FROM cf)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(n_corpus // cf) AS BIGINT) AS surprisal_num,
+        | CAST(sum(n_corpus // cf) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   AS mean_surprisal
+        |FROM tok JOIN cf USING (token) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
 
     "q_weighted_pct" ->
       """WITH c AS (

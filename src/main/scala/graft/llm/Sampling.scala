@@ -255,6 +255,36 @@ object Sampling {
     df.join(keepSide, id.cast("long") === keepSide("__id"), "left_semi")
   }
 
+  /** Curriculum phase assignment: global rank by (score, id) → phase
+    * `(rank−1)·phases div n` — the curriculum-learning schedule
+    * (easy→hard ordering consumed phase by phase), exact-bucketed
+    * like ntile but with an explicit floor-div rule both engines
+    * spell identically.
+    *
+    * Scale shape: the `shuffleOrder` idiom — range-repartition on the
+    * sort key + per-partition sort + zipWithIndex — so the global
+    * rank NEVER single-partitions (a bare `ntile().over(orderBy)`
+    * window would). Costs one extra control-plane count pass for n.
+    */
+  def curriculumPhases(
+      df: DataFrame, id: Column, score: Column, phases: Int = 4): DataFrame = {
+    val s = df.sparkSession
+    val base = df.select(id.cast("long").as("doc_id"), score.as("score"))
+    val n = base.count()
+    val sorted = base
+      .repartitionByRange(col("score"), col("doc_id"))
+      .sortWithinPartitions(col("score"), col("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(rows, schema)
+      .withColumn("phase", expr(s"((rank - 1) * $phases) div ${n}L"))
+  }
+
   /** Token-budget mixture allocation by integer waterfilling: given a
     * per-source token total and a corpus-wide budget B (`budgetNum/
     * budgetDen` of all tokens), fully fund every source small enough

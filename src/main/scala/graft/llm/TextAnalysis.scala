@@ -351,6 +351,39 @@ object TextAnalysis {
         .as("postings"))
   }
 
+  /** Rational unigram-surprisal score, log-free: per document,
+    * `surprisal_num = Σ_occurrences (N div cf_t)` where N is the
+    * corpus token count and cf_t the token's corpus frequency — the
+    * integer floor of each occurrence's inverse relative frequency.
+    * Ranks documents by how much rare vocabulary they carry, the same
+    * signal a unigram-LM perplexity filter uses, but with NO libm log
+    * (cross-engine `ln` is not bit-stable) and an order-independent
+    * integer sum, so the score is exact at any parallelism.
+    *
+    * Shape: token-frequency table (one shuffle, map-combined), joined
+    * back on the token key (vocabulary-sized — shuffle join, no
+    * broadcast assumption, the `txt_tfidf` idiom), per-doc integer
+    * rollup (one shuffle). Output: doc_id, n_tokens, surprisal_num,
+    * and the single-division mean.
+    */
+  def surprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df
+      .select(id.as("doc_id"), explode(split(text, " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val cf = tok.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    // corpus total as a broadcast 1-row frame (NOT a global window
+    // over the vocab frame — that would single-partition the
+    // vocabulary at scale)
+    val n = cf.agg(sum(col("cf")).as("n_corpus"))
+    tok.join(cf.crossJoin(broadcast(n)), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(expr("n_corpus div cf")).as("surprisal_num"))
+      .withColumn("mean_surprisal",
+        col("surprisal_num").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Map-only type/token lexical statistics per document: token count,
     * type (distinct-token) count, hapax legomena count, the integer
     * Simpson-diversity numerator Σc·(c−1) (an order-independent,

@@ -125,4 +125,42 @@ object Graph {
       .select(explode(array(col("s"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Fixed-round k-core peeling: `rounds` iterations of "drop every
+    * node with degree < k, then drop edges touching dropped nodes".
+    * With enough rounds this converges to the exact k-core; a FIXED
+    * round count keeps the operator deterministic, oracle-checkable
+    * (the SQL unrolls the same rounds), and cluster-friendly — each
+    * round is one degree aggregation + two semi joins on a frame that
+    * only shrinks, checkpointed so round t never re-executes rounds
+    * 1..t−1. Callers needing the true fixpoint raise `rounds` until
+    * the surviving count stabilizes (monotone, so convergence is
+    * detectable from the count alone).
+    *
+    * Output: (node, deg) for nodes still meeting deg ≥ k after the
+    * last peel.
+    */
+  def kcorePeel(
+      edges: DataFrame, a: Column, b: Column,
+      k: Int, rounds: Int = 3): DataFrame = {
+    var e = edges
+      .select(a.cast("long").as("a"), b.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      r += 1
+    }
+    e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
 }
