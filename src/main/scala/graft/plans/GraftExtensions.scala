@@ -116,5 +116,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_sum_long(vec) - element-wise sum of array<long> columns, order-invariant (aggregate)"),
       (args: Seq[Expression]) => { checkArity("vec_sum_long", args, 1, 1)
         VectorSumLong(args.head).toAggregateExpression() }))
+
+    ext.injectCheckRule(spark => new GlobalWindowCheck(spark))
+  }
+}
+
+/** Analysis-time guardrail for the single most common silent scale
+  * killer: a window function with an EMPTY partition spec moves the
+  * ENTIRE dataset to one partition (Spark itself only logs a WARN,
+  * which nobody reads on a cluster). With
+  * `spark.graft.failGlobalWindow=true` the plan is REJECTED at
+  * analysis instead, with a pointer at the offending expression —
+  * turn it on for data-plane jobs; leave it off (default) where a
+  * global window over an already-aggregated sources/groups-sized
+  * frame is a deliberate choice (e.g. the `ds_token_budget`
+  * waterfilling windows over one row per source).
+  */
+class GlobalWindowCheck(spark: org.apache.spark.sql.SparkSession)
+    extends (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit) {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => WindowNode}
+
+  override def apply(plan: LogicalPlan): Unit = {
+    val strict = spark.conf
+      .getOption("spark.graft.failGlobalWindow").exists(_.toBoolean)
+    if (strict) plan.foreach {
+      case w: WindowNode if w.partitionSpec.isEmpty =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            ("graft strict mode: window with empty PARTITION BY would " +
+              s"single-partition the data: ${w.windowExpressions.mkString(", ")}. " +
+              "Partition the window, use the range-repartition + zipWithIndex " +
+              "idiom for global ranks, or unset spark.graft.failGlobalWindow.")))
+      case _ => ()
+    }
   }
 }

@@ -57,6 +57,23 @@ class ExtensionsSpec extends AnyFunSuite {
           |  UNION ALL SELECT array(CAST(10 AS BIGINT), CAST(20 AS BIGINT)))""".stripMargin)
         .head().getSeq[Long](0)
       assert(vs == Seq(11L, 22L))
+
+      // --- GlobalWindowCheck guardrail ---
+      val globalWin =
+        "SELECT row_number() OVER (ORDER BY txt) FROM t"
+      val partitionedWin =
+        "SELECT row_number() OVER (PARTITION BY id ORDER BY txt) FROM t"
+      // default: permitted (Spark's own WARN only)
+      assert(spark.sql(globalWin).count() == 1)
+      spark.conf.set("spark.graft.failGlobalWindow", "true")
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(globalWin).count()
+      }
+      assert(err.getMessage.contains("single-partition"),
+        s"wrong error: ${err.getMessage}")
+      // partitioned windows still analyze under strict mode
+      assert(spark.sql(partitionedWin).count() == 1)
+      spark.conf.set("spark.graft.failGlobalWindow", "false")
     } finally {
       // restore the shared session; don't stop the shared SparkContext
       prevDefault.foreach(SparkSession.setDefaultSession)
