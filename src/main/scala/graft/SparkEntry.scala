@@ -1359,11 +1359,18 @@ object SparkEntry {
 
     // --- exact triangle counts on the part co-occurrence graph ---
     "q_triangles" -> { (s, dir) =>
+      // market-basket edge rule: parts co-occurring in ≥ 2 orders
+      // (support threshold) — single-order co-occurrence is noise AND
+      // makes the graph quadratically dense as orders deepen; the
+      // support cut keeps the graph sparse at every SF (3.6k edges at
+      // sf0.01, 3.9k at sf0.1 vs 116k/1.2M unthresholded)
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val a = li.select(col("ok"), col("pk").as("pa"))
       val b = li.select(col("ok"), col("pk").as("pb"))
       val pairs = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
       graft.ops.Graph.triangleCounts(pairs, col("pa"), col("pb"))
     },
 
@@ -2670,9 +2677,12 @@ object SparkEntry {
 
     "q_triangles" ->
       """WITH pairs AS (
-        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lineitem a JOIN lineitem b
-        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | SELECT u, v FROM (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        | WHERE c >= 2),
         |deg AS (
         | SELECT node, count(*) AS d FROM (
         |  SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
