@@ -178,4 +178,101 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("spanDedup: kept segments are exactly one owner per distinct segment") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 500)
+      // small vocab so chunk collisions actually happen
+      val docs = (1L to 60L).map { i =>
+        i -> (1 to (4 + rnd.nextInt(12)))
+          .map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+      }
+      val out = graft.llm.Dedup
+        .spanDedup(docs.toDF("id", "txt"), col("id"), col("txt"), chunk = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // brute-force: chunk every doc, count distinct segments
+      val allSegs = docs.flatMap { case (id, txt) =>
+        txt.split(" ").grouped(2).zipWithIndex
+          .map { case (c, i) => (id, i, c.mkString(" ")) }
+      }
+      val distinctSegs = allSegs.map(_._3).distinct.size
+      assert(out.map(_._3).sum == distinctSegs.toLong,
+        s"seed $seed: kept-sum != distinct segments")
+      assert(out.map(_._2).sum == allSegs.size.toLong, "n_segs mismatch")
+      // every rebuilt text's segments are pairwise-distinct corpus-wide
+      val keptSegs = out.toSeq.flatMap { case (_, _, kept, txt) =>
+        if (kept == 0) Nil else txt.split(" ").grouped(2).map(_.mkString(" ")).toSeq
+      }
+      assert(keptSegs.size == keptSegs.distinct.size,
+        s"seed $seed: a segment survived twice")
+    }
+  }
+
+  test("tokenBudgetAllocation: feasibility and optimality invariants") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 900)
+      val rows = (1 to 400).map { i =>
+        (s"s${rnd.nextInt(12)}", 1L + rnd.nextInt(100).toLong)
+      }
+      val out = graft.llm.Sampling
+        .tokenBudgetAllocation(rows.toDF("src", "n"), col("src"), col("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val total = rows.map(_._2).sum
+      val budget = total * 3 / 5
+      val allocSum = out.map(_._3).sum
+      assert(allocSum <= budget, s"seed $seed: over budget")
+      // never over-allocate a source; funded means fully funded
+      out.foreach { case (s, n, a, funded) =>
+        assert(a <= n, s"$s over-allocated")
+        assert(!funded || a == n, s"$s funded but capped")
+      }
+      // floor remainder bound: within #capped of the budget
+      val nCapped = out.count(!_._4)
+      assert(budget - allocSum <= math.max(nCapped.toLong, 0) ||
+        allocSum == math.min(budget, total),
+        s"seed $seed: left ${budget - allocSum} unallocated with $nCapped capped")
+      // all capped sources share one cap value
+      val caps = out.filter(!_._4).map(_._3).distinct
+      assert(caps.length <= 1, s"seed $seed: differing caps ${caps.toSeq}")
+    }
+  }
+
+  test("triangleCounts equals brute force on random graphs") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 1300)
+      val edges = (1 to 120).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      val got = graft.ops.Graph
+        .triangleCounts(edges.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val es = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+        (u, v, w) = (nodes(i), nodes(j), nodes(k))
+        if es((u, v)) && es((u, w)) && es((v, w))
+      } { brute(u) += 1; brute(v) += 1; brute(w) += 1 }
+      assert(got == brute.toMap, s"seed $seed mismatch")
+    }
+  }
+
+  test("kcorePeel: survivors have deg >= k inside the survivor subgraph") {
+    val rnd = new Random(77)
+    val edges = (1 to 200).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val out = graft.ops.Graph
+      .kcorePeel(edges.toDF("a", "b"), col("a"), col("b"), k = 4, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val surv = out.keySet
+    val degIn = es.filter(e => surv(e._1) && surv(e._2))
+      .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, l) => n -> l.size }
+    // 6 rounds is past the fixpoint on 25 nodes: reported degree must
+    // BE the survivor-subgraph degree and satisfy the core property
+    out.foreach { case (n, d) =>
+      assert(degIn.getOrElse(n, 0) == d && d >= 4, s"node $n deg $d")
+    }
+  }
 }
