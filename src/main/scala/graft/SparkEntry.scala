@@ -1267,6 +1267,12 @@ object SparkEntry {
       graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
     },
 
+    // --- per-key winsorization at exact p05/p95 ---
+    "q_winsorize" -> { (s, dir) =>
+      graft.ops.Stats.winsorize(
+        t(s, dir, "lineitem"), col("l_returnflag"), col("l_extendedprice"))
+    },
+
     // --- fixed-round k-core peel on the part co-occurrence graph ---
     "q_kcore_peel" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -2542,6 +2548,26 @@ object SparkEntry {
         |UNION ALL SELECT 'flag_in_anr', n, v_flag, v_flag = 0 FROM a
         |UNION ALL SELECT 'orderkey_unique', n, v_uniq, v_uniq = 0 FROM a
         |UNION ALL SELECT 'fk_orders', n, v_fk, v_fk = 0 FROM a""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        | SELECT l_returnflag AS flag,
+        |  quantile_cont(l_extendedprice, 0.05) AS b_lo,
+        |  quantile_cont(l_extendedprice, 0.95) AS b_hi
+        | FROM lineitem GROUP BY 1),
+        |j AS (
+        | SELECT l.l_returnflag AS flag, l.l_extendedprice AS v, b.b_lo, b.b_hi
+        | FROM lineitem l JOIN b ON l.l_returnflag = b.flag)
+        |SELECT flag AS key, count(*) AS n,
+        | CAST(sum(CASE WHEN v < b_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        | CAST(sum(CASE WHEN v > b_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        | min(b_lo) AS b_lo, min(b_hi) AS b_hi,
+        | ((CAST(sum(CASE WHEN v >= b_lo AND v <= b_hi
+        |     THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+        |   + CAST(sum(CASE WHEN v < b_lo THEN 1 ELSE 0 END) AS DOUBLE) * min(b_lo))
+        |   + CAST(sum(CASE WHEN v > b_hi THEN 1 ELSE 0 END) AS DOUBLE) * min(b_hi))
+        |   / CAST(count(*) AS DOUBLE) AS win_mean
+        |FROM j GROUP BY flag""".stripMargin,
 
     "q_kcore_peel" ->
       """WITH e0 AS (

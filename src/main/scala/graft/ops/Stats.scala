@@ -144,6 +144,47 @@ object Stats {
       .withColumnRenamed("_key", "key")
   }
 
+  /** Winsorization summary: clip at the exact interpolated
+    * [`lo`, `hi`] quantiles per key and report the clip counts,
+    * bounds, and winsorized mean. Same two-phase shape as
+    * [[iqrOutliers]]: a key-cardinality bounds frame broadcast back
+    * onto the stream — the data shuffles once for each of the two
+    * aggregations and never sorts globally.
+    *
+    * The winsorized mean stays deterministic without float-sum order
+    * dependence: interior values sum exactly in DECIMAL, the two
+    * clipped tails contribute count × bound (one IEEE product each),
+    * one final division.
+    */
+  def winsorize(
+      df: DataFrame, key: Column, value: Column,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = df
+      .groupBy(key.as("_key"))
+      .agg(
+        percentile(value, lit(lo)).as("b_lo"),
+        percentile(value, lit(hi)).as("b_hi"))
+    val interiorSum = sum(when(
+      col("_v") >= col("b_lo") && col("_v") <= col("b_hi"),
+      col("_v").cast(DecimalType(18, 2)))).cast("double")
+    val nLo = sum(when(col("_v") < col("b_lo"), 1L).otherwise(0L))
+    val nHi = sum(when(col("_v") > col("b_hi"), 1L).otherwise(0L))
+    df.select(key.as("_key"), value.as("_v"))
+      .join(broadcast(bounds), "_key")
+      .groupBy(col("_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        nLo.as("n_clip_lo"),
+        nHi.as("n_clip_hi"),
+        min(col("b_lo")).as("b_lo"),
+        min(col("b_hi")).as("b_hi"),
+        ((interiorSum
+          + nLo.cast("double") * min(col("b_lo"))
+          + nHi.cast("double") * min(col("b_hi")))
+          / count(lit(1)).cast("double")).as("win_mean"))
+      .withColumnRenamed("_key", "key")
+  }
+
   def checksumRollup(df: DataFrame, group: Column, rowHash: Column): DataFrame =
     df.select(group.as("grp"), rowHash.as("_h"))
       .rollup(col("grp"))
