@@ -166,6 +166,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "fact-side shuffle join appeared")
   }
 
+  test("q_winsorize broadcasts the bounds frame; no fact-side shuffle join") {
+    val plan = physicalPlan("q_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), "bounds frame must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact-side shuffle join appeared")
+  }
+
+  test("q_corr_matrix is one scan and one global aggregation") {
+    val plan = physicalPlan("q_corr_matrix")
+    assert(!plan.contains("Join"), "moment computation must not join")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "all 15 moments must come from a single lineitem scan")
+  }
+
+  test("txt_surprisal corpus total is a broadcast, not a vocab-wide window") {
+    val plan = physicalPlan("txt_surprisal")
+    assert(!plan.contains("Window"), "global window over the vocab appeared")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "1-row corpus total must broadcast")
+  }
+
   test("driver entry() returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
