@@ -1337,6 +1337,18 @@ object SparkEntry {
       // and combined by a fixed chain of IEEE ops — so the matrix is
       // bit-identical at any parallelism, unlike corr() over float
       // sums. One hash-agg pass computes all 4+10 moments.
+      // The double cast is only cross-engine-exact when the decimal's
+      // unscaled value fits in 2^53 (a wider mantissa forces a
+      // round-mantissa-then-scale double rounding that differs between
+      // engines in the last ulp). The source columns are 2dp (quantity
+      // integral), so products carry ≤4dp truly (≤2dp for p·q): each
+      // product sum is cast down to that true scale — exact, no
+      // rounding — which bounds the unscaled value well under 2^53 at
+      // sf≤0.1. Σp² (~2.2e15 at sf0.1) can't afford any fractional
+      // digits, so it is floor()ed — floor is the same deterministic
+      // integer operation in every engine, unlike scale-down rounding
+      // whose tie rule is engine-specific (Spark HALF_UP vs DuckDB
+      // toward-zero).
       val li = t(s, dir, "lineitem")
       val namesToCols = Seq(
         "d" -> "l_discount", "p" -> "l_extendedprice",
@@ -1346,8 +1358,14 @@ object SparkEntry {
         namesToCols.map { case (n, c) => sum(d4(c)).cast("double").as(s"s_$n") } ++
         (for {
           (ni, ci) <- namesToCols; (nj, cj) <- namesToCols if ni <= nj
-        } yield sum((d4(ci) * d4(cj)).cast(DecimalType(38, 8)))
-          .cast("double").as(s"s_$ni$nj"))
+        } yield {
+          val sm = sum((d4(ci) * d4(cj)).cast(DecimalType(38, 8)))
+          val fit =
+            if (ni == "p" && nj == "p") floor(sm)
+            else if (ni == "p" && nj == "q") sm.cast(DecimalType(38, 2))
+            else sm.cast(DecimalType(38, 4))
+          fit.cast("double").as(s"s_$ni$nj")
+        })
       val a = li.agg(count(lit(1)).cast("double").as("n"), moments: _*)
       val pairs = for {
         (ni, _) <- namesToCols; (nj, _) <- namesToCols if ni < nj
@@ -2683,16 +2701,16 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_p,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_q,
         |  CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS s_t,
-        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dd,
-        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dp,
-        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dq,
-        |  CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_dt,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_pp,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_pq,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_pt,
-        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_qq,
-        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_qt,
-        |  CAST(sum(CAST(CAST(l_tax AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_tt
+        |  CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_dd,
+        |  CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_dp,
+        |  CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_dq,
+        |  CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_dt,
+        |  CAST(floor(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8)))) AS DOUBLE) AS s_pp,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,2)) AS DOUBLE) AS s_pq,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_pt,
+        |  CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_qq,
+        |  CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_qt,
+        |  CAST(CAST(sum(CAST(CAST(l_tax AS DECIMAL(28,4)) * CAST(l_tax AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_tt
         | FROM lineitem)
         |SELECT 'd_p' AS pair, (n*s_dp - s_d*s_p) / (sqrt(n*s_dd - s_d*s_d) * sqrt(n*s_pp - s_p*s_p)) AS corr FROM a
         |UNION ALL SELECT 'd_q', (n*s_dq - s_d*s_q) / (sqrt(n*s_dd - s_d*s_d) * sqrt(n*s_qq - s_q*s_q)) FROM a
