@@ -1273,6 +1273,52 @@ object SparkEntry {
         t(s, dir, "lineitem"), col("l_returnflag"), col("l_extendedprice"))
     },
 
+    // --- robust scale: per-key median absolute deviation ---
+    "q_mad" -> { (s, dir) =>
+      graft.ops.Stats.medianAbsDev(
+        t(s, dir, "lineitem"), col("l_returnflag"), col("l_extendedprice"))
+    },
+
+    // --- per-nation revenue Pareto: minimal 80%-coverage prefix ---
+    "q_pareto_coverage" -> { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val byNation = rev.join(
+        t(s, dir, "customer").select(
+          col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      graft.ops.Stats.paretoCoverage(
+        byNation, col("c_nationkey"), col("o_custkey"), col("rev"))
+    },
+
+    // --- cross-document boilerplate segment removal (C4-style) ---
+    "txt_boilerplate" -> { (s, dir) =>
+      Dedup.boilerplateStrip(
+        docsWithPlantedDups(s, dir), col("doc_id"), col("text"), chunk = 16)
+    },
+
+    // --- the full per-key window-function surface in one pass ---
+    "q_window_suite" -> { (s, dir) =>
+      // lag/lead/nth_value/first/percent_rank/cume_dist share ONE
+      // window ordering, so Catalyst plans a single sort per
+      // partition — rank ratios are exact-integer divisions (one IEEE
+      // division, cross-engine bit-identical)
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(eventUs(ev, "ts"), col("event_id"))
+      val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+        col("user_id"), col("event_id"),
+        lag(col("event_type"), 1).over(ord).as("prev_type"),
+        lead(col("event_type"), 1).over(ord).as("next_type"),
+        first(col("event_type")).over(frame).as("first_type"),
+        nth_value(col("event_type"), 3).over(frame).as("third_type"),
+        percent_rank().over(ord).as("pct_rank"),
+        cume_dist().over(ord).as("cume"))
+    },
+
     // --- fixed-round k-core peel on the part co-occurrence graph ---
     "q_kcore_peel" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -2586,6 +2632,62 @@ object SparkEntry {
         |   + CAST(sum(CASE WHEN v > b_hi THEN 1 ELSE 0 END) AS DOUBLE) * min(b_hi))
         |   / CAST(count(*) AS DOUBLE) AS win_mean
         |FROM j GROUP BY flag""".stripMargin,
+
+    "q_mad" ->
+      """WITH m AS (
+        | SELECT l_returnflag AS key, quantile_cont(l_extendedprice, 0.5) AS med
+        | FROM lineitem GROUP BY 1)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n, min(med) AS median,
+        | quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+        |FROM lineitem JOIN m ON l_returnflag = m.key GROUP BY key""".stripMargin,
+
+    "q_pareto_coverage" ->
+      """WITH rev AS (
+        | SELECT o_custkey AS id, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS wt
+        | FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey AS key, id, wt
+        |      FROM rev JOIN customer ON id = c_custkey),
+        |w AS (
+        | SELECT key, id, wt,
+        |  sum(wt) OVER (PARTITION BY key ORDER BY wt DESC, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wt AS cum_before,
+        |  sum(wt) OVER (PARTITION BY key) AS total,
+        |  row_number() OVER (PARTITION BY key ORDER BY wt DESC, id) AS rank
+        | FROM j)
+        |SELECT key, id, CAST(wt AS DOUBLE) AS weight, CAST(rank AS BIGINT) AS rank
+        |FROM w WHERE cum_before * 5 < total * 4""".stripMargin,
+
+    "txt_boilerplate" ->
+      """WITH docs_wd AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate suffix' AS text
+        | FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs_wd),
+        |segs AS (
+        | SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |        array_to_string(ts[i*16+1 : i*16+16], ' ') AS seg_text
+        | FROM toks, unnest(range(0, CAST(ceil(len(ts) / 16.0) AS BIGINT))) AS u(i)),
+        |dfs AS (SELECT seg_text, count(DISTINCT doc_id) AS seg_df
+        |        FROM segs GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_segs,
+        | CAST(sum(CASE WHEN seg_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | coalesce(string_agg(CASE WHEN seg_df <= 1 THEN seg_text END, ' '
+        |   ORDER BY seg_idx), '') AS text_clean
+        |FROM segs JOIN dfs USING (seg_text) GROUP BY doc_id""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT user_id, event_id,
+        | lag(event_type, 1) OVER w AS prev_type,
+        | lead(event_type, 1) OVER w AS next_type,
+        | first_value(event_type) OVER wf AS first_type,
+        | nth_value(event_type, 3) OVER wf AS third_type,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_kcore_peel" ->
       """WITH e0 AS (

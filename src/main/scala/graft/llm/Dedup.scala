@@ -429,4 +429,49 @@ object Dedup {
             s => s.getField("seg_text")),
           " ").as("text_deduped"))
   }
+
+  /** Cross-document boilerplate removal (the C4/CCNet cleanup):
+    * segment each document into fixed word chunks, count each
+    * distinct segment's document frequency, and drop EVERY occurrence
+    * of segments appearing in more than `maxDf` distinct documents —
+    * text shared across many documents is template chrome (headers,
+    * footers, navigation), not content. Unlike [[spanDedup]]
+    * (keep-first), removal is unconditional: boilerplate has no
+    * canonical owner.
+    *
+    * Scale shape: segmentation is map-only fan-out; the df table is a
+    * (seg_text, doc_id)-distinct aggregation followed by a count (both
+    * map-side partial); segments then join the df table on the segment
+    * key — both sides are already hashed on it, so AQE plans a
+    * co-partitioned join — and one groupBy(doc_id) reassembles.
+    * Never all-pairs; per-key state is one document's own segments.
+    *
+    * Same non-empty-text precondition as [[spanDedup]].
+    */
+  def boilerplateStrip(
+      df: DataFrame, id: Column, text: Column,
+      chunk: Int = 16, maxDf: Int = 1): DataFrame = {
+    val words = split(text, " ")
+    val nSegs = floor((size(words) + (chunk - 1)) / lit(chunk)).cast("int")
+    val segs = df.select(
+      id.as("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), nSegs - 1),
+        i => array_join(slice(words, i * chunk + 1, lit(chunk)), " ")))
+        .as(Seq("seg_idx", "seg_text")))
+    val dfTab = segs.select(col("seg_text"), col("doc_id")).distinct()
+      .groupBy(col("seg_text")).agg(count(lit(1)).as("seg_df"))
+    segs.join(dfTab, "seg_text")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("seg_df") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("seg_df") <= maxDf,
+                struct(col("seg_idx"), col("seg_text"))))),
+            s => s.getField("seg_text")),
+          " ").as("text_clean"))
+  }
 }

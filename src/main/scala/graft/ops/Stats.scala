@@ -191,4 +191,53 @@ object Stats {
       .agg(
         count(lit(1)).as("n_rows"),
         expr("bit_xor(_h)").as("xor_hash"))
+
+  /** Per-key median absolute deviation — the robust scale estimate
+    * (breakdown point 50%, vs 25% for the IQR fences). Median via the
+    * same exact interpolated percentile kernel the winsorize bounds
+    * use; the per-key median frame (one row per key) broadcasts back
+    * for the deviation pass, so the fact table shuffles only for its
+    * two percentile aggregations. |x − med| is a single IEEE
+    * subtraction on exact inputs — bit-identical in any engine.
+    */
+  def medianAbsDev(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val med = df
+      .groupBy(key.as("_key"))
+      .agg(percentile(value, lit(0.5)).as("med"))
+    df.select(key.as("_key"), value.as("_v"))
+      .join(broadcast(med), "_key")
+      .groupBy(col("_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("median"),
+        percentile(abs(col("_v") - col("med")), lit(0.5)).as("mad"))
+      .withColumnRenamed("_key", "key")
+  }
+
+  /** Per-key Pareto coverage: the minimal prefix of members (by
+    * descending weight, id tiebreak) whose weights cover `num/den` of
+    * the key's total. The cutoff test compares den·cum_before <
+    * num·total in exact DECIMAL — integer-scaled cross-multiplication
+    * instead of a share division, so no float rounding can flip a
+    * boundary row. One window pass per key partition; no global
+    * (empty-PARTITION BY) window.
+    */
+  def paretoCoverage(
+      df: DataFrame, key: Column, id: Column, weight: Column,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(key.as("key"), id.as("id"),
+      weight.cast(DecimalType(18, 2)).as("wt"))
+    val ord = Window.partitionBy(col("key"))
+      .orderBy(col("wt").desc, col("id"))
+    val cumBefore = sum(col("wt"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+      col("wt")
+    val total = sum(col("wt")).over(Window.partitionBy(col("key")))
+    w.select(
+        col("key"), col("id"), col("wt").cast("double").as("weight"),
+        row_number().over(ord).as("rank"),
+        (cumBefore * den < total * num).as("_keep"))
+      .filter(col("_keep")).drop("_keep")
+  }
 }

@@ -208,6 +208,95 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("boilerplateStrip equals brute-force df-threshold removal") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 700)
+      val docs = (1L to 60L).map { i =>
+        i -> (1 to (4 + rnd.nextInt(12)))
+          .map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+      }
+      val out = graft.llm.Dedup
+        .boilerplateStrip(docs.toDF("id", "txt"), col("id"), col("txt"),
+          chunk = 2, maxDf = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val allSegs = docs.flatMap { case (id, txt) =>
+        txt.split(" ").grouped(2).zipWithIndex
+          .map { case (c, i) => (id, i, c.mkString(" ")) }
+      }
+      val dfBySeg = allSegs.groupBy(_._3).map { case (s, occ) =>
+        s -> occ.map(_._1).distinct.size
+      }
+      docs.foreach { case (id, txt) =>
+        val mine = allSegs.filter(_._1 == id).sortBy(_._2)
+        val kept = mine.filter(s => dfBySeg(s._3) <= 2).map(_._3)
+        val (nSegs, nDropped, clean) = out(id)
+        assert(nSegs == mine.size.toLong, s"seed $seed doc $id n_segs")
+        assert(nDropped == (mine.size - kept.size).toLong,
+          s"seed $seed doc $id n_dropped")
+        assert(clean == kept.mkString(" "), s"seed $seed doc $id text")
+      }
+    }
+  }
+
+  test("paretoCoverage: kept prefix is the minimal cover at num/den") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 800)
+      val rows = (1 to 300).map { i =>
+        (s"k${rnd.nextInt(5)}", i.toLong,
+          math.round(rnd.nextDouble() * 10000) / 100.0)
+      }
+      val df = rows.toDF("k", "id", "w")
+      val kept = graft.ops.Stats
+        .paretoCoverage(df, col("k"), col("id"), col("w"), num = 4, den = 5)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      def cents(d: Double): Long = math.round(d * 100)
+      val totals = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(r => cents(r._3)).sum
+      }
+      kept.groupBy(_._1).foreach { case (k, ks) =>
+        val sorted = ks.sortBy(_._4)
+        assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq,
+          s"seed $seed $k ranks not a contiguous prefix")
+        val keptSum = sorted.map(r => cents(r._3)).sum
+        // covers the target share...
+        assert(5L * keptSum >= 4L * totals(k), s"seed $seed $k under-covers")
+        // ...and minimally so: dropping the last kept row goes under
+        val allButLast = keptSum - cents(sorted.last._3)
+        assert(5L * allButLast < 4L * totals(k), s"seed $seed $k not minimal")
+      }
+    }
+  }
+
+  test("medianAbsDev equals brute-force interpolated median") {
+    val rnd = new Random(1200)
+    val rows = (1 to 501).map { i =>
+      (s"g${i % 3}", math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    def medOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val idx = 0.5 * (s.length - 1)
+      val lo = s(idx.toInt)
+      val hi = s(math.ceil(idx).toInt)
+      lo + (idx - idx.toInt) * (hi - lo)
+    }
+    val got = graft.ops.Stats
+      .medianAbsDev(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2)
+      val med = medOf(xs)
+      val mad = medOf(xs.map(x => math.abs(x - med)))
+      val (n, gotMed, gotMad) = got(g)
+      assert(n == xs.size.toLong && gotMed == med && gotMad == mad,
+        s"group $g: got ($n, $gotMed, $gotMad) want (${xs.size}, $med, $mad)")
+    }
+  }
+
   test("tokenBudgetAllocation: feasibility and optimality invariants") {
     for (seed <- 1 to 2) {
       val rnd = new Random(seed + 900)
