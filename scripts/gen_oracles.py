@@ -205,6 +205,39 @@ WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
 SELECT doc_id, source FROM documents JOIN c USING (source)
 WHERE {u53} < least(1.0, 2.0 / sqrt(CAST(n AS DOUBLE)))"""
 
+    # ---- ds_bootstrap: deterministic Poisson(1) bootstrap — weight
+    # of a row in replicate r = inverse-CDF lookup of the splitmix
+    # uniform of (doc_id*16 + r + 29); replicate means are exact
+    # integer sums divided once.  CDF literals = graft Sampling
+    # .poissonCdf (truncated at weight 8). ----
+    pcdf = ["0.36787944117144233", "0.7357588823428847",
+            "0.9196986029286058", "0.9810118431238462",
+            "0.9963401531726563", "0.9994058151824183",
+            "0.999916758850712", "0.9999897508033253"]
+    REPS = 16
+    # replicate index r is unnested so the splitmix kernel appears
+    # ONCE (16 inline copies exceed the JVM 64KB string-constant cap)
+    boot_h = splitmix(f"CAST(doc_id * {REPS} + r + 29 AS HUGEINT)")
+    boot_w = "8"
+    for k in range(7, -1, -1):
+        boot_w = f"CASE WHEN u < {pcdf[k]} THEN {k} ELSE {boot_w} END"
+    o["ds_bootstrap"] = f"""
+WITH ur AS (
+ SELECT lang, n_chars, r,
+  (CAST(({boot_h}) // 2048 AS DOUBLE) * 1.1102230246251565e-16) AS u
+ FROM documents, unnest(range(0, {REPS})) AS t(r)),
+a AS (
+ SELECT lang, r, CAST(sum(({boot_w}) * n_chars) AS BIGINT) AS s,
+  CAST(sum({boot_w}) AS BIGINT) AS c
+ FROM ur GROUP BY lang, r),
+m AS (SELECT lang, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS mean_r FROM a),
+base AS (
+ SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS tot
+ FROM documents GROUP BY lang)
+SELECT b.lang AS key, b.n, CAST(b.tot AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean,
+ min(m.mean_r) AS boot_lo, max(m.mean_r) AS boot_hi
+FROM base b JOIN m USING (lang) GROUP BY b.lang, b.n, b.tot"""
+
     # ---- ds_interleave: weighted interleave key — (53-bit splitmix
     # fraction as an integer) floor-div weight; sorting by ikey gives
     # every prefix the weight-proportional source mix ----

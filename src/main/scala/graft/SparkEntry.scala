@@ -1292,6 +1292,13 @@ object SparkEntry {
         byNation, col("c_nationkey"), col("o_custkey"), col("rev"))
     },
 
+    // --- deterministic Poisson bootstrap: mean uncertainty bands ---
+    "ds_bootstrap" -> { (s, dir) =>
+      graft.llm.Sampling.poissonBootstrap(
+        t(s, dir, "documents"), col("doc_id"), col("lang"), col("n_chars"),
+        reps = 16, salt = 29L)
+    },
+
     // --- cross-document boilerplate segment removal (C4-style) ---
     "txt_boilerplate" -> { (s, dir) =>
       Dedup.boilerplateStrip(

@@ -339,4 +339,70 @@ object Sampling {
       (when(col("funded"), col("n_tokens")).otherwise(col("cap")).cast("double")
         / col("n_tokens").cast("double")).as("rate"))
   }
+
+  /** Poisson(1) CDF thresholds for [[poissonBootstrap]]'s inverse-CDF
+    * weight lookup: u < cdf(k) ⇒ weight ≤ k. Fixed double literals so
+    * the identical comparison runs in every engine; truncated at
+    * weight 8 (tail mass ~1.1e-6 — the bias is negligible and, more
+    * importantly, identical everywhere).
+    */
+  private val poissonCdf: Array[Double] = Array(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** Poisson bootstrap: per-key uncertainty for a mean without
+    * replicating the data (the resampling scheme for massive
+    * distributed data — each row's multiplicity in replicate r is
+    * drawn Poisson(1) instead of jointly multinomial, so weights are
+    * a pure per-row function). Here the draw is DETERMINISTIC:
+    * inverse-CDF lookup on the 53-bit splitmix64 uniform of
+    * (id·reps + r + salt) — reproducible across retries, engines,
+    * and partitionings like every sampler in this module.
+    *
+    * Scale shape: weight generation is map-only; ONE shuffle (the
+    * key aggregation) carries 2·reps map-combined partial sums per
+    * key — the corpus is never copied `reps` times. Integer weights ×
+    * long values keep every Σ exact; each replicate mean is a single
+    * IEEE division of exact-integer operands (bit-identical in any
+    * engine while the sums stay under 2^53 — at 100 TB per-key value
+    * sums beyond that, quantize `value` coarser or emit the raw
+    * (Σwv, Σw) pairs instead of means).
+    *
+    * Returns per key: n, mean, and [boot_lo, boot_hi] — the min/max
+    * of the `reps` replicate means (with reps=16, an ~88% band by
+    * the replicate-range rule; raise reps for tighter quantiles).
+    */
+  def poissonBootstrap(
+      df: DataFrame, id: Column, key: Column, value: Column,
+      reps: Int = 16, salt: Long = 0L): DataFrame = {
+    require(reps >= 2, "need at least 2 replicates for a band")
+    val wCols = (0 until reps).map { r =>
+      val u = shiftrightunsigned(
+        F.splitmix64(id * lit(reps.toLong) + lit(r.toLong + salt)), 11)
+        .cast("double") * lit(1.1102230246251565e-16) // 2^-53
+      poissonCdf.zipWithIndex.reverse.foldLeft(lit(poissonCdf.length): Column) {
+        case (acc, (c, k)) => when(u < lit(c), lit(k)).otherwise(acc)
+      }.cast("long").as(s"_w$r")
+    }
+    val base = df.select(
+      Seq(key.as("_key"), value.cast("long").as("_v")) ++ wCols: _*)
+    val aggs =
+      Seq(sum(col("_v")).as("_tot")) ++
+      (0 until reps).flatMap { r =>
+        Seq(
+          sum(col(s"_w$r") * col("_v")).as(s"_s$r"),
+          sum(col(s"_w$r")).as(s"_c$r"))
+      }
+    val means = (0 until reps).map { r =>
+      col(s"_s$r").cast("double") / col(s"_c$r").cast("double")
+    }
+    base.groupBy(col("_key"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(
+        col("_key").as("key"), col("n"),
+        (col("_tot").cast("double") / col("n").cast("double")).as("mean"),
+        least(means: _*).as("boot_lo"),
+        greatest(means: _*).as("boot_hi"))
+  }
 }

@@ -297,6 +297,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrap equals host-side replay of the weight draw") {
+    val cdf = Array(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.999916758850712, 0.9999897508033253)
+    val rnd = new Random(1500)
+    val rows = (1L to 400L).map(i => (i, s"g${i % 3}", 10L + rnd.nextInt(90)))
+    val reps = 8
+    val got = graft.llm.Sampling
+      .poissonBootstrap(rows.toDF("id", "g", "v"), col("id"), col("g"),
+        col("v"), reps = reps, salt = 5L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def weight(id: Long, r: Int): Long = {
+      val u = (graft.functions.HashOps.splitmix64(id * reps + r + 5L) >>> 11)
+        .toDouble * 1.1102230246251565e-16
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) 8L else k.toLong
+    }
+    rows.groupBy(_._2).foreach { case (g, rs) =>
+      val means = (0 until reps).map { r =>
+        val ws = rs.map(t => (weight(t._1, r), t._3))
+        ws.map(t => t._1 * t._2).sum.toDouble / ws.map(_._1).sum.toDouble
+      }
+      val (n, mean, lo, hi) = got(g)
+      assert(n == rs.size.toLong, s"$g n")
+      assert(mean == rs.map(_._3).sum.toDouble / rs.size, s"$g mean")
+      assert(lo == means.min && hi == means.max,
+        s"$g band: got ($lo,$hi) want (${means.min},${means.max})")
+      // the replicate band should bracket the plain mean
+      assert(lo <= mean && mean <= hi, s"$g band does not bracket mean")
+    }
+  }
+
   test("tokenBudgetAllocation: feasibility and optimality invariants") {
     for (seed <- 1 to 2) {
       val rnd = new Random(seed + 900)
