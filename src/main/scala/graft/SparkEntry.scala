@@ -1292,6 +1292,34 @@ object SparkEntry {
         byNation, col("c_nationkey"), col("o_custkey"), col("rev"))
     },
 
+    // --- one-pass classifier threshold sweep (precision/recall grid) ---
+    "q_threshold_sweep" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.ops.Stats.thresholdSweep(
+        ev, col("value"), col("event_type") === "purchase")
+    },
+
+    // --- first/last-touch attribution of purchases to clicks ---
+    "q_attribution" -> { (s, dir) =>
+      // one ordered window pass per user: carry the first and the
+      // latest preceding click id with last/first(ignoreNulls) over a
+      // cumulative frame, then keep purchases — no self-join of the
+      // event stream against itself
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(eventUs(ev, "ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      ev.select(
+          col("user_id"), col("event_id"), col("event_type"),
+          first(clickId, ignoreNulls = true).over(cum).as("first_click"),
+          last(clickId, ignoreNulls = true).over(cum).as("last_click"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("first_click"), col("last_click"))
+    },
+
     // --- deterministic Poisson bootstrap: mean uncertainty bands ---
     "ds_bootstrap" -> { (s, dir) =>
       graft.llm.Sampling.poissonBootstrap(
@@ -2682,6 +2710,41 @@ object SparkEntry {
         | coalesce(string_agg(CASE WHEN seg_df <= 1 THEN seg_text END, ' '
         |   ORDER BY seg_idx), '') AS text_clean
         |FROM segs JOIN dfs USING (seg_text) GROUP BY doc_id""".stripMargin,
+
+    "q_threshold_sweep" ->
+      """WITH b AS (
+        | SELECT CAST(floor(value * 100) AS BIGINT) // 2500 AS bin,
+        |  (event_type = 'purchase') AS pos FROM events),
+        |a AS (
+        | SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        | FROM b GROUP BY bin),
+        |w AS (
+        | SELECT bin * 2500 AS threshold_cents,
+        |  sum(n) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS predicted_pos,
+        |  sum(np) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS true_pos,
+        |  sum(np) OVER () AS allpos
+        | FROM a)
+        |SELECT threshold_cents,
+        | CAST(predicted_pos AS BIGINT) AS predicted_pos,
+        | CAST(true_pos AS BIGINT) AS true_pos,
+        | CAST(true_pos AS DOUBLE) / CAST(predicted_pos AS DOUBLE) AS prec,
+        | CAST(true_pos AS DOUBLE) / CAST(allpos AS DOUBLE) AS recall
+        |FROM w""".stripMargin,
+
+    "q_attribution" ->
+      """SELECT user_id, purchase_id, first_click, last_click FROM (
+        | SELECT user_id, event_id AS purchase_id, event_type,
+        |  first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER w AS first_click,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER w AS last_click
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase'""".stripMargin,
 
     "q_window_suite" ->
       """SELECT user_id, event_id,

@@ -214,6 +214,52 @@ object Stats {
       .withColumnRenamed("_key", "key")
   }
 
+  /** Classifier threshold sweep in ONE corpus pass: bin scores to an
+    * integer grid (deterministic cents, `floor(score·100) div
+    * binCents` — the q_ewma quantization, identical in every engine),
+    * aggregate (n, n_pos) per bin map-combined, then suffix-sum the
+    * tiny bins frame so each grid threshold reports predicted
+    * positives / true positives / precision / recall. The corpus
+    * never shuffles per-threshold — the sweep costs one aggregation
+    * regardless of grid size (vs one pass PER candidate threshold
+    * naively). The suffix window runs on the bins frame (a global
+    * window over ≤ a few hundred rows — explicitly fine, the
+    * tokenBudgetAllocation pattern).
+    *
+    * Precision/recall are single IEEE divisions of exact longs.
+    */
+  def thresholdSweep(
+      df: DataFrame, score: Column, label: Column,
+      binCents: Long = 2500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // non-negative scores only: Spark `div` truncates toward zero,
+    // DuckDB `//` floors — they agree on nonnegatives
+    val bins = df
+      .select(
+        floor(score * 100).cast("long").as("_c"),
+        label.cast("boolean").as("_pos"))
+      .select(expr(s"_c div $binCents").as("bin"), col("_pos"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("_np"))
+    val suffix = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    bins
+      .select(
+        (col("bin") * binCents).as("threshold_cents"),
+        sum(col("_n")).over(suffix).as("predicted_pos"),
+        sum(col("_np")).over(suffix).as("true_pos"),
+        sum(col("_np")).over(all).as("_allpos"))
+      .select(
+        col("threshold_cents"), col("predicted_pos"), col("true_pos"),
+        (col("true_pos").cast("double") / col("predicted_pos").cast("double"))
+          .as("prec"),
+        (col("true_pos").cast("double") / col("_allpos").cast("double"))
+          .as("recall"))
+  }
+
   /** Per-key Pareto coverage: the minimal prefix of members (by
     * descending weight, id tiebreak) whose weights cover `num/den` of
     * the key's total. The cutoff test compares den·cum_before <
