@@ -186,6 +186,33 @@ class PlanSpec extends SparkSpec {
       "1-row corpus total must broadcast")
   }
 
+  test("q_threshold_sweep aggregates the corpus BEFORE any window") {
+    val plan = physicalPlan("q_threshold_sweep")
+    // the suffix-sum window must run on the tiny bins frame: in plan
+    // text (children print below parents) the Window sits above the
+    // final aggregate, never between scan and aggregation
+    val win = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg,
+      "window must consume the aggregated bins frame, not the corpus")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "bin aggregation lost its map-side partial phase")
+  }
+
+  test("ds_bootstrap weights are map-only: one Exchange total") {
+    val plan = physicalPlan("ds_bootstrap")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      "replicate weights must not add shuffles beyond the key agg")
+    assert(!plan.contains("Join"), "bootstrap must not join or replicate")
+  }
+
+  test("txt_boilerplate never goes all-pairs") {
+    val plan = physicalPlan("txt_boilerplate")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "segment-df join must stay an equi-join on the segment key")
+  }
+
   test("driver entry() returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
