@@ -1292,6 +1292,29 @@ object SparkEntry {
         byNation, col("c_nationkey"), col("o_custkey"), col("rev"))
     },
 
+    // --- join-explosion detector: output size from per-key counts ---
+    "q_join_size" -> { (s, dir) =>
+      // the pre-flight check before a many-to-many join: per-key
+      // multiplicities on each side (two map-combined aggs reduce the
+      // tables to key-cardinality frames), joined and multiplied —
+      // Σ n_l·n_r IS the exact join output size, plus the top keys by
+      // contribution so the skew culprit is named before any shuffle
+      // of the real data happens
+      import org.apache.spark.sql.expressions.Window
+      val l = t(s, dir, "lineitem").groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("n_l"))
+      val r = t(s, dir, "orders")
+        .select((col("o_orderkey") % 20000).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n_r"))
+      val contrib = l.join(r, "key")
+        .select(col("key"), col("n_l"), col("n_r"),
+          (col("n_l") * col("n_r")).as("out_rows"))
+      // top-k via TakeOrderedAndProject (distributed partial top-k per
+      // partition, merged on the driver) — never a single-partition
+      // window over the key frame
+      contrib.orderBy(col("out_rows").desc, col("key")).limit(20)
+    },
+
     // --- one-pass classifier threshold sweep (precision/recall grid) ---
     "q_threshold_sweep" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -2710,6 +2733,17 @@ object SparkEntry {
         | coalesce(string_agg(CASE WHEN seg_df <= 1 THEN seg_text END, ' '
         |   ORDER BY seg_idx), '') AS text_clean
         |FROM segs JOIN dfs USING (seg_text) GROUP BY doc_id""".stripMargin,
+
+    "q_join_size" ->
+      """WITH l AS (
+        | SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_l
+        | FROM lineitem GROUP BY 1),
+        |r AS (
+        | SELECT o_orderkey % 20000 AS key, CAST(count(*) AS BIGINT) AS n_r
+        | FROM orders GROUP BY 1)
+        |SELECT key, n_l, n_r, n_l * n_r AS out_rows
+        |FROM l JOIN r USING (key)
+        |ORDER BY out_rows DESC, key LIMIT 20""".stripMargin,
 
     "q_threshold_sweep" ->
       """WITH b AS (
