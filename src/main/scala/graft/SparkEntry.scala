@@ -1292,6 +1292,12 @@ object SparkEntry {
         byNation, col("c_nationkey"), col("o_custkey"), col("rev"))
     },
 
+    // --- cohort distribution drift (log-free chi-square) ---
+    "q_drift_chi2" -> { (s, dir) =>
+      graft.ops.Stats.driftChi2(
+        t(s, dir, "events"), col("event_type"), col("event_id") % 2 === 0)
+    },
+
     // --- join-explosion detector: output size from per-key counts ---
     "q_join_size" -> { (s, dir) =>
       // the pre-flight check before a many-to-many join: per-key
@@ -2733,6 +2739,25 @@ object SparkEntry {
         | coalesce(string_agg(CASE WHEN seg_df <= 1 THEN seg_text END, ' '
         |   ORDER BY seg_idx), '') AS text_clean
         |FROM segs JOIN dfs USING (seg_text) GROUP BY doc_id""".stripMargin,
+
+    "q_drift_chi2" ->
+      """WITH bins AS (
+        | SELECT event_type AS bin,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        | FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |             CAST(sum(n_b) AS BIGINT) AS tot_b FROM bins)
+        |SELECT bin, n_a, n_b,
+        | CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
+        | CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+        | (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+        |   - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+        | * (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+        |   - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+        | / (CAST(n_a + n_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE))
+        |   AS chi2_contrib
+        |FROM bins, t""".stripMargin,
 
     "q_join_size" ->
       """WITH l AS (

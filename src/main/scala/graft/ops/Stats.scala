@@ -260,6 +260,39 @@ object Stats {
           .as("recall"))
   }
 
+  /** Distribution drift between two cohorts of one stream — the
+    * monitoring check before a data mix changes silently. Per bin:
+    * cohort counts, cohort shares, and a log-free chi-square
+    * contribution ((p_a − p_b)² / pooled share) — PSI's ln(p_a/p_b)
+    * is a transcendental whose last ulp differs across engines, so
+    * the statistic here sticks to share differences: every operand
+    * is an exact integer count cast to double (≤2^53 — exact), and
+    * the contribution is a fixed IEEE chain, bit-identical anywhere.
+    *
+    * ONE map-combined aggregation over the stream (conditional counts
+    * per bin); the totals frame is a single row broadcast back onto
+    * the bins frame. Nothing shuffles twice.
+    */
+  def driftChi2(df: DataFrame, bin: Column, inCohortA: Column): DataFrame = {
+    val bins = df
+      .select(bin.as("bin"), inCohortA.cast("boolean").as("_a"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = bins.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    val pa = col("n_a").cast("double") / col("tot_a").cast("double")
+    val pb = col("n_b").cast("double") / col("tot_b").cast("double")
+    val pooled = (col("n_a") + col("n_b")).cast("double") /
+      (col("tot_a") + col("tot_b")).cast("double")
+    bins.join(broadcast(totals))
+      .select(
+        col("bin"), col("n_a"), col("n_b"),
+        pa.as("p_a"), pb.as("p_b"),
+        ((pa - pb) * (pa - pb) / pooled).as("chi2_contrib"))
+  }
+
   /** Per-key Pareto coverage: the minimal prefix of members (by
     * descending weight, id tiebreak) whose weights cover `num/den` of
     * the key's total. The cutoff test compares den·cum_before <

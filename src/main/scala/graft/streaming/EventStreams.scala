@@ -360,4 +360,39 @@ object EventStreams {
           TopKOut(key, top.map(_._1).toSeq, top.map(_._2._1).toSeq, n)
       }
   }
+
+  case class AttributionOut(
+      user_id: Long, purchase_id: Long, first_click: Long, last_click: Long)
+
+  /** Streaming first/last-touch attribution (twin of the batch
+    * `q_attribution`): per-user state is TWO longs — the first and the
+    * latest click id seen (-1 = none yet) — O(1), no event retention,
+    * no timeout needed. Within a micro-batch events apply in
+    * (ts_us, event_id) order, so in-order arrival reproduces the
+    * batch operator exactly; across batches a click arriving after a
+    * purchase was already emitted does not retroactively re-attribute
+    * it (the standard streaming trade, stated rather than hidden).
+    * Emits one row per purchase (Append mode).
+    */
+  def attribution(events: Dataset[Event]): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AttributionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          var (first, last) = state.getOption.getOrElse((-1L, -1L))
+          val out = Seq.newBuilder[AttributionOut]
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "click") {
+              if (first == -1L) first = e.event_id
+              last = e.event_id
+            } else if (e.event_type == "purchase") {
+              out += AttributionOut(userId, e.event_id, first, last)
+            }
+          }
+          state.update((first, last))
+          out.result().iterator
+      }
+  }
 }

@@ -140,6 +140,33 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L).event_id == 12L && last(2L).event_type == "click")
   }
 
+  test("streaming attribution carries first/last click across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val out = EventStreams.attribution(mem.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("attrout").start()
+    // batch 1: clicks 1,3 then purchase 5 (out of order in the batch —
+    // the (ts,id) sort must apply click 3 before purchase 5)
+    mem.addData(
+      Event(5, 50L * us, 1L, "purchase", 9.0),
+      Event(1, 10L * us, 1L, "click", 0.0),
+      Event(3, 30L * us, 1L, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: another click then purchase — first stays 1, last moves
+    mem.addData(
+      Event(7, 70L * us, 1L, "click", 0.0),
+      Event(9, 90L * us, 1L, "purchase", 4.0),
+      Event(20, 20L * us, 2L, "purchase", 1.0)) // user 2: no clicks ever
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attrout").as[EventStreams.AttributionOut]
+      .collect().map(r => r.purchase_id -> ((r.first_click, r.last_click))).toMap
+    assert(rows(5L) == ((1L, 3L)), "batch-1 purchase sees in-batch clicks")
+    assert(rows(9L) == ((1L, 7L)), "first click persists, last advances")
+    assert(rows(20L) == ((-1L, -1L)), "clickless user attributes to none")
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
