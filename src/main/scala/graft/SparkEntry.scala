@@ -1292,6 +1292,21 @@ object SparkEntry {
         byNation, col("c_nationkey"), col("o_custkey"), col("rev"))
     },
 
+    // --- sliding context-window chunking (pretraining splitter) ---
+    "txt_chunk_windows" -> { (s, dir) =>
+      TextAnalysis.chunkWindows(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        window = 64, stride = 48)
+    },
+
+    // --- length-bucketed dynamic batching with padding-waste report ---
+    "ds_length_buckets" -> { (s, dir) =>
+      val toks = TextAnalysis.tokenCounts(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+      graft.ops.Packing.lengthBuckets(
+        toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
+    },
+
     // --- cohort distribution drift (log-free chi-square) ---
     "q_drift_chi2" -> { (s, dir) =>
       graft.ops.Stats.driftChi2(
@@ -2739,6 +2754,30 @@ object SparkEntry {
         | coalesce(string_agg(CASE WHEN seg_df <= 1 THEN seg_text END, ' '
         |   ORDER BY seg_idx), '') AS text_clean
         |FROM segs JOIN dfs USING (seg_text) GROUP BY doc_id""".stripMargin,
+
+    "txt_chunk_windows" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ts
+        | FROM documents)
+        |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        | CAST(i AS INT) AS chunk_idx,
+        | CAST(len(ts[i*48+1 : i*48+64]) AS BIGINT) AS chunk_tokens,
+        | array_to_string(ts[i*48+1 : i*48+64], ' ') AS chunk_text
+        |FROM toks,
+        | unnest(range(0, CAST(ceil(len(ts) / 48.0) AS BIGINT))) AS u(i)""".stripMargin,
+
+    "ds_length_buckets" ->
+      """WITH toks AS (
+        | SELECT doc_id AS id,
+        |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS sz
+        | FROM documents),
+        |r AS (
+        | SELECT id, sz, (sz - 1) // 32 AS bucket,
+        |  row_number() OVER (PARTITION BY (sz - 1) // 32 ORDER BY sz, id) AS rn
+        | FROM toks)
+        |SELECT id, sz, bucket, (rn - 1) // 8 AS batch_id,
+        | (bucket + 1) * 32 - sz AS pad_waste
+        |FROM r""".stripMargin,
 
     "q_drift_chi2" ->
       """WITH bins AS (

@@ -412,4 +412,37 @@ object TextAnalysis {
         .as("simpson_num"),
       (size(types).cast("double") / size(words).cast("double")).as("ttr"))
   }
+
+  /** Sliding context-window chunking — the pretraining splitter that
+    * turns long documents into overlapping training windows: window
+    * `window` tokens, stride `stride` (< window ⇒ overlap carries
+    * context across chunk boundaries). Map-only fan-out: window
+    * starts are generated per row (`i·stride < n_tokens`), each chunk
+    * sliced from the token array — no shuffle, no self-join; the
+    * expansion factor is ~window/stride and every chunk carries its
+    * index and true length (the tail chunk may be short — the
+    * downstream packer or a `n_tokens = window` filter decides its
+    * fate, not this op).
+    *
+    * Requires non-empty text (same precondition as spanDedup).
+    */
+  def chunkWindows(
+      df: DataFrame, id: Column, text: Column,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && window >= stride, "need 1 <= stride <= window")
+    val words = filter(split(text, " "), w => length(w) > 0)
+    val n = size(words)
+    // number of starts: smallest k with k*stride >= n  ⇒ ceil(n/stride)
+    val nChunks = floor((n + (stride - 1)) / lit(stride)).cast("int")
+    df.select(
+        id.as("doc_id"), n.cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => slice(words, i * stride + 1, lit(window))))
+          .as(Seq("chunk_idx", "_w")))
+      .select(
+        col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        size(col("_w")).cast("long").as("chunk_tokens"),
+        array_join(col("_w"), " ").as("chunk_text"))
+  }
 }

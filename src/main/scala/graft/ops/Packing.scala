@@ -55,4 +55,39 @@ object Packing {
       }
       .toDF("grp", "ord", "sz", "seq_id")
   }
+
+  /** Length-bucketed batch assembly (dynamic batching): group rows
+    * into integer length buckets (`size div bucketWidth` — sequences
+    * of similar length batch together so per-batch padding waste is
+    * bounded by `bucketWidth`), then number batches of `batchSize`
+    * inside each bucket by a deterministic order. Padding waste per
+    * row = bucket ceiling − size, reported so the cost of the
+    * bucketing config is measurable (Σ waste / Σ size is the padding
+    * overhead a trainer pays).
+    *
+    * One shuffle: the per-bucket window. Bucket count is small
+    * (maxLen/bucketWidth), but each bucket's rows can be many — the
+    * window sorts within the bucket partition; for corpora where one
+    * bucket dominates, widen shuffle partitions or sub-salt the
+    * bucket key upstream.
+    */
+  def lengthBuckets(
+      df: DataFrame, id: Column, size: Column,
+      bucketWidth: Long, batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (sz-1) div w, not sz div w: an exactly-full sequence pads to
+    // its own length (waste 0), not to the next boundary. Requires
+    // sz >= 1 (sz-1 must stay nonnegative — Spark `div` truncates
+    // toward zero where DuckDB floors, so negatives would diverge).
+    val rows = df.select(id.as("id"), size.cast("long").as("sz"))
+      .withColumn("bucket", expr(s"(sz - 1) div $bucketWidth"))
+    val rn = row_number()
+      .over(Window.partitionBy(col("bucket")).orderBy(col("sz"), col("id")))
+    rows
+      .withColumn("rn", rn.cast("long"))
+      .select(
+        col("id"), col("sz"), col("bucket"),
+        expr(s"(rn - 1) div $batchSize").as("batch_id"),
+        ((col("bucket") + 1) * bucketWidth - col("sz")).as("pad_waste"))
+  }
 }

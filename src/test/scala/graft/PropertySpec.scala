@@ -297,6 +297,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkWindows: stride-coverage and reconstruction invariants") {
+    val rnd = new Random(1700)
+    val docs = (1L to 50L).map { i =>
+      i -> (1 to (1 + rnd.nextInt(40))).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+    }
+    val out = graft.llm.TextAnalysis
+      .chunkWindows(docs.toDF("id", "txt"), col("id"), col("txt"),
+        window = 8, stride = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getString(4)))
+    docs.foreach { case (id, txt) =>
+      val words = txt.split(" ").toSeq
+      val chunks = out.filter(_._1 == id).sortBy(_._2)
+      assert(chunks.length == (words.length + 4) / 5, s"doc $id chunk count")
+      chunks.foreach { case (_, idx, n, text) =>
+        val want = words.slice(idx * 5, idx * 5 + 8)
+        assert(text == want.mkString(" ") && n == want.length.toLong,
+          s"doc $id chunk $idx content")
+      }
+      // stride-prefixes of the chunks reconstruct the document
+      val rebuilt = chunks.toSeq.flatMap { case (_, idx, _, text) =>
+        text.split(" ").take(5).toSeq
+      }
+      assert(rebuilt == words, s"doc $id reconstruction")
+    }
+  }
+
+  test("lengthBuckets: batch cohesion and padding-waste bounds") {
+    val rnd = new Random(1800)
+    val rows = (1L to 300L).map(i => (i, 1L + rnd.nextInt(100)))
+    val out = graft.ops.Packing
+      .lengthBuckets(rows.toDF("id", "n"), col("id"), col("n"),
+        bucketWidth = 16, batchSize = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.foreach { case (_, sz, bucket, _, waste) =>
+      assert(bucket == (sz - 1) / 16, "bucket quantizer")
+      assert(waste >= 0 && waste < 16, s"waste $waste out of [0,16)")
+      assert((bucket + 1) * 16 - sz == waste, "waste arithmetic")
+    }
+    out.groupBy(r => (r._3, r._4)).foreach { case ((b, batch), members) =>
+      assert(members.length <= 4, s"batch ($b,$batch) overfull")
+      assert(members.map(_._3).distinct.length == 1, "mixed-bucket batch")
+    }
+    // batches within a bucket are filled in order: only the last may be short
+    out.groupBy(_._3).foreach { case (b, members) =>
+      val sizes = members.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.init.forall(_ == 4), s"bucket $b has a short non-final batch")
+    }
+  }
+
   test("poissonBootstrap equals host-side replay of the weight draw") {
     val cdf = Array(
       0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
