@@ -1321,7 +1321,6 @@ object SparkEntry {
       // Σ n_l·n_r IS the exact join output size, plus the top keys by
       // contribution so the skew culprit is named before any shuffle
       // of the real data happens
-      import org.apache.spark.sql.expressions.Window
       val l = t(s, dir, "lineitem").groupBy(col("l_partkey").as("key"))
         .agg(count(lit(1)).as("n_l"))
       val r = t(s, dir, "orders")
@@ -1349,7 +1348,6 @@ object SparkEntry {
       // latest preceding click id with last/first(ignoreNulls) over a
       // cumulative frame, then keep purchases — no self-join of the
       // event stream against itself
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events")
       val cum = Window.partitionBy(col("user_id"))
         .orderBy(eventUs(ev, "ts"), col("event_id"))
@@ -1383,7 +1381,6 @@ object SparkEntry {
       // window ordering, so Catalyst plans a single sort per
       // partition — rank ratios are exact-integer divisions (one IEEE
       // division, cross-engine bit-identical)
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events")
       val ord = Window.partitionBy(col("user_id"))
         .orderBy(eventUs(ev, "ts"), col("event_id"))

@@ -372,6 +372,14 @@ object Sampling {
     * Returns per key: n, mean, and [boot_lo, boot_hi] — the min/max
     * of the `reps` replicate means (with reps=16, an ~88% band by
     * the replicate-range rule; raise reps for tighter quantiles).
+    *
+    * Degenerate replicates: a replicate whose weights all draw 0
+    * (probability e^-n per replicate for an n-row key) has no mean —
+    * its 0/0 division is NULL and least/greatest skip it, so tiny
+    * keys get a band over fewer than `reps` replicates, and a key
+    * where EVERY replicate degenerates returns a NULL band. Callers
+    * bootstrapping 1-row keys should raise `reps` or test n first;
+    * for keys beyond a few dozen rows the effect is unreachable.
     */
   def poissonBootstrap(
       df: DataFrame, id: Column, key: Column, value: Column,

@@ -424,7 +424,8 @@ object TextAnalysis {
     * downstream packer or a `n_tokens = window` filter decides its
     * fate, not this op).
     *
-    * Requires non-empty text (same precondition as spanDedup).
+    * A zero-token document (empty or whitespace-only text) emits no
+    * chunks at all — not one empty chunk.
     */
   def chunkWindows(
       df: DataFrame, id: Column, text: Column,
@@ -432,12 +433,16 @@ object TextAnalysis {
     require(stride >= 1 && window >= stride, "need 1 <= stride <= window")
     val words = filter(split(text, " "), w => length(w) > 0)
     val n = size(words)
-    // number of starts: smallest k with k*stride >= n  ⇒ ceil(n/stride)
+    // number of starts: smallest k with k*stride >= n  ⇒ ceil(n/stride);
+    // guard n = 0 explicitly — sequence(0, -1) would produce the
+    // DESCENDING [0, -1], two spurious rows, not an empty array
     val nChunks = floor((n + (stride - 1)) / lit(stride)).cast("int")
+    val starts = when(n > 0, sequence(lit(0), nChunks - 1))
+      .otherwise(array().cast("array<int>"))
     df.select(
         id.as("doc_id"), n.cast("long").as("n_tokens"),
         posexplode(transform(
-          sequence(lit(0), nChunks - 1),
+          starts,
           i => slice(words, i * stride + 1, lit(window))))
           .as(Seq("chunk_idx", "_w")))
       .select(

@@ -315,7 +315,7 @@ object Stats {
     val total = sum(col("wt")).over(Window.partitionBy(col("key")))
     w.select(
         col("key"), col("id"), col("wt").cast("double").as("weight"),
-        row_number().over(ord).as("rank"),
+        row_number().over(ord).cast("long").as("rank"),
         (cumBefore * den < total * num).as("_keep"))
       .filter(col("_keep")).drop("_keep")
   }
