@@ -251,14 +251,14 @@ class PropertySpec extends SparkSpec {
       val kept = graft.ops.Stats
         .paretoCoverage(df, col("k"), col("id"), col("w"), num = 4, den = 5)
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       def cents(d: Double): Long = math.round(d * 100)
       val totals = rows.groupBy(_._1).map { case (k, rs) =>
         k -> rs.map(r => cents(r._3)).sum
       }
       kept.groupBy(_._1).foreach { case (k, ks) =>
         val sorted = ks.sortBy(_._4)
-        assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq,
+        assert(sorted.map(_._4).toSeq == (1L to sorted.length.toLong).toSeq,
           s"seed $seed $k ranks not a contiguous prefix")
         val keptSum = sorted.map(r => cents(r._3)).sum
         // covers the target share...
