@@ -322,6 +322,14 @@ class PropertySpec extends SparkSpec {
       }
       assert(rebuilt == words, s"doc $id reconstruction")
     }
+    // zero-token text (whitespace-only) emits NO chunks — the
+    // sequence(0,-1) descending-array trap must not fire
+    val empty = graft.llm.TextAnalysis
+      .chunkWindows(Seq((1L, "   "), (2L, "a b")).toDF("id", "txt"),
+        col("id"), col("txt"), window = 8, stride = 5)
+      .collect()
+    assert(empty.map(_.getLong(0)).toSeq == Seq(2L),
+      "whitespace-only doc must contribute zero chunks")
   }
 
   test("lengthBuckets: batch cohesion and padding-waste bounds") {
