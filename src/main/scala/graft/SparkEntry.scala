@@ -1307,6 +1307,34 @@ object SparkEntry {
         toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
     },
 
+    // --- Benford leading-digit audit (anomaly/fabrication signal) ---
+    "q_benford" -> { (s, dir) =>
+      // leading digit via the decimal string of floor(value) — no
+      // log10 in the data path; the Benford expectations are FIXED
+      // double literals (log10(1+1/d) precomputed once), so both
+      // engines compare observed shares against identical constants
+      val benford = Seq(
+        0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+        0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+        0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+      import s.implicits._
+      val expected = benford.zipWithIndex
+        .map { case (p, i) => (i + 1, p) }
+        .toDF("digit", "benford_p")
+      val obs = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum(col("n")).as("tot"))
+      obs.join(broadcast(expected), "digit").join(broadcast(tot))
+        .select(
+          col("digit"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("share"),
+          col("benford_p"),
+          ((col("n").cast("double") / col("tot").cast("double"))
+            - col("benford_p")).as("excess"))
+    },
+
     // --- cohort distribution drift (log-free chi-square) ---
     "q_drift_chi2" -> { (s, dir) =>
       graft.ops.Stats.driftChi2(
@@ -2775,6 +2803,23 @@ object SparkEntry {
         |SELECT id, sz, bucket, (rn - 1) // 8 AS batch_id,
         | (bucket + 1) * 32 - sz AS pad_waste
         |FROM r""".stripMargin,
+
+    "q_benford" ->
+      """WITH e(digit, benford_p) AS (VALUES
+        |  (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514)),
+        |obs AS (
+        | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |   1, 1) AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM obs)
+        |SELECT digit, n,
+        | CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share, benford_p,
+        | CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford_p AS excess
+        |FROM obs JOIN e USING (digit), t""".stripMargin,
 
     "q_drift_chi2" ->
       """WITH bins AS (
