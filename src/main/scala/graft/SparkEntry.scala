@@ -1307,6 +1307,36 @@ object SparkEntry {
         toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
     },
 
+    // --- RFM customer segmentation (fixed integer thresholds) ---
+    "q_rfm" -> { (s, dir) =>
+      // one agg per customer + a broadcast 1-row reference date;
+      // scores use FIXED day/count/cents thresholds (integer CASE
+      // ranges) — no global ntile window, no quantile pass, and the
+      // segmentation is stable release-to-release (data-relative
+      // quintiles resegment customers when the corpus shifts)
+      val o = t(s, dir, "orders")
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(
+          max(col("o_orderdate").cast("date")).as("last_order"),
+          count(lit(1)).as("f_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m_rev"))
+      val refDate = o.agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+      val rDays = datediff(col("ref_date"), col("last_order")).cast("long")
+      def band(c: Column, hi1: Long, hi2: Long): Column =
+        when(c <= hi1, 3L).when(c <= hi2, 2L).otherwise(1L)
+      perCust.join(broadcast(refDate))
+        .select(
+          col("o_custkey"), rDays.as("r_days"), col("f_orders"),
+          col("m_rev").cast("double").as("m_rev"),
+          // monetary compares the exact DECIMAL itself — a long cast
+          // would truncate in Spark but ROUND in DuckDB
+          (band(rDays, 180, 720) * 100
+            + band(-col("f_orders"), -20, -8) * 10
+            + when(col("m_rev") >= 3000000, 3L)
+              .when(col("m_rev") >= 1000000, 2L).otherwise(1L))
+            .as("rfm_code"))
+    },
+
     // --- Benford leading-digit audit (anomaly/fabrication signal) ---
     "q_benford" -> { (s, dir) =>
       // leading digit via the decimal string of floor(value) — no
@@ -2803,6 +2833,24 @@ object SparkEntry {
         |SELECT id, sz, bucket, (rn - 1) // 8 AS batch_id,
         | (bucket + 1) * 32 - sz AS pad_waste
         |FROM r""".stripMargin,
+
+    "q_rfm" ->
+      """WITH pc AS (
+        | SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |  CAST(count(*) AS BIGINT) AS f_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m_rev
+        | FROM orders GROUP BY 1),
+        |r AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders)
+        |SELECT o_custkey,
+        | CAST(ref_date - last_order AS BIGINT) AS r_days,
+        | f_orders, CAST(m_rev AS DOUBLE) AS m_rev,
+        | (CASE WHEN ref_date - last_order <= 180 THEN 3
+        |       WHEN ref_date - last_order <= 720 THEN 2 ELSE 1 END) * 100
+        | + (CASE WHEN f_orders >= 20 THEN 3
+        |         WHEN f_orders >= 8 THEN 2 ELSE 1 END) * 10
+        | + (CASE WHEN m_rev >= 3000000 THEN 3
+        |         WHEN m_rev >= 1000000 THEN 2 ELSE 1 END) AS rfm_code
+        |FROM pc, r""".stripMargin,
 
     "q_benford" ->
       """WITH e(digit, benford_p) AS (VALUES
