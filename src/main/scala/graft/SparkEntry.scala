@@ -1307,6 +1307,22 @@ object SparkEntry {
         toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
     },
 
+    // --- temporal split + leakage audit (train/test hygiene) ---
+    "ds_leakage_audit" -> { (s, dir) =>
+      // time-based split at a fixed cutoff; the audit names every
+      // entity with activity on BOTH sides — the rows that would let
+      // a model memorize test-period users from train data. One
+      // map-combined agg (conditional counts per user), no join.
+      val ev = t(s, dir, "events")
+      val cutUs = lit(1705276800000000L) // 2024-01-15T00:00:00Z
+      val us = eventUs(ev, "ts")
+      ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(us < cutUs, 1L).otherwise(0L)).as("n_train"),
+          sum(when(us >= cutUs, 1L).otherwise(0L)).as("n_test"))
+        .withColumn("straddles", col("n_train") > 0 && col("n_test") > 0)
+    },
+
     // --- RFM customer segmentation (fixed integer thresholds) ---
     "q_rfm" -> { (s, dir) =>
       // one agg per customer + a broadcast 1-row reference date;
@@ -2833,6 +2849,17 @@ object SparkEntry {
         |SELECT id, sz, bucket, (rn - 1) // 8 AS batch_id,
         | (bucket + 1) * 32 - sz AS pad_waste
         |FROM r""".stripMargin,
+
+    "ds_leakage_audit" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN epoch_us(ts) < 1705276800000000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_train,
+        | CAST(sum(CASE WHEN epoch_us(ts) >= 1705276800000000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_test,
+        | sum(CASE WHEN epoch_us(ts) < 1705276800000000 THEN 1 ELSE 0 END) > 0
+        |  AND sum(CASE WHEN epoch_us(ts) >= 1705276800000000 THEN 1 ELSE 0 END) > 0
+        |   AS straddles
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_rfm" ->
       """WITH pc AS (
