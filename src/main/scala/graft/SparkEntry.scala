@@ -1326,7 +1326,7 @@ object SparkEntry {
     // --- RFM customer segmentation (fixed integer thresholds) ---
     "q_rfm" -> { (s, dir) =>
       // one agg per customer + a broadcast 1-row reference date;
-      // scores use FIXED day/count/cents thresholds (integer CASE
+      // scores use FIXED day/count/dollar thresholds (integer CASE
       // ranges) — no global ntile window, no quantile pass, and the
       // segmentation is stable release-to-release (data-relative
       // quintiles resegment customers when the corpus shifts)
@@ -1358,7 +1358,11 @@ object SparkEntry {
       // leading digit via the decimal string of floor(value) — no
       // log10 in the data path; the Benford expectations are FIXED
       // double literals (log10(1+1/d) precomputed once), so both
-      // engines compare observed shares against identical constants
+      // engines compare observed shares against identical constants.
+      // Domain is values >= 1, made explicit with a filter: below 1
+      // the leading digit is 0 (share vanishes from the digit join
+      // silently) and a negative value's '-' digit casts to null in
+      // Spark but ERRORS in DuckDB — filter, don't diverge
       val benford = Seq(
         0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
         0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
@@ -1368,6 +1372,7 @@ object SparkEntry {
         .map { case (p, i) => (i + 1, p) }
         .toDF("digit", "benford_p")
       val obs = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
         .select(substring(floor(col("o_totalprice")).cast("long")
           .cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
@@ -2889,7 +2894,7 @@ object SparkEntry {
         |obs AS (
         | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
         |   1, 1) AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
-        | FROM orders GROUP BY 1),
+        | FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM obs)
         |SELECT digit, n,
         | CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share, benford_p,
