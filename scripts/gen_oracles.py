@@ -786,6 +786,27 @@ SELECT q_id, vec_id, cos, rnk FROM (
  JOIN embeddings qe ON qe.vec_id = c.q_id)
 WHERE rnk <= 10"""
 
+    # ---- q_hll_distinct: HyperLogLog as a two-level aggregation —
+    # register contribution 2^(44-rho) via the low-bit isolate
+    # hu ^ (hu & (hu-1)); denominator an exact <= 2^53 integer ----
+    hll_h = splitmix("CAST(user_id AS HUGEINT)")
+    o["q_hll_distinct"] = f"""
+WITH h AS (SELECT event_type AS key, {hll_h} AS hu FROM events),
+r AS (
+ SELECT key, hu // {2**55} AS idx,
+  CASE WHEN hu = 0 THEN 1
+       ELSE greatest({2**43} // xor(hu, hu & (hu - 1)), 1) END AS c
+ FROM h),
+regs AS (SELECT key, idx, min(c) AS mc FROM r GROUP BY key, idx),
+a AS (
+ SELECT key, CAST(count(*) AS BIGINT) AS n_nonzero,
+  CAST(sum(mc) + (512 - count(*)) * {2**44} AS BIGINT) AS denominator
+ FROM regs GROUP BY key)
+SELECT key, n_nonzero, denominator,
+ 0.7197831133217303 * (4.611686018427388e18 / CAST(denominator AS DOUBLE))
+   AS raw_est
+FROM a"""
+
     # ---- q_checksum: order-independent table fingerprint — XOR of
     # splitmix64(fnv1a(text) ^ doc_id) per source, with rollup total ----
     hck = splitmix(f"xor({fnv_text('text')}, CAST(doc_id AS HUGEINT))")

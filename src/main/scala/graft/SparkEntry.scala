@@ -1307,6 +1307,12 @@ object SparkEntry {
         toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
     },
 
+    // --- HyperLogLog distinct sketch as a two-level aggregation ---
+    "q_hll_distinct" -> { (s, dir) =>
+      graft.ops.Stats.hllDistinct(
+        t(s, dir, "events"), col("event_type"), col("user_id"))
+    },
+
     // --- temporal split + leakage audit (train/test hygiene) ---
     "ds_leakage_audit" -> { (s, dir) =>
       // time-based split at a fixed cutoff; the audit names every

@@ -260,6 +260,55 @@ object Stats {
           .as("recall"))
   }
 
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007)
+    * expressed as a pure two-level aggregation — no custom aggregate
+    * buffer needed: level 1 reduces the corpus to ≤ m register rows
+    * per key (map-side combined), level 2 folds the registers. The
+    * register update max(ρ) is re-expressed as min(2^(cap−ρ)) so
+    * every value is a plain integer — the trailing-zero count never
+    * materializes: 2^tz is isolated overflow-safely as h ^ (h & (h−1))
+    * (no negation — −Long.Min overflows checked engines) and the
+    * register contribution is one integer division 2^43 div 2^tz,
+    * floored to 1 at the ρ cap. The harmonic-mean denominator
+    * Σ 2^(cap−ρ_j) is then an exact ≤ 2^53 long — integer-exact,
+    * order-independent, and its one double cast is exact, so the raw
+    * estimate is bit-identical across engines and partitionings.
+    *
+    * Returns per key: occupied-register count, the exact integer
+    * denominator, and the raw HLL estimate α·m²·2^44/denominator.
+    * The small-range (linear counting) correction needs ln —
+    * transcendental, engine-varying — so it is the CALLER's driver-
+    * side step: apply it when n_nonzero < m and raw_est ≤ 2.5·m.
+    * Sketch state is mergeable: registers of two frames merge by the
+    * same (key, idx) min-contribution aggregation.
+    */
+  def hllDistinct(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val p = 9
+    val m = 1 << p // 512 registers
+    val alpha = 0.7197831133217303 // 0.7213/(1+1.079/512), fixed literal
+    val rows = df
+      .select(key.as("_key"), graft.functions.F.splitmix64(id).as("_h"))
+      .select(
+        col("_key"),
+        shiftrightunsigned(col("_h"), 64 - p).as("_idx"),
+        when(col("_h") === 0L, lit(1L)) // ρ maximal ⇒ capped contribution
+          .otherwise(greatest(
+            expr("8796093022208 div (_h ^ (_h & (_h - 1)))"), lit(1L)))
+          .as("_c"))
+    rows
+      .groupBy(col("_key"), col("_idx"))
+      .agg(min(col("_c")).as("_mc"))
+      .groupBy(col("_key"))
+      .agg(count(lit(1)).as("n_nonzero"), sum(col("_mc")).as("_s"))
+      .select(
+        col("_key").as("key"), col("n_nonzero"),
+        (col("_s") + (lit(m.toLong) - col("n_nonzero")) * lit(1L << 44))
+          .as("denominator"),
+        (lit(alpha) * (lit(4.611686018427388e18) // m²·2^44 = 2^62
+          / (col("_s") + (lit(m.toLong) - col("n_nonzero")) * lit(1L << 44))
+            .cast("double"))).as("raw_est"))
+  }
+
   /** Distribution drift between two cohorts of one stream — the
     * monitoring check before a data mix changes silently. Per bin:
     * cohort counts, cohort shares, and a log-free chi-square

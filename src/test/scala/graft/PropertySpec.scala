@@ -356,6 +356,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hllDistinct: estimate within HLL error bounds of true distinct") {
+    val rnd = new Random(2100)
+    // three keys with very different true cardinalities
+    val rows = (1 to 6000).map { _ =>
+      val g = rnd.nextInt(3)
+      val card = Seq(50, 800, 4000)(g)
+      (s"g$g", rnd.nextInt(card).toLong * 7919L + g)
+    }
+    val got = graft.ops.Stats
+      .hllDistinct(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val truth = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).distinct.size }
+    truth.foreach { case (g, exact) =>
+      val (nNonzero, denom, raw) = got(g)
+      assert(denom > 0 && denom < (1L << 53), s"$g denominator out of range")
+      assert(nNonzero >= 1 && nNonzero <= 512, s"$g register count")
+      // apply the documented caller-side small-range correction:
+      // linear counting from the occupied-register count
+      val est =
+        if (raw <= 2.5 * 512 && nNonzero < 512)
+          512.0 * math.log(512.0 / (512 - nNonzero))
+        else raw
+      // within 5x the 1.04/sqrt(m) standard error
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr < 5 * 1.04 / math.sqrt(512),
+        s"$g: est $est (raw $raw) vs true $exact (rel $relErr)")
+    }
+  }
+
   test("poissonBootstrap equals host-side replay of the weight draw") {
     val cdf = Array(
       0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
