@@ -807,6 +807,13 @@ SELECT key, n_nonzero, denominator,
    AS raw_est
 FROM a"""
 
+    # ---- q_hll_union: the Spark side computes per-cohort register
+    # frames (event_id parity split) and min-merges them; merged
+    # registers over a PARTITION of the stream equal the whole-stream
+    # registers exactly, so the oracle is the direct computation —
+    # the equality IS the mergeability proof ----
+    o["q_hll_union"] = o["q_hll_distinct"]
+
     # ---- q_checksum: order-independent table fingerprint — XOR of
     # splitmix64(fnv1a(text) ^ doc_id) per source, with rollup total ----
     hck = splitmix(f"xor({fnv_text('text')}, CAST(doc_id AS HUGEINT))")

@@ -1313,6 +1313,24 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"), col("user_id"))
     },
 
+    // --- HLL sketch algebra: union-distinct from merged registers ---
+    "q_hll_union" -> { (s, dir) =>
+      // the mergeable-summary property in action: each cohort's
+      // corpus reduces to a <= 512-row register frame; the UNION
+      // distinct estimate needs only a register-wise min merge of
+      // those frames — the corpora are never rescanned together
+      import graft.ops.Stats
+      val ev = t(s, dir, "events")
+      val a = Stats.hllRegisters(
+        ev.filter(col("event_id") % 2 === 0), col("event_type"), col("user_id"))
+      val b = Stats.hllRegisters(
+        ev.filter(col("event_id") % 2 =!= 0), col("event_type"), col("user_id"))
+      Stats.hllEstimate(
+        a.unionByName(b)
+          .groupBy(col("_key"), col("_idx"))
+          .agg(min(col("_mc")).as("_mc")))
+    },
+
     // --- temporal split + leakage audit (train/test hygiene) ---
     "ds_leakage_audit" -> { (s, dir) =>
       // time-based split at a fixed cutoff; the audit names every

@@ -282,30 +282,44 @@ object Stats {
     * Sketch state is mergeable: registers of two frames merge by the
     * same (key, idx) min-contribution aggregation.
     */
-  def hllDistinct(df: DataFrame, key: Column, id: Column): DataFrame = {
+  def hllDistinct(df: DataFrame, key: Column, id: Column): DataFrame =
+    hllEstimate(hllRegisters(df, key, id))
+
+  /** HLL register frame for [[hllDistinct]]-style sketches: one row
+    * per (key, register) with the min-contribution value — the
+    * MERGEABLE representation (two frames merge by the same
+    * (key, idx) min aggregation; union-distinct estimates come free).
+    */
+  def hllRegisters(df: DataFrame, key: Column, id: Column): DataFrame = {
     val p = 9
-    val m = 1 << p // 512 registers
-    val alpha = 0.7197831133217303 // 0.7213/(1+1.079/512), fixed literal
-    val rows = df
-      .select(key.as("_key"), graft.functions.F.splitmix64(id).as("_h"))
+    df.select(key.as("_key"), graft.functions.F.splitmix64(id).as("_h"))
       .select(
         col("_key"),
         shiftrightunsigned(col("_h"), 64 - p).as("_idx"),
-        when(col("_h") === 0L, lit(1L)) // ρ maximal ⇒ capped contribution
+        when(col("_h") === 0L, lit(1L))
           .otherwise(greatest(
             expr("8796093022208 div (_h ^ (_h & (_h - 1)))"), lit(1L)))
           .as("_c"))
-    rows
       .groupBy(col("_key"), col("_idx"))
       .agg(min(col("_c")).as("_mc"))
+  }
+
+  /** Fold merged HLL registers to (n_nonzero, denominator, raw_est) —
+    * the second level of [[hllDistinct]], exposed so pre-merged
+    * register frames (e.g. a union of cohorts) can be estimated.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 512L
+    val alpha = 0.7197831133217303
+    regs
       .groupBy(col("_key"))
       .agg(count(lit(1)).as("n_nonzero"), sum(col("_mc")).as("_s"))
       .select(
         col("_key").as("key"), col("n_nonzero"),
-        (col("_s") + (lit(m.toLong) - col("n_nonzero")) * lit(1L << 44))
+        (col("_s") + (lit(m) - col("n_nonzero")) * lit(1L << 44))
           .as("denominator"),
-        (lit(alpha) * (lit(4.611686018427388e18) // m²·2^44 = 2^62
-          / (col("_s") + (lit(m.toLong) - col("n_nonzero")) * lit(1L << 44))
+        (lit(alpha) * (lit(4.611686018427388e18)
+          / (col("_s") + (lit(m) - col("n_nonzero")) * lit(1L << 44))
             .cast("double"))).as("raw_est"))
   }
 
