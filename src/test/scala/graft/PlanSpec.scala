@@ -213,6 +213,22 @@ class PlanSpec extends SparkSpec {
       "segment-df join must stay an equi-join on the segment key")
   }
 
+  test("txt_chunk_windows is map-only: zero Exchange") {
+    val plan = physicalPlan("txt_chunk_windows")
+    assert(!plan.contains("Exchange"),
+      "window/stride chunking must not shuffle")
+    assert(!plan.contains("Join"), "chunking must not self-join")
+  }
+
+  test("q_hll_distinct is two aggregations, no join") {
+    val plan = physicalPlan("q_hll_distinct")
+    assert(!plan.contains("Join"), "HLL must not join")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      "HLL is (key,idx) then (key) — at most two shuffles")
+    assert("HashAggregate".r.findAllIn(plan).size >= 3,
+      "register and fold aggregations must keep map-side partials")
+  }
+
   test("driver entry() returns rows (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
