@@ -32,6 +32,18 @@ SELECT doc_id,
  CAST(CASE WHEN doc_id % 3 = 2 THEN (({h}) // {TWO32}) % 300 + 1 ELSE 1 END AS INT) AS n_frames
 FROM documents"""
 
+    # ---- mm_filter: reason-coded curation on the decoded features —
+    # first-match verdict in a stable order, integer aspect test ----
+    o["mm_filter"] = f"""
+WITH f AS ({o['mm_features']})
+SELECT doc_id, modality, width, height, n_bytes,
+ CASE WHEN width < 64 OR height < 64 THEN 'too_small'
+      WHEN least(width, height) * 3 < greatest(width, height)
+        THEN 'bad_aspect'
+      WHEN n_bytes < 64 THEN 'tiny_payload'
+      ELSE 'keep' END AS verdict
+FROM f"""
+
     # ---- mm_resize / mm_frame_sample: post-decode geometry plans on
     # the same FNV-derived fake dims ----
     feats = f"""

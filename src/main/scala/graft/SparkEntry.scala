@@ -1307,6 +1307,14 @@ object SparkEntry {
         toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
     },
 
+    // --- reason-coded media curation filter (post-decode keep/drop) ---
+    "mm_filter" -> { (s, dir) =>
+      Multimodal.curationFilter(
+        Multimodal.fakeDecode(s,
+          Multimodal.attachPayload(
+            t(s, dir, "documents"), col("doc_id"), col("text"))).toDF())
+    },
+
     // --- HyperLogLog distinct sketch as a two-level aggregation ---
     "q_hll_distinct" -> { (s, dir) =>
       graft.ops.Stats.hllDistinct(

@@ -95,6 +95,27 @@ object Multimodal {
       .withColumn("n_sampled", size(col("frame_idx")).cast("long"))
   }
 
+  /** Reason-coded curation filter on decoded media features — the
+    * keep/drop pass every web-scale image pipeline runs after decode
+    * (size floor, aspect-ratio band, payload floor). FIRST-match
+    * reason in a stable order, so per-reason rejection counts are
+    * additive and reproducible; the aspect test is integer
+    * (maxAspect·min(w,h) ≥ max(w,h)) — no float ratio to round.
+    * Pure projection: map-only, composes with the decode batch at
+    * full scan parallelism.
+    */
+  def curationFilter(
+      features: DataFrame, minDim: Int = 64, maxAspect: Int = 3,
+      minBytes: Long = 64L): DataFrame =
+    features.select(
+      col("doc_id"), col("modality"), col("width"), col("height"),
+      col("n_bytes"),
+      when(col("width") < minDim || col("height") < minDim, "too_small")
+        .when(least(col("width"), col("height")) * maxAspect <
+          greatest(col("width"), col("height")), "bad_aspect")
+        .when(col("n_bytes") < minBytes, "tiny_payload")
+        .otherwise("keep").as("verdict"))
+
   /** STUB decode: deterministic fake dimensions derived from FNV of
     * the payload. Replaces a real codec; keeps the per-partition
     * batch shape (iterator-in/iterator-out, no per-row JVM↔native
