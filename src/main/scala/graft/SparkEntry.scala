@@ -2760,7 +2760,8 @@ object SparkEntry {
         |r AS (SELECT token, doc_id, tf,
         |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM pd)
         |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
-        | list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 8) AS postings
+        | coalesce(array_to_string(
+        |   list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 8), ' '), '') AS postings
         |FROM r GROUP BY token""".stripMargin,
 
     "txt_type_token" ->

@@ -347,8 +347,11 @@ object TextAnalysis {
     ranked.groupBy(col("token")).agg(
       count(lit(1)).as("df"),
       sum(col("tf")).as("tf_total"),
-      array_sort(collect_list(when(col("rn") <= maxPostings, col("doc_id"))))
-        .as("postings"))
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("rn") <= maxPostings, col("doc_id")))),
+          _.cast("string")),
+        " ").as("postings"))
   }
 
   /** Rational unigram-surprisal score, log-free: per document,
