@@ -1674,9 +1674,14 @@ object SparkEntry {
     },
 
     // --- inverted index with bounded posting lists ---
+    // (harness adapter: the library returns array<long> postings; the
+    // cross-engine compare needs a sortable scalar, so join to a
+    // space-separated string HERE, not in the library API)
     "txt_inverted_index" -> { (s, dir) =>
       TextAnalysis.invertedIndex(
         t(s, dir, "documents"), col("doc_id"), col("text"), maxPostings = 8)
+        .withColumn("postings",
+          array_join(transform(col("postings"), _.cast("string")), " "))
     },
 
     // --- map-only type/token lexical stats ---

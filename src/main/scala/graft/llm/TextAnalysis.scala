@@ -323,8 +323,10 @@ object TextAnalysis {
 
   /** Inverted index with BOUNDED posting lists: token → document
     * frequency, total term frequency, and the first `maxPostings`
-    * doc_ids (ascending). The structure behind corpus-level lookup
-    * services (decontamination checks, attribution probes).
+    * doc_ids as an ascending `array<long>` (`postings`). The structure
+    * behind corpus-level lookup services (decontamination checks,
+    * attribution probes); callers that need a flat string encoding
+    * (e.g. cross-engine compares) apply `array_join` downstream.
     *
     * Scale shape: explode → per-(token, doc) partial-aggregated count
     * (shuffle 1) → window ranked by doc_id within token (shuffle 2) →
@@ -347,11 +349,8 @@ object TextAnalysis {
     ranked.groupBy(col("token")).agg(
       count(lit(1)).as("df"),
       sum(col("tf")).as("tf_total"),
-      array_join(
-        transform(
-          array_sort(collect_list(when(col("rn") <= maxPostings, col("doc_id")))),
-          _.cast("string")),
-        " ").as("postings"))
+      array_sort(collect_list(when(col("rn") <= maxPostings, col("doc_id"))))
+        .as("postings"))
   }
 
   /** Rational unigram-surprisal score, log-free: per document,

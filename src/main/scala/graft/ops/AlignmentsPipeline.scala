@@ -142,6 +142,59 @@ object AlignmentsPipeline {
       Seq("group_name", "email"), "left_anti")
   }
 
+  /** 7b. Side-output report files — the reference's "Outs (results of
+    * the script)" orphan CSVs, one artifact per reconciliation
+    * mismatch class:
+    *
+    *  - `new_locations_found_in_the_file_and_not_in_API` (ref 430):
+    *    location rows only in the alignments file (`left_only`).
+    *  - `api_locations_not_found_in_the_file` (ref 520): location
+    *    rows only in the API (`right_only` — deprecated records).
+    *  - `districts_not_found_in_file_present_on_API` (ref 557): API
+    *    districts the new file no longer mentions.
+    *  - `new_users_found_in_file_that_does_not_have_match_on_API` and
+    *    `users_on_API_with_no_match_on_file` (ref 823-836): the two
+    *    sides of the user e-mail reconcile.
+    *
+    * Each report is header'd CSV under `outDir/<name>`. Orphan
+    * reports are mismatch tails — control-plane-sized at any corpus
+    * scale — so `coalesce(1)` for a single-file artifact is safe and
+    * mirrors the reference's one-CSV-per-report layout; the frames
+    * stay lazy until the write. Returns report name → path.
+    */
+  def writeReports(
+      result: Result,
+      apiDistricts: DataFrame, // (api_district) — the API's district groups
+      fileUsers: DataFrame,    // (email) — cleaned file manager e-mails
+      apiUsers: DataFrame,     // (user_email)
+      outDir: String): Map[String, String] = {
+    val fileOnlyLocs = result.locationMerge
+      .filter(col(Reconcile.IndicatorCol) === "left_only")
+      .drop(Reconcile.IndicatorCol)
+    val apiOnlyLocs = result.locationMerge
+      .filter(col(Reconcile.IndicatorCol) === "right_only")
+      .drop(Reconcile.IndicatorCol)
+    val fileDistricts = result.locationMerge
+      .select(col("district")).na.drop().distinct()
+    val apiOnlyDistricts = apiDistricts.join(
+      fileDistricts, col("api_district") === col("district"), "left_anti")
+    val fileU = fileUsers.select(Normalize.normEmail(col("email")).as("email")).distinct()
+    val apiU = apiUsers.select(lower(col("user_email")).as("user_email")).distinct()
+    val fileOnlyUsers = fileU.join(apiU, col("email") === col("user_email"), "left_anti")
+    val apiOnlyUsers = apiU.join(fileU, col("user_email") === col("email"), "left_anti")
+    val reports = Seq(
+      "new_locations_found_in_the_file_and_not_in_API" -> fileOnlyLocs,
+      "api_locations_not_found_in_the_file" -> apiOnlyLocs,
+      "districts_not_found_in_file_present_on_API" -> apiOnlyDistricts,
+      "new_users_found_in_file_that_does_not_have_match_on_API" -> fileOnlyUsers,
+      "users_on_API_with_no_match_on_file" -> apiOnlyUsers)
+    reports.map { case (name, df) =>
+      val path = s"$outDir/$name"
+      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      name -> path
+    }.toMap
+  }
+
   /** 8a. Delete phase (ref 19-42, 224-246): hard-delete the existing
     * hierarchy groups by id through the sink before reloading — the
     * reference's `delete_existing_hierarchy_groups`, batched exactly

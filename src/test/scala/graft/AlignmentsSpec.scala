@@ -69,6 +69,38 @@ class AlignmentsSpec extends SparkSpec {
       ("West", "zed@corp.com", "Region")))
   }
 
+  test("writeReports emits the reference's orphan CSV artifacts") {
+    val (file, apiLocations, equityUsers, corporateUsers, apiUsers) = inputs
+    val r = AlignmentsPipeline.run(
+      file, apiLocations, equityUsers, corporateUsers, apiUsers)
+    val apiDistricts = Seq("East-D1", "Old-D9").toDF("api_district")
+    val fileUsers = file.select(col("manager_email").as("email"))
+    val out = java.nio.file.Files.createTempDirectory("graft-reports").toString
+    val paths = AlignmentsPipeline.writeReports(
+      r, apiDistricts, fileUsers, apiUsers, out)
+
+    def readBack(name: String) = {
+      val p = paths(name)
+      assert(new java.io.File(p).isDirectory, s"missing report $p")
+      spark.read.option("header", "true").csv(p)
+    }
+    // ref 430: units 103/104 exist only in the file
+    assert(readBack("new_locations_found_in_the_file_and_not_in_API")
+      .select("unit").as[String].collect().toSet == Set("103", "104"))
+    // ref 520: remote ids 999 and "" exist only in the API (the blank
+    // id round-trips through CSV as null — count is the contract)
+    assert(readBack("api_locations_not_found_in_the_file").count() == 2)
+    // ref 557: Old-D9 is on the API but absent from the new file
+    assert(readBack("districts_not_found_in_file_present_on_API")
+      .as[String].collect().toSeq == Seq("Old-D9"))
+    // ref 823-836: both sides of the user e-mail reconcile
+    assert(readBack("new_users_found_in_file_that_does_not_have_match_on_API")
+      .as[String].collect().toSet ==
+      Set("bob@corp.com", "carol@corp.com", "dan@corp.com", "eve@corp.com"))
+    assert(readBack("users_on_API_with_no_match_on_file")
+      .as[String].collect().toSet == Set("zed@corp.com", "other@corp.com"))
+  }
+
   test("CSV ingestion applies the reference's cleaning") {
     val df = graft.sources.AlignmentsFile.readCleaned(
       spark, "/root/repo/data/alignments_sample.csv")
