@@ -52,13 +52,16 @@ object GraphQL {
     * `children.pageInfo.hasNextPage` is true gets its remaining child
     * pages fetched through a per-node continuation fetcher
     * (`childFetcherName(nodeKey)` — the reference would re-query the
-    * API with that node's child cursor). The continuation node list
-    * is collected on the driver, but it is only (nodeKey, count)
-    * pairs for nodes with >1 child page — control-plane-sized, the
-    * same cursor-walk currency as the outer scan; all page BODIES
-    * stay on executors (same cursor-only planning as the outer
-    * source). Extra child rows parse with the identical envelope so
-    * the union is column-compatible.
+    * API with that node's child cursor). Only the continuation KEYS
+    * cross the driver (control-plane-sized, the same cursor-walk
+    * currency as the outer scan); they become one
+    * [[ContinuationGroups]] entry read by a SINGLE
+    * [[GraphQLContinuationProvider]] scan whose partitions carry
+    * `(parentKey, cursor, fetcher)`. One broadcast join restores
+    * parent context, so the PLAN is O(1) in the number of
+    * continuation keys — ten thousand parents with extra child pages
+    * add partitions, never plan nodes. All page BODIES stay on
+    * executors.
     */
   def flattenNestedResponse(
       spark: SparkSession,
@@ -86,23 +89,38 @@ object GraphQL {
     val inline = nodes.select(
       (nodeSchema.fieldNames.map(col) :+
         explode(col(s"$childField.edges.node")).as("__child")): _*)
-    // nodes with MORE child pages → fetch their continuations through
-    // the DSv2 source (per-node fetcher); only keys cross the driver
+    // nodes with MORE child pages → ONE continuation scan over every
+    // (parentKey, cursor) partition; only keys cross the driver
     val moreKeys = nodes
       .filter(col(s"$childField.pageInfo.hasNextPage"))
       .select(col(nodeKey).cast("string"))
       .collect().map(_.getString(0)).toSeq
-    val childEnvelope = new StructType().add(
-      "data", new StructType().add(childField, childConn))
-    val continued = moreKeys.map { key =>
-      val parent = nodes.filter(col(nodeKey).cast("string") === key)
-        .select(nodeSchema.fieldNames.map(col): _*)
-      val extra = readPages(spark, childFetcherName(key))
-        .select(from_json(col("json"), childEnvelope).as("r"))
-        .select(explode(col(s"r.data.$childField.edges.node")).as("__child"))
-      parent.crossJoin(extra) // parent is exactly one row → broadcastable
-    }
-    val all = continued.foldLeft(inline)(_ unionByName _)
+    val all =
+      if (moreKeys.isEmpty) inline
+      else {
+        val group = s"$queryType/$childField#cont@${java.util.UUID.randomUUID()}"
+        ContinuationGroups.register(
+          group, moreKeys.map(k => k -> childFetcherName(k)))
+        val childEnvelope = new StructType().add(
+          "data", new StructType().add(childField, childConn))
+        val extra = spark.read
+          .format("graft.sources.graphql.GraphQLContinuationProvider")
+          .option("group", group)
+          .load()
+          .select(col("key").as("__ckey"),
+            from_json(col("json"), childEnvelope).as("r"))
+          .select(col("__ckey"),
+            explode(col(s"r.data.$childField.edges.node")).as("__child"))
+        // parent context is one row per OUTER node — bounded by the
+        // outer extract, broadcast-sized relative to the child fan-out
+        val parents = nodes.select(
+          (nodeSchema.fieldNames.map(col) :+
+            col(nodeKey).cast("string").as("__pkey")): _*)
+        val continued = extra
+          .join(broadcast(parents), col("__ckey") === col("__pkey"))
+          .drop("__ckey", "__pkey")
+        inline.unionByName(continued)
+      }
     flattenStructs(all.withColumnRenamed("__child", childField))
   }
 

@@ -173,6 +173,95 @@ private class GraphQLScan(fetcherName: String) extends Scan with Batch {
 final case class PagePartition(idx: Int, after: Option[String], fetcher: PageFetcher)
     extends InputPartition
 
+/** Registry for continuation groups: a batch of per-parent child
+  * paginations planned as ONE scan. Each entry is (parentKey,
+  * fetcherName) — the fetcher serving that parent's remaining child
+  * pages.
+  */
+object ContinuationGroups {
+  private val registry = TrieMap.empty[String, Seq[(String, String)]]
+  def register(name: String, entries: Seq[(String, String)]): Unit =
+    registry.put(name, entries)
+  def apply(name: String): Seq[(String, String)] = registry(name)
+}
+
+object ContinuationSource {
+  /** One row per continuation page, tagged with its parent key so a
+    * single downstream join restores parent context.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("page_idx", IntegerType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+}
+
+/** DSv2 source that plans EVERY parent's child-page continuations as
+  * partitions of one scan — `option("group", name)` names a
+  * [[ContinuationGroups]] entry. This is what keeps nested
+  * pagination O(1) in PLAN size: ten thousand parents with extra
+  * child pages are ten thousand `(key, cursor, fetcher)` partitions
+  * of a single BatchScan node, not ten thousand
+  * filter+scan+crossJoin subtrees. The driver-side planning walk per
+  * fetcher keeps only cursors (same control-plane currency as the
+  * outer [[GraphQLScan]]); bodies are fetched by executors.
+  */
+class GraphQLContinuationProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ContinuationSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ContinuationTable(properties.get("group"))
+}
+
+private class ContinuationTable(group: String) extends Table with SupportsRead {
+  override def name(): String = s"graphql_continuations($group)"
+  override def schema(): StructType = ContinuationSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ContinuationScan(group)
+}
+
+private class ContinuationScan(group: String) extends Scan with Batch {
+  override def readSchema(): StructType = ContinuationSource.schema
+  override def toBatch: Batch = this
+  // lazy for the same reason as GraphQLScan: planInputPartitions runs
+  // more than once per query and the cursor walks must not re-fetch
+  private lazy val planned: Array[InputPartition] =
+    ContinuationGroups(group).flatMap { case (key, fetcherName) =>
+      val fetcher = PageFetchers(fetcherName)
+      PagedGraphQL.fetchAllCursors(fetcher).zipWithIndex.map {
+        case (after, i) => KeyedPagePartition(key, i, after, fetcher): InputPartition
+      }
+    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = planned
+  override def createReaderFactory(): PartitionReaderFactory = KeyedPageReaderFactory
+}
+
+final case class KeyedPagePartition(
+    key: String, idx: Int, after: Option[String], fetcher: PageFetcher)
+    extends InputPartition
+
+object KeyedPageReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KeyedPagePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        InternalRow(
+          UTF8String.fromString(p.key),
+          p.idx,
+          UTF8String.fromString(p.fetcher.fetch(p.after).json))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
 object PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]

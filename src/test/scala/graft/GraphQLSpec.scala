@@ -178,6 +178,46 @@ class GraphQLSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("nested continuations plan as ONE scan + one join — O(1) in key count") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // inlineChildren = 1 → EVERY region carries continuation pages (5
+    // keys at this SF). The per-key formulation this replaces planned
+    // one filter+scan+crossJoin subtree per key — 6 scans, 5 joins —
+    // so plan size grew linearly with the continuation count.
+    val name = GraphQLFixtures.registerNestedApi(
+      spark, sf, queryType = "hgPlanShape", pageSize = 2,
+      inlineChildren = 1, childPageSize = 2)
+    val parentSchema = new StructType()
+      .add("parent_id", LongType).add("parent_name", StringType)
+    val childSchema = new StructType()
+      .add("child_id", LongType).add("child_name", StringType)
+    val df = GraphQL.flattenNestedResponse(
+      spark, GraphQL.readPages(spark, name),
+      "hgPlanShape", parentSchema, "children", childSchema,
+      key => s"$name#children#$key", "parent_id")
+
+    val plan = df.queryExecution.optimizedPlan
+    val scans = plan.collect { case s: DataSourceV2ScanRelation => s.relation.table.name() }
+    assert(scans.count(_.startsWith("graphql_continuations")) == 1,
+      s"want ONE continuation scan, got: $scans")
+    assert(scans.length == 3, // outer scan appears twice (inline + parent side of the join) + 1 continuation scan
+      s"scan count must not grow with continuation keys: $scans")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length == 1, s"want ONE join back to parents, got ${joins.length}")
+
+    // and the data still round-trips: all 25 (region, nation) pairs,
+    // 4/5 of which only exist on continuation pages here
+    val got = df.select($"parent_id", $"children_child_id".as("child_id"))
+      .as[(Long, Long)].collect().toSet
+    val want = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_regionkey".cast("long"), $"n_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("mutation sink fans out across partitions") {
     val sender = new CapturingSender
     MutationSenders.register("cap2", sender)
