@@ -494,11 +494,18 @@ object SparkEntry {
 
     // --- source: paginated GraphQL → flattened DataFrame ---
     "src_graphql_pages" -> { (s, dir) =>
-      import graft.sources.graphql.{GraphQL, GraphQLFixtures}
+      import graft.sources.graphql._
       val (name, schema) =
         GraphQLFixtures.registerTableApi(s, dir, "customer", "customers")
+      // production transport under test: the fixture pages are served
+      // over loopback HTTP and every page body rides a real
+      // HttpPageFetcher POST (wrapped in the retry policy a live
+      // endpoint needs); the in-memory fetcher sits only behind the
+      // server boundary
+      val http = FixtureHttpServer.fetcherFor(name, queryType = Some("customers"))
+      PageFetchers.register(s"$name#http", new RetryingFetcher(http))
       GraphQL
-        .flattenResponse(GraphQL.readPages(s, name), "customers", schema)
+        .flattenResponse(GraphQL.readPages(s, s"$name#http"), "customers", schema)
         .select(
           col("node_c_custkey").as("c_custkey"),
           col("node_c_name").as("c_name"),
@@ -683,23 +690,24 @@ object SparkEntry {
     },
 
     "mm_features" -> { (s, dir) =>
-      // full multimodal path: payload attach → (stubbed) decode via
-      // partition-preserving mapPartitions → typed feature rows
-      Multimodal.fakeDecode(s,
+      // full multimodal path: payload attach → sniff-aware decode
+      // (real javax.imageio for image bytes, deterministic stub for
+      // the synthetic corpus) via partition-preserving mapPartitions
+      Multimodal.decode(s,
         Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")))
         .toDF()
     },
 
     "mm_resize" -> { (s, dir) =>
       Multimodal.resizePlan(
-        Multimodal.fakeDecode(s,
+        Multimodal.decode(s,
           Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")))
           .toDF())
     },
 
     "mm_frame_sample" -> { (s, dir) =>
       Multimodal.frameSamplePlan(
-        Multimodal.fakeDecode(s,
+        Multimodal.decode(s,
           Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")))
           .toDF())
         .select(
@@ -725,16 +733,16 @@ object SparkEntry {
     },
 
     "mm_phash_dedup" -> { (s, dir) =>
-      // perceptual-hash media dedup: base corpus hashes its payloads
-      // (the [[Multimodal.phashDedupPairs]] path — stubbed pHash,
-      // real banding); planted copies perturb ONE hash bit (a
-      // lightly-edited image) and the banded pigeonhole must
-      // recover every one exactly
-      import graft.functions.F
-      val base = Multimodal
-        .attachPayload(t(s, dir, "documents"), col("doc_id"), col("text"))
-        .select(col("doc_id"),
-          F.splitmix64(F.fnvBinary(col("payload"))).as("sig"))
+      // perceptual-hash media dedup through the production codec path
+      // ([[Multimodal.phashSignatures]]: real DCT pHash for image
+      // bytes, deterministic fallback for this synthetic corpus —
+      // which is what the oracle recomputes); planted copies perturb
+      // ONE hash bit (a lightly-edited image) and the banded
+      // pigeonhole must recover every one exactly
+      val base = Multimodal.phashSignatures(
+        s,
+        Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")),
+        col("doc_id"), col("payload"))
       val planted = base.filter(col("doc_id") % 50 === 0).select(
         (col("doc_id") + 1000000L).as("doc_id"),
         col("sig").bitwiseXOR(
@@ -1310,7 +1318,7 @@ object SparkEntry {
     // --- reason-coded media curation filter (post-decode keep/drop) ---
     "mm_filter" -> { (s, dir) =>
       Multimodal.curationFilter(
-        Multimodal.fakeDecode(s,
+        Multimodal.decode(s,
           Multimodal.attachPayload(
             t(s, dir, "documents"), col("doc_id"), col("text"))).toDF())
     },

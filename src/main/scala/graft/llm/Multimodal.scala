@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2 M): media as opaque
   * `binary` payloads plus typed metadata, routed by modality.
   *
-  * The actual codec step is STUBBED — this container has no image/
-  * audio libraries — with a deterministic fake "decode" so the
-  * Spark-side plumbing (schema, partition-preserving mapPartitions
-  * batch shape, modality routing) is real and testable. A production
-  * deployment replaces [[fakeDecode]] with a JNI/FFI codec; nothing
-  * else changes.
+  * The IMAGE codec is real: payloads whose magic bytes identify a
+  * PNG/JPEG/GIF/BMP decode through `javax.imageio` (JDK-standard,
+  * headless-safe) for true dimensions and a DCT perceptual hash.
+  * Payloads that are not decodable images (this repo's synthetic
+  * test corpus stores text bytes; a real deployment might hold
+  * codecs this JVM lacks, e.g. video) fall back to the
+  * deterministic stub so the pipeline keeps the same schema and the
+  * cross-engine oracle can recompute it. Audio/video decode remains
+  * stubbed — same swap-in point, nothing else changes.
   */
 object Multimodal {
 
@@ -27,23 +30,143 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
+  /** True iff the payload's magic bytes name a format `javax.imageio`
+    * ships a decoder for: PNG (89 50 4E 47), JPEG (FF D8), GIF
+    * ("GIF8"), BMP ("BM"). Sniffing first keeps the non-image fast
+    * path allocation-free — no speculative decoder probe per row.
+    */
+  private[llm] def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 0x50 && b(2) == 0x4e && b(3) == 0x47) ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Decode an image payload; None when the bytes aren't a supported
+    * image (or are corrupt — a truncated PNG must not kill a 100 TB
+    * scan task, it must fall through to the quarantine path).
+    */
+  private[llm] def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(b)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      catch { case _: Exception => None }
+
+  /** DCT perceptual hash of a decoded image (the classic pHash
+    * recipe): area-average the luma plane to 32×32, 2-D DCT-II, keep
+    * the 8×8 low-frequency block, one bit per coefficient = above
+    * the median of the 63 non-DC coefficients. Bit layout row-major
+    * from (0,0); deterministic for a given pixel grid.
+    */
+  private[llm] def imagePhash64(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = new Array[Double](N * N)
+    var y = 0
+    while (y < N) {
+      val y0 = y * h / N
+      val y1 = math.max(y0 + 1, (y + 1) * h / N)
+      var x = 0
+      while (x < N) {
+        val x0 = x * w / N
+        val x1 = math.max(x0 + 1, (x + 1) * w / N)
+        var s = 0.0
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val rgb = img.getRGB(xx, yy)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            xx += 1
+          }
+          yy += 1
+        }
+        luma(y * N + x) = s / ((y1 - y0) * (x1 - x0))
+        x += 1
+      }
+      y += 1
+    }
+    // separable DCT-II, only the first 8 output frequencies per axis
+    val K = 8
+    val cosT = Array.tabulate(K, N)((k, n) =>
+      math.cos((2 * n + 1) * k * math.Pi / (2.0 * N)))
+    val rows = Array.ofDim[Double](K, N) // DCT over x, first K u-freqs
+    var u = 0
+    while (u < K) {
+      var yy = 0
+      while (yy < N) {
+        var s = 0.0
+        var xx = 0
+        while (xx < N) { s += luma(yy * N + xx) * cosT(u)(xx); xx += 1 }
+        rows(u)(yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](K * K)
+    var v = 0
+    while (v < K) {
+      var uu = 0
+      while (uu < K) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) { s += rows(uu)(yy) * cosT(v)(yy); yy += 1 }
+        coef(v * K + uu) = s
+        uu += 1
+      }
+      v += 1
+    }
+    val nonDc = coef.drop(1).sorted
+    val median = (nonDc(30) + nonDc(31)) / 2.0 // 63 values → avg of mid pair
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (coef(i) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** 64-bit perceptual signature of a payload: real DCT pHash when
+    * the bytes decode as an image, deterministic stub
+    * (splitmix64∘FNV-1a — bit-identical to the codegen
+    * `F.splitmix64(F.fnvBinary(...))` pair, both call the same
+    * [[graft.functions.HashOps]] kernels) otherwise.
+    */
+  def phash64(payload: Array[Byte]): Long =
+    decodeImage(payload) match {
+      case Some(img) => imagePhash64(img)
+      case None =>
+        graft.functions.HashOps.splitmix64(
+          graft.functions.HashOps.fnv1a64(payload, 0, payload.length))
+    }
+
+  /** Per-payload perceptual signatures via the batched codec
+    * interface (iterator-in/iterator-out `mapPartitions`, same shape
+    * a JNI/FFI codec needs — no per-row JVM↔native crossing).
+    */
+  def phashSignatures(
+      spark: SparkSession, df: DataFrame, id: Column, payload: Column): DataFrame = {
+    import spark.implicits._
+    df.select(id.as("doc_id"), payload.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, bytes) => (docId, phash64(bytes)) })
+      .toDF("doc_id", "sig")
+  }
+
   /** Perceptual-hash near-duplicate pairs over binary payloads — the
-    * image/audio twin of SimHash text dedup. The pHash itself is
-    * STUBBED deterministically (splitmix64 of the payload's FNV-1a —
-    * a production pipeline swaps in a DCT/radial pHash, same 64-bit
-    * shape, nothing else changes); everything downstream is the real
-    * scale machinery: [[Dedup.hammingPairs]]' 4×16-bit banding, one
-    * shuffle, pigeonhole-exact recall for Hamming ≤ 3.
+    * image twin of SimHash text dedup. Signatures come from
+    * [[phashSignatures]] (real DCT pHash for decodable images, the
+    * deterministic stub otherwise); everything downstream is the
+    * real scale machinery: [[Dedup.hammingPairs]]' 4×16-bit banding,
+    * one shuffle, pigeonhole-exact recall for Hamming ≤ 3.
     */
   def phashDedupPairs(
-      df: DataFrame, id: Column, payload: Column,
-      maxHamming: Int = 3): DataFrame = {
-    import graft.functions.F
-    Dedup.hammingPairs(
-      df.select(id.as("doc_id"),
-        F.splitmix64(F.fnvBinary(payload)).as("sig")),
-      maxHamming)
-  }
+      spark: SparkSession, df: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(phashSignatures(spark, df, id, payload), maxHamming)
 
   /** Attach an opaque binary payload + modality metadata to a
     * documents frame. Payload here is the UTF-8 encoding of the text
@@ -116,25 +239,52 @@ object Multimodal {
         .when(col("n_bytes") < minBytes, "tiny_payload")
         .otherwise("keep").as("verdict"))
 
-  /** STUB decode: deterministic fake dimensions derived from FNV of
-    * the payload. Replaces a real codec; keeps the per-partition
-    * batch shape (iterator-in/iterator-out, no per-row JVM↔native
-    * crossings in the real version either).
+  /** Feature extraction with the REAL image codec: payloads that
+    * decode through `javax.imageio` report true header dimensions
+    * (and 1 frame); everything else falls through to the
+    * deterministic stub — same schema, same batched `mapPartitions`
+    * shape, so swapping in further codecs (audio, video) touches
+    * only the per-row closure.
     */
-  def fakeDecode(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
+  def decode(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     withPayload
       .select(col("doc_id"), col("modality"), col("n_bytes"), col("payload"))
       .as[(Long, String, Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (docId, modality, nBytes, payload) =>
-          val h = graft.functions.HashOps.fnv1a64(payload, 0, payload.length)
-          // deterministic fake dims — a real codec reads the header
-          val w = (math.abs(h % 1024) + 1).toInt
-          val ht = (math.abs((h >>> 16) % 1024) + 1).toInt
-          val frames = if (modality == "video") (math.abs((h >>> 32) % 300) + 1).toInt else 1
-          MediaFeatures(docId, modality, nBytes, w, ht, frames)
+          decodeImage(payload) match {
+            case Some(img) =>
+              MediaFeatures(docId, modality, nBytes, img.getWidth, img.getHeight, 1)
+            case None =>
+              stubFeatures(docId, modality, nBytes, payload)
+          }
         }
       }
+  }
+
+  private def stubFeatures(
+      docId: Long, modality: String, nBytes: Long,
+      payload: Array[Byte]): MediaFeatures = {
+    val h = graft.functions.HashOps.fnv1a64(payload, 0, payload.length)
+    // deterministic fake dims — the real codec reads the header
+    val w = (math.abs(h % 1024) + 1).toInt
+    val ht = (math.abs((h >>> 16) % 1024) + 1).toInt
+    val frames = if (modality == "video") (math.abs((h >>> 32) % 300) + 1).toInt else 1
+    MediaFeatures(docId, modality, nBytes, w, ht, frames)
+  }
+
+  /** STUB-ONLY decode: the deterministic fallback for every row, kept
+    * for oracle generation and determinism specs. [[decode]] is the
+    * production path.
+    */
+  def fakeDecode(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("modality"), col("n_bytes"), col("payload"))
+      .as[(Long, String, Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, modality, nBytes, payload) =>
+        stubFeatures(docId, modality, nBytes, payload)
+      })
   }
 }

@@ -122,7 +122,7 @@ class GraphSpec extends SparkSpec {
       (3L, "media-bytes-gamma")).toDF("doc_id", "txt")
       .select(col("doc_id"), col("txt").cast("binary").as("payload"))
     val pairs = graft.llm.Multimodal
-      .phashDedupPairs(df, col("doc_id"), col("payload"))
+      .phashDedupPairs(spark, df, col("doc_id"), col("payload"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 0L)), s"got $pairs")
     // 1-, 2-, 3-bit perturbations are all recovered by the 4x16

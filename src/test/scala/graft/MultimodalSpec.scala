@@ -1,0 +1,116 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Multimodal
+
+/** The real image codec path: javax.imageio decode for true
+  * dimensions, DCT pHash recovering planted near-duplicate images,
+  * and the deterministic fallback staying bit-identical to the
+  * codegen stub so the synthetic-corpus oracle is untouched.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Render a PNG in memory. */
+  private def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pix(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def rgb(r: Int, g: Int, b: Int): Int =
+    ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+
+  private def payloadFrame(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("doc_id", "payload")
+      .select(col("doc_id"), lit("image").as("modality"),
+        octet_length(col("payload")).cast("long").as("n_bytes"), col("payload"))
+
+  test("real PNG payloads decode to true header dimensions") {
+    val bytes = png(64, 48)((x, y) => rgb(x * 4, y * 5, 128))
+    val textBytes = "not an image at all".getBytes("UTF-8")
+    val feats = Multimodal.decode(
+      spark, payloadFrame(Seq(1L -> bytes, 2L -> textBytes)))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 64 && feats(1L).height == 48 && feats(1L).n_frames == 1)
+    // non-image bytes fall through to the deterministic stub
+    val h = graft.functions.HashOps.fnv1a64(textBytes, 0, textBytes.length)
+    assert(feats(2L).width == (math.abs(h % 1024) + 1).toInt)
+    assert(feats(2L).height == (math.abs((h >>> 16) % 1024) + 1).toInt)
+  }
+
+  test("corrupt image bytes (valid magic, garbage body) quarantine to the stub") {
+    val junk = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++
+      Array.fill[Byte](32)(0x7f)
+    val feats = Multimodal.decode(spark, payloadFrame(Seq(9L -> junk))).collect()
+    assert(feats.length == 1, "a corrupt payload must not kill the task")
+    val h = graft.functions.HashOps.fnv1a64(junk, 0, junk.length)
+    assert(feats.head.width == (math.abs(h % 1024) + 1).toInt)
+  }
+
+  test("planted near-duplicate PNG is recovered by DCT pHash; distinct images are not paired") {
+    val w = 64; val h = 64
+    // deterministic texture with a RICH spectrum (one noise value per
+    // 2×2 block): a synthetic ramp or checkerboard concentrates DCT
+    // energy in a handful of coefficients and parks the other ~60 at
+    // the median, where every bit is a coin flip — real photographs
+    // (and this texture) spread energy so the hash bits are stable
+    def noise(seed: Long)(x: Int, y: Int): Int = {
+      val v = (graft.functions.HashOps.splitmix64(
+        seed * 7919 + (y / 2) * 64 + (x / 2)) & 0xff).toInt
+      rgb(v, v, v)
+    }
+    val base = png(w, h)(noise(1))
+    // near-dup: same texture, one small dim patch — the kind of light
+    // edit (logo stamp, re-encode noise) pHash must absorb
+    val nearDup = png(w, h) { (x, y) =>
+      val v0 = noise(1)(x, y) & 0xff
+      val d = if (x >= 30 && x < 34 && y >= 30 && y < 34) 2 else 0
+      rgb(v0 - d, v0 - d, v0 - d)
+    }
+    val others = (2 to 5).map(s => png(w, h)(noise(s.toLong)))
+    val corpus = payloadFrame(
+      Seq(1L -> base, 100L -> nearDup) ++
+        others.zipWithIndex.map { case (b, i) => (2L + i) -> b } ++
+        Seq(50L -> "text payload rides along".getBytes("UTF-8")))
+    val pairs = Multimodal
+      .phashDedupPairs(spark, corpus, col("doc_id"), col("payload"), maxHamming = 3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L)), s"got $pairs")
+  }
+
+  test("fallback signatures are bit-identical to the codegen expression pair") {
+    import graft.functions.F
+    val df = Seq(
+      (1L, "alpha payload"), (2L, "beta payload"), (3L, ""))
+      .toDF("doc_id", "txt")
+      .select(col("doc_id"), col("txt").cast("binary").as("payload"))
+    val viaCodec = Multimodal
+      .phashSignatures(spark, df, col("doc_id"), col("payload"))
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = df
+      .select(col("doc_id"), F.splitmix64(F.fnvBinary(col("payload"))))
+      .as[(Long, Long)].collect().toMap
+    assert(viaCodec == viaExpr)
+  }
+
+  test("pHash is stable under re-render; sensitive to structure") {
+    val a = png(48, 32)((x, y) => rgb(x * 5, y * 7, 99))
+    val b = png(48, 32)((x, y) => rgb(x * 5, y * 7, 99))
+    assert(Multimodal.phash64(a) == Multimodal.phash64(b), "same pixels → same hash")
+    val c = png(48, 32)((x, y) => rgb(255 - x * 5, y * 7, 99))
+    assert(java.lang.Long.bitCount(
+      Multimodal.phash64(a) ^ Multimodal.phash64(c)) > 3,
+      "mirrored structure must not collide within the dedup threshold")
+  }
+}
