@@ -130,4 +130,42 @@ class ScaleSpec extends SparkSpec {
         s"AQE did not coalesce the 32 tiny reducers:\n$finalPlan")
     } finally spark.conf.set("spark.sql.shuffle.partitions", parts)
   }
+
+  test("AQE splits a planted skewed JOIN partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // AQE's skew handling covers shuffled JOINS only: it re-plans an
+    // oversized post-shuffle partition into sub-splits at runtime.
+    // Manual salting (ops/Skew.scala) remains required for (a) skewed
+    // AGGREGATIONS — no AQE rule exists — and (b) joins where the
+    // split threshold can't be tuned per-query. This spec pins down
+    // the boundary: the planted heavy-hitter join below needs no
+    // salting, just AQE.
+    val tuned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // half the probe rows hit key 0 — the classic heavy-hitter key
+      val probe = spark.range(0, 200000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000).as("k"),
+        concat(lit("padding-padding-padding-padding-"), col("id")).as("pl"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = probe.join(dim, "k")
+      // collect() drives THIS Dataset's QueryExecution (count() would
+      // plan a separate aggregate query and leave this one unexecuted)
+      assert(joined.collect().length == 200000, "inner join keeps every probe row")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join for splitting:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -13,9 +13,10 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
-    mem.addData(
+    val rows = Seq(
       (1L, at(5), "click", 1.0), (2L, at(10), "click", 2.0),
       (3L, at(70), "view", 3.0))
+    mem.addData(rows: _*)
     val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
     val q = EventStreams.windowedAgg(df, "10 minutes", "1 hour")
       .writeStream.outputMode("complete").format("memory").queryName("winagg").start()
@@ -25,6 +26,13 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSet
     val t0 = base.getTime / 1000
     assert(got == Set((t0, "click", 2L, 3.0), (t0 + 3600, "view", 1L, 3.0)))
+    // twin equivalence: the SAME transform over the same prefix as a
+    // batch frame (watermark is a no-op in batch) yields the same set
+    val batch = EventStreams.windowedAgg(
+      rows.toDF("event_id", "ts", "event_type", "value"), "10 minutes", "1 hour")
+      .select(col("window.start").cast("long"), $"event_type", $"n", $"v")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == batch)
   }
 
   test("streaming sessionize closes sessions on gap") {
@@ -172,19 +180,27 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
-    mem.addData((1L, at(0), "a"), (1L, at(1), "a-dup"), (2L, at(2), "b"))
+    val rows = Seq((1L, at(0), "a"), (1L, at(1), "a-dup"), (2L, at(2), "b"))
+    mem.addData(rows: _*)
     val df = mem.toDF().toDF("event_id", "ts", "payload")
     val q = EventStreams.dedup(df, Seq("event_id"))
       .writeStream.outputMode("append").format("memory").queryName("dedup").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("dedup").select("event_id").as[Long].collect().toList.sorted
     assert(got == List(1L, 2L))
+    // twin equivalence: batch exact dedup over the same prefix keeps
+    // the same key set (q_dedup_exact's dropDuplicates semantics)
+    val batch = rows.toDF("event_id", "ts", "payload")
+      .dropDuplicates("event_id")
+      .select("event_id").as[Long].collect().toList.sorted
+    assert(got == batch)
   }
 
   test("stream-static enrich joins each micro-batch against the dim") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
-    mem.addData((1L, "click"), (2L, "view"), (3L, "click"))
+    val rows = Seq((1L, "click"), (2L, "view"), (3L, "click"))
+    mem.addData(rows: _*)
     val dim = Seq(("click", 10), ("view", 20)).toDF("event_type", "weight")
     val df = mem.toDF().toDF("event_id", "event_type")
     val q = EventStreams.enrich(df, dim, Seq("event_type"))
@@ -193,6 +209,12 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("enriched").select("event_id", "weight")
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 10, 2L -> 20, 3L -> 10))
+    // twin equivalence: the same broadcast-join transform on the same
+    // prefix as a batch frame
+    val batch = EventStreams.enrich(
+      rows.toDF("event_id", "event_type"), dim, Seq("event_type"))
+      .select("event_id", "weight").as[(Long, Int)].collect().toMap
+    assert(got == batch)
   }
 
   test("stream-stream interval join matches within-window pairs only") {
@@ -201,8 +223,10 @@ class StreamingSpec extends SparkSpec {
     def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
     val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
     val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
-    clicks.addData((1L, at(0), 7L), (2L, at(30), 7L), (3L, at(5), 9L))
-    views.addData((100L, at(4), 7L), (101L, at(29), 7L), (102L, at(50), 9L))
+    val clickRows = Seq((1L, at(0), 7L), (2L, at(30), 7L), (3L, at(5), 9L))
+    val viewRows = Seq((100L, at(4), 7L), (101L, at(29), 7L), (102L, at(50), 9L))
+    clicks.addData(clickRows: _*)
+    views.addData(viewRows: _*)
     val l = clicks.toDF().toDF("click_id", "ts", "user_id")
     val r = views.toDF().toDF("view_id", "ts", "user_id")
     val q = EventStreams.intervalJoin(l, r, "user_id", within = "10 minutes")
@@ -213,6 +237,15 @@ class StreamingSpec extends SparkSpec {
     // click1 at 0 matches view100 at 4 (within 10m); click2 at 30 has no
     // view in [30,40]; click3 user 9 at 5: view102 at 50 is out of window
     assert(got == Set((1L, 100L)))
+    // twin equivalence: the same interval-join transform over the
+    // same prefixes as batch frames (q_interval_join's semantics)
+    val batch = EventStreams.intervalJoin(
+      clickRows.toDF("click_id", "ts", "user_id"),
+      viewRows.toDF("view_id", "ts", "user_id"),
+      "user_id", within = "10 minutes")
+      .select(col("click_id"), col("view_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == batch)
   }
 
   test("streaming anomaly watch equals the batch scorer over in-order days") {
