@@ -3263,9 +3263,22 @@ object SparkEntry {
         |   THEN substr(lower(c_name), 1, 5) || substr(lower(c_name), 7)
         |   ELSE lower(c_name) END AS nb
         | FROM customer),
+        |lb AS (
+        | SELECT ka, na, 'p:' || substr(na, 1, 3) AS blk FROM clean
+        | UNION ALL
+        | SELECT ka, na, 's:' || substr(na, greatest(length(na) - 2, 1), 3) FROM clean),
+        |rb AS (
+        | SELECT kb, nb, 'p:' || substr(nb, 1, 3) AS blk FROM dirty
+        | UNION ALL
+        | SELECT kb, nb, 's:' || substr(nb, greatest(length(nb) - 2, 1), 3) FROM dirty),
+        |ok AS (
+        | SELECT la.blk FROM (SELECT blk, count(*) AS na_ FROM lb GROUP BY 1) la
+        | JOIN (SELECT blk, count(*) AS nb_ FROM rb GROUP BY 1) ra USING (blk)
+        | WHERE la.na_ * ra.nb_ <= 1000000),
         |p AS (
-        | SELECT ka AS id_a, kb AS id_b, CAST(levenshtein(na, nb) AS BIGINT) AS d
-        | FROM clean JOIN dirty ON substr(na, 1, 3) = substr(nb, 1, 3)
+        | SELECT DISTINCT ka AS id_a, kb AS id_b,
+        |  CAST(levenshtein(na, nb) AS BIGINT) AS d
+        | FROM lb JOIN ok USING (blk) JOIN rb USING (blk)
         | WHERE levenshtein(na, nb) <= 1)
         |SELECT id_a, count(*) AS n_match, min(d) AS best_dist,
         | min(CASE WHEN d = md THEN id_b END) AS best_match

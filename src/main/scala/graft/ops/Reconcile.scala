@@ -85,33 +85,59 @@ object Reconcile {
       .groupBy(IndicatorCol)
       .agg(count(lit(1)).as("n"))
 
-  /** Blocked fuzzy join: candidate pairs share a `blockPrefix`-char
-    * prefix of the (pre-normalized) match string; only candidates are
-    * scored with Levenshtein and kept at distance ≤ `maxDist`. The
-    * approximate-match half of the reference's name-fallback
-    * reconcile (reference 390-415 joins on normalized names exactly;
-    * this tolerates typos/truncations).
+  /** Blocked fuzzy join with TWO-ENDED, SIZE-CAPPED blocking:
+    * candidate pairs share either the first or the last
+    * `blockPrefix` chars of the (pre-normalized) match string; only
+    * candidates are scored with Levenshtein and kept at distance ≤
+    * `maxDist`. The approximate-match half of the reference's
+    * name-fallback reconcile (reference 390-415 joins on normalized
+    * names exactly; this tolerates typos/truncations).
     *
-    * Shape: one equi-shuffle per side on the block key — never an
-    * all-pairs product; the quadratic work is confined to within a
-    * block, so prefix length tunes the block-size/recall trade
-    * (lengthen it, or compose a second blocking pass, when a hot
-    * prefix dominates). Levenshtein runs inside whole-stage codegen.
-    * Distance semantics are engine-portable (unit-cost edit distance,
-    * identical in DuckDB).
+    * Why two ends: a single edit cannot touch both the first and the
+    * last `blockPrefix` chars of a string longer than 2·blockPrefix,
+    * so prefix∪suffix candidate generation is COMPLETE for maxDist=1
+    * (each pair is caught by at least one end). Why the cap: blocks
+    * whose candidate count exceeds `maxBlockPairs` are skipped
+    * outright — a degenerate block (every TPC-H customer name starts
+    * "cus…", so a prefix-only scheme silently degrades to an
+    * all-pairs product: ~22.5e9 Levenshtein calls at sf1) costs
+    * quadratic work while contributing near-zero precision; the
+    * other end's block still catches pairs whose entropy lives
+    * there. Same bounded-candidate idiom as `dd_minhash_lsh`'s
+    * bucket cap and `dd_containment`'s df bound.
+    *
+    * Shape: explode to 2 block keys per row, one equi-shuffle per
+    * side on the block key, block sizes pre-counted so oversized
+    * blocks never reach the join, `distinct` folds pairs caught by
+    * both ends. Levenshtein runs inside whole-stage codegen.
+    * Distance semantics are engine-portable (unit-cost edit
+    * distance, identical in DuckDB).
     */
   def fuzzyJoin(
       left: DataFrame, leftId: Column, leftStr: Column,
       right: DataFrame, rightId: Column, rightStr: Column,
-      maxDist: Int, blockPrefix: Int = 3): DataFrame = {
-    val l = left.select(leftId.as("id_a"), leftStr.as("_sa"))
-    val r = right.select(rightId.as("id_b"), rightStr.as("_sb"))
-    l.join(r,
-        substring(col("_sa"), 1, blockPrefix) ===
-          substring(col("_sb"), 1, blockPrefix))
+      maxDist: Int, blockPrefix: Int = 3,
+      maxBlockPairs: Long = 1000000L): DataFrame = {
+    def blocked(df: DataFrame, id: Column, s: Column, idName: String, sName: String) = {
+      val tail = s.substr(
+        greatest(length(s) - (blockPrefix - 1), lit(1)), lit(blockPrefix))
+      df.select(id.as(idName), s.as(sName),
+        explode(array(
+          concat(lit("p:"), substring(s, 1, blockPrefix)),
+          concat(lit("s:"), tail))).as("_blk"))
+    }
+    val lb = blocked(left, leftId, leftStr, "id_a", "_sa")
+    val rb = blocked(right, rightId, rightStr, "id_b", "_sb")
+    val ok = lb.groupBy(col("_blk")).agg(count(lit(1)).as("_na"))
+      .join(rb.groupBy(col("_blk")).agg(count(lit(1)).as("_nb")), "_blk")
+      .filter(col("_na") * col("_nb") <= maxBlockPairs)
+      .select(col("_blk"))
+    lb.join(ok, "_blk")
+      .join(rb, "_blk")
       .withColumn("d", levenshtein(col("_sa"), col("_sb")))
       .filter(col("d") <= maxDist)
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
+      .distinct()
   }
 
   /** Post-load resync validation (reference 38-42): after the

@@ -91,17 +91,34 @@ class FunnelSnapshotSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0, 1L), (2L, 15.0, 2L), (3L, 20.0, 3L), (4L, 30.0, 3L)))
   }
 
-  test("fuzzyJoin scores only within-block candidates") {
+  test("fuzzyJoin: two-ended blocking catches an edit at either end, folds double hits") {
     val l = Seq((1L, "martha king"), (2L, "zachary s")).toDF("id", "s")
     val r = Seq(
-      (10L, "marta king"),  // deletion, same 3-prefix -> d=1
-      (11L, "xachary s"),   // d=1 but prefix differs -> blocked out
-      (12L, "martha king")  // exact
+      (10L, "marta king"),   // mid deletion: both ends match (distinct folds it)
+      (11L, "xachary s"),    // HEAD edit: prefix blocks differ, suffix catches
+      (12L, "martha kingz"), // TAIL edit: suffix blocks differ, prefix catches
+      (13L, "xartha kinx"),  // edits at BOTH ends (d=2): no shared block even at τ=2
+      (14L, "martha king")   // exact
     ).toDF("id", "s")
     val got = graft.ops.Reconcile.fuzzyJoin(
-      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 1)
+      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
       .as[(Long, Long, Long)].collect().toSet
-    assert(got == Set((1L, 10L, 1L), (1L, 12L, 0L)))
+    assert(got == Set((1L, 10L, 1L), (2L, 11L, 1L), (1L, 12L, 1L), (1L, 14L, 0L)))
+  }
+
+  test("fuzzyJoin skips degenerate blocks; the other end still recovers matches") {
+    // every name shares the "cus" prefix (the TPC-H shape that made
+    // prefix-only blocking an all-pairs product at sf1): the prefix
+    // block's 100x100 candidates blow the cap and are skipped, yet
+    // all 100 exact matches arrive through the small suffix blocks
+    val names = (0 until 100).map(i => f"customer#$i%03d")
+    val l = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "s")
+    val r = names.zipWithIndex.map { case (n, i) => (1000L + i, n) }.toDF("id", "s")
+    val got = graft.ops.Reconcile.fuzzyJoin(
+      l, col("id"), col("s"), r, col("id"), col("s"),
+      maxDist = 0, maxBlockPairs = 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (0 until 100).map(i => (i.toLong, 1000L + i, 0L)).toSet)
   }
 
   test("piiRedact counts sequentially and redacts all three kinds") {
