@@ -52,6 +52,48 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
       catch { case _: Exception => None }
 
+  /** Frame count of an image payload WITHOUT decoding pixel data:
+    * ImageIO readers report the image count per container (GIFs
+    * carry their animation frames; single-frame formats report 1).
+    */
+  private[llm] def imageFrameCount(b: Array[Byte]): Int =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) 1
+        else {
+          val rd = readers.next()
+          rd.setInput(in)
+          try math.max(1, rd.getNumImages(true))
+          finally rd.dispose()
+        }
+      } finally in.close()
+    } catch { case _: Exception => 1 }
+
+  /** True iff the payload starts with a RIFF/WAVE header. */
+  private[llm] def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decode WAV audio metadata through `javax.sound.sampled` (the one
+    * audio container the JDK ships a parser for): (sample frames,
+    * channels, frames/sec). Header-only — no sample data decoded.
+    */
+  private[llm] def decodeWavMeta(b: Array[Byte]): Option[(Long, Int, Int)] =
+    if (!looksLikeWav(b)) None
+    else
+      try {
+        val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(b))
+        Some((
+          fmt.getFrameLength.toLong,
+          fmt.getFormat.getChannels,
+          math.round(fmt.getFormat.getFrameRate)))
+      } catch { case _: Exception => None }
+
   /** DCT perceptual hash of a decoded image (the classic pHash
     * recipe): area-average the luma plane to 32×32, 2-D DCT-II, keep
     * the 8×8 low-frequency block, one bit per coefficient = above
@@ -239,12 +281,15 @@ object Multimodal {
         .when(col("n_bytes") < minBytes, "tiny_payload")
         .otherwise("keep").as("verdict"))
 
-  /** Feature extraction with the REAL image codec: payloads that
-    * decode through `javax.imageio` report true header dimensions
-    * (and 1 frame); everything else falls through to the
+  /** Feature extraction with the REAL codecs the JDK ships: image
+    * payloads (PNG/JPEG/GIF/BMP) report true header dimensions and
+    * container frame count (animated GIFs > 1) through
+    * `javax.imageio`; WAV payloads report (channels, sample rate,
+    * sample frames) as (width, height, n_frames) through
+    * `javax.sound.sampled`. Everything else falls through to the
     * deterministic stub — same schema, same batched `mapPartitions`
-    * shape, so swapping in further codecs (audio, video) touches
-    * only the per-row closure.
+    * shape, so further codecs (MP4, FLAC, …) swap into the per-row
+    * closure without touching the plan.
     */
   def decode(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -255,9 +300,15 @@ object Multimodal {
         rows.map { case (docId, modality, nBytes, payload) =>
           decodeImage(payload) match {
             case Some(img) =>
-              MediaFeatures(docId, modality, nBytes, img.getWidth, img.getHeight, 1)
+              MediaFeatures(docId, modality, nBytes, img.getWidth, img.getHeight,
+                imageFrameCount(payload))
             case None =>
-              stubFeatures(docId, modality, nBytes, payload)
+              decodeWavMeta(payload) match {
+                case Some((frames, channels, rate)) =>
+                  MediaFeatures(docId, modality, nBytes, channels, rate,
+                    math.min(frames, Int.MaxValue.toLong).toInt)
+                case None => stubFeatures(docId, modality, nBytes, payload)
+              }
           }
         }
       }

@@ -134,6 +134,11 @@ object Reconcile {
       .select(col("_blk"))
     lb.join(ok, "_blk")
       .join(rb, "_blk")
+      // |len(a)-len(b)| lower-bounds the edit distance: prune with two
+      // precomputed ints before paying the O(len²) Levenshtein DP.
+      // Semantically a no-op (never drops a d ≤ maxDist pair), so the
+      // oracle needs no twin of it.
+      .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
       .withColumn("d", levenshtein(col("_sa"), col("_sb")))
       .filter(col("d") <= maxDist)
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))

@@ -49,6 +49,48 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).height == (math.abs((h >>> 16) % 1024) + 1).toInt)
   }
 
+  test("animated GIF payloads report their true frame count") {
+    val frames = (0 until 4).map(i =>
+      new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB) {
+        { var y = 0; while (y < 16) { var x = 0; while (x < 16) {
+            setRGB(x, y, rgb(i * 60, x * 15, y * 15)); x += 1 }; y += 1 } }
+      })
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); writer.dispose(); out.close()
+    val gif = bos.toByteArray
+    val feats = Multimodal.decode(spark, payloadFrame(Seq(7L -> gif))).collect().head
+    assert(feats.width == 16 && feats.height == 16 && feats.n_frames == 4)
+  }
+
+  test("WAV payloads report channels, sample rate and sample frames") {
+    val sampleRate = 8000f
+    val nFrames = 1600 // 0.2 s mono 16-bit
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) { // small deterministic sawtooth
+      val v = ((i % 64) * 512 - 16384).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val feats = Multimodal.decode(spark, payloadFrame(Seq(8L -> wav))).collect().head
+    // (width, height, n_frames) carry (channels, frames/sec, frames)
+    assert(feats.width == 1 && feats.height == 8000 && feats.n_frames == nFrames)
+  }
+
   test("corrupt image bytes (valid magic, garbage body) quarantine to the stub") {
     val junk = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++
       Array.fill[Byte](32)(0x7f)
