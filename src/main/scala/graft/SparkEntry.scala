@@ -2460,22 +2460,31 @@ object SparkEntry {
         |       FROM events))
         |GROUP BY user_id, grp""".stripMargin,
 
+    // integer-unit power sums in HUGEINT, numerators exact, ONE double
+    // cast each — mirrors Stats.exactMoments; the double formulation
+    // drifted 1 ULP between engines at sf1 magnitudes
     "q_exact_stats" ->
       """SELECT l_returnflag, n,
-        | sx / n AS mean_x,
-        | (n * sxx - sx * sx) / (n * n) AS var_x,
-        | sqrt((n * sxx - sx * sx) / (n * n)) AS std_x,
-        | (n * sxy - sx * sy)
-        |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        | sxd / (nd * 100) AS mean_x,
+        | varxN / (nd * nd * 10000) AS var_x,
+        | sqrt(varxN / (nd * nd * 10000)) AS std_x,
+        | covN / (sqrt(varxN) * sqrt(varyN)) AS corr_xy
         |FROM (
-        | SELECT l_returnflag, count(*) AS n,
-        |  CAST(count(*) AS DOUBLE) AS nd,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-        | FROM lineitem GROUP BY l_returnflag)""".stripMargin,
+        | SELECT l_returnflag, n, nd,
+        |  CAST(sx AS DOUBLE) AS sxd,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS varxN,
+        |  CAST(n * syy - sy * sy AS DOUBLE) AS varyN,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS covN
+        | FROM (
+        |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |   SUM(qu) AS sx, SUM(qu * qu) AS sxx,
+        |   SUM(eu) AS sy, SUM(eu * eu) AS syy, SUM(qu * eu) AS sxy
+        |  FROM (
+        |   SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS qu,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS eu
+        |   FROM lineitem)
+        |  GROUP BY l_returnflag))""".stripMargin,
 
     "q_skew_join" ->
       """SELECT e.event_type, d.type_n, count(*) AS n,

@@ -15,8 +15,17 @@ import org.apache.spark.sql.types.DecimalType
 object Stats {
 
   /** Per-key n, mean, population variance/stddev of `x`, and Pearson
-    * correlation of (`x`,`y`) — all derived from exact decimal
-    * sums: var = (n·Σx² − (Σx)²)/n², corr = (n·Σxy − ΣxΣy)/√(…)·√(…).
+    * correlation of (`x`,`y`) — all derived from exact INTEGER-unit
+    * sums: inputs are quantized to `scale` fractional digits, scaled
+    * to integers, and every power sum AND the cancellation-prone
+    * numerators n·Σx²−(Σx)², n·Σxy−ΣxΣy are computed in exact
+    * decimal(38,0) arithmetic. Only the final closed forms touch
+    * doubles, each exact integer cast once — so no catastrophic
+    * cancellation ever happens in floating point, and no
+    * engine-specific FMA contraction of `a·b − c·d` can shift the
+    * last ULP (DuckDB vs JVM disagreed by exactly 1 ULP on the
+    * double formulation at sf1 magnitudes, where the products leave
+    * double-exact range).
     *
     * `scale` is the decimal scale inputs are quantized to before
     * summing (default 2 — currency-style data). Inputs with more
@@ -26,30 +35,32 @@ object Stats {
   def exactMoments(
       df: DataFrame, key: Column, x: Column, y: Column,
       scale: Int = 2): DataFrame = {
-    def d(c: Column): Column = c.cast(DecimalType(18, scale))
+    val unit = math.pow(10, scale) // 10^scale, exact for small scales
+    def u(c: Column): Column = // integer units, exact
+      (c.cast(DecimalType(18, scale)) * lit(unit.toLong)).cast(DecimalType(38, 0))
     val merged = df
-      .groupBy(key)
+      .select(key.as("key"), u(x).as("xu"), u(y).as("yu"))
+      .groupBy(col("key"))
       .agg(
         count(lit(1)).as("n"),
-        sum(d(x)).as("sx"),
-        sum(d(x) * d(x)).as("sxx"),
-        sum(d(y)).as("sy"),
-        sum(d(y) * d(y)).as("syy"),
-        sum(d(x) * d(y)).as("sxy"))
-    val n = col("n").cast("double")
-    val sx = col("sx").cast("double")
-    val sxx = col("sxx").cast("double")
-    val sy = col("sy").cast("double")
-    val syy = col("syy").cast("double")
-    val sxy = col("sxy").cast("double")
+        sum(col("xu")).as("sx"),
+        sum(col("xu") * col("xu")).as("sxx"),
+        sum(col("yu")).as("sy"),
+        sum(col("yu") * col("yu")).as("syy"),
+        sum(col("xu") * col("yu")).as("sxy"))
+    val nD = col("n").cast(DecimalType(38, 0))
+    val nd = col("n").cast("double")
+    // exact integer numerators; ONE double cast each
+    val varxN = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varyN = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    val covN = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
     merged.select(
-      key.as("key"),
+      col("key"),
       col("n"),
-      (sx / n).as("mean_x"),
-      ((n * sxx - sx * sx) / (n * n)).as("var_x"),
-      sqrt((n * sxx - sx * sx) / (n * n)).as("std_x"),
-      ((n * sxy - sx * sy)
-        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_xy"))
+      (col("sx").cast("double") / (nd * unit)).as("mean_x"),
+      (varxN / (nd * nd * (unit * unit))).as("var_x"),
+      sqrt(varxN / (nd * nd * (unit * unit))).as("std_x"),
+      (covN / (sqrt(varxN) * sqrt(varyN))).as("corr_xy"))
   }
 
   /** Order-independent table fingerprint for cross-system
