@@ -38,8 +38,11 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        // user nice system idle iowait irq softirq steal [guest ...]
-        (f.sum, f(3), if (f.length > 7) f(7) else 0L)
+        // user nice system idle iowait irq softirq steal — STOP there:
+        // guest/guest_nice are already counted inside user/nice, so
+        // summing them too would double-count guest time and deflate
+        // the reported steal/idle percentages
+        (f.take(8).sum, f(3), if (f.length > 7) f(7) else 0L)
       } finally src.close()
     } catch { case _: Throwable => (0L, 0L, 0L) }
 

@@ -96,9 +96,12 @@ object Multimodal {
 
   /** DCT perceptual hash of a decoded image (the classic pHash
     * recipe): area-average the luma plane to 32×32, 2-D DCT-II, keep
-    * the 8×8 low-frequency block, one bit per coefficient = above
-    * the median of the 63 non-DC coefficients. Bit layout row-major
-    * from (0,0); deterministic for a given pixel grid.
+    * the 8×8 low-frequency block, one bit per NON-DC coefficient =
+    * above the median of the 63 non-DC values (odd count → the
+    * middle element, nonDc(31)). The DC coefficient is excluded —
+    * it is virtually always above the median, so including it would
+    * spend a constant bit; its position (bit 0) stays 0. Bit layout
+    * row-major from (0,1); deterministic for a given pixel grid.
     */
   private[llm] def imagePhash64(img: java.awt.image.BufferedImage): Long = {
     val N = 32
@@ -161,9 +164,9 @@ object Multimodal {
       v += 1
     }
     val nonDc = coef.drop(1).sorted
-    val median = (nonDc(30) + nonDc(31)) / 2.0 // 63 values → avg of mid pair
+    val median = nonDc(31) // true median of the 63 non-DC values
     var bits = 0L
-    var i = 0
+    var i = 1 // DC excluded: bit 0 is always 0
     while (i < 64) {
       if (coef(i) > median) bits |= (1L << i)
       i += 1

@@ -1,5 +1,7 @@
 package graft.sources.graphql
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -62,6 +64,19 @@ object GraphQL {
     * continuation keys — ten thousand parents with extra child pages
     * add partitions, never plan nodes. All page BODIES stay on
     * executors.
+    *
+    * Driver-boundedness: the continuation keys stream off the query
+    * via `toLocalIterator` in `keyBatchSize` groups (one
+    * [[ContinuationGroups]] entry + one scan per batch, unioned), so
+    * the transient planning allocation on top of the compact
+    * registry entries is O(batch), never an all-keys Row array — a
+    * pathological parent fan-out cannot balloon the driver. The
+    * broadcast that restores parent context carries ONLY the
+    * continuing parents (`children.pageInfo.hasNextPage` filter: the
+    * continuing subset is derivable from the page data itself, no
+    * driver-side key list enters the plan), so broadcast bytes scale
+    * with the parents that actually continue, not the full outer
+    * extract.
     */
   def flattenNestedResponse(
       spark: SparkSession,
@@ -71,7 +86,8 @@ object GraphQL {
       childField: String,
       childSchema: StructType,
       childFetcherName: String => String,
-      nodeKey: String): DataFrame = {
+      nodeKey: String,
+      keyBatchSize: Int = 100000): DataFrame = {
     val childConn = connectionSchema(childSchema)
     val envelope = new StructType().add(
       "data", new StructType().add(
@@ -89,31 +105,45 @@ object GraphQL {
     val inline = nodes.select(
       (nodeSchema.fieldNames.map(col) :+
         explode(col(s"$childField.edges.node")).as("__child")): _*)
-    // nodes with MORE child pages → ONE continuation scan over every
-    // (parentKey, cursor) partition; only keys cross the driver
-    val moreKeys = nodes
-      .filter(col(s"$childField.pageInfo.hasNextPage"))
+    // nodes with MORE child pages → continuation scans over every
+    // (parentKey, cursor) partition; only keys cross the driver, in
+    // bounded batches (toLocalIterator streams a partition at a time;
+    // grouped() holds at most keyBatchSize strings beyond the
+    // registry entries themselves)
+    val continuing = nodes.filter(col(s"$childField.pageInfo.hasNextPage"))
+    val groupStem = s"$queryType/$childField#cont@${java.util.UUID.randomUUID()}"
+    val groups = continuing
       .select(col(nodeKey).cast("string"))
-      .collect().map(_.getString(0)).toSeq
-    val all =
-      if (moreKeys.isEmpty) inline
-      else {
-        val group = s"$queryType/$childField#cont@${java.util.UUID.randomUUID()}"
+      .toLocalIterator().asScala.map(_.getString(0))
+      .grouped(keyBatchSize)
+      .zipWithIndex
+      .map { case (keys, i) =>
+        val group = s"$groupStem/$i"
         ContinuationGroups.register(
-          group, moreKeys.map(k => k -> childFetcherName(k)))
+          group, keys.map(k => k -> childFetcherName(k)))
+        group
+      }
+      .toList
+    val all =
+      if (groups.isEmpty) inline
+      else {
         val childEnvelope = new StructType().add(
           "data", new StructType().add(childField, childConn))
-        val extra = spark.read
-          .format("graft.sources.graphql.GraphQLContinuationProvider")
-          .option("group", group)
-          .load()
+        val extra = groups.map { group =>
+          spark.read
+            .format("graft.sources.graphql.GraphQLContinuationProvider")
+            .option("group", group)
+            .load()
+        }.reduce(_ unionByName _)
           .select(col("key").as("__ckey"),
             from_json(col("json"), childEnvelope).as("r"))
           .select(col("__ckey"),
             explode(col(s"r.data.$childField.edges.node")).as("__child"))
-        // parent context is one row per OUTER node — bounded by the
-        // outer extract, broadcast-sized relative to the child fan-out
-        val parents = nodes.select(
+        // parent context for the join: ONLY the continuing parents —
+        // the hasNextPage filter reproduces exactly the key set the
+        // continuation scan serves, so the broadcast never carries a
+        // non-continuing row no matter how large the outer extract is
+        val parents = continuing.select(
           (nodeSchema.fieldNames.map(col) :+
             col(nodeKey).cast("string").as("__pkey")): _*)
         val continued = extra

@@ -179,10 +179,35 @@ final case class PagePartition(idx: Int, after: Option[String], fetcher: PageFet
   * pages.
   */
 object ContinuationGroups {
-  private val registry = TrieMap.empty[String, Seq[(String, String)]]
+  /** Registry cap: a long-lived driver that flattens nested responses
+    * repeatedly must not accumulate (key, fetcherName) sequences for
+    * the JVM lifetime, so the registry is a bounded
+    * insertion-ordered map — the oldest group evicts once `MaxGroups`
+    * newer ones registered. Groups are consumed by scans planned
+    * right after registration (same `flattenNestedResponse` call);
+    * by the time a group ages past `MaxGroups` successors its query
+    * has long since planned (re-executions re-plan from the lazy
+    * `planned` val, not the registry). Callers that want eager
+    * cleanup can [[remove]] a group once its DataFrame is done.
+    */
+  val MaxGroups = 1024
+  private val registry =
+    new java.util.LinkedHashMap[String, Seq[(String, String)]](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(String, String)]]): Boolean =
+        size() > MaxGroups
+    }
   def register(name: String, entries: Seq[(String, String)]): Unit =
-    registry.put(name, entries)
-  def apply(name: String): Seq[(String, String)] = registry(name)
+    registry.synchronized { registry.put(name, entries); () }
+  def remove(name: String): Unit =
+    registry.synchronized { registry.remove(name); () }
+  def apply(name: String): Seq[(String, String)] = registry.synchronized {
+    val e = registry.get(name)
+    if (e == null)
+      throw new NoSuchElementException(s"continuation group not registered: $name")
+    e
+  }
+  private[graft] def registeredCount: Int = registry.synchronized(registry.size)
 }
 
 object ContinuationSource {

@@ -5,6 +5,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.Duration
 
+import scala.collection.concurrent.TrieMap
+
 import com.fasterxml.jackson.databind.ObjectMapper
 
 /** Real HTTP transport behind [[PageFetcher]]/[[MutationSender]] —
@@ -99,13 +101,25 @@ object Http {
       .connectTimeout(Duration.ofMillis(connectTimeoutMs))
       .followRedirects(HttpClient.Redirect.NORMAL)
       .build()
+
+  /** JVM-level client pool keyed by connect timeout (the only
+    * client-level knob here; URLs bind per-request). Fetcher/sender
+    * instances ride inside serialized InputPartitions, so a
+    * per-instance lazy client would mint one client PER TASK — this
+    * static pool is what actually delivers one connection pool per
+    * executor JVM regardless of how many page partitions it reads.
+    */
+  private val clients = TrieMap.empty[Long, HttpClient]
+  private[graphql] def clientFor(connectTimeoutMs: Long): HttpClient =
+    clients.getOrElseUpdate(connectTimeoutMs, newClient(connectTimeoutMs))
 }
 
 /** [[PageFetcher]] over a live GraphQL endpoint. Serializable by
   * construction — only strings and maps ship to executors; the
-  * non-serializable `HttpClient` is rebuilt lazily per JVM, so each
-  * executor keeps ONE client (connection pool) regardless of how many
-  * page partitions it reads.
+  * non-serializable `HttpClient` comes from the JVM-static
+  * [[Http.clientFor]] pool, so each executor keeps ONE client
+  * (connection pool) per timeout config regardless of how many page
+  * partitions — i.e. deserialized fetcher copies — it reads.
   *
   * Statelessness contract: `fetch(after)` posts the same query with
   * the same cursor every time, so re-fetches (planning walk +
@@ -122,11 +136,10 @@ final case class HttpPageFetcher(
     requestTimeoutMs: Long = 60000L)
     extends PageFetcher {
 
-  @transient private lazy val client: HttpClient = Http.newClient(connectTimeoutMs)
-
   override def fetch(after: Option[String]): Page = {
     val json = Http.post(
-      client, url, headers, Http.graphqlBody(query, after), requestTimeoutMs)
+      Http.clientFor(connectTimeoutMs), url, headers,
+      Http.graphqlBody(query, after), requestTimeoutMs)
     val (hasNext, cursor) = Http.pageInfoOf(json, queryType)
     if (hasNext && cursor.isEmpty)
       throw new IllegalStateException(
@@ -136,11 +149,11 @@ final case class HttpPageFetcher(
 }
 
 /** [[MutationSender]] over a live GraphQL endpoint — the reference's
-  * `gql_api.post(mutation)` load calls. Same client-per-JVM and
-  * error-taxonomy shape as [[HttpPageFetcher]]; a response carrying a
-  * GraphQL `errors` array fails the task (at-least-once sink retries
-  * re-send the batch, which the reference's idempotent create/assign
-  * mutations absorb).
+  * `gql_api.post(mutation)` load calls. Same pooled client-per-JVM
+  * and error-taxonomy shape as [[HttpPageFetcher]]; a response
+  * carrying a GraphQL `errors` array fails the task (at-least-once
+  * sink retries re-send the batch, which the reference's idempotent
+  * create/assign mutations absorb).
   */
 final case class HttpMutationSender(
     url: String,
@@ -149,11 +162,10 @@ final case class HttpMutationSender(
     requestTimeoutMs: Long = 60000L)
     extends MutationSender {
 
-  @transient private lazy val client: HttpClient = Http.newClient(connectTimeoutMs)
-
   override def send(mutation: String): Unit = {
     val body = s"""{"query": ${Http.quote(mutation)}}"""
-    val json = Http.post(client, url, headers, body, requestTimeoutMs)
+    val json = Http.post(
+      Http.clientFor(connectTimeoutMs), url, headers, body, requestTimeoutMs)
     if (json.nonEmpty) {
       val errs = Http.mapper.readTree(json).path("errors")
       if (errs.isArray && errs.size() > 0)

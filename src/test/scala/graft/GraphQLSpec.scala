@@ -218,6 +218,110 @@ class GraphQLSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("continuation broadcast carries ONLY the continuing parents") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    // hand-built API: 6 parents on 2 pages, exactly 2 of which
+    // (ids 2 and 4) carry extra child pages. The r6 formulation
+    // broadcast all 6; the fix must broadcast exactly 2.
+    val name = "broadcastShape#nested"
+    def conn(edges: Seq[String], hasNext: Boolean): String =
+      s"""{"pageInfo": {"hasNextPage": $hasNext, "endCursor": "c"}, "edges": ${edges.mkString("[", ", ", "]")}}"""
+    def childEdge(id: Long): String =
+      s"""{"cursor": "k$id", "node": {"child_id": $id, "child_name": "ch$id"}}"""
+    def parent(id: Long, more: Boolean): String = {
+      if (more) {
+        PageFetchers.register(
+          s"$name#children#$id",
+          GraphQLFixtures.FixturePageFetcher(Vector(
+            s"""{"data": {"children": ${conn(Seq(childEdge(id * 10 + 1), childEdge(id * 10 + 2)), hasNext = false)}}}""")))
+      }
+      s"""{"cursor": "p$id", "node": {"parent_id": $id, "parent_name": "par$id", "children": ${conn(Seq(childEdge(id * 10)), more)}}}"""
+    }
+    val pages = Vector(
+      s"""{"data": {"hgBcast": {"pageInfo": {"hasNextPage": true, "endCursor": "0"}, "edges": [${Seq(parent(0, false), parent(1, false), parent(2, true)).mkString(", ")}]}}}""",
+      s"""{"data": {"hgBcast": {"pageInfo": {"hasNextPage": false, "endCursor": "1"}, "edges": [${Seq(parent(3, false), parent(4, true), parent(5, false)).mkString(", ")}]}}}""")
+    PageFetchers.register(name, GraphQLFixtures.FixturePageFetcher(pages))
+    val parentSchema = new StructType()
+      .add("parent_id", LongType).add("parent_name", StringType)
+    val childSchema = new StructType()
+      .add("child_id", LongType).add("child_name", StringType)
+    val df = GraphQL.flattenNestedResponse(
+      spark, GraphQL.readPages(spark, name),
+      "hgBcast", parentSchema, "children", childSchema,
+      key => s"$name#children#$key", "parent_id")
+    // collect df ITSELF (a .select would be a fresh QueryExecution
+    // whose metrics are separate from df.queryExecution's)
+    val rows = df.collect()
+    val got = rows.map(r =>
+      (r.getAs[Long]("parent_id"), r.getAs[Long]("children_child_id"))).toSet
+    // 6 inline edges + 2 continuation pages × 2 children
+    val want = Set(0L -> 0L, 1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+      5L -> 50L, 2L -> 21L, 2L -> 22L, 4L -> 41L, 4L -> 42L)
+    assert(got == want)
+    // walk the executed (adaptive) plan and read the broadcast's
+    // actual output-row metric: exactly the 2 continuing parents
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    // the traversal sees both the executed exchange (inside its
+    // query stage) and AQE's unexecuted template copy (metric 0) —
+    // the max over instances is what actually crossed the wire
+    val bx = allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastExchangeExec => b.metrics("numOutputRows").value }
+    assert(bx.nonEmpty, "no broadcast exchange found in the executed plan")
+    assert(bx.max == 2,
+      s"broadcast must carry exactly the 2 continuing parents, got rows=$bx")
+  }
+
+  test("continuation keys register in bounded batches; round-trip stays exact") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    // inlineChildren = 1 → all 5 regions continue; keyBatchSize = 2 →
+    // ceil(5/2) = 3 continuation groups, each ≤ 2 keys
+    val name = GraphQLFixtures.registerNestedApi(
+      spark, sf, queryType = "hgBatch", pageSize = 2,
+      inlineChildren = 1, childPageSize = 2)
+    val parentSchema = new StructType()
+      .add("parent_id", LongType).add("parent_name", StringType)
+    val childSchema = new StructType()
+      .add("child_id", LongType).add("child_name", StringType)
+    val before = ContinuationGroups.registeredCount
+    val df = GraphQL.flattenNestedResponse(
+      spark, GraphQL.readPages(spark, name),
+      "hgBatch", parentSchema, "children", childSchema,
+      key => s"$name#children#$key", "parent_id", keyBatchSize = 2)
+    assert(ContinuationGroups.registeredCount - before == 3,
+      "5 continuing keys at batch 2 must register 3 groups")
+    val got = df.select($"parent_id", $"children_child_id".as("child_id"))
+      .as[(Long, Long)].collect().toSet
+    val want = spark.read.parquet(s"$sf/nation.parquet")
+      .select($"n_regionkey".cast("long"), $"n_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("ContinuationGroups registry is bounded: oldest group evicts past MaxGroups") {
+    val stamp = java.util.UUID.randomUUID().toString
+    ContinuationGroups.register(s"evict-probe@$stamp", Seq("k" -> "f"))
+    (0 until ContinuationGroups.MaxGroups).foreach { i =>
+      ContinuationGroups.register(s"filler-$i@$stamp", Seq("k" -> "f"))
+    }
+    intercept[NoSuchElementException] {
+      ContinuationGroups(s"evict-probe@$stamp")
+    }
+    // newest still resolvable; registry size stays at the cap
+    assert(ContinuationGroups(
+      s"filler-${ContinuationGroups.MaxGroups - 1}@$stamp") == Seq("k" -> "f"))
+    assert(ContinuationGroups.registeredCount <= ContinuationGroups.MaxGroups)
+  }
+
   test("mutation sink fans out across partitions") {
     val sender = new CapturingSender
     MutationSenders.register("cap2", sender)
