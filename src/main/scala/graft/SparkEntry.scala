@@ -1120,6 +1120,16 @@ object SparkEntry {
         s, "/root/repo/data/alignments_sample.csv")
     },
 
+    "src_xlsx_alignments" -> { (s, _) =>
+      // the reference's REAL input format (ref:255 reads the weekly
+      // Excel workbook by sheet name): same fixture data as the CSV
+      // twin, parsed from the committed .xlsx through the JDK
+      // ZipFile+StAX codec. The oracle reads the CSV export — two
+      // formats, two parsers, one cleaned frame.
+      graft.sources.AlignmentsFile.readCleaned(
+        s, "/root/repo/data/alignments_sample.xlsx")
+    },
+
     "src_jsonl_events" -> { (s, _) =>
       // JSONL ingestion with corrupt-record quarantine: malformed
       // lines survive verbatim with valid=false instead of killing
@@ -1806,6 +1816,31 @@ object SparkEntry {
           min_by(col("id_b"), struct(col("d"), col("id_b"))).as("best_match"))
     },
 
+    // --- τ=2 fuzzy reconcile via COMPLETE segment blocking (PassJoin):
+    // two deletions planted mid-string; because the blocking is
+    // complete and uncapped, the oracle is the naive join — no
+    // blocking twin to mirror ---
+    "q_fuzzy_join2" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val clean = p.filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("ka"), lower(col("p_name")).as("na"))
+      val dirty = p.select(
+        (col("p_partkey") + 1000000L).as("kb"),
+        when(col("p_partkey") % 2 === 0,
+          concat(substring(lower(col("p_name")), 1, 3),
+            substring(lower(col("p_name")), 5, 3),
+            lower(col("p_name")).substr(lit(9), lit(1000000))))
+          .otherwise(lower(col("p_name"))).as("nb"))
+      Reconcile
+        .fuzzyJoinSegments(clean, col("ka"), col("na"),
+          dirty, col("kb"), col("nb"), maxDist = 2)
+        .groupBy(col("id_a"))
+        .agg(
+          count(lit(1)).as("n_match"),
+          min(col("d")).as("best_dist"),
+          min_by(col("id_b"), struct(col("d"), col("id_b"))).as("best_match"))
+    },
+
     // --- snapshot diff (CDC): old vs deterministically-perturbed new ---
     "q_snapshot_diff" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -1918,6 +1953,23 @@ object SparkEntry {
     // field where Spark's yields NULL (pandas reads NaN) — fold the
     // empty-string case to NULL so both engines agree
     "src_csv_alignments" ->
+      """SELECT region, district,
+        | CAST(CAST(FLOOR(unit) AS BIGINT) AS VARCHAR) AS unit,
+        | location_name,
+        | nullif(split_part(zip_raw, '-', 1), '') AS zip,
+        | lower(trim(manager_email)) AS email
+        |FROM read_csv('/root/repo/data/alignments_sample.csv', header=true,
+        |  columns={'region':'VARCHAR','district':'VARCHAR','location_name':'VARCHAR',
+        |           'unit':'DOUBLE','manager_email':'VARCHAR','zip_raw':'VARCHAR'})
+        |WHERE region IS NOT NULL AND district IS NOT NULL
+        |  AND unit IS NOT NULL AND location_name IS NOT NULL""".stripMargin,
+
+    // the xlsx fixture carries the same data as the CSV export, and
+    // the missing-value encodings align: an empty workbook CELL and
+    // an empty CSV field both read as NULL (Spark csv, DuckDB
+    // read_csv, and the xlsx codec agree) — so the oracle is the CSV
+    // read. Cross-format, cross-parser equality.
+    "src_xlsx_alignments" ->
       """SELECT region, district,
         | CAST(CAST(FLOOR(unit) AS BIGINT) AS VARCHAR) AS unit,
         | location_name,
@@ -3289,6 +3341,28 @@ object SparkEntry {
         |  CAST(levenshtein(na, nb) AS BIGINT) AS d
         | FROM lb JOIN ok USING (blk) JOIN rb USING (blk)
         | WHERE levenshtein(na, nb) <= 1)
+        |SELECT id_a, count(*) AS n_match, min(d) AS best_dist,
+        | min(CASE WHEN d = md THEN id_b END) AS best_match
+        |FROM (SELECT *, min(d) OVER (PARTITION BY id_a) AS md FROM p)
+        |GROUP BY id_a""".stripMargin,
+
+    // segment blocking is COMPLETE → the oracle is the naive join
+    "q_fuzzy_join2" ->
+      """WITH clean AS (
+        | SELECT p_partkey AS ka, lower(p_name) AS na FROM part
+        | WHERE p_partkey % 4 = 0),
+        |dirty AS (
+        | SELECT p_partkey + 1000000 AS kb,
+        |  CASE WHEN p_partkey % 2 = 0
+        |   THEN substr(lower(p_name), 1, 3) || substr(lower(p_name), 5, 3)
+        |     || substr(lower(p_name), 9)
+        |   ELSE lower(p_name) END AS nb
+        | FROM part),
+        |p AS (
+        | SELECT ka AS id_a, kb AS id_b,
+        |  CAST(levenshtein(na, nb) AS BIGINT) AS d
+        | FROM clean, dirty
+        | WHERE abs(length(na) - length(nb)) <= 2 AND levenshtein(na, nb) <= 2)
         |SELECT id_a, count(*) AS n_match, min(d) AS best_dist,
         | min(CASE WHEN d = md THEN id_b END) AS best_match
         |FROM (SELECT *, min(d) OVER (PARTITION BY id_a) AS md FROM p)

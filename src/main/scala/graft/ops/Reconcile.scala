@@ -118,6 +118,10 @@ object Reconcile {
       right: DataFrame, rightId: Column, rightStr: Column,
       maxDist: Int, blockPrefix: Int = 3,
       maxBlockPairs: Long = 1000000L): DataFrame = {
+    require(maxDist <= 1,
+      s"fuzzyJoin's prefix∪suffix blocking is COMPLETE only for maxDist ≤ 1 " +
+        s"(got $maxDist): a 2-edit pair can touch both ends and never share " +
+        s"a block, silently losing recall. Use fuzzyJoinSegments for τ ≥ 2.")
     def blocked(df: DataFrame, id: Column, s: Column, idName: String, sName: String) = {
       val tail = s.substr(
         greatest(length(s) - (blockPrefix - 1), lit(1)), lit(blockPrefix))
@@ -141,6 +145,88 @@ object Reconcile {
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
       .withColumn("d", levenshtein(col("_sa"), col("_sb")))
       .filter(col("d") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
+      .distinct()
+  }
+
+  /** Blocked fuzzy join COMPLETE for ANY `maxDist`, via
+    * segment-partition blocking (the PassJoin family: Li, Deng, Feng,
+    * "PASS-JOIN: a partition-based method for similarity joins",
+    * VLDB 2012 — public literature, re-expressed on Spark
+    * primitives). Each RIGHT string of length L splits into τ+1
+    * contiguous segments; by pigeonhole, any string within edit
+    * distance τ contains at least one segment VERBATIM, aligned
+    * within ±τ of its source position. So the right side indexes its
+    * τ+1 (L, segIdx, segment) keys, and each LEFT string probes, for
+    * every candidate right-length L in [len−τ, len+τ], each segment
+    * slot's substring at the ≤ 2τ+1 admissible shifts — a bounded
+    * (2τ+1)²·(τ+1) key fan-out per probe row, all computed as
+    * codegen'd array expressions and exploded. Candidates verify
+    * with one Levenshtein call.
+    *
+    * Because the blocking is COMPLETE (no size cap — unlike
+    * [[fuzzyJoin]]'s capped scheme), the result set is EXACTLY
+    * `{(a,b) : lev(a,b) ≤ maxDist}`: a cross-engine oracle can
+    * verify it with a naive join, no blocking twin needed. The cost:
+    * a degenerate corpus (many identical segments — low-entropy
+    * machine-generated keys) can still produce a hot block; callers
+    * with such data should normalize or salt upstream, or use the
+    * capped τ=1 [[fuzzyJoin]]. Shape: one shuffle per side on the
+    * block key, `distinct` folds multi-block catches.
+    */
+  def fuzzyJoinSegments(
+      left: DataFrame, leftId: Column, leftStr: Column,
+      right: DataFrame, rightId: Column, rightStr: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
+    val tau = maxDist
+    val k = tau + 1
+    // segment geometry for a string of length L (1-based substr):
+    // base = ⌊L/k⌋, rem = L mod k; segments 0..k-rem-1 have length
+    // base, the last rem have base+1 — start_i = i·base + max(i-(k-rem), 0) + 1
+    def segStart(L: Column, i: Int): Column =
+      (L - pmod(L, lit(k))) / k * i +
+        greatest(lit(i) - (lit(k) - pmod(L, lit(k))), lit(0)) + 1
+    def segLen(L: Column, i: Int): Column =
+      (L - pmod(L, lit(k))) / k +
+        when(lit(i) >= lit(k) - pmod(L, lit(k)), 1).otherwise(0)
+
+    // right (indexed) side: its own τ+1 segments, exact positions
+    val rb = {
+      val L = length(rightStr)
+      val entries = (0 until k).map { i =>
+        struct(L.as("L"), lit(i).as("i"),
+          rightStr.substr(segStart(L, i).cast("int"), segLen(L, i).cast("int")).as("seg"))
+      }
+      right.select(rightId.as("id_b"), rightStr.as("_sb"),
+        explode(array(entries: _*)).as("_k"))
+    }
+    // left (probe) side: for each candidate right-length and segment
+    // slot, the substring at every admissible shift — null out
+    // out-of-range probes, dedup, explode
+    val lb = {
+      val M = length(leftStr)
+      val cands = for {
+        dl <- -tau to tau
+        i <- 0 until k
+        d <- -tau to tau
+      } yield {
+        val L = M + dl
+        val p = segStart(L, i) + d
+        val l = segLen(L, i)
+        when(L >= 0 && p >= 1 && p + l - 1 <= M, // L=0: empty right string still indexable
+          struct(L.as("L"), lit(i).as("i"),
+            leftStr.substr(p.cast("int"), l.cast("int")).as("seg")))
+          .otherwise(lit(null))
+      }
+      left.select(leftId.as("id_a"), leftStr.as("_sa"),
+        explode(array_distinct(filter(array(cands: _*), _.isNotNull))).as("_k"))
+    }
+    lb.join(rb, "_k")
+      // cheap length prefilter before the O(len²) Levenshtein DP
+      .filter(abs(length(col("_sa")) - length(col("_sb"))) <= tau)
+      .withColumn("d", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("d") <= tau)
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
       .distinct()
   }

@@ -97,13 +97,84 @@ class FunnelSnapshotSpec extends SparkSpec {
       (10L, "marta king"),   // mid deletion: both ends match (distinct folds it)
       (11L, "xachary s"),    // HEAD edit: prefix blocks differ, suffix catches
       (12L, "martha kingz"), // TAIL edit: suffix blocks differ, prefix catches
-      (13L, "xartha kinx"),  // edits at BOTH ends (d=2): no shared block even at τ=2
+      (13L, "xartha kinx"),  // edits at BOTH ends (d=2): out of τ=1 scope
       (14L, "martha king")   // exact
     ).toDF("id", "s")
     val got = graft.ops.Reconcile.fuzzyJoin(
-      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
+      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 1)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 10L, 1L), (2L, 11L, 1L), (1L, 12L, 1L), (1L, 14L, 0L)))
+  }
+
+  test("fuzzyJoin REJECTS maxDist ≥ 2 — its blocking would silently lose recall there") {
+    val df = Seq((1L, "abc")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Reconcile.fuzzyJoin(
+        df, col("id"), col("s"), df, col("id"), col("s"), maxDist = 2)
+    }
+    assert(e.getMessage.contains("fuzzyJoinSegments"))
+  }
+
+  test("fuzzyJoinSegments at τ=2 finds pairs the two-ended scheme structurally cannot") {
+    val l = Seq((1L, "martha king"), (2L, "zachary s")).toDF("id", "s")
+    val r = Seq(
+      (10L, "marta king"),
+      (13L, "xartha kinx"), // edits at BOTH ends: invisible to prefix∪suffix
+      (14L, "martha king")
+    ).toDF("id", "s")
+    val got = graft.ops.Reconcile.fuzzyJoinSegments(
+      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (1L, 13L, 2L), (1L, 14L, 0L)))
+  }
+
+  test("fuzzyJoinSegments is COMPLETE: every planted ≤2-edit pair is found (120 random docs)") {
+    val rnd = new scala.util.Random(20260814L)
+    val ab = "abcdefghij"
+    def randStr(n: Int): String = (1 to n).map(_ => ab(rnd.nextInt(ab.length))).mkString
+    def edit1(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.nonEmpty => // delete
+        val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+      case 1 => // insert
+        val i = rnd.nextInt(s.length + 1)
+        s.take(i) + ab(rnd.nextInt(ab.length)) + s.drop(i)
+      case _ if s.nonEmpty => // substitute
+        val i = rnd.nextInt(s.length)
+        s.take(i) + ab(rnd.nextInt(ab.length)) + s.drop(i + 1)
+      case _ => s + ab(rnd.nextInt(ab.length))
+    }
+    // lengths 1..24 cover the short-string regime where segments are
+    // empty (L < τ+1) — the geometry's trickiest corner
+    val bases = (0 until 120).map(i => (i.toLong, randStr(1 + rnd.nextInt(24))))
+    val dirty = bases.map { case (i, s) => (i + 1000L, edit1(edit1(s))) }
+    val got = graft.ops.Reconcile.fuzzyJoinSegments(
+        bases.toDF("id", "s"), col("id"), col("s"),
+        dirty.toDF("id", "s"), col("id"), col("s"), maxDist = 2)
+      .select($"id_a", $"id_b", $"d").as[(Long, Long, Long)].collect().toSet
+    // driver-side brute-force truth over all 120×120 pairs
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- bases; (ib, sb) <- dirty
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // and in particular every planted pair (distance ≤ 2 by construction)
+    bases.foreach { case (i, _) =>
+      assert(got.exists(p => p._1 == i && p._2 == i + 1000L),
+        s"planted pair $i not recovered")
+    }
   }
 
   test("fuzzyJoin skips degenerate blocks; the other end still recovers matches") {

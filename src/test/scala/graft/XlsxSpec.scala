@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AlignmentsFile, Xlsx}
+
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val f = java.io.File.createTempFile(name, ".xlsx")
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  test("write → readGrid round-trips cells, empties and cell types") {
+    val p = tmp("roundtrip")
+    Xlsx.write(p, "Sheet A", Seq(
+      Seq(Xlsx.Str("h1"), Xlsx.Str("h2"), Xlsx.Str("h3")),
+      Seq(Xlsx.Str("a & <b>"), Xlsx.Num("12.5"), Xlsx.Empty),
+      Seq(Xlsx.Empty, Xlsx.Str("dup"), Xlsx.Str("dup"))))
+    val grid = Xlsx.readGrid(p, "Sheet A")
+    assert(grid == Vector(
+      Vector(Some("h1"), Some("h2"), Some("h3")),
+      Vector(Some("a & <b>"), Some("12.5")),
+      Vector(None, Some("dup"), Some("dup"))))
+  }
+
+  test("readSheet: header row names columns; sheet-name miss lists available sheets") {
+    val p = tmp("sheetname")
+    Xlsx.write(p, "Sorted by Store #", Seq(
+      Seq(Xlsx.Str("region"), Xlsx.Str("unit")),
+      Seq(Xlsx.Str("R1"), Xlsx.Num("7.25")),
+      Seq(Xlsx.Str("R2"), Xlsx.Empty)))
+    val df = Xlsx.readSheet(spark, p, "Sorted by Store #")
+    assert(df.columns.toSeq == Seq("region", "unit"))
+    assert(df.as[(String, String)].collect().toSet ==
+      Set(("R1", "7.25"), ("R2", null)))
+    assert(Xlsx.sheetNames(p) == Seq("Sorted by Store #"))
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.readSheet(spark, p, "No Such Sheet")
+    }
+    assert(e.getMessage.contains("Sorted by Store #"))
+  }
+
+  test("foreign cell types parse: inlineStr, cached formula strings, booleans, sparse refs") {
+    // hand-built worksheet exercising shapes our writer doesn't emit
+    // (openpyxl/Excel do): inline strings, t="str", t="b", sparse
+    // cells addressed only by reference, rich-text shared strings
+    val p = tmp("foreign")
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/></Types>""",
+      "_rels/.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""",
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="W" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/></Relationships>""",
+      "xl/sharedStrings.xml" ->
+        // rich-text run: two <r><t> fragments concatenate
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1"><si><r><t>rich </t></r><r><t>text</t></r></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+          |<row r="1"><c r="A1" t="inlineStr"><is><t>inline!</t></is></c><c r="C1" t="str"><v>=cached</v></c></row>
+          |<row r="2"><c r="B2" t="b"><v>1</v></c><c r="D2"><v>3.14</v></c><c r="E2" t="s"><v>0</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val out = new ZipOutputStream(new java.io.FileOutputStream(p))
+    try parts.foreach { case (n, c) =>
+      out.putNextEntry(new ZipEntry(n)); out.write(c.getBytes(UTF_8)); out.closeEntry()
+    } finally out.close()
+    val grid = Xlsx.readGrid(p, "W")
+    assert(grid == Vector(
+      Vector(Some("inline!"), None, Some("=cached")),
+      Vector(None, Some("true"), None, Some("3.14"), Some("rich text"))))
+  }
+
+  test("column reference arithmetic: letters ↔ 0-based index, incl. multi-letter") {
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z9") == 25)
+    assert(Xlsx.colIndex("AA12") == 26)
+    assert(Xlsx.colIndex("BC7") == 54)
+    (0 until 200).foreach { i =>
+      assert(Xlsx.colIndex(Xlsx.colRef(i) + "1") == i, s"round-trip $i")
+    }
+  }
+
+  test("AlignmentsFile: the xlsx workbook and its CSV export clean to the SAME frame") {
+    // missing-value encodings align: an empty workbook CELL and an
+    // empty CSV field both read as NULL, so the two formats clean
+    // identically — 40 raw rows, 6 lacking a key column drop
+    val fromXlsx = AlignmentsFile
+      .readCleaned(spark, "/root/repo/data/alignments_sample.xlsx")
+    val fromCsv = AlignmentsFile
+      .readCleaned(spark, "/root/repo/data/alignments_sample.csv")
+    assert(fromXlsx.schema == fromCsv.schema)
+    assert(AlignmentsFile
+      .read(spark, "/root/repo/data/alignments_sample.xlsx").count() == 40)
+    assert(fromXlsx.count() == 34)
+    assert(fromXlsx.exceptAll(fromCsv).isEmpty && fromCsv.exceptAll(fromXlsx).isEmpty)
+  }
+}
