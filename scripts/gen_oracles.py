@@ -65,6 +65,9 @@ SELECT doc_id, modality, width, height,
  END AS out_h
 FROM feats"""
 
+    # the Spark side plants doc_id = -1: a REAL 5-frame animated GIF
+    # decoded by javax.imageio (the non-stub codec arm); its geometry
+    # is known by construction, so the oracle pins it as a constant
     o["mm_frame_sample"] = f"""
 WITH feats AS ({feats})
 SELECT doc_id, modality, n_frames,
@@ -76,7 +79,11 @@ SELECT doc_id, modality, n_frames,
       THEN CAST(len(range(0, n_frames,
              greatest(1, CAST(floor((n_frames + 7) / 8.0) AS INT)))) AS BIGINT)
       ELSE CAST(1 AS BIGINT) END AS n_sampled
-FROM feats"""
+FROM feats
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, 'video' AS modality,
+ CAST(5 AS INT) AS n_frames, '0,1,2,3,4' AS frames,
+ CAST(5 AS BIGINT) AS n_sampled"""
 
     # ---- q_approx_distinct: KMV bottom-k estimate, recomputed from
     # the k-th smallest biased splitmix hash (identical double ops) ----

@@ -514,6 +514,35 @@ object SparkEntry {
           col("node_c_mktsegment").as("c_mktsegment"))
     },
 
+    "src_graphql_auth" -> { (s, dir) =>
+      import graft.sources.graphql._
+      // the reference's session bootstrap (establish_connections +
+      // get_users_account_ids, ref:93-135) end-to-end over real HTTP:
+      // every request must carry the bearer token (the loopback
+      // server answers 401 otherwise — the fail-fast 4xx class), the
+      // ids query prefetches one account per region, and each
+      // account's nations arrive through its own authenticated paged
+      // scan, tagged and unioned
+      val token = "graft-session-token"
+      val auth = Map("Authorization" -> s"Bearer $token")
+      val (idsName, ids, acctName, nSchema) =
+        GraphQLFixtures.registerAuthApi(s, dir)
+      (idsName +: ids.map(acctName)).foreach(
+        FixtureHttpServer.requireAuth(_, "Authorization", s"Bearer $token"))
+      Session.readAllAccounts(
+          s,
+          new RetryingFetcher(FixtureHttpServer.fetcherFor(
+            idsName, queryType = Some("accounts"), extraHeaders = auth)),
+          "accounts", "account_id",
+          id => new RetryingFetcher(FixtureHttpServer.fetcherFor(
+            acctName(id), queryType = Some("nations"), extraHeaders = auth)),
+          "nations", nSchema)
+        .select(
+          col("account_id"),
+          col("node_n_nationkey").as("n_nationkey"),
+          col("node_n_name").as("n_name"))
+    },
+
     // --- L: deduplication (documents) ---
     "dd_exact_hash" -> { (s, dir) =>
       Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -706,10 +735,19 @@ object SparkEntry {
     },
 
     "mm_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      // planted decodable row: a REAL 5-frame animated GIF, so the
+      // javax.imageio frame-count path materially participates in
+      // the oracle-checked result (the synthetic corpus itself is
+      // text bytes → stub arm); the oracle pins the planted row's
+      // known geometry as a constant
+      val gif = Multimodal.animatedGifBytes(5)
+      val planted = Seq((-1L, gif, "video", gif.length.toLong))
+        .toDF("doc_id", "payload", "modality", "n_bytes")
+      val base = Multimodal
+        .attachPayload(t(s, dir, "documents"), col("doc_id"), col("text"))
       Multimodal.frameSamplePlan(
-        Multimodal.decode(s,
-          Multimodal.attachPayload(t(s, dir, "documents"), col("doc_id"), col("text")))
-          .toDF())
+        Multimodal.decode(s, base.unionByName(planted)).toDF())
         .select(
           col("doc_id"), col("modality"), col("n_frames"),
           array_join(col("frame_idx").cast("array<string>"), ",").as("frames"),
@@ -2474,6 +2512,13 @@ object SparkEntry {
     "src_graphql_pages" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+
+    // authenticated bootstrap: one account per region, each account's
+    // scan serves its region's nations
+    "src_graphql_auth" ->
+      """SELECT CAST(n_regionkey AS VARCHAR) AS account_id,
+        | n_nationkey, n_name
+        |FROM nation""".stripMargin,
 
     "q_range_join" ->
       """SELECT bucket_id, count(*) AS n,

@@ -174,6 +174,42 @@ object Multimodal {
     bits
   }
 
+  /** Deterministic multi-frame GIF payload (JDK gif writer in
+    * sequence mode): the planted fixture that drives the REAL
+    * [[imageFrameCount]] codec path inside oracle-checked queries —
+    * a decodable animated container with a KNOWN frame count the
+    * cross-engine oracle can pin as a constant.
+    */
+  def animatedGifBytes(nFrames: Int, size: Int = 16): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < size) {
+        var x = 0
+        while (x < size) {
+          img.setRGB(x, y,
+            (((i * 40 + x * 8) % 256) << 16) | (((y * 8) % 256) << 8) |
+              ((x * y) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      i += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    out.close()
+    bos.toByteArray
+  }
+
   /** 64-bit perceptual signature of a payload: real DCT pHash when
     * the bytes decode as an image, deterministic stub
     * (splitmix64∘FNV-1a — bit-identical to the codegen

@@ -111,6 +111,45 @@ object GraphQLFixtures {
     name
   }
 
+  /** Register the authenticated-bootstrap fixture set (the
+    * reference's `get_users_account_ids` world, ref:98-135): an
+    * `accounts` ids API listing one account id per region, plus one
+    * per-account `nations` API serving that region's nations.
+    * Returns (idsFetcherName, accountIds, accountFetcherNameFor,
+    * nationSchema); the caller decides the auth gating
+    * (`FixtureHttpServer.requireAuth`) and transport.
+    */
+  def registerAuthApi(
+      spark: SparkSession,
+      dir: String,
+      stem: String = "authApi",
+      idsPageSize: Int = 2): (String, Seq[String], String => String, StructType) = {
+    import org.apache.spark.sql.functions.col
+    val regions = spark.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val ids = regions.map(_.toString)
+    val idsSchema = new StructType().add("account_id", StringType)
+    val idGroups = ids.map(Row(_)).grouped(idsPageSize).toVector
+    val idPages = idGroups.zipWithIndex.map { case (g, i) =>
+      renderPage("accounts", g, idsSchema, i, hasNext = i < idGroups.length - 1)
+    }
+    val idsName = s"$stem@$dir#accounts"
+    PageFetchers.register(idsName, FixturePageFetcher(idPages))
+    val nations = spark.read.parquet(s"$dir/nation.parquet")
+    val nSchema = nations.schema
+    val byRegion = nations.collect().toSeq
+      .groupBy(_.getAs[Number]("n_regionkey").longValue())
+    def acctName(id: String): String = s"$stem@$dir#acct#$id"
+    regions.foreach { rk =>
+      val rows = byRegion.getOrElse(rk, Seq.empty)
+        .sortBy(_.getAs[Number]("n_nationkey").longValue())
+      PageFetchers.register(acctName(rk.toString), FixturePageFetcher(Vector(
+        renderPage("nations", rows, nSchema, 0, hasNext = false))))
+    }
+    (idsName, ids, acctName, nSchema)
+  }
+
   /** Register a fixture API serving `table` from `dir` under query
     * type `queryType`; returns (fetcherName, nodeSchema).
     */

@@ -215,6 +215,21 @@ object FixtureHttpServer {
 
   private var server: HttpServer = _
 
+  /** Per-fetcher auth requirements: requests naming this fetcher must
+    * carry `header: value` or the server answers 401 (the 4xx
+    * fail-fast class — the reference's token-authenticated API
+    * behaves the same on a bad/expired token). Keyed per fetcher so
+    * authenticated and open fixtures coexist on the one server.
+    */
+  private val authRequired = TrieMap.empty[String, (String, String)]
+  def requireAuth(fetcherName: String, header: String, value: String): Unit =
+    authRequired.put(fetcherName, header -> value)
+  def clearAuth(fetcherName: String): Unit = { authRequired.remove(fetcherName); () }
+  private def authOk(ex: HttpExchange, name: String): Boolean =
+    authRequired.get(name).forall { case (h, v) =>
+      ex.getRequestHeaders.getFirst(h) == v
+    }
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -228,9 +243,13 @@ object FixtureHttpServer {
       ex.getRequestURI.getPath match {
         case "/graphql" =>
           val name = ex.getRequestHeaders.getFirst("X-Graft-Fetcher")
-          val afterNode = Http.mapper.readTree(body).path("variables").path("after")
-          val after = if (afterNode.isTextual) Some(afterNode.asText) else None
-          respond(ex, 200, PageFetchers(name).fetch(after).json)
+          if (!authOk(ex, name))
+            respond(ex, 401, """{"errors": [{"message": "unauthorized"}]}""")
+          else {
+            val afterNode = Http.mapper.readTree(body).path("variables").path("after")
+            val after = if (afterNode.isTextual) Some(afterNode.asText) else None
+            respond(ex, 200, PageFetchers(name).fetch(after).json)
+          }
         case "/mutate" =>
           val name = ex.getRequestHeaders.getFirst("X-Graft-Sender")
           val q = Http.mapper.readTree(body).path("query").asText
@@ -284,11 +303,12 @@ object FixtureHttpServer {
       fetcherName: String,
       query: String =
         "query($after: String) { connection(after: $after) { pageInfo { hasNextPage endCursor } edges { cursor node { id } } } }",
-      queryType: Option[String] = None): HttpPageFetcher =
+      queryType: Option[String] = None,
+      extraHeaders: Map[String, String] = Map.empty): HttpPageFetcher =
     HttpPageFetcher(
       url = baseUrl() + "/graphql",
       query = query,
-      headers = Map("X-Graft-Fetcher" -> fetcherName),
+      headers = Map("X-Graft-Fetcher" -> fetcherName) ++ extraHeaders,
       queryType = queryType)
 
   /** An [[HttpMutationSender]] posting through real HTTP into the

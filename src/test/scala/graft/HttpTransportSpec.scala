@@ -179,4 +179,65 @@ class HttpTransportSpec extends SparkSpec {
       new RetryingSender(HttpMutationSender(url2)).send("mutation { x }")
     } finally stop2()
   }
+
+  test("auth bootstrap fails FAST on 401 — wrong token never reaches the fixture, no retry") {
+    val calls = new AtomicInteger(0)
+    val name = "authGate#ids"
+    PageFetchers.register(name, new PageFetcher {
+      override def fetch(after: Option[String]): Page = {
+        calls.incrementAndGet()
+        Page("""{"data": {"accounts": {"pageInfo": {"hasNextPage": false, "endCursor": "0"}, "edges": []}}}""", None)
+      }
+    })
+    FixtureHttpServer.requireAuth(name, "Authorization", "Bearer good-token")
+    try {
+      val bad = new RetryingFetcher(
+        FixtureHttpServer.fetcherFor(
+          name, queryType = Some("accounts"),
+          extraHeaders = Map("Authorization" -> "Bearer WRONG")),
+        sleeper = _ => ())
+      val e = intercept[IllegalArgumentException] {
+        Session.accountIds(bad, "accounts", "account_id")
+      }
+      assert(e.getMessage.contains("401"))
+      assert(calls.get() == 0, "401 must be answered before the fixture runs")
+      // missing header entirely: same fail-fast class
+      intercept[IllegalArgumentException] {
+        Session.accountIds(
+          new RetryingFetcher(FixtureHttpServer.fetcherFor(
+            name, queryType = Some("accounts")), sleeper = _ => ()),
+          "accounts", "account_id")
+      }
+      assert(calls.get() == 0)
+    } finally FixtureHttpServer.clearAuth(name)
+  }
+
+  test("authenticated bootstrap composes: token → account ids → per-account paged scans") {
+    import spark.implicits._
+    val token = "Bearer tok-" + java.util.UUID.randomUUID()
+    val auth = Map("Authorization" -> token)
+    val (idsName, ids, acctName, nSchema) =
+      GraphQLFixtures.registerAuthApi(spark, sf, stem = "authSpec")
+    (idsName +: ids.map(acctName))
+      .foreach(FixtureHttpServer.requireAuth(_, "Authorization", token))
+    try {
+      val df = Session.readAllAccounts(
+        spark,
+        new RetryingFetcher(FixtureHttpServer.fetcherFor(
+          idsName, queryType = Some("accounts"), extraHeaders = auth)),
+        "accounts", "account_id",
+        id => new RetryingFetcher(FixtureHttpServer.fetcherFor(
+          acctName(id), queryType = Some("nations"), extraHeaders = auth)),
+        "nations", nSchema)
+      val got = df.select(
+          col("account_id").cast("long"),
+          col("node_n_nationkey").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      val want = spark.read.parquet(s"$sf/nation.parquet")
+        .select(col("n_regionkey").cast("long"), col("n_nationkey").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want)
+      assert(ids.size == 5) // one account per region at this SF
+    } finally (idsName +: ids.map(acctName)).foreach(FixtureHttpServer.clearAuth)
+  }
 }
