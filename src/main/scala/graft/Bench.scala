@@ -57,6 +57,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional subset filter (comma-separated) — the scale sweeps run
+    // only the expensive tail at big SFs instead of the whole set
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,7 +77,7 @@ object Bench {
     // negligible data).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      headline.foreach { name =>
+      selected.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
@@ -82,7 +87,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stealPerRun = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val benchStart = cpuSample()
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       val times = (1 to 2).map { _ =>
         val c0 = cpuSample()
         val t0 = System.nanoTime()
