@@ -1879,6 +1879,22 @@ object SparkEntry {
           min_by(col("id_b"), struct(col("d"), col("id_b"))).as("best_match"))
     },
 
+    // --- the no-silent-caps report for the uncapped segment blocking:
+    // per segment slot, the block-size histogram of q_fuzzy_join2's
+    // indexed (dirty) side — a max bucket_size near |corpus| is the
+    // degenerate-corpus tell the scaladoc warns about ---
+    "q_fuzzy_blocks" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val dirty = p.select(
+        (col("p_partkey") + 1000000L).as("kb"),
+        when(col("p_partkey") % 2 === 0,
+          concat(substring(lower(col("p_name")), 1, 3),
+            substring(lower(col("p_name")), 5, 3),
+            lower(col("p_name")).substr(lit(9), lit(1000000))))
+          .otherwise(lower(col("p_name"))).as("nb"))
+      Reconcile.fuzzyJoinSegmentStats(dirty, col("kb"), col("nb"), maxDist = 2)
+    },
+
     // --- snapshot diff (CDC): old vs deterministically-perturbed new ---
     "q_snapshot_diff" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -3412,6 +3428,28 @@ object SparkEntry {
         | min(CASE WHEN d = md THEN id_b END) AS best_match
         |FROM (SELECT *, min(d) OVER (PARTITION BY id_a) AS md FROM p)
         |GROUP BY id_a""".stripMargin,
+
+    // k=3 segment geometry mirrored in SQL: base=⌊L/3⌋, rem=L%3,
+    // start_i = i·base + max(i-(3-rem),0) + 1, len_i = base + [i ≥ 3-rem]
+    "q_fuzzy_blocks" ->
+      """WITH dirty AS (
+        | SELECT CASE WHEN p_partkey % 2 = 0
+        |   THEN substr(lower(p_name), 1, 3) || substr(lower(p_name), 5, 3)
+        |     || substr(lower(p_name), 9)
+        |   ELSE lower(p_name) END AS nb
+        | FROM part),
+        |segs AS (
+        | SELECT L, i,
+        |  substr(nb,
+        |   CAST(((L - L % 3) // 3) * i + greatest(i - (3 - L % 3), 0) + 1 AS INT),
+        |   CAST((L - L % 3) // 3 + (CASE WHEN i >= 3 - L % 3 THEN 1 ELSE 0 END) AS INT)) AS seg
+        | FROM (SELECT nb, length(nb) AS L FROM dirty),
+        |      (SELECT unnest([0, 1, 2]) AS i)),
+        |b AS (
+        | SELECT L, i, seg, count(*) AS bucket_size FROM segs GROUP BY 1, 2, 3)
+        |SELECT CAST(i AS BIGINT) AS seg_idx, bucket_size,
+        | count(*) AS n_blocks
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),

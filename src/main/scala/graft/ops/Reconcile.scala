@@ -174,6 +174,31 @@ object Reconcile {
     * capped τ=1 [[fuzzyJoin]]. Shape: one shuffle per side on the
     * block key, `distinct` folds multi-block catches.
     */
+  // segment geometry for a string of length L (1-based substr), k
+  // segments: base = ⌊L/k⌋, rem = L mod k; segments 0..k-rem-1 have
+  // length base, the last rem have base+1 —
+  // start_i = i·base + max(i-(k-rem), 0) + 1
+  private def segStart(L: Column, i: Int, k: Int): Column =
+    (L - pmod(L, lit(k))) / k * i +
+      greatest(lit(i) - (lit(k) - pmod(L, lit(k))), lit(0)) + 1
+  private def segLen(L: Column, i: Int, k: Int): Column =
+    (L - pmod(L, lit(k))) / k +
+      when(lit(i) >= lit(k) - pmod(L, lit(k)), 1).otherwise(0)
+
+  /** Indexed-side block stream for [[fuzzyJoinSegments]]: each right
+    * string exploded to its τ+1 (L, segIdx, segment) keys.
+    */
+  private def segmentBlocks(
+      right: DataFrame, rightId: Column, rightStr: Column, k: Int): DataFrame = {
+    val L = length(rightStr)
+    val entries = (0 until k).map { i =>
+      struct(L.as("L"), lit(i).as("i"),
+        rightStr.substr(segStart(L, i, k).cast("int"), segLen(L, i, k).cast("int")).as("seg"))
+    }
+    right.select(rightId.as("id_b"), rightStr.as("_sb"),
+      explode(array(entries: _*)).as("_k"))
+  }
+
   def fuzzyJoinSegments(
       left: DataFrame, leftId: Column, leftStr: Column,
       right: DataFrame, rightId: Column, rightStr: Column,
@@ -181,26 +206,9 @@ object Reconcile {
     require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
     val tau = maxDist
     val k = tau + 1
-    // segment geometry for a string of length L (1-based substr):
-    // base = ⌊L/k⌋, rem = L mod k; segments 0..k-rem-1 have length
-    // base, the last rem have base+1 — start_i = i·base + max(i-(k-rem), 0) + 1
-    def segStart(L: Column, i: Int): Column =
-      (L - pmod(L, lit(k))) / k * i +
-        greatest(lit(i) - (lit(k) - pmod(L, lit(k))), lit(0)) + 1
-    def segLen(L: Column, i: Int): Column =
-      (L - pmod(L, lit(k))) / k +
-        when(lit(i) >= lit(k) - pmod(L, lit(k)), 1).otherwise(0)
 
     // right (indexed) side: its own τ+1 segments, exact positions
-    val rb = {
-      val L = length(rightStr)
-      val entries = (0 until k).map { i =>
-        struct(L.as("L"), lit(i).as("i"),
-          rightStr.substr(segStart(L, i).cast("int"), segLen(L, i).cast("int")).as("seg"))
-      }
-      right.select(rightId.as("id_b"), rightStr.as("_sb"),
-        explode(array(entries: _*)).as("_k"))
-    }
+    val rb = segmentBlocks(right, rightId, rightStr, k)
     // left (probe) side: for each candidate right-length and segment
     // slot, the substring at every admissible shift — null out
     // out-of-range probes, dedup, explode
@@ -212,8 +220,8 @@ object Reconcile {
         d <- -tau to tau
       } yield {
         val L = M + dl
-        val p = segStart(L, i) + d
-        val l = segLen(L, i)
+        val p = segStart(L, i, k) + d
+        val l = segLen(L, i, k)
         when(L >= 0 && p >= 1 && p + l - 1 <= M, // L=0: empty right string still indexable
           struct(L.as("L"), lit(i).as("i"),
             leftStr.substr(p.cast("int"), l.cast("int")).as("seg")))
@@ -229,6 +237,29 @@ object Reconcile {
       .filter(col("d") <= tau)
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
       .distinct()
+  }
+
+  /** Block-size histogram for [[fuzzyJoinSegments]]' indexed side —
+    * the no-silent-caps report (same idiom as `Dedup.lshBucketStats`):
+    * per segment slot, how many (length, slot, segment) blocks exist
+    * at each size. `fuzzyJoinSegments` is complete-by-construction
+    * and deliberately uncapped, so a degenerate corpus (low-entropy
+    * machine-generated keys sharing segments) silently goes quadratic
+    * inside the hottest block; this histogram is the tell — a
+    * max bucket_size near the corpus size means "normalize or salt
+    * upstream, or use the capped τ=1 fuzzyJoin". One extra
+    * aggregation over the exact block stream the join shuffles; no
+    * change to the join itself.
+    */
+  def fuzzyJoinSegmentStats(
+      right: DataFrame, rightId: Column, rightStr: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
+    segmentBlocks(right, rightId, rightStr, maxDist + 1)
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("_k.i").cast("long").as("seg_idx"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_blocks"))
   }
 
   /** Post-load resync validation (reference 38-42): after the

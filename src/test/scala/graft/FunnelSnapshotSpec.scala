@@ -177,6 +177,27 @@ class FunnelSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoinSegmentStats conserves mass and flags a degenerate corpus") {
+    // mixed corpus: 50 distinct random-ish names + 40 identical
+    // low-entropy keys (the degenerate shape the scaladoc warns on)
+    val distinct0 = (0 until 50).map(i => (i.toLong, f"customer-$i%04d-${i * 37}%d"))
+    val clones = (0 until 40).map(i => (100L + i, "aaaaaaaaaaaa"))
+    val df = (distinct0 ++ clones).toDF("id", "s")
+    val stats = graft.ops.Reconcile
+      .fuzzyJoinSegmentStats(df, col("id"), col("s"), maxDist = 2)
+      .as[(Long, Long, Long)].collect()
+    // mass conservation: each of the 3 segment slots indexes every row once
+    (0L to 2L).foreach { slot =>
+      val mass = stats.collect { case (i, sz, n) if i == slot => sz * n }.sum
+      assert(mass == 90L, s"slot $slot mass $mass")
+    }
+    // the histogram surfaces the hot block: a bucket of exactly the
+    // 40 clones in every slot
+    (0L to 2L).foreach { slot =>
+      assert(stats.contains((slot, 40L, 1L)), s"slot $slot missing 40-clone block")
+    }
+  }
+
   test("fuzzyJoin skips degenerate blocks; the other end still recovers matches") {
     // every name shares the "cus" prefix (the TPC-H shape that made
     // prefix-only blocking an all-pairs product at sf1): the prefix
