@@ -205,6 +205,7 @@ object Xlsx {
     var inIsT = false
     val v = new StringBuilder
     var sawV = false
+    var lastCol = -1
     def endCell(): Unit = if (cells != null && cellCol >= 0) {
       while (cells.length <= cellCol) cells += None
       val raw = v.toString
@@ -212,20 +213,40 @@ object Xlsx {
         if (!sawV) None
         else cellType match {
           case "s" =>
-            val i = raw.trim.toInt
-            if (i >= 0 && i < shared.length) Some(shared(i)) else None
+            // a corrupt shared-string ref fails loudly either way —
+            // silently dropping the cell (the old out-of-range path)
+            // and crashing with a bare NumberFormatException (the old
+            // non-numeric path) were inconsistent degradations
+            val i =
+              try raw.trim.toInt
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"corrupt shared-string index '$raw' in cell at column $cellCol")
+              }
+            if (i < 0 || i >= shared.length)
+              throw new IllegalArgumentException(
+                s"shared-string index $i out of range (${shared.length} " +
+                  s"entries) in cell at column $cellCol")
+            Some(shared(i))
           case "b" => Some(if (raw.trim == "1") "true" else "false")
           case _ => Some(raw) // "", "str", "inlineStr", "n": lexical value
         }
       cells(cellCol) = value
+      lastCol = cellCol
       cellCol = -1
     }
     try while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT =>
         r.getLocalName match {
-          case "row" => cells = mutable.ArrayBuffer.empty[Option[String]]
+          case "row" =>
+            cells = mutable.ArrayBuffer.empty[Option[String]]
+            lastCol = -1
           case "c" =>
-            cellCol = 0; cellType = ""; v.clear(); sawV = false
+            // OOXML permits omitting the 'r' ref, meaning "the column
+            // after the previous cell" — defaulting to 0 would pile
+            // every unreferenced cell onto column 0
+            cellCol = lastCol + 1; cellType = ""; v.clear(); sawV = false
             (0 until r.getAttributeCount).foreach { i =>
               r.getAttributeLocalName(i) match {
                 case "r" => cellCol = colIndex(r.getAttributeValue(i))

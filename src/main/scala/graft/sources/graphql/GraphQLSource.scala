@@ -1,7 +1,6 @@
 package graft.sources.graphql
 
 import java.util
-import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -117,9 +116,48 @@ object PagedGraphQL {
   * registered under a name the `fetcher` option refers to.
   */
 object PageFetchers {
-  private val registry = TrieMap.empty[String, PageFetcher]
-  def register(name: String, f: PageFetcher): Unit = registry.put(name, f)
-  def apply(name: String): PageFetcher = registry(name)
+  /** Bounded like [[ContinuationGroups]]: session bootstrap and
+    * nested flattening register fresh UUID-named fetchers per call,
+    * so an unbounded map is a driver-lifetime leak. Outer paged
+    * scans re-resolve their fetcher name on every action (Spark
+    * builds a fresh Scan per physical planning), so the cap is
+    * generous — eviction only bites a driver that keeps >MaxFetchers
+    * DataFrames live at once, and then it names itself loudly.
+    */
+  val MaxFetchers = 4096
+  private val evicted =
+    java.util.Collections.newSetFromMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > MaxFetchers
+      })
+  private val registry =
+    new java.util.LinkedHashMap[String, PageFetcher](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, PageFetcher]): Boolean = {
+        val evict = size() > MaxFetchers
+        if (evict) evicted.add(e.getKey)
+        evict
+      }
+    }
+  def register(name: String, f: PageFetcher): Unit =
+    registry.synchronized { registry.put(name, f); () }
+  def remove(name: String): Unit =
+    registry.synchronized { registry.remove(name); () }
+  def apply(name: String): PageFetcher = registry.synchronized {
+    val f = registry.get(name)
+    if (f == null) {
+      if (evicted.contains(name))
+        throw new NoSuchElementException(
+          s"page fetcher evicted: $name — >$MaxFetchers fetchers registered " +
+            "after it; drop finished DataFrames' fetchers with remove(), or " +
+            "act on scans before registering that many more")
+      throw new NoSuchElementException(s"page fetcher not registered: $name")
+    }
+    f
+  }
+  private[graft] def registeredCount: Int = registry.synchronized(registry.size)
 }
 
 object GraphQLSource {
@@ -179,23 +217,33 @@ final case class PagePartition(idx: Int, after: Option[String], fetcher: PageFet
   * pages.
   */
 object ContinuationGroups {
-  /** Registry cap: a long-lived driver that flattens nested responses
-    * repeatedly must not accumulate (key, fetcherName) sequences for
-    * the JVM lifetime, so the registry is a bounded
-    * insertion-ordered map — the oldest group evicts once `MaxGroups`
-    * newer ones registered. Groups are consumed by scans planned
-    * right after registration (same `flattenNestedResponse` call);
-    * by the time a group ages past `MaxGroups` successors its query
-    * has long since planned (re-executions re-plan from the lazy
-    * `planned` val, not the registry). Callers that want eager
-    * cleanup can [[remove]] a group once its DataFrame is done.
+  /** Registry lifecycle: a group lives here only between
+    * registration and its scan's FIRST `planInputPartitions` — the
+    * scan consumes it (removes the entry) once partitions are built
+    * and re-executions replay from the planned-partition cache, not
+    * this registry (Spark constructs a fresh Scan per action, so a
+    * lazy val alone would re-walk cursors AND re-need the entry).
+    * The LRU cap is therefore a backstop against DataFrames that are
+    * created and never acted on, not the cleanup mechanism. If that
+    * backstop does fire before a scan planned, [[apply]] names the
+    * eviction explicitly instead of a bare not-registered error.
     */
   val MaxGroups = 1024
+  private val evicted =
+    java.util.Collections.newSetFromMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > MaxGroups
+      })
   private val registry =
     new java.util.LinkedHashMap[String, Seq[(String, String)]](64, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[(String, String)]]): Boolean =
-        size() > MaxGroups
+          e: java.util.Map.Entry[String, Seq[(String, String)]]): Boolean = {
+        val evict = size() > MaxGroups
+        if (evict) evicted.add(e.getKey)
+        evict
+      }
     }
   def register(name: String, entries: Seq[(String, String)]): Unit =
     registry.synchronized { registry.put(name, entries); () }
@@ -203,8 +251,14 @@ object ContinuationGroups {
     registry.synchronized { registry.remove(name); () }
   def apply(name: String): Seq[(String, String)] = registry.synchronized {
     val e = registry.get(name)
-    if (e == null)
+    if (e == null) {
+      if (evicted.contains(name))
+        throw new NoSuchElementException(
+          s"continuation group evicted before its scan planned: $name — " +
+            s">$MaxGroups groups registered after it; act on (or plan) the " +
+            "flattened DataFrame before registering that many more groups")
       throw new NoSuchElementException(s"continuation group not registered: $name")
+    }
     e
   }
   private[graft] def registeredCount: Int = registry.synchronized(registry.size)
@@ -249,18 +303,46 @@ private class ContinuationTable(group: String) extends Table with SupportsRead {
     () => new ContinuationScan(group)
 }
 
+private object ContinuationScan {
+  /** First-plan results, keyed by group. Spark builds a FRESH Scan
+    * per action (each physical planning calls newScanBuilder), so an
+    * instance-level lazy val caches nothing across actions — this
+    * shared cache is what makes re-execution (a) not re-walk the
+    * cursor chains and (b) not need the consumed registry entry.
+    * Bounded like the registry; an entry holds only (key, cursor)
+    * pairs + fetcher refs, the same control-plane currency.
+    */
+  private val planCache =
+    new java.util.LinkedHashMap[String, Array[InputPartition]](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[InputPartition]]): Boolean =
+        size() > ContinuationGroups.MaxGroups
+    }
+  def planOnce(group: String): Array[InputPartition] = planCache.synchronized {
+    val hit = planCache.get(group)
+    if (hit != null) hit
+    else {
+      val parts = ContinuationGroups(group).flatMap { case (key, fetcherName) =>
+        val fetcher = PageFetchers(fetcherName)
+        PagedGraphQL.fetchAllCursors(fetcher).zipWithIndex.map {
+          case (after, i) => KeyedPagePartition(key, i, after, fetcher): InputPartition
+        }
+      }.toArray
+      planCache.put(group, parts)
+      // consumed: the registry entry's job is done; the LRU there is
+      // now a backstop for never-planned groups only
+      ContinuationGroups.remove(group)
+      parts
+    }
+  }
+}
+
 private class ContinuationScan(group: String) extends Scan with Batch {
   override def readSchema(): StructType = ContinuationSource.schema
   override def toBatch: Batch = this
-  // lazy for the same reason as GraphQLScan: planInputPartitions runs
-  // more than once per query and the cursor walks must not re-fetch
-  private lazy val planned: Array[InputPartition] =
-    ContinuationGroups(group).flatMap { case (key, fetcherName) =>
-      val fetcher = PageFetchers(fetcherName)
-      PagedGraphQL.fetchAllCursors(fetcher).zipWithIndex.map {
-        case (after, i) => KeyedPagePartition(key, i, after, fetcher): InputPartition
-      }
-    }.toArray
+  // per-instance lazy on top of the shared cache: planInputPartitions
+  // runs more than once per execution (plan + exec) on one instance
+  private lazy val planned: Array[InputPartition] = ContinuationScan.planOnce(group)
   override def planInputPartitions(): Array[InputPartition] = planned
   override def createReaderFactory(): PartitionReaderFactory = KeyedPageReaderFactory
 }

@@ -56,6 +56,11 @@ object Session {
         .path("data").path(queryType).path("edges")
       edges.elements().asScala.map { e =>
         val v = e.path("node").path(idField)
+        // a missing idField must fail loudly: MissingNode.toString is
+        // "" and would silently register + query an empty account id
+        if (v.isMissingNode || v.isNull)
+          throw new IllegalArgumentException(
+            s"account id field '$idField' missing from edge: $e")
         if (v.isTextual) v.asText else v.toString
       }.toSeq
     }

@@ -307,15 +307,43 @@ class GraphQLSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("continuation groups are CONSUMED on first plan; re-execution replays the plan cache") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val name = GraphQLFixtures.registerNestedApi(
+      spark, sf, queryType = "hgConsume", pageSize = 2,
+      inlineChildren = 1, childPageSize = 2)
+    val parentSchema = new StructType()
+      .add("parent_id", LongType).add("parent_name", StringType)
+    val childSchema = new StructType()
+      .add("child_id", LongType).add("child_name", StringType)
+    val before = ContinuationGroups.registeredCount
+    val df = GraphQL.flattenNestedResponse(
+      spark, GraphQL.readPages(spark, name),
+      "hgConsume", parentSchema, "children", childSchema,
+      key => s"$name#children#$key", "parent_id", keyBatchSize = 2)
+    assert(ContinuationGroups.registeredCount - before == 3)
+    val n1 = df.count()
+    // first materialization planned every continuation scan → the
+    // registry entries are consumed; the LRU there is now a backstop
+    assert(ContinuationGroups.registeredCount == before,
+      "groups must leave the registry once their scan plans")
+    // a SECOND action builds fresh Scan instances (Spark re-plans per
+    // action) — must replay from the plan cache, not the registry
+    val n2 = df.count()
+    assert(n1 == n2 && n1 > 0)
+  }
+
   test("ContinuationGroups registry is bounded: oldest group evicts past MaxGroups") {
     val stamp = java.util.UUID.randomUUID().toString
     ContinuationGroups.register(s"evict-probe@$stamp", Seq("k" -> "f"))
     (0 until ContinuationGroups.MaxGroups).foreach { i =>
       ContinuationGroups.register(s"filler-$i@$stamp", Seq("k" -> "f"))
     }
-    intercept[NoSuchElementException] {
+    val e = intercept[NoSuchElementException] {
       ContinuationGroups(s"evict-probe@$stamp")
     }
+    assert(e.getMessage.contains("evicted"),
+      "an evicted group must be diagnosed as evicted, not merely unregistered")
     // newest still resolvable; registry size stays at the cap
     assert(ContinuationGroups(
       s"filler-${ContinuationGroups.MaxGroups - 1}@$stamp") == Seq("k" -> "f"))

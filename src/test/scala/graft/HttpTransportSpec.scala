@@ -212,6 +212,19 @@ class HttpTransportSpec extends SparkSpec {
     } finally FixtureHttpServer.clearAuth(name)
   }
 
+  test("accountIds throws on a missing id field instead of yielding empty-string ids") {
+    val f = new PageFetcher {
+      override def fetch(after: Option[String]): Page = Page(
+        """{"data": {"accounts": {"pageInfo": {"hasNextPage": false, "endCursor": "0"},
+          | "edges": [{"node": {"name": "acme"}}]}}}""".stripMargin, None)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Session.accountIds(f, "accounts", "account_id")
+    }
+    assert(e.getMessage.contains("account_id"))
+    assert(e.getMessage.contains("acme"), "error must carry the offending edge")
+  }
+
   test("authenticated bootstrap composes: token → account ids → per-account paged scans") {
     import spark.implicits._
     val token = "Bearer tok-" + java.util.UUID.randomUUID()

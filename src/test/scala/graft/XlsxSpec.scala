@@ -78,6 +78,54 @@ class XlsxSpec extends SparkSpec {
       Vector(None, Some("true"), None, Some("3.14"), Some("rich text"))))
   }
 
+  test("cells without an 'r' ref take the next column; corrupt shared-string refs fail loudly") {
+    def workbook(p: String, sheetXml: String): Unit = {
+      val parts = Seq(
+        "[Content_Types].xml" ->
+          """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/></Types>""",
+        "_rels/.rels" ->
+          """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""",
+        "xl/workbook.xml" ->
+          """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="W" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+        "xl/_rels/workbook.xml.rels" ->
+          """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/></Relationships>""",
+        "xl/sharedStrings.xml" ->
+          """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1"><si><t>only</t></si></sst>""",
+        "xl/worksheets/sheet1.xml" -> sheetXml)
+      val out = new ZipOutputStream(new java.io.FileOutputStream(p))
+      try parts.foreach { case (n, c) =>
+        out.putNextEntry(new ZipEntry(n)); out.write(c.getBytes(UTF_8)); out.closeEntry()
+      } finally out.close()
+    }
+    // spec-legal: no 'r' anywhere → sequential columns; mixed: an
+    // explicit C2 then an unreferenced cell lands on D2, not column 0
+    val p1 = tmp("noref")
+    workbook(p1,
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c><v>1</v></c><c><v>2</v></c><c><v>3</v></c></row>
+        |<row><c r="C2"><v>9</v></c><c><v>8</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    assert(Xlsx.readGrid(p1, "W") == Vector(
+      Vector(Some("1"), Some("2"), Some("3")),
+      Vector(None, None, Some("9"), Some("8"))))
+    // corrupt shared-string refs: out-of-range and non-numeric both
+    // raise IllegalArgumentException (no silent drop, no bare NFE)
+    val p2 = tmp("badss1")
+    workbook(p2,
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    val e1 = intercept[IllegalArgumentException](Xlsx.readGrid(p2, "W"))
+    assert(e1.getMessage.contains("out of range"))
+    val p3 = tmp("badss2")
+    workbook(p3,
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>zap</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](Xlsx.readGrid(p3, "W"))
+    assert(e2.getMessage.contains("zap"))
+  }
+
   test("column reference arithmetic: letters ↔ 0-based index, incl. multi-letter") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
