@@ -83,7 +83,11 @@ FROM feats
 UNION ALL
 SELECT CAST(-1 AS BIGINT) AS doc_id, 'video' AS modality,
  CAST(5 AS INT) AS n_frames, '0,1,2,3,4' AS frames,
- CAST(5 AS BIGINT) AS n_sampled"""
+ CAST(5 AS BIGINT) AS n_sampled
+UNION ALL
+SELECT CAST(-2 AS BIGINT) AS doc_id, 'video' AS modality,
+ CAST(24 AS INT) AS n_frames, '0,3,6,9,12,15,18,21' AS frames,
+ CAST(8 AS BIGINT) AS n_sampled"""
 
     # ---- q_approx_distinct: KMV bottom-k estimate, recomputed from
     # the k-th smallest biased splitmix hash (identical double ops) ----

@@ -742,7 +742,13 @@ object SparkEntry {
       // text bytes → stub arm); the oracle pins the planted row's
       // known geometry as a constant
       val gif = Multimodal.animatedGifBytes(5)
-      val planted = Seq((-1L, gif, "video", gif.length.toLong))
+      // ... and a REAL MP4 container (ISO-BMFF box walk: tkhd dims +
+      // stsz sample count), so the video-container arm is under the
+      // oracle too: 24 frames at maxFrames=8 → stride 3
+      val mp4 = Multimodal.mp4Bytes(24, 640, 360)
+      val planted = Seq(
+        (-1L, gif, "video", gif.length.toLong),
+        (-2L, mp4, "video", mp4.length.toLong))
         .toDF("doc_id", "payload", "modality", "n_bytes")
       val base = Multimodal
         .attachPayload(t(s, dir, "documents"), col("doc_id"), col("text"))

@@ -94,6 +94,89 @@ object Multimodal {
           math.round(fmt.getFormat.getFrameRate)))
       } catch { case _: Exception => None }
 
+  /** True iff the payload carries an ISO-BMFF `ftyp` box up front —
+    * the MP4/MOV/3GP container family.
+    */
+  private[llm] def looksLikeMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Video metadata from an ISO-BMFF (MP4) container by walking the
+    * box tree — pure JDK byte parsing, the same stance as the
+    * WAV/GIF headers (ISO/IEC 14496-12 is public spec; no pixel or
+    * sample data is touched):
+    *
+    *   moov → trak → tkhd        presentation width/height (16.16 fixed)
+    *   moov → trak → mdia → minf → stbl → stsz   sample (frame) count
+    *
+    * The first trak with a nonzero tkhd width×height is the video
+    * track (audio traks carry 0×0 by spec). Each box is 4-byte BE
+    * size + 4-byte type; size 1 = 64-bit largesize follows, size 0 =
+    * extends to end of enclosing box. tkhd/mvhd are versioned full
+    * boxes (v1 widens the time fields by 4 bytes each). Truncated or
+    * malformed boxes abort to None — a corrupt payload must fall
+    * through to the quarantine path, not kill a 100 TB scan task.
+    */
+  private[graft] def decodeMp4Meta(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (!looksLikeMp4(b)) None
+    else
+      try {
+        def be32(off: Int): Long =
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        def be64(off: Int): Long =
+          (be32(off) << 32) | be32(off + 4)
+        def typ(off: Int): String =
+          new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        // children of the box spanning [off, end): Seq of (type, bodyOff, bodyEnd)
+        def children(off: Int, end: Int): Iterator[(String, Int, Int)] =
+          new Iterator[(String, Int, Int)] {
+            private var p = off
+            def hasNext: Boolean = p + 8 <= end
+            def next(): (String, Int, Int) = {
+              val sz = be32(p)
+              val (bodyOff, boxEnd) =
+                if (sz == 1L) (p + 16, p + be64(p + 8))
+                else if (sz == 0L) (p + 8, end.toLong)
+                else (p + 8, p + sz)
+              if (boxEnd > end || boxEnd < bodyOff)
+                throw new IllegalArgumentException("box overruns container")
+              val t = typ(p)
+              p = boxEnd.toInt
+              (t, bodyOff, boxEnd.toInt)
+            }
+          }
+        def find(off: Int, end: Int, t: String): Option[(Int, Int)] =
+          children(off, end).collectFirst { case (`t`, o, e) => (o, e) }
+        find(0, b.length, "moov").flatMap { case (moovO, moovE) =>
+          children(moovO, moovE).filter(_._1 == "trak").flatMap { case (_, to, te) =>
+          find(to, te, "tkhd").flatMap { case (ho, he) =>
+            val version = b(ho) & 0xff
+            // v0 body: vf4 + times 4+4 + id4 + res4 + dur4 + res8 +
+            // layer2 + group2 + vol2 + res2 + matrix36 → width at 76;
+            // v1 widens creation/modification/duration to 8 bytes (+12)
+            val wOff = ho + (if (version == 1) 88 else 76)
+            if (wOff + 8 > he) None
+            else {
+              val w = (be32(wOff) >> 16).toInt   // 16.16 fixed point
+              val h = (be32(wOff + 4) >> 16).toInt
+              if (w <= 0 || h <= 0) None // audio/hint trak: keep looking
+              else {
+                val frames = for {
+                  (mo, me) <- find(to, te, "mdia")
+                  (no, ne) <- find(mo, me, "minf")
+                  (so, se) <- find(no, ne, "stbl")
+                  (zo, ze) <- find(so, se, "stsz")
+                  if zo + 12 <= ze
+                } yield be32(zo + 8).toInt // sample_count
+                Some((w, h, math.max(1, frames.getOrElse(1))))
+              }
+            }
+          }
+          }.nextOption()
+        }
+      } catch { case _: Exception => None }
+
   /** DCT perceptual hash of a decoded image (the classic pHash
     * recipe): area-average the luma plane to 32×32, 2-D DCT-II, keep
     * the 8×8 low-frequency block, one bit per NON-DC coefficient =
@@ -172,6 +255,43 @@ object Multimodal {
       i += 1
     }
     bits
+  }
+
+  /** Deterministic minimal ISO-BMFF (MP4) payload with the spec's
+    * real box layout — ftyp + moov{mvhd, trak{tkhd(width, height),
+    * mdia{minf{stbl{stsz(nFrames)}}}}} — for planting a true video
+    * container under the oracle (the GIF idiom). Byte-exact for
+    * given arguments; [[decodeMp4Meta]] reads back exactly
+    * (width, height, nFrames), and so would any conformant demuxer.
+    */
+  def mp4Bytes(nFrames: Int, width: Int, height: Int): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, body: Array[Byte]*): Array[Byte] = {
+      val b = body.flatten.toArray
+      be32(8L + b.length) ++ t.getBytes("US-ASCII") ++ b
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII"), be32(512), "isommp41".getBytes("US-ASCII"))
+    // mvhd v0: vf, creation, modification, timescale, duration, rate,
+    // volume+reserved, reserved, matrix (identity), predefined, next id
+    val mvhd = box("mvhd",
+      be32(0), be32(0), be32(0), be32(1000), be32(nFrames * 40L),
+      be32(0x00010000L), Array[Byte](0, 0, 0, 0), new Array[Byte](8),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      new Array[Byte](24), be32(2))
+    // tkhd v0 (flags=7 enabled): times, track id, duration, layout,
+    // identity matrix, then 16.16 presentation width/height
+    val tkhd = box("tkhd",
+      be32(7), be32(0), be32(0), be32(1), be32(0), be32(nFrames * 40L),
+      new Array[Byte](8), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    val stsz = box("stsz", be32(0), be32(1024), be32(nFrames))
+    val mdia = box("mdia", box("minf", box("stbl", stsz)))
+    ftyp ++ box("moov", mvhd, box("trak", tkhd, mdia))
   }
 
   /** Deterministic multi-frame GIF payload (JDK gif writer in
@@ -325,9 +445,11 @@ object Multimodal {
     * container frame count (animated GIFs > 1) through
     * `javax.imageio`; WAV payloads report (channels, sample rate,
     * sample frames) as (width, height, n_frames) through
-    * `javax.sound.sampled`. Everything else falls through to the
+    * `javax.sound.sampled`; MP4/ISO-BMFF payloads report tkhd
+    * presentation dims and the stsz sample count via the box walk
+    * ([[decodeMp4Meta]]). Everything else falls through to the
     * deterministic stub — same schema, same batched `mapPartitions`
-    * shape, so further codecs (MP4, FLAC, …) swap into the per-row
+    * shape, so further codecs (FLAC, MKV, …) swap into the per-row
     * closure without touching the plan.
     */
   def decode(spark: SparkSession, withPayload: DataFrame): Dataset[MediaFeatures] = {
@@ -346,7 +468,12 @@ object Multimodal {
                 case Some((frames, channels, rate)) =>
                   MediaFeatures(docId, modality, nBytes, channels, rate,
                     math.min(frames, Int.MaxValue.toLong).toInt)
-                case None => stubFeatures(docId, modality, nBytes, payload)
+                case None =>
+                  decodeMp4Meta(payload) match {
+                    case Some((w, h, frames)) =>
+                      MediaFeatures(docId, modality, nBytes, w, h, frames)
+                    case None => stubFeatures(docId, modality, nBytes, payload)
+                  }
               }
           }
         }

@@ -91,6 +91,17 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.width == 1 && feats.height == 8000 && feats.n_frames == nFrames)
   }
 
+  test("MP4 payloads report tkhd dimensions and stsz frame count via the box walk") {
+    val mp4 = Multimodal.mp4Bytes(nFrames = 24, width = 640, height = 360)
+    assert(Multimodal.decodeMp4Meta(mp4).contains((640, 360, 24)))
+    val feats = Multimodal.decode(spark, payloadFrame(Seq(9L -> mp4))).collect().head
+    assert(feats.width == 640 && feats.height == 360 && feats.n_frames == 24)
+    // truncated container (moov cut mid-box) quarantines, not crashes
+    assert(Multimodal.decodeMp4Meta(mp4.take(mp4.length / 2)).isEmpty)
+    // an ftyp-only payload (no moov) also falls through
+    assert(Multimodal.decodeMp4Meta(mp4.take(24)).isEmpty)
+  }
+
   test("corrupt image bytes (valid magic, garbage body) quarantine to the stub") {
     val junk = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++
       Array.fill[Byte](32)(0x7f)
