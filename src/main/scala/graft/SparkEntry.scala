@@ -3439,7 +3439,7 @@ object SparkEntry {
     // start_i = i·base + max(i-(3-rem),0) + 1, len_i = base + [i ≥ 3-rem]
     "q_fuzzy_blocks" ->
       """WITH dirty AS (
-        | SELECT CASE WHEN p_partkey % 2 = 0
+        | SELECT DISTINCT CASE WHEN p_partkey % 2 = 0
         |   THEN substr(lower(p_name), 1, 3) || substr(lower(p_name), 5, 3)
         |     || substr(lower(p_name), 9)
         |   ELSE lower(p_name) END AS nb

@@ -167,12 +167,34 @@ object Reconcile {
     * Because the blocking is COMPLETE (no size cap — unlike
     * [[fuzzyJoin]]'s capped scheme), the result set is EXACTLY
     * `{(a,b) : lev(a,b) ≤ maxDist}`: a cross-engine oracle can
-    * verify it with a naive join, no blocking twin needed. The cost:
-    * a degenerate corpus (many identical segments — low-entropy
-    * machine-generated keys) can still produce a hot block; callers
-    * with such data should normalize or salt upstream, or use the
-    * capped τ=1 [[fuzzyJoin]]. Shape: one shuffle per side on the
-    * block key, `distinct` folds multi-block catches.
+    * verify it with a naive join, no blocking twin needed.
+    *
+    * Two hard-won scale lessons are baked into the shape (both
+    * caught live by the r8 sf1 sweep, where ×10 replication makes
+    * every part NAME appear ~10 times):
+    *
+    *  1. **Duplicate strings collapse before the pair kernel.** Edit
+    *     distance depends only on the strings, so the segment join
+    *     runs over DISTINCT strings and the verified string pairs
+    *     expand back to id pairs with two equi-joins. A corpus where
+    *     each string repeats c times would otherwise pay c² copies
+    *     of every candidate (155M raw candidates at sf1; ~1/100th
+    *     after collapse) — this is the main defense against the
+    *     low-entropy-corpus quadratic the scaladoc used to only
+    *     warn about.
+    *  2. **The kernel's shuffle width is pinned.** Segment keys are
+    *     tiny, so AQE sees a few MB of shuffle bytes and coalesced
+    *     the whole join into ONE task — while the fan-out inside
+    *     was quadratic (a single task burned 30+ CPU-minutes of
+    *     Levenshtein at sf1). `repartition(width, _k)` on both
+    *     sides (REPARTITION_BY_NUM — exempt from AQE coalescing)
+    *     keeps the kernel spread across the configured parallelism;
+    *     bytes-based coalescing is the wrong oracle when compute
+    *     per byte is unbounded.
+    *
+    * Residual caveat: many distinct strings sharing one segment
+    * still form a hot block — [[fuzzyJoinSegmentStats]] is the
+    * histogram that makes that visible.
     */
   // segment geometry for a string of length L (1-based substr), k
   // segments: base = ⌊L/k⌋, rem = L mod k; segments 0..k-rem-1 have
@@ -185,18 +207,18 @@ object Reconcile {
     (L - pmod(L, lit(k))) / k +
       when(lit(i) >= lit(k) - pmod(L, lit(k)), 1).otherwise(0)
 
-  /** Indexed-side block stream for [[fuzzyJoinSegments]]: each right
-    * string exploded to its τ+1 (L, segIdx, segment) keys.
+  /** Indexed-side block stream for [[fuzzyJoinSegments]]: each
+    * (distinct) right string exploded to its τ+1 (L, segIdx,
+    * segment) keys. `strs` must expose the string column `_sb`.
     */
-  private def segmentBlocks(
-      right: DataFrame, rightId: Column, rightStr: Column, k: Int): DataFrame = {
-    val L = length(rightStr)
+  private def segmentBlocks(strs: DataFrame, k: Int): DataFrame = {
+    val s = col("_sb")
+    val L = length(s)
     val entries = (0 until k).map { i =>
       struct(L.as("L"), lit(i).as("i"),
-        rightStr.substr(segStart(L, i, k).cast("int"), segLen(L, i, k).cast("int")).as("seg"))
+        s.substr(segStart(L, i, k).cast("int"), segLen(L, i, k).cast("int")).as("seg"))
     }
-    right.select(rightId.as("id_b"), rightStr.as("_sb"),
-      explode(array(entries: _*)).as("_k"))
+    strs.select(s, explode(array(entries: _*)).as("_k"))
   }
 
   def fuzzyJoinSegments(
@@ -206,14 +228,21 @@ object Reconcile {
     require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
     val tau = maxDist
     val k = tau + 1
+    val width = left.sparkSession.sessionState.conf.numShufflePartitions
+
+    val la = left.select(leftId.as("id_a"), leftStr.as("_sa"))
+    val ra = right.select(rightId.as("id_b"), rightStr.as("_sb"))
+    // the pair kernel sees each STRING once, however many ids carry it
+    val ld = la.select(col("_sa")).distinct()
+    val rd = ra.select(col("_sb")).distinct()
 
     // right (indexed) side: its own τ+1 segments, exact positions
-    val rb = segmentBlocks(right, rightId, rightStr, k)
+    val rb = segmentBlocks(rd, k)
     // left (probe) side: for each candidate right-length and segment
     // slot, the substring at every admissible shift — null out
     // out-of-range probes, dedup, explode
     val lb = {
-      val M = length(leftStr)
+      val M = length(col("_sa"))
       val cands = for {
         dl <- -tau to tau
         i <- 0 until k
@@ -224,38 +253,49 @@ object Reconcile {
         val l = segLen(L, i, k)
         when(L >= 0 && p >= 1 && p + l - 1 <= M, // L=0: empty right string still indexable
           struct(L.as("L"), lit(i).as("i"),
-            leftStr.substr(p.cast("int"), l.cast("int")).as("seg")))
+            col("_sa").substr(p.cast("int"), l.cast("int")).as("seg")))
           .otherwise(lit(null))
       }
-      left.select(leftId.as("id_a"), leftStr.as("_sa"),
+      ld.select(col("_sa"),
         explode(array_distinct(filter(array(cands: _*), _.isNotNull))).as("_k"))
     }
-    lb.join(rb, "_k")
+    // pinned-width kernel join (see scaladoc lesson 2), then verify
+    val stringPairs = lb.repartition(width, col("_k"))
+      .join(rb.repartition(width, col("_k")), "_k")
       // cheap length prefilter before the O(len²) Levenshtein DP
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= tau)
       .withColumn("d", levenshtein(col("_sa"), col("_sb")))
       .filter(col("d") <= tau)
+      .select(col("_sa"), col("_sb"), col("d"))
+      .distinct() // folds multi-block catches
+    // expand verified string pairs back to id pairs
+    stringPairs
+      .join(la, "_sa")
+      .join(ra, "_sb")
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
-      .distinct()
   }
 
   /** Block-size histogram for [[fuzzyJoinSegments]]' indexed side —
     * the no-silent-caps report (same idiom as `Dedup.lshBucketStats`):
     * per segment slot, how many (length, slot, segment) blocks exist
-    * at each size. `fuzzyJoinSegments` is complete-by-construction
-    * and deliberately uncapped, so a degenerate corpus (low-entropy
-    * machine-generated keys sharing segments) silently goes quadratic
-    * inside the hottest block; this histogram is the tell — a
-    * max bucket_size near the corpus size means "normalize or salt
-    * upstream, or use the capped τ=1 fuzzyJoin". One extra
-    * aggregation over the exact block stream the join shuffles; no
-    * change to the join itself.
+    * at each size, over the DISTINCT strings the kernel actually
+    * indexes (exact duplicates collapse before the pair kernel, so
+    * they never make a block hot). `fuzzyJoinSegments` is
+    * complete-by-construction and deliberately uncapped, so many
+    * distinct low-entropy strings sharing a segment still go
+    * quadratic inside the hottest block; this histogram is the
+    * tell — a max bucket_size near the distinct-corpus size means
+    * "normalize or salt upstream, or use the capped τ=1 fuzzyJoin".
+    * One extra aggregation over the exact block stream the join
+    * shuffles; no change to the join itself.
     */
   def fuzzyJoinSegmentStats(
       right: DataFrame, rightId: Column, rightStr: Column,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
-    segmentBlocks(right, rightId, rightStr, maxDist + 1)
+    // mirror the join exactly: the kernel indexes DISTINCT strings
+    segmentBlocks(
+        right.select(rightStr.as("_sb")).distinct(), maxDist + 1)
       .groupBy(col("_k"))
       .agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("_k.i").cast("long").as("seg_idx"), col("bucket_size"))

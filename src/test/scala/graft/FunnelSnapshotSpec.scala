@@ -177,24 +177,26 @@ class FunnelSnapshotSpec extends SparkSpec {
     }
   }
 
-  test("fuzzyJoinSegmentStats conserves mass and flags a degenerate corpus") {
-    // mixed corpus: 50 distinct random-ish names + 40 identical
-    // low-entropy keys (the degenerate shape the scaladoc warns on)
+  test("fuzzyJoinSegmentStats collapses clones, conserves mass, flags hot blocks") {
+    // mixed corpus: 50 distinct names + 40 DISTINCT low-entropy keys
+    // sharing an 8-char prefix (hot segments) + 25 exact clones of
+    // one string (must collapse to ONE indexed row, the r8 sf1 lesson)
     val distinct0 = (0 until 50).map(i => (i.toLong, f"customer-$i%04d-${i * 37}%d"))
-    val clones = (0 until 40).map(i => (100L + i, "aaaaaaaaaaaa"))
-    val df = (distinct0 ++ clones).toDF("id", "s")
+    val hot = (0 until 40).map(i => (100L + i, f"aaaaaaaa$i%04d")) // L=12
+    val clones = (0 until 25).map(i => (200L + i, "zzzzzzzzzzzz"))
+    val df = (distinct0 ++ hot ++ clones).toDF("id", "s")
     val stats = graft.ops.Reconcile
       .fuzzyJoinSegmentStats(df, col("id"), col("s"), maxDist = 2)
       .as[(Long, Long, Long)].collect()
-    // mass conservation: each of the 3 segment slots indexes every row once
+    // mass conservation over DISTINCT strings: 50 + 40 + 1 per slot
     (0L to 2L).foreach { slot =>
       val mass = stats.collect { case (i, sz, n) if i == slot => sz * n }.sum
-      assert(mass == 90L, s"slot $slot mass $mass")
+      assert(mass == 91L, s"slot $slot mass $mass (clones must collapse)")
     }
-    // the histogram surfaces the hot block: a bucket of exactly the
-    // 40 clones in every slot
-    (0L to 2L).foreach { slot =>
-      assert(stats.contains((slot, 40L, 1L)), s"slot $slot missing 40-clone block")
+    // the histogram surfaces the hot block: slots 0 and 1 carry the
+    // shared "aaaa" segment of all 40 distinct hot keys
+    (0L to 1L).foreach { slot =>
+      assert(stats.contains((slot, 40L, 1L)), s"slot $slot missing hot block")
     }
   }
 
