@@ -3391,23 +3391,27 @@ object SparkEntry {
         |   THEN substr(lower(c_name), 1, 5) || substr(lower(c_name), 7)
         |   ELSE lower(c_name) END AS nb
         | FROM customer),
+        |cd AS (SELECT DISTINCT na FROM clean),
+        |dd AS (SELECT DISTINCT nb FROM dirty),
         |lb AS (
-        | SELECT ka, na, 'p:' || substr(na, 1, 3) AS blk FROM clean
+        | SELECT na, 'p:' || substr(na, 1, 3) AS blk FROM cd
         | UNION ALL
-        | SELECT ka, na, 's:' || substr(na, greatest(length(na) - 2, 1), 3) FROM clean),
+        | SELECT na, 's:' || substr(na, greatest(length(na) - 2, 1), 3) FROM cd),
         |rb AS (
-        | SELECT kb, nb, 'p:' || substr(nb, 1, 3) AS blk FROM dirty
+        | SELECT nb, 'p:' || substr(nb, 1, 3) AS blk FROM dd
         | UNION ALL
-        | SELECT kb, nb, 's:' || substr(nb, greatest(length(nb) - 2, 1), 3) FROM dirty),
+        | SELECT nb, 's:' || substr(nb, greatest(length(nb) - 2, 1), 3) FROM dd),
         |ok AS (
         | SELECT la.blk FROM (SELECT blk, count(*) AS na_ FROM lb GROUP BY 1) la
         | JOIN (SELECT blk, count(*) AS nb_ FROM rb GROUP BY 1) ra USING (blk)
         | WHERE la.na_ * ra.nb_ <= 1000000),
-        |p AS (
-        | SELECT DISTINCT ka AS id_a, kb AS id_b,
-        |  CAST(levenshtein(na, nb) AS BIGINT) AS d
+        |sp AS (
+        | SELECT DISTINCT na, nb, CAST(levenshtein(na, nb) AS BIGINT) AS d
         | FROM lb JOIN ok USING (blk) JOIN rb USING (blk)
-        | WHERE levenshtein(na, nb) <= 1)
+        | WHERE levenshtein(na, nb) <= 1),
+        |p AS (
+        | SELECT ka AS id_a, kb AS id_b, d
+        | FROM sp JOIN clean USING (na) JOIN dirty USING (nb))
         |SELECT id_a, count(*) AS n_match, min(d) AS best_dist,
         | min(CASE WHEN d = md THEN id_b END) AS best_match
         |FROM (SELECT *, min(d) OVER (PARTITION BY id_a) AS md FROM p)

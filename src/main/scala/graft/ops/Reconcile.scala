@@ -106,12 +106,15 @@ object Reconcile {
     * there. Same bounded-candidate idiom as `dd_minhash_lsh`'s
     * bucket cap and `dd_containment`'s df bound.
     *
-    * Shape: explode to 2 block keys per row, one equi-shuffle per
-    * side on the block key, block sizes pre-counted so oversized
-    * blocks never reach the join, `distinct` folds pairs caught by
-    * both ends. Levenshtein runs inside whole-stage codegen.
-    * Distance semantics are engine-portable (unit-cost edit
-    * distance, identical in DuckDB).
+    * Shape: duplicate strings collapse first (r8 — blocking, cap and
+    * kernel all see DISTINCT strings; id pairs re-expand via two
+    * equi-joins after verification), explode to 2 block keys per
+    * string, one equi-shuffle per side on the block key at pinned
+    * width (AQE must not byte-coalesce a compute-quadratic stage),
+    * block sizes pre-counted so oversized blocks never reach the
+    * join, `distinct` folds pairs caught by both ends. Levenshtein
+    * runs inside whole-stage codegen. Distance semantics are
+    * engine-portable (unit-cost edit distance, identical in DuckDB).
     */
   def fuzzyJoin(
       left: DataFrame, leftId: Column, leftStr: Column,
@@ -122,22 +125,38 @@ object Reconcile {
       s"fuzzyJoin's prefix∪suffix blocking is COMPLETE only for maxDist ≤ 1 " +
         s"(got $maxDist): a 2-edit pair can touch both ends and never share " +
         s"a block, silently losing recall. Use fuzzyJoinSegments for τ ≥ 2.")
-    def blocked(df: DataFrame, id: Column, s: Column, idName: String, sName: String) = {
+    val width = left.sparkSession.sessionState.conf.numShufflePartitions
+    val la = left.select(leftId.as("id_a"), leftStr.as("_sa"))
+    val ra = right.select(rightId.as("id_b"), rightStr.as("_sb"))
+    // r8 (same lesson as fuzzyJoinSegments): blocking, the block-size
+    // cap and the Levenshtein kernel all operate on DISTINCT strings —
+    // a c-fold duplicated corpus no longer pays c² kernel calls, and
+    // the cap measures distinct-pair work instead of tripping on
+    // duplication (which silently DROPPED recall as corpora grew:
+    // duplicate-inflated blocks blew the cap and were skipped)
+    val ld = la.select(col("_sa")).distinct()
+    val rd = ra.select(col("_sb")).distinct()
+    def blocked(df: DataFrame, sName: String) = {
+      val s = col(sName)
       val tail = s.substr(
         greatest(length(s) - (blockPrefix - 1), lit(1)), lit(blockPrefix))
-      df.select(id.as(idName), s.as(sName),
+      df.select(s,
         explode(array(
           concat(lit("p:"), substring(s, 1, blockPrefix)),
           concat(lit("s:"), tail))).as("_blk"))
     }
-    val lb = blocked(left, leftId, leftStr, "id_a", "_sa")
-    val rb = blocked(right, rightId, rightStr, "id_b", "_sb")
+    val lb = blocked(ld, "_sa")
+    val rb = blocked(rd, "_sb")
     val ok = lb.groupBy(col("_blk")).agg(count(lit(1)).as("_na"))
       .join(rb.groupBy(col("_blk")).agg(count(lit(1)).as("_nb")), "_blk")
       .filter(col("_na") * col("_nb") <= maxBlockPairs)
       .select(col("_blk"))
-    lb.join(ok, "_blk")
-      .join(rb, "_blk")
+    // pinned-width kernel join: the per-block cap bounds one block's
+    // candidates, not a whole AQE-coalesced task's — byte-based
+    // coalescing must not fuse many blocks into one task
+    val stringPairs = lb.join(ok, "_blk")
+      .repartition(width, col("_blk"))
+      .join(rb.repartition(width, col("_blk")), "_blk")
       // |len(a)-len(b)| lower-bounds the edit distance: prune with two
       // precomputed ints before paying the O(len²) Levenshtein DP.
       // Semantically a no-op (never drops a d ≤ maxDist pair), so the
@@ -145,8 +164,12 @@ object Reconcile {
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
       .withColumn("d", levenshtein(col("_sa"), col("_sb")))
       .filter(col("d") <= maxDist)
+      .select(col("_sa"), col("_sb"), col("d"))
+      .distinct() // folds prefix+suffix double catches
+    stringPairs
+      .join(la, "_sa")
+      .join(ra, "_sb")
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
-      .distinct()
   }
 
   /** Blocked fuzzy join COMPLETE for ANY `maxDist`, via
