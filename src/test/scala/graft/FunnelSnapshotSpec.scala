@@ -200,6 +200,23 @@ class FunnelSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy kernels pin their shuffle width — AQE cannot byte-coalesce the pair stage") {
+    // the r8 sf1 regression: segment keys are tiny, AQE saw a few MB
+    // and fused the quadratic kernel into ONE task. The pin is an
+    // explicit-numPartitions repartition (REPARTITION_BY_NUM), the
+    // one shuffle origin AQE coalescing is forbidden to touch.
+    val l = Seq((1L, "martha king")).toDF("id", "s")
+    val r = Seq((10L, "marta king")).toDF("id", "s")
+    val segPlan = graft.ops.Reconcile.fuzzyJoinSegments(
+      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(segPlan.contains("REPARTITION_BY_NUM"), segPlan.take(2000))
+    val capPlan = graft.ops.Reconcile.fuzzyJoin(
+      l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(capPlan.contains("REPARTITION_BY_NUM"), capPlan.take(2000))
+  }
+
   test("fuzzyJoin skips degenerate blocks; the other end still recovers matches") {
     // every name shares the "cus" prefix (the TPC-H shape that made
     // prefix-only blocking an all-pairs product at sf1): the prefix
