@@ -25,7 +25,10 @@ object Bench {
     "ann_brute_topk", "txt_quality", "curate_pipeline",
     // r4 additions: the two iterative heavyweights (Lloyd rounds /
     // PR rounds — driver-chained jobs, the hardest local[32] shape)
-    "dd_semantic", "q_pagerank")
+    "dd_semantic", "q_pagerank",
+    // r8: the uncapped pair kernel whose sf1 degenerate-corpus fix
+    // (duplicate collapse + pinned kernel width) this entry tracks
+    "q_fuzzy_join2")
 
   /** One `/proc/stat` aggregate-cpu sample: (total, idle, steal)
     * jiffies. Deltas between two samples give the host's CPU mix over
