@@ -309,13 +309,19 @@ SAMPLE = sorted(k for k in clean if k % 400 == 0)
 
 
 def lev_leq(a, b, tau):
-    """Banded Levenshtein, returns distance if <= tau else None."""
+    """Banded Levenshtein, returns distance if <= tau else None.
+
+    Every out-of-band cell must read as > tau: initializing them to 0
+    (the original r7-staged version) leaks false-low values through
+    the TOP edge of the band (row i reads prev[i+tau], which row i-1
+    never wrote) and systematically under-estimates distance.
+    """
     la, lb = len(a), len(b)
     if abs(la - lb) > tau:
         return None
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
-        cur = [i] + [0] * lb
+        cur = [i] + [tau + 1] * lb
         lo = max(1, i - tau)
         hi = min(lb, i + tau)
         if lo > 1:
