@@ -515,4 +515,32 @@ object HashOps {
     if (na == 0.0 || nb == 0.0) 0.0
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Character-level stats in ONE per-row pass:
+    * `[n_chars, distinct_chars, Σc², n_printable]` (code-point
+    * counts; printable = ASCII 0x20–0x7E). Replaces a per-char
+    * explode + (doc, char) shuffle — 100×-the-corpus shuffle rows —
+    * with a map-only projection; all values are exact integers, so
+    * the cross-engine oracle is unchanged. The count map is
+    * alphabet-bounded (≤ distinct code points per doc).
+    */
+  def charStatsVec(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    var printable = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (cp >= 0x20 && cp <= 0x7e) printable += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+    }
+    var sumC2 = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); sumC2 += c * c }
+    new GenericArrayData(Array(n, counts.size.toLong, sumC2, printable))
+  }
 }

@@ -67,6 +67,19 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression wit
   override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
 }
 
+/** One-pass char stats `[n_chars, distinct_chars, Σc², n_printable]` —
+  * the map-only replacement for a per-char explode + shuffle.
+  */
+case class CharStatsVec(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.charStatsVec(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.charStatsVec($c)")
+  override protected def withNewChildInternal(c: Expression): CharStatsVec = copy(child = c)
+}
+
 case class WordBigrams(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -275,6 +288,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 object F {
   import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def charStatsVec(c: Column): Column = column(CharStatsVec(expression(c)))
   def rollingFingerprint(c: Column, window: Int = 16): Column =
     column(RollingFingerprint(expression(c), window))
   def minhashSig(c: Column, shingle: Int = 5, perms: Int = 64): Column =

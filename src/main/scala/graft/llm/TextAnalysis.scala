@@ -157,35 +157,26 @@ object TextAnalysis {
     * sum (Σc, Σc², counts), with a single double division at the end —
     * no float accumulation order to diverge between engines, and no
     * transcendental (`ln`) whose libm bits differ, which is why this
-    * uses the collision index rather than Shannon entropy. Shape: one
-    * shuffle on (doc, char) with map-side partials, then a per-doc
-    * reduce — linear, skew-free (alphabet-bounded keys per doc).
+    * uses the collision index rather than Shannon entropy. Shape
+    * (r8): MAP-ONLY — one codegen kernel pass per row
+    * ([[graft.functions.HashOps.charStatsVec]]) computes all four
+    * integer stats with an alphabet-bounded count map. The previous
+    * per-char explode + (doc, char) shuffle moved 100× the corpus
+    * rows through a shuffle (txt_char_stats was the single slowest
+    * sf1 query, ~8 min, long after all 153 others finished); same
+    * values, zero shuffles.
     */
-  def charStats(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val perChar = df
+  def charStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), F.charStatsVec(text).as("cs"))
       .select(
-        id.as("doc_id"),
-        size(regexp_extract_all(text, lit("[ -~]"), lit(0))).cast("long")
-          .as("n_printable"),
-        explode(split(text, "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"), min(col("n_printable")).as("p"))
-    perChar
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).cast("long").as("n_chars"),
-        count(lit(1)).cast("long").as("distinct_chars"),
-        sum(col("c") * col("c")).cast("long").as("sum_c2"),
-        min(col("p")).as("n_printable"))
-      .select(
-        col("doc_id"), col("n_chars"), col("distinct_chars"),
-        (col("sum_c2").cast("double")
-          / (col("n_chars").cast("double") * col("n_chars").cast("double")))
+        col("doc_id"),
+        col("cs").getItem(0).as("n_chars"),
+        col("cs").getItem(1).as("distinct_chars"),
+        (col("cs").getItem(2).cast("double")
+          / (col("cs").getItem(0).cast("double") * col("cs").getItem(0).cast("double")))
           .as("char_collision"),
-        (col("n_printable").cast("double") / col("n_chars").cast("double"))
+        (col("cs").getItem(3).cast("double") / col("cs").getItem(0).cast("double"))
           .as("printable_ratio"))
-  }
 
   /** Benchmark decontamination: flag training docs sharing any word
     * n-gram with a benchmark/eval set — the standard pre-training

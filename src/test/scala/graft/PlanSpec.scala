@@ -94,6 +94,17 @@ class PlanSpec extends SparkSpec {
     assert(!full.contains("CartesianProduct"), "assignment cross join reappeared")
   }
 
+  test("txt_char_stats is map-only: zero Exchange (r8 — was a 100x per-char explode shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.llm.TextAnalysis
+      .charStats(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "char stats must not shuffle")
+    assert(plan.toLowerCase.contains("charstatsvec"),
+      "char stats should run through the CharStatsVec codegen kernel")
+  }
+
   test("dd_containment is single-lineage: exactly three shuffles, no join") {
     val plan = physicalPlan("dd_containment")
     // gram-posting aggregation + per-doc window; the pair
