@@ -13,6 +13,19 @@ class HashOpsSpec extends SparkSpec {
     assert(HashOps.fnv1a64(b, 0, 1) == 0xaf63dc4c8601ec8cL)
   }
 
+  test("charStatsVec: hand-checked counts, incl. non-ASCII and astral chars") {
+    // "aab c!" → 6 chars, 5 distinct (a,b,space,c,!), Σc² = 4+1+1+1+1 = 8,
+    // all printable
+    assert(HashOps.charStatsVec(u("aab c!")).toLongArray().toSeq ==
+      Seq(6L, 5L, 8L, 6L))
+    // astral plane: one 𝄞 (surrogate pair) counts as ONE code point,
+    // not printable ASCII; é likewise non-printable-ASCII
+    assert(HashOps.charStatsVec(u("x𝄞é")).toLongArray().toSeq ==
+      Seq(3L, 3L, 3L, 1L))
+    assert(HashOps.charStatsVec(u("")).toLongArray().toSeq ==
+      Seq(0L, 0L, 0L, 0L))
+  }
+
   test("simhash is deterministic and near for near texts") {
     val a = HashOps.simhash64(u("the quick brown fox jumps over the lazy dog"))
     val a2 = HashOps.simhash64(u("the quick brown fox jumps over the lazy dog"))
