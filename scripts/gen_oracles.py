@@ -87,7 +87,11 @@ SELECT CAST(-1 AS BIGINT) AS doc_id, 'video' AS modality,
 UNION ALL
 SELECT CAST(-2 AS BIGINT) AS doc_id, 'video' AS modality,
  CAST(24 AS INT) AS n_frames, '0,3,6,9,12,15,18,21' AS frames,
- CAST(8 AS BIGINT) AS n_sampled"""
+ CAST(8 AS BIGINT) AS n_sampled
+UNION ALL
+SELECT CAST(-3 AS BIGINT) AS doc_id, 'audio' AS modality,
+ CAST(88200 AS INT) AS n_frames, '0' AS frames,
+ CAST(1 AS BIGINT) AS n_sampled"""
 
     # ---- q_approx_distinct: KMV bottom-k estimate, recomputed from
     # the k-th smallest biased splitmix hash (identical double ops) ----

@@ -746,9 +746,13 @@ object SparkEntry {
       // stsz sample count), so the video-container arm is under the
       // oracle too: 24 frames at maxFrames=8 → stride 3
       val mp4 = Multimodal.mp4Bytes(24, 640, 360)
+      // ... and a REAL FLAC STREAMINFO (audio arm): 88200 samples
+      // stereo 44.1 kHz — non-video rows pass through unsampled
+      val flac = Multimodal.flacBytes(88200L, 2, 44100)
       val planted = Seq(
         (-1L, gif, "video", gif.length.toLong),
-        (-2L, mp4, "video", mp4.length.toLong))
+        (-2L, mp4, "video", mp4.length.toLong),
+        (-3L, flac, "audio", flac.length.toLong))
         .toDF("doc_id", "payload", "modality", "n_bytes")
       val base = Multimodal
         .attachPayload(t(s, dir, "documents"), col("doc_id"), col("text"))

@@ -94,6 +94,65 @@ object Multimodal {
           math.round(fmt.getFormat.getFrameRate)))
       } catch { case _: Exception => None }
 
+  /** True iff the payload starts with the FLAC stream marker. */
+  private[llm] def looksLikeFlac(b: Array[Byte]): Boolean =
+    b.length >= 42 &&
+      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  /** Audio metadata from a FLAC STREAMINFO block (the mandatory first
+    * metadata block per the public FLAC format spec): (total sample
+    * frames, channels, sample rate). Pure byte parsing, header-only —
+    * the same stance as WAV/GIF/MP4; malformed payloads → None.
+    * STREAMINFO bit layout after the 4-byte block header: 16+16 bits
+    * block sizes, 24+24 bits frame sizes, 20 bits sample rate,
+    * 3 bits channels−1, 5 bits bps−1, 36 bits total samples.
+    */
+  private[graft] def decodeFlacMeta(b: Array[Byte]): Option[(Long, Int, Int)] =
+    if (!looksLikeFlac(b)) None
+    else
+      try {
+        // first metadata block must be STREAMINFO (type 0), length 34
+        val blockType = b(4) & 0x7f
+        val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+        if (blockType != 0 || len < 34) None
+        else {
+          def u(i: Int): Int = b(8 + i) & 0xff
+          val rate = (u(10) << 12) | (u(11) << 4) | (u(12) >> 4)
+          val channels = ((u(12) >> 1) & 0x7) + 1
+          val totalSamples =
+            ((u(13) & 0x0fL) << 32) | (u(14).toLong << 24) |
+              (u(15).toLong << 16) | (u(16).toLong << 8) | u(17).toLong
+          if (rate <= 0) None
+          else Some((totalSamples, channels, rate))
+        }
+      } catch { case _: Exception => None }
+
+  /** Deterministic minimal FLAC payload (marker + STREAMINFO with the
+    * spec's real bit layout) for planting a true audio container
+    * under the oracle — the GIF/MP4 idiom. [[decodeFlacMeta]] and any
+    * conformant decoder read back exactly (totalSamples, channels,
+    * rate).
+    */
+  def flacBytes(totalSamples: Long, channels: Int, rate: Int): Array[Byte] = {
+    val out = new Array[Byte](8 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    out(7) = 34          // block length
+    def set(i: Int, v: Int): Unit = out(8 + i) = v.toByte
+    set(0, 0x10); set(1, 0x00) // min block size 4096
+    set(2, 0x10); set(3, 0x00) // max block size
+    // frame sizes (bytes 4..9) unknown = 0
+    set(10, rate >> 12); set(11, (rate >> 4) & 0xff)
+    set(12, ((rate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) | 0) // bps-1 high bit 0
+    set(13, (0xf << 4) | ((totalSamples >> 32) & 0xf).toInt) // bps-1 low = 15 (16-bit)
+    set(14, ((totalSamples >> 24) & 0xff).toInt)
+    set(15, ((totalSamples >> 16) & 0xff).toInt)
+    set(16, ((totalSamples >> 8) & 0xff).toInt)
+    set(17, (totalSamples & 0xff).toInt)
+    // md5 (bytes 18..33) zero = unknown
+    out
+  }
+
   /** True iff the payload carries an ISO-BMFF `ftyp` box up front —
     * the MP4/MOV/3GP container family.
     */
@@ -472,7 +531,13 @@ object Multimodal {
                   decodeMp4Meta(payload) match {
                     case Some((w, h, frames)) =>
                       MediaFeatures(docId, modality, nBytes, w, h, frames)
-                    case None => stubFeatures(docId, modality, nBytes, payload)
+                    case None =>
+                      decodeFlacMeta(payload) match {
+                        case Some((samples, channels, rate)) =>
+                          MediaFeatures(docId, modality, nBytes, channels, rate,
+                            math.min(samples, Int.MaxValue.toLong).toInt)
+                        case None => stubFeatures(docId, modality, nBytes, payload)
+                      }
                   }
               }
           }

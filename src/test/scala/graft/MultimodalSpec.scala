@@ -102,6 +102,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4Meta(mp4.take(24)).isEmpty)
   }
 
+  test("FLAC payloads report channels, sample rate and total samples from STREAMINFO") {
+    val flac = Multimodal.flacBytes(totalSamples = 88200L, channels = 2, rate = 44100)
+    assert(Multimodal.decodeFlacMeta(flac).contains((88200L, 2, 44100)))
+    val feats = Multimodal.decode(spark, payloadFrame(Seq(11L -> flac))).collect().head
+    // (width, height, n_frames) carry (channels, rate, samples) — the WAV convention
+    assert(feats.width == 2 && feats.height == 44100 && feats.n_frames == 88200)
+    // a >32-bit total-samples field round-trips through the 36-bit layout
+    assert(Multimodal.decodeFlacMeta(
+      Multimodal.flacBytes(0x5_0000_0001L, 1, 48000)).contains((0x5_0000_0001L, 1, 48000)))
+    // truncated/markerless payloads quarantine
+    assert(Multimodal.decodeFlacMeta(flac.take(20)).isEmpty)
+    assert(Multimodal.decodeFlacMeta("fLaX garbage".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("corrupt image bytes (valid magic, garbage body) quarantine to the stub") {
     val junk = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++
       Array.fill[Byte](32)(0x7f)
