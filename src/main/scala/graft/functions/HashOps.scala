@@ -516,6 +516,44 @@ object HashOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Type/token stats in ONE per-row pass:
+    * `[n_tokens, n_types, n_hapax, Σc(c−1)]` over space-separated
+    * tokens (empty tokens from repeated spaces dropped — the
+    * `split(text, " ")` + filter semantics). Replaces nested
+    * `filter`/`aggregate` HOF lambdas, which Catalyst interprets
+    * per-element (O(types×tokens) interpreted calls per row — the §5
+    * lesson); the count map is vocabulary-bounded per doc.
+    */
+  def typeTokenVec(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var nTokens = 0L
+    var start = 0
+    val len = str.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        if (i > start) {
+          nTokens += 1
+          val tok = str.substring(start, i)
+          val slot = counts.get(tok)
+          if (slot == null) counts.put(tok, Array(1L)) else slot(0) += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var hapax = 0L
+    var simpson = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c == 1L) hapax += 1
+      simpson += c * (c - 1)
+    }
+    new GenericArrayData(Array(nTokens, counts.size.toLong, hapax, simpson))
+  }
+
   /** Character-level stats in ONE per-row pass:
     * `[n_chars, distinct_chars, Σc², n_printable]` (code-point
     * counts; printable = ASCII 0x20–0x7E). Replaces a per-char

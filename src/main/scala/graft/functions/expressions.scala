@@ -70,6 +70,19 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression wit
 /** One-pass char stats `[n_chars, distinct_chars, Σc², n_printable]` —
   * the map-only replacement for a per-char explode + shuffle.
   */
+/** One-pass type/token stats `[n_tokens, n_types, n_hapax, Σc(c−1)]` —
+  * replaces interpreted O(types×tokens) HOF lambdas.
+  */
+case class TypeTokenVec(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.typeTokenVec(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.typeTokenVec($c)")
+  override protected def withNewChildInternal(c: Expression): TypeTokenVec = copy(child = c)
+}
+
 case class CharStatsVec(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -289,6 +302,7 @@ object F {
   import org.apache.spark.sql.graftbridge.SqlBridge.{column, expression}
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def charStatsVec(c: Column): Column = column(CharStatsVec(expression(c)))
+  def typeTokenVec(c: Column): Column = column(TypeTokenVec(expression(c)))
   def rollingFingerprint(c: Column, window: Int = 16): Column =
     column(RollingFingerprint(expression(c), window))
   def minhashSig(c: Column, shingle: Int = 5, perms: Int = 64): Column =

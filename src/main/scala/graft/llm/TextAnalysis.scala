@@ -384,27 +384,25 @@ object TextAnalysis {
     * pairs — 0 for all-distinct text, n·(n−1) for one token repeated),
     * and the type/token ratio.
     *
-    * Everything is computed with higher-order array functions inside
-    * one codegen projection — zero shuffles at any corpus size. The
-    * per-row cost is O(words²) on short documents (bounded by doc
-    * length, not corpus size); integer counts make every output exact,
-    * and the single ttr division is IEEE-exact cross-engine.
+    * Shape (r8): ONE codegen kernel pass per row
+    * ([[graft.functions.HashOps.typeTokenVec]], vocabulary-bounded
+    * count map) — zero shuffles at any corpus size, O(words) per row.
+    * The previous HOF-lambda version was also map-only but Catalyst
+    * INTERPRETS lambda bodies per element, costing O(types×tokens)
+    * interpreted calls per row (23.7 s at sf1 → ~2 s). Integer counts
+    * make every output exact; the single ttr division is IEEE-exact
+    * cross-engine.
     */
-  def typeToken(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val words = filter(split(text, " "), w => length(w) > 0)
-    val types = array_distinct(words)
-    def cnt(x: Column): Column = size(filter(words, y => y === x))
-    df.select(
-      id.as("doc_id"),
-      size(words).cast("long").as("n_tokens"),
-      size(types).cast("long").as("n_types"),
-      size(filter(types, x => cnt(x) === 1)).cast("long").as("n_hapax"),
-      aggregate(
-        types, lit(0L),
-        (acc, x) => acc + cnt(x).cast("long") * (cnt(x).cast("long") - 1L))
-        .as("simpson_num"),
-      (size(types).cast("double") / size(words).cast("double")).as("ttr"))
-  }
+  def typeToken(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), F.typeTokenVec(text).as("tt"))
+      .select(
+        col("doc_id"),
+        col("tt").getItem(0).as("n_tokens"),
+        col("tt").getItem(1).as("n_types"),
+        col("tt").getItem(2).as("n_hapax"),
+        col("tt").getItem(3).as("simpson_num"),
+        (col("tt").getItem(1).cast("double") / col("tt").getItem(0).cast("double"))
+          .as("ttr"))
 
   /** Sliding context-window chunking — the pretraining splitter that
     * turns long documents into overlapping training windows: window

@@ -26,6 +26,17 @@ class HashOpsSpec extends SparkSpec {
       Seq(0L, 0L, 0L, 0L))
   }
 
+  test("typeTokenVec: hand-checked token/type/hapax/simpson counts") {
+    // "a b a  c" → tokens [a,b,a,c] (double space dropped): 4 tokens,
+    // 3 types, 2 hapax (b, c), Σc(c−1) = 2·1 = 2
+    assert(HashOps.typeTokenVec(u("a b a  c")).toLongArray().toSeq ==
+      Seq(4L, 3L, 2L, 2L))
+    assert(HashOps.typeTokenVec(u("x x x")).toLongArray().toSeq ==
+      Seq(3L, 1L, 0L, 6L))
+    assert(HashOps.typeTokenVec(u("   ")).toLongArray().toSeq ==
+      Seq(0L, 0L, 0L, 0L))
+  }
+
   test("simhash is deterministic and near for near texts") {
     val a = HashOps.simhash64(u("the quick brown fox jumps over the lazy dog"))
     val a2 = HashOps.simhash64(u("the quick brown fox jumps over the lazy dog"))
