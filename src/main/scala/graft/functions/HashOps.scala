@@ -516,6 +516,33 @@ object HashOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Exact character-n-gram set Jaccard of two strings in one pass —
+    * |A∩B| / |A∪B| over the same distinct-gram sets [[charNgrams]]
+    * builds (len < n ⇒ the whole string is the one gram). Equivalent
+    * to `array_intersect/array_union` over materialized gram arrays,
+    * but the gram ARRAYS never exist: the candidate join shuffles raw
+    * text (~16× smaller than an unsafe array of n-gram strings) and
+    * this kernel verifies in the post-join projection.
+    */
+  def ngramJaccardSim(a: UTF8String, b: UTF8String, n: Int): Double = {
+    def gramSet(u: UTF8String): java.util.HashSet[String] = {
+      val str = u.toString
+      val s = new java.util.HashSet[String]()
+      if (str.length < n) s.add(str)
+      else {
+        var i = 0
+        while (i <= str.length - n) { s.add(str.substring(i, i + n)); i += 1 }
+      }
+      s
+    }
+    val sa = gramSet(a)
+    val sb = gramSet(b)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
   /** Type/token stats in ONE per-row pass:
     * `[n_tokens, n_types, n_hapax, Σc(c−1)]` over space-separated
     * tokens (empty tokens from repeated spaces dropped — the

@@ -70,6 +70,22 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression wit
 /** One-pass char stats `[n_chars, distinct_chars, Σc², n_printable]` —
   * the map-only replacement for a per-char explode + shuffle.
   */
+/** Exact char-n-gram set Jaccard of two strings — the verification
+  * kernel that lets the candidate join shuffle raw text instead of
+  * materialized gram arrays.
+  */
+case class NgramJaccardSim(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.ngramJaccardSim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.ngramJaccardSim($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NgramJaccardSim = copy(left = l, right = r)
+}
+
 /** One-pass type/token stats `[n_tokens, n_types, n_hapax, Σc(c−1)]` —
   * replaces interpreted O(types×tokens) HOF lambdas.
   */
@@ -303,6 +319,8 @@ object F {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def charStatsVec(c: Column): Column = column(CharStatsVec(expression(c)))
   def typeTokenVec(c: Column): Column = column(TypeTokenVec(expression(c)))
+  def ngramJaccardSim(a: Column, b: Column, n: Int): Column =
+    column(NgramJaccardSim(expression(a), expression(b), n))
   def rollingFingerprint(c: Column, window: Int = 16): Column =
     column(RollingFingerprint(expression(c), window))
   def minhashSig(c: Column, shingle: Int = 5, perms: Int = 64): Column =

@@ -217,8 +217,11 @@ object Dedup {
   /** Exact character n-gram Jaccard near-dup pairs, tiered for
     * scale: candidates come from the MinHash-LSH pass (cheap, recall
     * bounded by the `candidateMinEst` estimate), and only those pairs
-    * pay for the exact set Jaccard (array_intersect/array_union over
-    * [[graft.functions.CharNgrams]] arrays). Naive length-bucket
+    * pay for the exact set Jaccard — computed by the one-pass
+    * [[graft.functions.NgramJaccardSim]] kernel in the post-join
+    * projection, so the candidate joins shuffle raw TEXT, never
+    * materialized gram arrays (r8: ~16× shuffle-volume cut, 70 s →
+    * ~17 s at sf1, values bit-identical). Naive length-bucket
     * blocking degenerates to ~n²/buckets pairs on a shared-vocabulary
     * corpus — measured 100×+ slower at sf0.1.
     */
@@ -233,13 +236,16 @@ object Dedup {
     val candidates = minhashLsh(idDf, col("doc_id"), col("_text"),
       shingle = n, minJaccard = candidateMinEst)
       .select(col("id_a"), col("id_b"))
-    val grams = idDf.select(col("doc_id"), F.charNgrams(col("_text"), n).as("grams"))
+    // r8: join TEXT, not gram arrays — an unsafe array of n-gram
+    // strings is ~16× the text's bytes, and it shuffled through BOTH
+    // candidate joins; the one-pass kernel builds the same distinct-
+    // gram sets in the post-join projection (values bit-identical:
+    // same sets, same int counts, same single double division)
     candidates
-      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .join(idDf.select(col("doc_id").as("id_a"), col("_text").as("_ta")), Seq("id_a"))
+      .join(idDf.select(col("doc_id").as("id_b"), col("_text").as("_tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+        F.ngramJaccardSim(col("_ta"), col("_tb"), n).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
