@@ -103,6 +103,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "char stats must not shuffle")
     assert(plan.toLowerCase.contains("charstatsvec"),
       "char stats should run through the CharStatsVec codegen kernel")
+    val tt = graft.llm.TextAnalysis
+      .typeToken(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!tt.contains("Exchange") && tt.toLowerCase.contains("typetokenvec"),
+      "type/token stats must be a zero-shuffle TypeTokenVec projection")
   }
 
   test("dd_containment is single-lineage: exactly three shuffles, no join") {
