@@ -516,6 +516,43 @@ object HashOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+
+  /** Count of maximal word-character runs ([a-zA-Z0-9_], Java regex
+    * `\w`) of `s` that are members of the pipe-separated `markers`
+    * set — exactly `regexp_extract_all(s, "\\b(w1|w2|…)\\b").size`
+    * for plain-word alternations (a `\b`-bounded match of a whole
+    * word is precisely a maximal run equal to that word), without the
+    * regex engine. Marker sets are tiny and cached per distinct
+    * marker string.
+    */
+  def wordSetHits(s: UTF8String, markers: String): Long = {
+    val set = markerCache.computeIfAbsent(
+      markers,
+      m => {
+        val hs = new java.util.HashSet[String]()
+        m.split("\\|").foreach(w => if (w.nonEmpty) hs.add(w))
+        hs
+      })
+    val str = s.toString
+    def isWord(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    var hits = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (isWord(str.charAt(i))) {
+        var j = i + 1
+        while (j < len && isWord(str.charAt(j))) j += 1
+        if (set.contains(str.substring(i, j))) hits += 1
+        i = j
+      } else i += 1
+    }
+    hits
+  }
+
   /** Exact character-n-gram set Jaccard of two strings in one pass —
     * |A∩B| / |A∪B| over the same distinct-gram sets [[charNgrams]]
     * builds (len < n ⇒ the whole string is the one gram). Equivalent

@@ -70,6 +70,22 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression wit
 /** One-pass char stats `[n_chars, distinct_chars, Σc², n_printable]` —
   * the map-only replacement for a per-char explode + shuffle.
   */
+/** Marker-word hit count over word-character runs — the regex-free
+  * equivalent of `size(regexp_extract_all(s, "\\b(w1|w2|…)\\b"))`.
+  */
+case class WordSetHits(child: Expression, markers: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.wordSetHits(v.asInstanceOf[UTF8String], markers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markers", markers, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.wordSetHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): WordSetHits = copy(child = c)
+}
+
 /** Exact char-n-gram set Jaccard of two strings — the verification
   * kernel that lets the candidate join shuffle raw text instead of
   * materialized gram arrays.
@@ -321,6 +337,8 @@ object F {
   def typeTokenVec(c: Column): Column = column(TypeTokenVec(expression(c)))
   def ngramJaccardSim(a: Column, b: Column, n: Int): Column =
     column(NgramJaccardSim(expression(a), expression(b), n))
+  def wordSetHits(c: Column, markers: String): Column =
+    column(WordSetHits(expression(c), markers))
   def rollingFingerprint(c: Column, window: Int = 16): Column =
     column(RollingFingerprint(expression(c), window))
   def minhashSig(c: Column, shingle: Int = 5, perms: Int = 64): Column =

@@ -26,6 +26,18 @@ class HashOpsSpec extends SparkSpec {
       Seq(0L, 0L, 0L, 0L))
   }
 
+  test("wordSetHits equals \\b-bounded regex alternation counts on tricky inputs") {
+    val markers = "the|and|of|to|in|is|that|for|with|as"
+    val cases = Seq(
+      "the cat and the dog", "them theand the-and", "to2 to_x to to",
+      "", "   ", "of.of,of;of", "andandand and", "THE the The".toLowerCase)
+    val re = ("\\b(" + markers + ")\\b").r
+    cases.foreach { s =>
+      val want = re.findAllIn(s).size.toLong
+      assert(HashOps.wordSetHits(u(s), markers) == want, s"input '$s'")
+    }
+  }
+
   test("typeTokenVec: hand-checked token/type/hapax/simpson counts") {
     // "a b a  c" → tokens [a,b,a,c] (double space dropped): 4 tokens,
     // 3 types, 2 hapax (b, c), Σc(c−1) = 2·1 = 2
