@@ -1597,24 +1597,16 @@ object SparkEntry {
 
     // --- exact weighted quantiles per group (integer cumweights) ---
     "q_weighted_pct" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-      val cum = Window.partitionBy(col("flag"))
-        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy(col("flag"))
-      li.select(
-          col("l_returnflag").as("flag"),
-          col("l_extendedprice").as("v"),
-          col("l_quantity").cast("long").as("w"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("cum", sum(col("w")).over(cum))
-        .withColumn("tw", sum(col("w")).over(tot))
-        .groupBy(col("flag"))
-        .agg(
-          min(when(col("cum") * 4 >= col("tw"), col("v"))).as("p25"),
-          min(when(col("cum") * 2 >= col("tw"), col("v"))).as("p50"),
-          min(when(col("cum") * 4 >= col("tw") * 3, col("v"))).as("p75"),
-          max(col("tw")).as("total_w"))
+      // two-phase EXACT weighted percentiles (r8): the former
+      // Window.partitionBy(flag) scan sorted each of the 3 flag
+      // groups in ONE task — Stats.weightedPercentiles buckets
+      // first, scans only the threshold buckets, bit-identical
+      graft.ops.Stats.weightedPercentiles(
+          t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity"),
+          tie = Seq(col("l_orderkey"), col("l_linenumber")))
+        .withColumnRenamed("_g", "flag")
     },
 
     // --- token-budget mixture allocation (integer waterfilling) ---

@@ -516,6 +516,22 @@ object HashOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Index of `v`'s bucket given ascending `bounds`: the count of
+    * boundary values strictly below `v` (binary search). Monotone in
+    * `v` and equal values share a bucket — the two properties the
+    * two-phase exact-percentile decomposition needs; the boundary
+    * VALUES only affect balance, never correctness.
+    */
+  def bucketIndex(v: Double, bounds: ArrayData): Int = {
+    var lo = 0
+    var hi = bounds.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds.getDouble(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   private val markerCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
 

@@ -70,6 +70,24 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression wit
 /** One-pass char stats `[n_chars, distinct_chars, Σc², n_printable]` —
   * the map-only replacement for a per-char explode + shuffle.
   */
+/** Bucket index of a value against a per-row ascending boundary
+  * array (count of boundaries strictly below the value, binary
+  * search) — the placement step of two-phase exact percentiles.
+  */
+case class BucketIndex(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any, bs: Any): Any =
+    HashOps.bucketIndex(v.asInstanceOf[Double],
+      bs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, bs) => s"graft.functions.HashOps.bucketIndex($v, $bs)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BucketIndex = copy(left = l, right = r)
+}
+
 /** Marker-word hit count over word-character runs — the regex-free
   * equivalent of `size(regexp_extract_all(s, "\\b(w1|w2|…)\\b"))`.
   */
@@ -339,6 +357,8 @@ object F {
     column(NgramJaccardSim(expression(a), expression(b), n))
   def wordSetHits(c: Column, markers: String): Column =
     column(WordSetHits(expression(c), markers))
+  def bucketIndex(v: Column, bounds: Column): Column =
+    column(BucketIndex(expression(v), expression(bounds)))
   def rollingFingerprint(c: Column, window: Int = 16): Column =
     column(RollingFingerprint(expression(c), window))
   def minhashSig(c: Column, shingle: Int = 5, perms: Int = 64): Column =

@@ -393,4 +393,75 @@ object Stats {
         (cumBefore * den < total * num).as("_keep"))
       .filter(col("_keep")).drop("_keep")
   }
+
+  /** EXACT per-group weighted percentiles (p25/p50/p75 as min v with
+    * 4·cum ≥ Σw, 2·cum ≥ Σw, 4·cum ≥ 3·Σw over the (v, tie…)
+    * ordering) — the two-phase decomposition that survives FEW LARGE
+    * groups, where `Window.partitionBy(group)` collapses to
+    * one-sorting-task-per-group:
+    *
+    *  1. coarse bucket each row by ~B approximate per-group value
+    *     boundaries (`percentile_approx` + a binary-search codegen
+    *     placement — boundary QUALITY only affects balance, never
+    *     correctness: placement is monotone and ties share a bucket);
+    *  2. per-(group, bucket) weight partials, prefix-summed by a tiny
+    *     window over ≤B rows per group → each bucket's global weight
+    *     offset + the group total;
+    *  3. the exact ordered cumulative scan runs ONLY inside the ≤3
+    *     threshold-crossing buckets (≈3/B of each group), with the
+    *     bucket's offset carried in — the result is bit-identical to
+    *     a full per-group sorted scan.
+    *
+    * Parallelism is groups×B for the heavy phases instead of groups;
+    * no task ever sorts more than one bucket of one group.
+    */
+  def weightedPercentiles(
+      df: DataFrame, group: Column, value: Column, weight: Column,
+      tie: Seq[Column], buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tieNames = tie.indices.map(i => s"_t$i")
+    val base = df.select(
+      (group.as("_g") +: value.as("_v") +: weight.cast("long").as("_w") +:
+        tie.zip(tieNames).map { case (c, n) => c.as(n) }): _*)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    // low sketch accuracy on purpose: boundaries only steer bucket
+    // BALANCE — a skewed boundary costs a bigger threshold-bucket
+    // scan, never a wrong answer — and a tight sketch costs more than
+    // it saves (accuracy 10000 made the sketch pass the dominant cost)
+    val bounds = base.groupBy(col("_g")).agg(
+      percentile_approx(
+        col("_v").cast("double"), array(probs.map(lit): _*), lit(100)).as("_bs"))
+    val withB = base.join(broadcast(bounds), "_g")
+      .withColumn("_b", graft.functions.F.bucketIndex(col("_v").cast("double"), col("_bs")))
+      .drop("_bs")
+    val parts = withB.groupBy(col("_g"), col("_b")).agg(sum(col("_w")).as("_bw"))
+    val pref = parts
+      .withColumn("_cumEnd",
+        sum(col("_bw")).over(Window.partitionBy(col("_g")).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_off", col("_cumEnd") - col("_bw"))
+    val tot = parts.groupBy(col("_g")).agg(sum(col("_bw")).as("total_w"))
+    // threshold-crossing buckets; `≤` (not `<`) on the offset side so a
+    // boundary-equality crossing keeps BOTH adjacent buckets and an
+    // all-zero-weight group (Σw = 0) degenerates to scanning every
+    // bucket — exactly the full-window semantics
+    val cand = pref.join(tot, "_g")
+      .filter(
+        (col("_cumEnd") * 4 >= col("total_w") && col("_off") * 4 <= col("total_w")) ||
+        (col("_cumEnd") * 2 >= col("total_w") && col("_off") * 2 <= col("total_w")) ||
+        (col("_cumEnd") * 4 >= col("total_w") * 3 && col("_off") * 4 <= col("total_w") * 3))
+      .select(col("_g"), col("_b"), col("_off"))
+    val ow = Window.partitionBy(col("_g"), col("_b"))
+      .orderBy((col("_v") +: tieNames.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(cand, Seq("_g", "_b"))
+      .withColumn("_cum", col("_off") + sum(col("_w")).over(ow))
+      .join(tot, "_g")
+      .groupBy(col("_g"))
+      .agg(
+        min(when(col("_cum") * 4 >= col("total_w"), col("_v"))).as("p25"),
+        min(when(col("_cum") * 2 >= col("total_w"), col("_v"))).as("p50"),
+        min(when(col("_cum") * 4 >= col("total_w") * 3, col("_v"))).as("p75"),
+        max(col("total_w")).as("total_w"))
+  }
 }

@@ -110,6 +110,36 @@ class PlanSpec extends SparkSpec {
       "type/token stats must be a zero-shuffle TypeTokenVec projection")
   }
 
+  test("two-phase weightedPercentiles is bit-identical to the single-window scan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial shape: heavy value ties (only 17 distinct v), zero
+    // weights, a group with a single row, tiny bucket count so every
+    // boundary collision path is exercised
+    val rnd = new scala.util.Random(8L)
+    val rows = (0 until 5000).map { i =>
+      (s"g${i % 3}", (rnd.nextInt(17) * 10).toLong, rnd.nextInt(4).toLong, i.toLong)
+    } :+ (("solo", 7L, 5L, 99999L))
+    val df = spark.createDataFrame(rows).toDF("g", "v", "w", "id")
+    val fast = graft.ops.Stats.weightedPercentiles(
+        df, col("g"), col("v"), col("w"), tie = Seq(col("id")), buckets = 4)
+      .withColumnRenamed("_g", "g")
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slow = df
+      .withColumn("cum", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("g"))
+      .agg(
+        min(when(col("cum") * 4 >= col("tw"), col("v"))).as("p25"),
+        min(when(col("cum") * 2 >= col("tw"), col("v"))).as("p50"),
+        min(when(col("cum") * 4 >= col("tw") * 3, col("v"))).as("p75"),
+        max(col("tw")).as("total_w"))
+    val a = fast.orderBy("g").collect().toSeq
+    val b = slow.orderBy("g").collect().toSeq
+    assert(a == b, s"fast=$a\nslow=$b")
+  }
+
   test("dd_containment is single-lineage: exactly three shuffles, no join") {
     val plan = physicalPlan("dd_containment")
     // gram-posting aggregation + per-doc window; the pair
