@@ -200,8 +200,19 @@ object Bench {
     }.mkString("[", ",", "]")
     val host =
       s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"quiet_ratio":$QuietRatio,"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"noisy":$noisy}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"host":$host,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
+    // r8 lesson: the driver's stdout capture truncated BENCH_r08.json
+    // mid-`runs`, leaving the committed record incomplete. Write the
+    // full line to a file FIRST so no capture layer between this JVM
+    // and the artifact can cut it; stdout stays the driver contract.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

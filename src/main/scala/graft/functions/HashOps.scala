@@ -532,6 +532,17 @@ object HashOps {
     lo
   }
 
+  /** Parsed marker-set memo. Keys come from `WordSetHits`'s marker
+    * argument, which the kernel requires to be a FOLDABLE literal —
+    * so the population is bounded by the number of distinct marker
+    * literals in compiled plans (langId contributes 4). The cap is a
+    * backstop against a caller that violates that contract with
+    * dynamic strings (the same executor-lifetime-registry discipline
+    * as `PageFetchers`/`ContinuationGroups`): past `MaxMarkerSets`
+    * entries the cache is flushed — a flush only costs re-parsing a
+    * tiny pipe-separated list, never correctness.
+    */
+  private val MaxMarkerSets = 256
   private val markerCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
 
@@ -544,6 +555,7 @@ object HashOps {
     * marker string.
     */
   def wordSetHits(s: UTF8String, markers: String): Long = {
+    if (markerCache.size() > MaxMarkerSets) markerCache.clear()
     val set = markerCache.computeIfAbsent(
       markers,
       m => {

@@ -126,8 +126,12 @@ object Reconcile {
         s"(got $maxDist): a 2-edit pair can touch both ends and never share " +
         s"a block, silently losing recall. Use fuzzyJoinSegments for τ ≥ 2.")
     val width = left.sparkSession.sessionState.conf.numShufflePartitions
-    val la = left.select(leftId.as("id_a"), leftStr.as("_sa"))
-    val ra = right.select(rightId.as("id_b"), rightStr.as("_sb"))
+    // distinct BEFORE the re-expansion joins: a duplicated (id, string)
+    // input row must not duplicate (id_a, id_b, d) output rows — the
+    // pre-r8 output-level distinct folded those; the string-pair-level
+    // distinct (which the kernel needs) does not
+    val la = left.select(leftId.as("id_a"), leftStr.as("_sa")).distinct()
+    val ra = right.select(rightId.as("id_b"), rightStr.as("_sb")).distinct()
     // r8 (same lesson as fuzzyJoinSegments): blocking, the block-size
     // cap and the Levenshtein kernel all operate on DISTINCT strings —
     // a c-fold duplicated corpus no longer pays c² kernel calls, and
@@ -253,8 +257,10 @@ object Reconcile {
     val k = tau + 1
     val width = left.sparkSession.sessionState.conf.numShufflePartitions
 
-    val la = left.select(leftId.as("id_a"), leftStr.as("_sa"))
-    val ra = right.select(rightId.as("id_b"), rightStr.as("_sb"))
+    // distinct (id, string) rows: a duplicated input row must not
+    // duplicate output rows after the re-expansion joins below
+    val la = left.select(leftId.as("id_a"), leftStr.as("_sa")).distinct()
+    val ra = right.select(rightId.as("id_b"), rightStr.as("_sb")).distinct()
     // the pair kernel sees each STRING once, however many ids carry it
     val ld = la.select(col("_sa")).distinct()
     val rd = ra.select(col("_sb")).distinct()

@@ -394,9 +394,13 @@ object Stats {
       .filter(col("_keep")).drop("_keep")
   }
 
-  /** EXACT per-group weighted percentiles (p25/p50/p75 as min v with
-    * 4·cum ≥ Σw, 2·cum ≥ Σw, 4·cum ≥ 3·Σw over the (v, tie…)
-    * ordering) — the two-phase decomposition that survives FEW LARGE
+  /** EXACT per-group weighted percentiles — each requested
+    * `(name, num, den)` fraction emits `name` = min v with
+    * den·cum ≥ num·Σw over the (v, tie…) ordering (defaults:
+    * quartiles p25/p50/p75). A NULL group key is one ordinary group
+    * (the key rides in a one-field struct through the internal
+    * equi-joins, where struct equality treats null fields as equal).
+    * This is the two-phase decomposition that survives FEW LARGE
     * groups, where `Window.partitionBy(group)` collapses to
     * one-sorting-task-per-group:
     *
@@ -417,11 +421,24 @@ object Stats {
     */
   def weightedPercentiles(
       df: DataFrame, group: Column, value: Column, weight: Column,
-      tie: Seq[Column], buckets: Int = 64): DataFrame = {
+      tie: Seq[Column], buckets: Int = 64,
+      percentiles: Seq[(String, Int, Int)] =
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(percentiles.nonEmpty, "percentiles must be non-empty")
+    percentiles.foreach { case (n, num, den) =>
+      require(den > 0 && num >= 0 && num <= den,
+        s"percentile $n: need 0 ≤ num ≤ den with den > 0, got $num/$den")
+    }
     val tieNames = tie.indices.map(i => s"_t$i")
+    // the group key rides inside a one-field struct: struct equality
+    // treats null fields as equal, so the equi-joins below ("_g" on
+    // bounds / cand / tot) keep a NULL group as one ordinary group —
+    // matching the Window.partitionBy semantics this decomposition
+    // replaces (a bare null key would silently drop out of every join)
     val base = df.select(
-      (group.as("_g") +: value.as("_v") +: weight.cast("long").as("_w") +:
+      (struct(group.as("k")).as("_g") +: value.as("_v") +:
+        weight.cast("long").as("_w") +:
         tie.zip(tieNames).map { case (c, n) => c.as(n) }): _*)
     val probs = (1 until buckets).map(_.toDouble / buckets)
     // low sketch accuracy on purpose: boundaries only steer bucket
@@ -444,24 +461,29 @@ object Stats {
     // threshold-crossing buckets; `≤` (not `<`) on the offset side so a
     // boundary-equality crossing keeps BOTH adjacent buckets and an
     // all-zero-weight group (Σw = 0) degenerates to scanning every
-    // bucket — exactly the full-window semantics
+    // bucket — exactly the full-window semantics. The SAME (num, den)
+    // fractions drive this filter and the final aggregate — one
+    // parameter, so the two predicates cannot drift apart.
+    val crossing = percentiles
+      .map { case (_, num, den) =>
+        col("_cumEnd") * den >= col("total_w") * num &&
+          col("_off") * den <= col("total_w") * num
+      }
+      .reduce(_ || _)
     val cand = pref.join(tot, "_g")
-      .filter(
-        (col("_cumEnd") * 4 >= col("total_w") && col("_off") * 4 <= col("total_w")) ||
-        (col("_cumEnd") * 2 >= col("total_w") && col("_off") * 2 <= col("total_w")) ||
-        (col("_cumEnd") * 4 >= col("total_w") * 3 && col("_off") * 4 <= col("total_w") * 3))
+      .filter(crossing)
       .select(col("_g"), col("_b"), col("_off"))
     val ow = Window.partitionBy(col("_g"), col("_b"))
       .orderBy((col("_v") +: tieNames.map(col)).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outs = percentiles.map { case (name, num, den) =>
+      min(when(col("_cum") * den >= col("total_w") * num, col("_v"))).as(name)
+    } :+ max(col("total_w")).as("total_w")
     withB.join(cand, Seq("_g", "_b"))
       .withColumn("_cum", col("_off") + sum(col("_w")).over(ow))
       .join(tot, "_g")
       .groupBy(col("_g"))
-      .agg(
-        min(when(col("_cum") * 4 >= col("total_w"), col("_v"))).as("p25"),
-        min(when(col("_cum") * 2 >= col("total_w"), col("_v"))).as("p50"),
-        min(when(col("_cum") * 4 >= col("total_w") * 3, col("_v"))).as("p75"),
-        max(col("total_w")).as("total_w"))
+      .agg(outs.head, outs.tail: _*)
+      .withColumn("_g", col("_g.k")) // unwrap the null-safe struct
   }
 }

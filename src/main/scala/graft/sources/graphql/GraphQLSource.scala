@@ -312,16 +312,40 @@ private object ContinuationScan {
     * Bounded like the registry; an entry holds only (key, cursor)
     * pairs + fetcher refs, the same control-plane currency.
     */
+  /** Groups planned (registry entry consumed) whose cached partitions
+    * were later LRU-evicted. A re-execution of such a DataFrame can
+    * neither hit the cache nor re-walk cursors from the consumed
+    * registry entry — the error must name the eviction, mirroring
+    * `ContinuationGroups`' evicted-set message, instead of the bare
+    * not-registered error an unconsumed group would get.
+    */
+  private val evicted =
+    java.util.Collections.newSetFromMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > ContinuationGroups.MaxGroups
+      })
   private val planCache =
     new java.util.LinkedHashMap[String, Array[InputPartition]](64, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[InputPartition]]): Boolean =
-        size() > ContinuationGroups.MaxGroups
+          e: java.util.Map.Entry[String, Array[InputPartition]]): Boolean = {
+        val evict = size() > ContinuationGroups.MaxGroups
+        if (evict) evicted.add(e.getKey)
+        evict
+      }
     }
   def planOnce(group: String): Array[InputPartition] = planCache.synchronized {
     val hit = planCache.get(group)
     if (hit != null) hit
     else {
+      if (evicted.contains(group))
+        throw new NoSuchElementException(
+          s"continuation group consumed and its planned partitions evicted: " +
+            s"$group — >${ContinuationGroups.MaxGroups} groups planned after " +
+            "it; re-execute (or persist) long-lived flattened DataFrames " +
+            "before planning that many more groups, or rebuild this one " +
+            "from its source")
       val parts = ContinuationGroups(group).flatMap { case (key, fetcherName) =>
         val fetcher = PageFetchers(fetcherName)
         PagedGraphQL.fetchAllCursors(fetcher).zipWithIndex.map {

@@ -114,11 +114,13 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     // adversarial shape: heavy value ties (only 17 distinct v), zero
-    // weights, a group with a single row, tiny bucket count so every
-    // boundary collision path is exercised
+    // weights, a group with a single row, a NULL group (must behave
+    // as one ordinary group, like Window.partitionBy), tiny bucket
+    // count so every boundary collision path is exercised
     val rnd = new scala.util.Random(8L)
     val rows = (0 until 5000).map { i =>
-      (s"g${i % 3}", (rnd.nextInt(17) * 10).toLong, rnd.nextInt(4).toLong, i.toLong)
+      (if (i % 11 == 0) null else s"g${i % 3}",
+        (rnd.nextInt(17) * 10).toLong, rnd.nextInt(4).toLong, i.toLong)
     } :+ (("solo", 7L, 5L, 99999L))
     val df = spark.createDataFrame(rows).toDF("g", "v", "w", "id")
     val fast = graft.ops.Stats.weightedPercentiles(
@@ -138,6 +140,24 @@ class PlanSpec extends SparkSpec {
     val a = fast.orderBy("g").collect().toSeq
     val b = slow.orderBy("g").collect().toSeq
     assert(a == b, s"fast=$a\nslow=$b")
+    // parameterized percentile set: a p99-style call through the same
+    // two-phase machinery (the fraction drives BOTH the candidate
+    // filter and the final aggregate from one Seq)
+    val fast99 = graft.ops.Stats.weightedPercentiles(
+        df, col("g"), col("v"), col("w"), tie = Seq(col("id")), buckets = 4,
+        percentiles = Seq(("p99", 99, 100), ("p50", 1, 2)))
+      .withColumnRenamed("_g", "g")
+    val slow99 = df
+      .withColumn("cum", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("g"))
+      .agg(
+        min(when(col("cum") * 100 >= col("tw") * 99, col("v"))).as("p99"),
+        min(when(col("cum") * 2 >= col("tw"), col("v"))).as("p50"),
+        max(col("tw")).as("total_w"))
+    val a99 = fast99.orderBy("g").collect().toSeq
+    val b99 = slow99.orderBy("g").collect().toSeq
+    assert(a99 == b99, s"fast99=$a99\nslow99=$b99")
   }
 
   test("dd_containment is single-lineage: exactly three shuffles, no join") {
