@@ -1328,8 +1328,12 @@ object SparkEntry {
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).cast("long").as("src"),
           (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      val e = pairs.unionByName(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // both directions via a map-side explode: a self-union would
+      // execute the orders⋈lineitem join twice per materialization
+      val e = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
     },
 

@@ -27,10 +27,21 @@ object Graph {
     * (ranks are scores, not a probability distribution — ordering is
     * what matters, and floor loss is ≤ outdeg ULPs per node).
     *
-    * Scale shape per iteration: one shuffle joining ranks to edges on
-    * src + one aggregation on dst — the canonical distributed PR
-    * round. `edges` is cached by the caller if reused; the node count
-    * is the only driver-side scalar (one count job, control-plane).
+    * Scale shape per iteration (r9 rework — the pre-r9 round joined
+    * full (rank, deg)-wide rows to every EDGE and shuffled |E|
+    * contribution rows to dst): the per-src contribution
+    * `rank div deg` is computed ONCE PER NODE map-only (outdegree is
+    * folded into the rank frame at setup, so no per-round rank⋈deg
+    * join exists at all), and the edge frame is pre-partitioned ONCE
+    * so every round reuses the same stationary edge partitions.
+    * Below `maxBroadcastNodes` the node-sized (src, c) frame
+    * broadcasts and edges are pre-partitioned by dst — a round is
+    * broadcast-join → map-side partial agg → final agg with NO
+    * Exchange at all (pinned by a PlanSpec). Past the bound, edges
+    * pre-partition by src, the round shuffles only the N-row
+    * contribution frame to the stationary edges plus the map-combined
+    * dst aggregation — never the edges. The node count is the only
+    * driver-side scalar (one count job, control-plane).
     */
   def pageRank(
       edges: DataFrame, src: Column, dst: Column,
@@ -41,45 +52,90 @@ object Graph {
     // 1..t−1, turning k rounds into O(k²) work and unbounded plan
     // depth — the difference between 3 rounds locally and 50 rounds
     // on a cluster.
-    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val n = nodes.count()
+    import org.apache.spark.storage.StorageLevel
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    // Stationary frames are PERSISTED, not checkpointed: a cached plan
+    // retains its outputPartitioning (AQE leaves cached plans alone),
+    // whereas localCheckpoint's LogicalRDD forgets it under AQE — and
+    // the whole round-plan shape below rides on that retention. They
+    // are build-once frames; the loop's eager checkpoints cut every
+    // lineage reference, so both are unpersisted before returning —
+    // no session-lifetime cache residue. ONE exchange builds dedup
+    // AND layout: hash(dst) colocates identical (src, dst) pairs, so
+    // the distinct aggregates partition-locally on top of the
+    // repartition. dst-partitioning is what the broadcast regime
+    // wants: the contribution join broadcasts onto the stationary
+    // edge partitions and the dst aggregation's alias-propagated
+    // partitioning makes the whole round plan ZERO-Exchange (pinned
+    // by a PlanSpec). The big regime (node table beyond broadcast)
+    // re-lays by src ONCE so each round shuffles only the N-row
+    // contribution frame, never the edges.
+    val eDst = e0.repartition(width, col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eDst.select(col("src").as("node"))
+      .union(eDst.select(col("dst").as("node"))).distinct()
+    val outdeg = eDst.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (node, deg) with deg = 0 for sink-only nodes — persisted once so
+    // no round recomputes the degree aggregation, and the hash(node)
+    // partitioning it inherits keeps the rank-assembly join
+    // Exchange-free
+    val nodesDeg = nodes
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodesDeg.count()
     require(n > 0, "pageRank: empty graph")
-    // A checkpointed frame has no catalog stats, so Catalyst will
-    // never broadcast the rank side on its own and every round pays a
-    // full edge shuffle. The node count is already on the driver:
-    // below the bound, hint the (node, rank) side broadcast — each
-    // round then joins map-side against the stationary edge partitions
-    // and the only shuffle left is the dst aggregation. Past the
-    // bound (rank table genuinely cluster-sized), fall back to the
-    // co-partitioned shuffle join: edgesDeg is checkpointed once and
-    // both sides hash on the join key.
     val small = n <= maxBroadcastNodes
+    val e =
+      if (small) eDst
+      else eDst.repartition(width, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // A cached frame has no catalog stats, so Catalyst would never
+    // broadcast the contribution side on its own; the node count is
+    // already on the driver, so hint it below the bound.
     def bcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = (scale * 3 / 20) / n
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = e.join(bcast(outdeg), Seq("src")).localCheckpoint()
-    var rank = nodes.withColumn("rank", lit(scale / n))
+    var rank = nodesDeg.withColumn("rank", lit(scale / n))
     var it = 0
     while (it < iters) {
-      val contribs = edgesDeg
-        .join(bcast(rank.withColumnRenamed("node", "src")), Seq("src"))
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      rank = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(coalesce(in_mass, 0L) * 17) div 20")).as("rank"))
-        .localCheckpoint()
-      // round t−1's checkpoint blocks are reclaimed by the
+      // localCheckpoint each round (the connectedComponents idiom):
+      // without it iteration t's LAZY plan re-executes iterations
+      // 1..t−1, turning k rounds into O(k²) work and unbounded plan
+      // depth. Round t−1's checkpoint blocks are reclaimed by the
       // ContextCleaner once this reassignment drops the last
-      // reference — a 50-round run tends toward one live rank RDD,
-      // not 50 (localCheckpoint blocks are not CacheManager entries;
-      // an explicit Dataset.unpersist would be a no-op here).
+      // reference — a 50-round run tends toward one live rank RDD.
+      rank = pageRankRound(e, nodesDeg, rank, base, bcast).localCheckpoint()
       it += 1
     }
-    rank
+    // every round is eagerly materialized, so nothing the returned
+    // frame evaluates still reads these caches
+    eDst.unpersist(false)
+    nodesDeg.unpersist(false)
+    if (!small) e.unpersist(false)
+    rank.select(col("node"), col("rank"))
+  }
+
+  /** One PR round over the stationary frames (factored out so a plan
+    * spec can count its Exchanges): map-only per-NODE contributions
+    * (`rank div deg` — outdegree rides in the rank frame, so no
+    * rank⋈deg join exists), joined to the stationary edges, dst-
+    * aggregated, assembled against the node frame. In the broadcast
+    * regime with `ePart` hash(dst)-partitioned this whole round plans
+    * ZERO Exchanges.
+    */
+  private[graft] def pageRankRound(
+      ePart: DataFrame, nodesDeg: DataFrame, rank: DataFrame,
+      base: Long, bcast: DataFrame => DataFrame): DataFrame = {
+    // one row per node WITH out-edges — dangling nodes contribute
+    // nothing
+    val contribSrc = rank.filter(col("deg") > 0)
+      .select(col("node").as("src"), expr("rank div deg").as("c"))
+    val contribs = ePart.join(bcast(contribSrc), Seq("src"))
+      .select(col("dst").as("node"), col("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+    nodesDeg.join(contribs, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        (lit(base) + expr("(coalesce(in_mass, 0L) * 17) div 20")).as("rank"))
   }
 
   /** Exact per-node triangle counts via degree-ordered orientation —

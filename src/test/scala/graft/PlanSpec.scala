@@ -160,6 +160,54 @@ class PlanSpec extends SparkSpec {
     assert(a99 == b99, s"fast99=$a99\nslow99=$b99")
   }
 
+  test("pageRank round plans ZERO Exchanges in the broadcast regime") {
+    import org.apache.spark.sql.functions._
+    val width = spark.sessionState.conf.numShufflePartitions
+    // mirror pageRank's setup exactly: dst-partitioned stationary
+    // edges, checkpointed node+deg frame, then ONE round through the
+    // factored round body — the per-iteration cost a 50-round run
+    // multiplies
+    val raw = spark.range(0, 2000).selectExpr(
+      "id % 97 as src", "(id * 31) % 89 as dst")
+    val e = raw.repartition(width, col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nodesDeg = nodes
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodesDeg.count()
+    val rank = nodesDeg.withColumn("rank", lit(1000000L)).localCheckpoint()
+    val round = graft.ops.Graph.pageRankRound(
+      e, nodesDeg, rank, 100L, broadcast)
+    round.count() // finalize the adaptive plan
+    // walk the EXECUTED round plan only — a cached relation's build
+    // plan legitimately contains the setup exchanges, but it is
+    // materialized once, not per round, and collect() does not
+    // descend into InMemoryRelation
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Int = {
+      val self = if (p.isInstanceOf[ShuffleExchangeLike]) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self + kids.map(shuffles).sum
+    }
+    val n = shuffles(round.queryExecution.executedPlan)
+    val plan = round.queryExecution.executedPlan.toString
+    e.unpersist(); nodesDeg.unpersist()
+    assert(n == 0,
+      s"PR round must reuse the stationary dst partitioning — found $n shuffle Exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "contribution frame should broadcast onto the stationary edges")
+  }
+
   test("dd_containment is single-lineage: exactly three shuffles, no join") {
     val plan = physicalPlan("dd_containment")
     // gram-posting aggregation + per-doc window; the pair
