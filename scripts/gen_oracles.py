@@ -93,6 +93,30 @@ SELECT CAST(-3 AS BIGINT) AS doc_id, 'audio' AS modality,
  CAST(88200 AS INT) AS n_frames, '0' AS frames,
  CAST(1 AS BIGINT) AS n_sampled"""
 
+    # ---- mm_audio_decode: sample-level audio decode — corpus rows
+    # are text bytes (not WAV) -> deterministic stub stats from the
+    # payload FNV, unsigned-shift arithmetic as HUGEINT floor-divs;
+    # the Spark side plants doc_id = -10/-11: REAL PCM16 WAVs decoded
+    # sample-by-sample through javax.sound.sampled, whose frame/
+    # channel/rate/peak values are known by construction (the
+    # wavBytes ramp has peak |amplitude| exactly 617 for any n >= 1) ----
+    o["mm_audio_decode"] = f"""
+SELECT doc_id,
+ CAST((({h}) // 256) % 100000 + 1 AS BIGINT) AS n_frames,
+ CAST((({h}) // 65536) % 2 + 1 AS INT) AS channels,
+ CAST(8000 * ((({h}) // 16777216) % 6 + 1) AS INT) AS rate,
+ CAST((({h}) // 1099511627776) % 32768 AS INT) AS peak,
+ false AS decoded
+FROM documents
+UNION ALL
+SELECT CAST(-10 AS BIGINT) AS doc_id, CAST(441 AS BIGINT) AS n_frames,
+ CAST(2 AS INT) AS channels, CAST(44100 AS INT) AS rate,
+ CAST(617 AS INT) AS peak, true AS decoded
+UNION ALL
+SELECT CAST(-11 AS BIGINT) AS doc_id, CAST(100 AS BIGINT) AS n_frames,
+ CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS rate,
+ CAST(617 AS INT) AS peak, true AS decoded"""
+
     # ---- q_approx_distinct: KMV bottom-k estimate, recomputed from
     # the k-th smallest biased splitmix hash (identical double ops) ----
     hu = splitmix("CAST(user_id AS HUGEINT)")

@@ -764,6 +764,24 @@ object SparkEntry {
           col("n_sampled"))
     },
 
+    "mm_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      // sample-level audio decode: planted REAL PCM16 WAV payloads
+      // (441 frames stereo 44.1 kHz; 100 frames mono 8 kHz) decode
+      // through javax.sound.sampled sample-by-sample — peak
+      // |amplitude| 617 by the wavBytes ramp construction — while
+      // the synthetic text-byte corpus takes the deterministic stub
+      // arm the oracle replays; the remaining stub surface is
+      // exactly the non-JVM compressed codecs
+      val planted = Seq(
+        (-10L, Multimodal.wavBytes(441, 2, 44100)),
+        (-11L, Multimodal.wavBytes(100, 1, 8000)))
+        .toDF("doc_id", "payload")
+      val corpus = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeAudio(s, corpus.unionByName(planted)).toDF()
+    },
+
     "mm_shard_manifest" -> { (s, dir) =>
       // webdataset-style shard assembly: pack binary payloads into
       // byte-budgeted shards per modality (next-fit over the real

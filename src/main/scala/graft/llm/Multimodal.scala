@@ -30,6 +30,18 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
+  /** A decoded-audio feature row: sample-level statistics (peak is
+    * max |16-bit amplitude| across all channels) plus whether a real
+    * codec produced them (`decoded` false = deterministic stub arm).
+    */
+  case class AudioFeatures(
+      doc_id: Long,
+      n_frames: Long,
+      channels: Int,
+      rate: Int,
+      peak: Int,
+      decoded: Boolean)
+
   /** True iff the payload's magic bytes name a format `javax.imageio`
     * ships a decoder for: PNG (89 50 4E 47), JPEG (FF D8), GIF
     * ("GIF8"), BMP ("BM"). Sniffing first keeps the non-image fast
@@ -93,6 +105,95 @@ object Multimodal {
           fmt.getFormat.getChannels,
           math.round(fmt.getFormat.getFrameRate)))
       } catch { case _: Exception => None }
+
+  /** REAL sample decode for WAV PCM payloads — the one compressed-
+    * payload-free audio codec the JVM decodes with zero dependencies
+    * (`javax.sound.sampled`): (sample frames, channels, frames/sec,
+    * peak |amplitude|). Unlike [[decodeWavMeta]] this reads EVERY
+    * sample: the AudioInputStream's raw PCM bytes are interpreted at
+    * the container's declared endianness and the peak is the max
+    * absolute 16-bit sample value across all channels — the loudness
+    * statistic an audio curation filter keys on. Non-PCM16 encodings
+    * and malformed payloads → None (→ the deterministic stub arm),
+    * so the remaining stub surface is exactly the non-JVM compressed
+    * codecs (MP3/AAC/FLAC frames…).
+    */
+  private[graft] def decodeWavSamples(b: Array[Byte]): Option[(Long, Int, Int, Int)] =
+    if (!looksLikeWav(b)) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val big = fmt.isBigEndian
+            val buf = new Array[Byte](8192)
+            var peak = 0
+            var carry = -1 // odd-byte boundary straddle between reads
+            var read = in.read(buf)
+            while (read > 0) {
+              var i = 0
+              if (carry >= 0 && read >= 1) {
+                val s =
+                  if (big) (carry << 8) | (buf(0) & 0xff)
+                  else (buf(0) << 8) | carry
+                val a = math.abs(s.toShort.toInt)
+                if (a > peak) peak = a
+                carry = -1
+                i = 1
+              }
+              while (i + 1 < read) {
+                val s =
+                  if (big) ((buf(i) & 0xff) << 8) | (buf(i + 1) & 0xff)
+                  else ((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)
+                val a = math.abs(s.toShort.toInt)
+                if (a > peak) peak = a
+                i += 2
+              }
+              if (i < read) carry = buf(i) & 0xff
+              read = in.read(buf)
+            }
+            Some((in.getFrameLength, fmt.getChannels,
+              math.round(fmt.getFrameRate), peak))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** Deterministic minimal PCM16-LE WAV payload for planting a truly
+    * decodable audio file under the oracle (the GIF/MP4/FLAC idiom).
+    * Sample (frame i, channel c) = ((i·37 + c·11) mod 1234) − 617, so
+    * for ANY n ≥ 1 the peak |amplitude| is exactly 617 (frame 0
+    * channel 0 hits −617; every other value lies in [−616, 616]) —
+    * a constant the oracle can pin.
+    */
+  def wavBytes(nFrames: Int, channels: Int, rate: Int): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        out.putShort((((i * 37 + c * 11) % 1234) - 617).toShort)
+        c += 1
+      }
+      i += 1
+    }
+    out.array()
+  }
 
   /** True iff the payload starts with the FLAC stream marker. */
   private[llm] def looksLikeFlac(b: Array[Byte]): Boolean =
@@ -543,6 +644,37 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Sample-level audio decode over binary payloads: WAV PCM16 rows
+    * get REAL per-sample statistics through [[decodeWavSamples]]
+    * (`decoded` = true); everything else falls to the deterministic
+    * stub arm so the schema, the batched `mapPartitions` shape and
+    * the cross-engine oracle are uniform. Same swap-in contract as
+    * [[decode]]: an MP3/AAC codec would slot into the per-row closure
+    * without touching the plan.
+    */
+  def decodeAudio(spark: SparkSession, withPayload: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (docId, payload) =>
+        decodeWavSamples(payload) match {
+          case Some((frames, channels, rate, peak)) =>
+            AudioFeatures(docId, frames, channels, rate, peak, decoded = true)
+          case None =>
+            val h = graft.functions.HashOps.fnv1a64(payload, 0, payload.length)
+            // deterministic fake stats, unsigned-shift arithmetic the
+            // oracle replays with HUGEINT floor-division
+            AudioFeatures(docId,
+              (h >>> 8) % 100000L + 1L,
+              (((h >>> 16) % 2) + 1).toInt,
+              (8000L * (((h >>> 24) % 6) + 1)).toInt,
+              ((h >>> 40) % 32768).toInt,
+              decoded = false)
+        }
+      })
   }
 
   private def stubFeatures(

@@ -248,10 +248,24 @@ object Reconcile {
     strs.select(s, explode(array(entries: _*)).as("_k"))
   }
 
+  /** @param maxBlockSize 0 disables salting. When > 0, any indexed-
+    *   side block with more than `maxBlockSize` distinct strings is
+    *   SALTED: its right strings split into ⌈size/maxBlockSize⌉
+    *   hash-assigned shards and the block's probes replicate across
+    *   them — so one task's candidate fan-out for that block is
+    *   |probes|·maxBlockSize instead of |probes|·|block|, while every
+    *   (probe, indexed) pair still meets in exactly one shard.
+    *   COMPLETENESS IS PRESERVED (unlike [[fuzzyJoin]]'s cap, which
+    *   skips): total work is unchanged — it is compute the residual
+    *   hot block forces anyway — but it spreads across the cluster
+    *   instead of degenerating into one quadratic task.
+    *   [[fuzzyJoinSegmentStats]] with the same `maxBlockSize` reports
+    *   which blocks salted and how many shards each got.
+    */
   def fuzzyJoinSegments(
       left: DataFrame, leftId: Column, leftStr: Column,
       right: DataFrame, rightId: Column, rightStr: Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBlockSize: Int = 0): DataFrame = {
     require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
     val tau = maxDist
     val k = tau + 1
@@ -288,9 +302,35 @@ object Reconcile {
       ld.select(col("_sa"),
         explode(array_distinct(filter(array(cands: _*), _.isNotNull))).as("_k"))
     }
+    // optional hot-block salting (see scaladoc): the shard column is
+    // a constant 0 when off or for un-hot blocks, so the join key
+    // (_k, _sh) degenerates to the unsalted behavior everywhere
+    // except inside oversized blocks
+    val (lbS, rbS) =
+      if (maxBlockSize <= 0)
+        (lb.withColumn("_sh", lit(0)), rb.withColumn("_sh", lit(0)))
+      else {
+        // hot blocks are few by definition (each holds > maxBlockSize
+        // of the distinct corpus) — broadcast their shard counts
+        val hot = rb.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > maxBlockSize)
+          .select(col("_k"),
+            ceil(col("_n") / maxBlockSize).cast("int").as("_shards"))
+        val rbSalt = rb.join(broadcast(hot), Seq("_k"), "left")
+          .withColumn("_sh",
+            coalesce(pmod(xxhash64(col("_sb")), col("_shards")).cast("int"),
+              lit(0)))
+          .drop("_shards")
+        val lbSalt = lb.join(broadcast(hot), Seq("_k"), "left")
+          .withColumn("_sh",
+            explode(when(col("_shards").isNull, array(lit(0)))
+              .otherwise(sequence(lit(0), col("_shards") - 1))))
+          .drop("_shards")
+        (lbSalt, rbSalt)
+      }
     // pinned-width kernel join (see scaladoc lesson 2), then verify
-    val stringPairs = lb.repartition(width, col("_k"))
-      .join(rb.repartition(width, col("_k")), "_k")
+    val stringPairs = lbS.repartition(width, col("_k"), col("_sh"))
+      .join(rbS.repartition(width, col("_k"), col("_sh")), Seq("_k", "_sh"))
       // cheap length prefilter before the O(len²) Levenshtein DP
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= tau)
       .withColumn("d", levenshtein(col("_sa"), col("_sb")))
@@ -318,17 +358,28 @@ object Reconcile {
     * One extra aggregation over the exact block stream the join
     * shuffles; no change to the join itself.
     */
+  /** @param maxBlockSize mirror of [[fuzzyJoinSegments]]' parameter:
+    *   when > 0, appends `n_shards` — the shard count salting gives a
+    *   block of that size (1 = unsalted) — so the histogram reports
+    *   exactly which residual hot blocks the salt spreads and how
+    *   far. 0 keeps the legacy 3-column schema.
+    */
   def fuzzyJoinSegmentStats(
       right: DataFrame, rightId: Column, rightStr: Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBlockSize: Int = 0): DataFrame = {
     require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
     // mirror the join exactly: the kernel indexes DISTINCT strings
-    segmentBlocks(
+    val base = segmentBlocks(
         right.select(rightStr.as("_sb")).distinct(), maxDist + 1)
       .groupBy(col("_k"))
       .agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("_k.i").cast("long").as("seg_idx"), col("bucket_size"))
       .agg(count(lit(1)).as("n_blocks"))
+    if (maxBlockSize <= 0) base
+    else base.withColumn("n_shards",
+      when(col("bucket_size") > maxBlockSize,
+        ceil(col("bucket_size") / maxBlockSize))
+        .otherwise(lit(1L)))
   }
 
   /** Post-load resync validation (reference 38-42): after the

@@ -200,6 +200,38 @@ class FunnelSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoinSegments salting: identical output on a low-entropy corpus, hot blocks sharded") {
+    // degenerate corpus: 60 DISTINCT keys share a long low-entropy
+    // prefix, so segment blocks go hot (the documented residual the
+    // cap-free scheme can't avoid); salting must spread them without
+    // changing a single output pair
+    val keys = (0 until 60).map(i => f"aaaaaaaaaaaa$i%04d")
+    val near = (0 until 60).map(i => f"aaaaaaaaaaab$i%04d") // 1 edit away
+    val l = keys.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val r = (keys ++ near).zipWithIndex
+      .map { case (s, i) => (1000L + i, s) }.toDF("id", "s")
+    val plain = graft.ops.Reconcile.fuzzyJoinSegments(
+        l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = graft.ops.Reconcile.fuzzyJoinSegments(
+        l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2,
+        maxBlockSize = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(plain.nonEmpty && salted == plain,
+      s"salting changed output: missing=${(plain -- salted).take(5)} " +
+        s"extra=${(salted -- plain).take(5)}")
+    // the stats twin reports the spread: the hot shared-prefix blocks
+    // get ⌈size/maxBlockSize⌉ shards, small blocks stay at 1
+    val stats = graft.ops.Reconcile.fuzzyJoinSegmentStats(
+        r, col("id"), col("s"), maxDist = 2, maxBlockSize = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.exists { case (_, size, _, shards) =>
+      size > 8 && shards == (size + 7) / 8 },
+      s"no hot block reported sharded: ${stats.toSeq.sortBy(-_._2).take(5)}")
+    assert(stats.forall { case (_, size, _, shards) =>
+      size > 8 || shards == 1L }, "small blocks must not salt")
+  }
+
   test("fuzzy kernels pin their shuffle width — AQE cannot byte-coalesce the pair stage") {
     // the r8 sf1 regression: segment keys are tiny, AQE saw a few MB
     // and fused the quadratic kernel into ONE task. The pin is an

@@ -91,6 +91,43 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.width == 1 && feats.height == 8000 && feats.n_frames == nFrames)
   }
 
+  test("WAV PCM sample decode: peak amplitude matches a brute-force sample scan") {
+    // an AudioSystem-written WAV (independent of wavBytes) with a
+    // known extreme sample, read back through the sample-level path
+    val sampleRate = 16000f
+    val nFrames = 3000
+    val pcm = new Array[Byte](nFrames * 2)
+    var maxAbs = 0
+    var i = 0
+    while (i < nFrames) {
+      val v = (((i * 97) % 24001) - 12000).toShort
+      if (math.abs(v.toInt) > maxAbs) maxAbs = math.abs(v.toInt)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((frames, channels, rate, peak)) =
+      Multimodal.decodeWavSamples(bos.toByteArray)
+    assert(frames == nFrames && channels == 1 && rate == 16000)
+    assert(peak == maxAbs, s"peak $peak != brute-force $maxAbs")
+  }
+
+  test("wavBytes fixtures round-trip with peak 617 by construction; non-WAV declines") {
+    for ((n, ch, hz) <- Seq((441, 2, 44100), (100, 1, 8000), (1, 1, 11025))) {
+      val Some((frames, channels, rate, peak)) =
+        Multimodal.decodeWavSamples(Multimodal.wavBytes(n, ch, hz))
+      assert((frames, channels, rate, peak) == ((n.toLong, ch, hz, 617)),
+        s"($n,$ch,$hz) -> ($frames,$channels,$rate,$peak)")
+    }
+    assert(Multimodal.decodeWavSamples("not a wav".getBytes).isEmpty)
+  }
+
   test("MP4 payloads report tkhd dimensions and stsz frame count via the box walk") {
     val mp4 = Multimodal.mp4Bytes(nFrames = 24, width = 640, height = 360)
     assert(Multimodal.decodeMp4Meta(mp4).contains((640, 360, 24)))
