@@ -117,6 +117,80 @@ SELECT CAST(-11 AS BIGINT) AS doc_id, CAST(100 AS BIGINT) AS n_frames,
  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS rate,
  CAST(617 AS INT) AS peak, true AS decoded"""
 
+    # ---- txt_bpe_train / ds_pack_bpe: replay R rounds of word-level
+    # BPE merge learning. Pair counts via a lead window over the
+    # symbol sequence; the argmax merge uses the same total tie-break
+    # (count DESC, pair ASC); greedy left-to-right application =
+    # alternation within runs of consecutive hit positions (for a!=b
+    # hits are never adjacent; for a==b runs, odd-indexed hits merge
+    # and the following position is consumed) ----
+    def bpe_ctes(rounds):
+        parts = ["""words AS MATERIALIZED (
+ SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+ WHERE word <> '' GROUP BY word),
+seq0 AS MATERIALIZED (
+ SELECT word, freq, CAST(t.i AS BIGINT) AS pos, substr(word, t.i, 1) AS sym
+ FROM words CROSS JOIN
+  (SELECT unnest(range(1, (SELECT max(length(word)) + 1 FROM words))) AS i) t
+ WHERE t.i <= length(word))"""]
+        for r in range(1, rounds + 1):
+            parts.append(f"""p{r} AS MATERIALIZED (SELECT word, freq, pos, sym,
+ lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM seq{r-1}),
+best{r} AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS c
+ FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+ ORDER BY c DESC, a, b LIMIT 1),
+h{r} AS MATERIALIZED (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+ CASE WHEN p.nxt IS NOT NULL AND p.sym = b.a AND p.nxt = b.b
+      THEN 1 ELSE 0 END AS hit
+ FROM p{r} p CROSS JOIN best{r} b),
+k{r} AS MATERIALIZED (SELECT word, pos FROM (
+  SELECT word, pos, row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+  FROM (SELECT word, pos,
+    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+   FROM h{r} WHERE hit = 1))
+ WHERE rn % 2 = 1),
+seq{r} AS MATERIALIZED (
+ SELECT h.word, h.freq,
+  CAST(row_number() OVER (PARTITION BY h.word ORDER BY h.pos) AS BIGINT) AS pos,
+  CASE WHEN k.pos IS NOT NULL THEN h.sym || h.nxt ELSE h.sym END AS sym
+ FROM h{r} h
+ LEFT JOIN k{r} k ON k.word = h.word AND k.pos = h.pos
+ LEFT JOIN k{r} kp ON kp.word = h.word AND kp.pos = h.pos - 1
+ WHERE kp.pos IS NULL)""")
+        return ",\n".join(parts)
+
+    R = 8
+    merge_rows = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS BIGINT) AS "rank", a AS lhs, b AS rhs,'
+        f" c AS pair_count FROM best{r}"
+        for r in range(1, R + 1))
+    o["txt_bpe_train"] = f"WITH {bpe_ctes(R)}\n{merge_rows}"
+
+    o["ds_pack_bpe"] = f"""WITH RECURSIVE {bpe_ctes(R)},
+vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS toklen
+          FROM seq{R} GROUP BY word),
+dt AS (
+ SELECT doc_id, source, CAST(sum(toklen) AS BIGINT) AS bpe_tokens
+ FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word
+       FROM documents) dw
+ JOIN vocab USING (word)
+ GROUP BY doc_id, source),
+d AS (SELECT source, doc_id, bpe_tokens,
+ row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM dt),
+pk AS (
+ SELECT source, doc_id, bpe_tokens, rn, bpe_tokens AS acc, CAST(0 AS BIGINT) AS seq
+ FROM d WHERE rn = 1
+ UNION ALL
+ SELECT d.source, d.doc_id, d.bpe_tokens, d.rn,
+  CASE WHEN pk.acc + d.bpe_tokens > 512 THEN d.bpe_tokens
+       ELSE pk.acc + d.bpe_tokens END,
+  pk.seq + CASE WHEN pk.acc + d.bpe_tokens > 512 THEN 1 ELSE 0 END
+ FROM pk JOIN d ON d.source = pk.source AND d.rn = pk.rn + 1)
+SELECT source, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+ CAST(sum(bpe_tokens) AS BIGINT) AS tokens
+FROM pk GROUP BY source, seq"""
+
     # ---- q_approx_distinct: KMV bottom-k estimate, recomputed from
     # the k-th smallest biased splitmix hash (identical double ops) ----
     hu = splitmix("CAST(user_id AS HUGEINT)")

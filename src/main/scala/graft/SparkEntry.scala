@@ -1769,6 +1769,32 @@ object SparkEntry {
       TextAnalysis.typeToken(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
 
+    // --- distributed BPE merge learning (8 rounds) ---
+    "txt_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      // deterministic learned merges: corpus touched once (word-freq
+      // agg), each round a vocab-sized pair agg + 1-row collect + a
+      // map-only codegen merge kernel; the DuckDB oracle replays all
+      // 8 rounds (lead-window pair counts, same total tie-break,
+      // alternation-within-runs greedy application)
+      graft.llm.Bpe.train(
+        t(s, dir, "documents"), col("text"), rounds = 8)._1.toDF()
+    },
+
+    // --- sequence packing on LEARNED-BPE token counts ---
+    "ds_pack_bpe" -> { (s, dir) =>
+      // the composition a training pipeline actually runs: train the
+      // tokenizer, charge every doc its real learned-token count,
+      // next-fit pack into 512-token sequences per source
+      val counts = graft.llm.Bpe.docTokenCounts(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        extra = Seq(col("source")), rounds = 8)
+      graft.ops.Packing.nextFit(
+          counts, col("source"), col("doc_id"), col("bpe_tokens"), budget = 512)
+        .groupBy(col("grp").as("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("tokens"))
+    },
+
     // --- single-pass data-quality expectation suite ---
     "q_expectations" -> { (s, dir) =>
       import graft.ops.Expectations._

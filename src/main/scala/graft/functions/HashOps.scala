@@ -654,6 +654,31 @@ object HashOps {
     * the cross-engine oracle is unchanged. The count map is
     * alphabet-bounded (≤ distinct code points per doc).
     */
+  /** One greedy left-to-right BPE merge pass: every non-overlapping
+    * adjacent (a, b) symbol pair in `syms` collapses to its
+    * concatenation, scanning left to right (so "aaa" under (a,a)
+    * becomes [aa, a], and consumed positions never re-match — the
+    * standard BPE application order, identical to the SQL oracle's
+    * alternation-within-runs formulation). One pass, no allocation
+    * beyond the output array.
+    */
+  def bpeMergeApply(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.equals(syms.getUTF8String(i)) &&
+          b.equals(syms.getUTF8String(i + 1))) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(syms.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def charStatsVec(s: UTF8String): ArrayData = {
     val str = s.toString
     val counts = new java.util.HashMap[Integer, Array[Long]]()

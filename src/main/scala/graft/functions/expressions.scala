@@ -176,6 +176,27 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression with Im
   override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
 }
 
+/** One greedy left-to-right BPE merge application over a symbol
+  * array — the map-only inner step of distributed BPE training (the
+  * pair to merge is a per-round constant, embedded as reference
+  * objects so the kernel stays inside WholeStageCodegen).
+  */
+case class BpeMerge(child: Expression, a: String, b: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private lazy val au = UTF8String.fromString(a)
+  private lazy val bu = UTF8String.fromString(b)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.bpeMergeApply(v.asInstanceOf[ArrayData], au, bu)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeA", au, "org.apache.spark.unsafe.types.UTF8String")
+    val bRef = ctx.addReferenceObj("bpeB", bu, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.bpeMergeApply($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMerge = copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -374,6 +395,8 @@ object F {
     column(SrpBucket(expression(vec), planes))
   def charNgrams(c: Column, n: Int): Column =
     column(CharNgrams(expression(c), n))
+  def bpeMerge(c: Column, a: String, b: String): Column =
+    column(BpeMerge(expression(c), a, b))
   def wordNgrams(c: Column, n: Int): Column =
     column(WordNgrams(expression(c), n))
   def wordNgramsAll(c: Column, n: Int): Column =
