@@ -20,7 +20,13 @@ Three methods, recorded per query in the output JSON:
                    bounded Levenshtein) re-derived in python/numpy and
                    compared bit-exactly.
 
-Usage: python3 scripts/sf1_check.py [sf1_dir] [verify_out] [json_out]
+Usage: python3 scripts/sf1_check.py [sf1_dir] [verify_out] [json_out] [only]
+
+`only` (optional): comma-separated query names — restricts every
+section to that set (the sf10 sweep checks the bench-headline heavies
+and the recall-sensitive LSH family rather than all 150+). The
+q_fuzzy_join2 clean-key sample modulus scales with the part-table
+size so the python-exact brute force stays bounded at any SF.
 """
 import json
 import os
@@ -38,6 +44,11 @@ from oracle_frags import norm
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf1"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_sf1"
 JSON_OUT = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/CORRECTNESS_sf1.json"
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+
+
+def selected(name):
+    return ONLY is None or name in ONLY
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -117,7 +128,7 @@ for name in sorted(os.listdir(OUT_DIR)):
     d = os.path.join(OUT_DIR, name)
     if not os.path.isdir(d):
         continue
-    if name in EXPENSIVE:
+    if name in EXPENSIVE or not selected(name):
         continue
     got = norm(load_dump(name))
     if name not in oracle:
@@ -126,7 +137,8 @@ for name in sorted(os.listdir(OUT_DIR)):
         continue
     t0 = time.time()
     want = norm(con.sql(oracle[name]).df())
-    compare(name, got, want, res, "full")
+    compare(name, got, want, res, "full",
+            note=f"oracle {time.time()-t0:.0f}s")
 
 # --------------------------------- 2. sampled-key oracles (per-doc)
 # per-key-independent: restricting the key table restricts the output
@@ -143,6 +155,8 @@ for t in TABLES:
             con_s.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 for name in ["txt_fingerprint", "mm_resize"]:
+    if not selected(name):
+        continue
     t0 = time.time()
     want = con_s.sql(oracle[name]).df()
     got = load_dump(name)
@@ -152,160 +166,152 @@ for name in ["txt_fingerprint", "mm_resize"]:
                  f"oracle {time.time()-t0:.0f}s")
 
 # ------------------------------------------ 3. python-exact checks
-docs = con.sql("SELECT doc_id, text, source FROM documents").df()
-doc_ids = docs["doc_id"].to_numpy()
-texts = list(docs["text"])
+# Each check is a function, run only when selected — the sf10 sweep
+# picks the bench-headline heavies + the recall-sensitive LSH family.
 
-# --- mm_phash_dedup: stub signatures (splitmix . fnv of payload) +
-# planted one-bit flips, 4x16-bit banded Hamming pairs, cap 256
-t0 = time.time()
-base_sig = {int(i): splitmix64(fnv1a(t.encode("utf-8")))
-            for i, t in zip(doc_ids, texts)}
-sigs = dict(base_sig)
-for i in doc_ids:
-    i = int(i)
-    if i % 50 == 0:
-        sigs[i + 1000000] = base_sig[i] ^ (1 << (i % 64))
-buckets = defaultdict(list)
-for i, s in sigs.items():
-    for piece in range(4):
-        buckets[(piece, (s >> (piece * 16)) & 0xFFFF)].append(i)
-pair_min = {}
-for members in buckets.values():
-    if len(members) < 2 or len(members) > 256:
-        continue
-    for x in range(len(members)):
-        for y in range(x + 1, len(members)):
-            a, b = members[x], members[y]
-            ham = bin(sigs[a] ^ sigs[b]).count("1")
-            if ham <= 3:
-                key = (min(a, b), max(a, b))
-                if key not in pair_min or ham < pair_min[key]:
-                    pair_min[key] = ham
-want = results_df(
-    [(a, b, h) for (a, b), h in pair_min.items()],
-    ["id_a", "id_b", "hamming"])
-compare("mm_phash_dedup", load_dump("mm_phash_dedup"), want, res,
-        "python_exact", note=f"all keys, {time.time()-t0:.0f}s")
+def _load_docs():
+    d = con.sql("SELECT doc_id, text, source FROM documents").df()
+    return d, d["doc_id"].to_numpy(), list(d["text"])
 
-# --- dd_ngram_jaccard: candidates = the dd_minhash_lsh pairs (same
-# shingle=5 / est>=0.5 / cap-64 tier, ALREADY verified above against
-# the full 64-perm oracle), exact 5-gram set Jaccard per candidate
-t0 = time.time()
-assert res.get("dd_minhash_lsh", {}).get("ok"), \
-    "candidate tier dd_minhash_lsh must verify first"
-gram_cache = {}
-for i, t in zip(doc_ids, texts):
-    i = int(i)
-    g = frozenset(t[k:k + 5] for k in range(len(t) - 4)) if len(t) >= 5 \
-        else frozenset([t])
-    gram_cache[i] = g
-    if i % 50 == 0:
-        tp = t + " near duplicate suffix"
-        gram_cache[i + 1000000] = frozenset(
-            tp[k:k + 5] for k in range(len(tp) - 4)) if len(tp) >= 5 \
-            else frozenset([tp])
-cand = load_dump("dd_minhash_lsh")
-rows = []
-for a, b in zip(cand["id_a"], cand["id_b"]):
-    ga, gb = gram_cache[int(a)], gram_cache[int(b)]
-    j = len(ga & gb) / len(ga | gb)
-    if j >= 0.7:
-        rows.append((int(a), int(b), j))
-want = results_df(rows, ["id_a", "id_b", "jaccard"])
-compare("dd_ngram_jaccard", load_dump("dd_ngram_jaccard"), want, res,
-        "python_exact",
-        note=f"exact Jaccard over {len(cand)} verified candidates, "
-             f"{time.time()-t0:.0f}s")
 
-# --- q_checksum: per-source xor of splitmix(fnv(text) ^ doc_id),
-# rollup grand total (grp = null)
-t0 = time.time()
-grp_x, grp_n = defaultdict(int), Counter()
-tot_x, tot_n = 0, 0
-for i, t, s in zip(doc_ids, texts, docs["source"]):
-    h = splitmix64((fnv1a(t.encode("utf-8")) ^ int(i)) & M64)
-    grp_x[s] ^= h
-    grp_n[s] += 1
-    tot_x ^= h
-    tot_n += 1
-rows = [(s, grp_n[s], signed(grp_x[s])) for s in grp_x]
-rows.append((None, tot_n, signed(tot_x)))
-want = results_df(rows, ["grp", "n_rows", "xor_hash"])
-compare("q_checksum", load_dump("q_checksum"), want, res,
-        "python_exact", note=f"all 50k docs, {time.time()-t0:.0f}s")
+def check_phash():
+    t0 = time.time()
+    docs, doc_ids, texts = _load_docs()
+    base_sig = {int(i): splitmix64(fnv1a(t.encode("utf-8")))
+                for i, t in zip(doc_ids, texts)}
+    sigs = dict(base_sig)
+    for i in doc_ids:
+        i = int(i)
+        if i % 50 == 0:
+            sigs[i + 1000000] = base_sig[i] ^ (1 << (i % 64))
+    buckets = defaultdict(list)
+    for i, s in sigs.items():
+        for piece in range(4):
+            buckets[(piece, (s >> (piece * 16)) & 0xFFFF)].append(i)
+    pair_min = {}
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > 256:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                ham = bin(sigs[a] ^ sigs[b]).count("1")
+                if ham <= 3:
+                    key = (min(a, b), max(a, b))
+                    if key not in pair_min or ham < pair_min[key]:
+                        pair_min[key] = ham
+    want = results_df(
+        [(a, b, h) for (a, b), h in pair_min.items()],
+        ["id_a", "id_b", "hamming"])
+    compare("mm_phash_dedup", load_dump("mm_phash_dedup"), want, res,
+            "python_exact",
+            note=f"all {len(sigs)} signatures, {time.time()-t0:.0f}s")
 
-# --- graph edge lists from lineitem (shared by kcore + triangles)
-t0 = time.time()
-li = con.sql("SELECT l_orderkey, l_partkey FROM lineitem").df()
-by_order = defaultdict(list)
-for ok, pk in zip(li["l_orderkey"].to_numpy(), li["l_partkey"].to_numpy()):
-    by_order[int(ok)].append(int(pk))
 
-# q_kcore_peel: distinct undirected edges, 3 peel rounds at k=90
-edges = set()
-support = Counter()  # pair-instance counts for the triangle threshold
-for parts in by_order.values():
-    m = len(parts)
-    for x in range(m):
-        for y in range(m):
-            pa, pb = parts[x], parts[y]
-            if pa < pb:
-                edges.add((pa, pb))
-                support[(pa, pb)] += 1
-print(f"  [graph] {len(edges)} distinct edges, build {time.time()-t0:.0f}s")
+def check_ngram_jaccard():
+    t0 = time.time()
+    docs, doc_ids, texts = _load_docs()
+    assert res.get("dd_minhash_lsh", {}).get("ok"), \
+        "candidate tier dd_minhash_lsh must verify first"
+    gram_cache = {}
+    for i, t in zip(doc_ids, texts):
+        i = int(i)
+        g = frozenset(t[k:k + 5] for k in range(len(t) - 4)) if len(t) >= 5 \
+            else frozenset([t])
+        gram_cache[i] = g
+        if i % 50 == 0:
+            tp = t + " near duplicate suffix"
+            gram_cache[i + 1000000] = frozenset(
+                tp[k:k + 5] for k in range(len(tp) - 4)) if len(tp) >= 5 \
+                else frozenset([tp])
+    cand = load_dump("dd_minhash_lsh")
+    rows = []
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        ga, gb = gram_cache[int(a)], gram_cache[int(b)]
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.7:
+            rows.append((int(a), int(b), j))
+    want = results_df(rows, ["id_a", "id_b", "jaccard"])
+    compare("dd_ngram_jaccard", load_dump("dd_ngram_jaccard"), want, res,
+            "python_exact",
+            note=f"exact Jaccard over {len(cand)} verified candidates, "
+                 f"{time.time()-t0:.0f}s")
 
-t0 = time.time()
-e = edges
-for _ in range(3):
-    deg = Counter()
-    for u, v in e:
-        deg[u] += 1
-        deg[v] += 1
-    keep = {n for n, d in deg.items() if d >= 90}
-    e = {(u, v) for (u, v) in e if u in keep and v in keep}
-deg = Counter()
-for u, v in e:
-    deg[u] += 1
-    deg[v] += 1
-rows = [(n, d) for n, d in deg.items() if d >= 90]
-want = results_df(rows, ["node", "deg"])
-compare("q_kcore_peel", load_dump("q_kcore_peel"), want, res,
-        "python_exact", note=f"full 3-round peel, {time.time()-t0:.0f}s")
 
-# --- q_triangles: support >= 2 edges, per-node triangle counts
-t0 = time.time()
-tedges = {p for p, c in support.items() if c >= 2}
-adj = defaultdict(set)
-for u, v in tedges:
-    adj[u].add(v)
-    adj[v].add(u)
-tri = Counter()
-for u, v in tedges:  # u < v; third node w > v avoids double counting
-    for w in adj[u] & adj[v]:
-        if w > v:
-            tri[u] += 1
-            tri[v] += 1
-            tri[w] += 1
-want = results_df(list(tri.items()), ["node", "n_tri"])
-compare("q_triangles", load_dump("q_triangles"), want, res,
-        "python_exact",
-        note=f"{len(tedges)} support-thresholded edges, {time.time()-t0:.0f}s")
+def check_checksum():
+    t0 = time.time()
+    docs, doc_ids, texts = _load_docs()
+    grp_x, grp_n = defaultdict(int), Counter()
+    tot_x, tot_n = 0, 0
+    for i, t, s in zip(doc_ids, texts, docs["source"]):
+        h = splitmix64((fnv1a(t.encode("utf-8")) ^ int(i)) & M64)
+        grp_x[s] ^= h
+        grp_n[s] += 1
+        tot_x ^= h
+        tot_n += 1
+    rows = [(s, grp_n[s], signed(grp_x[s])) for s in grp_x]
+    rows.append((None, tot_n, signed(tot_x)))
+    want = results_df(rows, ["grp", "n_rows", "xor_hash"])
+    compare("q_checksum", load_dump("q_checksum"), want, res,
+            "python_exact", note=f"all {tot_n} docs, {time.time()-t0:.0f}s")
 
-# --- q_fuzzy_join2: sampled clean keys, COMPLETE bounded-Levenshtein
-# brute force against the whole dirty side (char-count L1 prefilter is
-# sound: lev >= sum|count diff| / 2 ... we use the standard bound
-# sum(|cnt_a-cnt_b|) <= 2*tau necessary condition)
-t0 = time.time()
-parts = con.sql("SELECT p_partkey, lower(p_name) AS n FROM part").df()
-pk = parts["p_partkey"].to_numpy()
-names = list(parts["n"])
-clean = {int(k): n for k, n in zip(pk, names) if k % 4 == 0}
-dirty = {}
-for k, n in zip(pk, names):
-    k = int(k)
-    dirty[k + 1000000] = (n[:3] + n[4:7] + n[8:]) if k % 2 == 0 else n
-SAMPLE = sorted(k for k in clean if k % 400 == 0)
+
+def check_graph():
+    t0 = time.time()
+    li = con.sql("SELECT l_orderkey, l_partkey FROM lineitem").df()
+    by_order = defaultdict(list)
+    for ok, pk in zip(li["l_orderkey"].to_numpy(), li["l_partkey"].to_numpy()):
+        by_order[int(ok)].append(int(pk))
+    edges = set()
+    support = Counter()  # pair-instance counts for the triangle threshold
+    for parts in by_order.values():
+        m = len(parts)
+        for x in range(m):
+            for y in range(m):
+                pa, pb = parts[x], parts[y]
+                if pa < pb:
+                    edges.add((pa, pb))
+                    support[(pa, pb)] += 1
+    print(f"  [graph] {len(edges)} distinct edges, build {time.time()-t0:.0f}s")
+
+    if selected("q_kcore_peel"):
+        t0 = time.time()
+        e = edges
+        for _ in range(3):
+            deg = Counter()
+            for u, v in e:
+                deg[u] += 1
+                deg[v] += 1
+            keep = {n for n, d in deg.items() if d >= 90}
+            e = {(u, v) for (u, v) in e if u in keep and v in keep}
+        deg = Counter()
+        for u, v in e:
+            deg[u] += 1
+            deg[v] += 1
+        rows = [(n, d) for n, d in deg.items() if d >= 90]
+        want = results_df(rows, ["node", "deg"])
+        compare("q_kcore_peel", load_dump("q_kcore_peel"), want, res,
+                "python_exact", note=f"full 3-round peel, {time.time()-t0:.0f}s")
+
+    if selected("q_triangles"):
+        t0 = time.time()
+        tedges = {p for p, c in support.items() if c >= 2}
+        adj = defaultdict(set)
+        for u, v in tedges:
+            adj[u].add(v)
+            adj[v].add(u)
+        tri = Counter()
+        for u, v in tedges:  # u < v; third node w > v avoids double counting
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    tri[u] += 1
+                    tri[v] += 1
+                    tri[w] += 1
+        want = results_df(list(tri.items()), ["node", "n_tri"])
+        compare("q_triangles", load_dump("q_triangles"), want, res,
+                "python_exact",
+                note=f"{len(tedges)} support-thresholded edges, "
+                     f"{time.time()-t0:.0f}s")
 
 
 def lev_leq(a, b, tau):
@@ -337,50 +343,79 @@ def lev_leq(a, b, tau):
     return prev[lb] if prev[lb] <= tau else None
 
 
-# numpy char-count prefilter: sum|cnt_a - cnt_b| <= 2*tau is necessary
-alpha = sorted({c for n in names for c in n})
-aidx = {c: i for i, c in enumerate(alpha)}
-dkeys = np.array(sorted(dirty), dtype=np.int64)
-dmat = np.zeros((len(dkeys), len(alpha)), dtype=np.int16)
-dlen = np.zeros(len(dkeys), dtype=np.int32)
-for r, k in enumerate(dkeys):
-    s = dirty[int(k)]
-    dlen[r] = len(s)
-    for ch in s:
-        dmat[r, aidx[ch]] += 1
-rows = []
-for ka in SAMPLE:
-    na = clean[ka]
-    va = np.zeros(len(alpha), dtype=np.int16)
-    for ch in na:
-        va[aidx[ch]] += 1
-    mask = (np.abs(dlen - len(na)) <= 2) & \
-           (np.abs(dmat - va).sum(axis=1) <= 4)
-    matches = []
-    for r in np.nonzero(mask)[0]:
-        d = lev_leq(na, dirty[int(dkeys[r])], 2)
-        if d is not None:
-            matches.append((int(dkeys[r]), d))
-    if matches:
-        best = min(d for _, d in matches)
-        best_match = min(kb for kb, d in matches if d == best)
-        rows.append((ka, len(matches), best, best_match))
-want = results_df(rows, ["id_a", "n_match", "best_dist", "best_match"])
-got = load_dump("q_fuzzy_join2")
-got = got[got["id_a"] % 400 == 0]
-compare("q_fuzzy_join2", got, want, res, "python_exact",
-        note=f"{len(SAMPLE)} sampled clean keys vs ALL {len(dkeys)} "
-             f"dirty names, {time.time()-t0:.0f}s")
+def check_fuzzy2():
+    # sampled clean keys, COMPLETE bounded-Levenshtein brute force
+    # against the whole dirty side; the sample modulus scales with the
+    # clean-key count so the sweep stays ~500 keys at any SF
+    t0 = time.time()
+    parts = con.sql("SELECT p_partkey, lower(p_name) AS n FROM part").df()
+    pk = parts["p_partkey"].to_numpy()
+    names = list(parts["n"])
+    clean = {int(k): n for k, n in zip(pk, names) if k % 4 == 0}
+    dirty = {}
+    for k, n in zip(pk, names):
+        k = int(k)
+        dirty[k + 1000000] = (n[:3] + n[4:7] + n[8:]) if k % 2 == 0 else n
+    mod = 400 * max(1, len(clean) // 50000)
+    SAMPLE = sorted(k for k in clean if k % mod == 0)
+
+    # numpy char-count prefilter: sum|cnt_a - cnt_b| <= 2*tau is necessary
+    alpha = sorted({c for n in names for c in n})
+    aidx = {c: i for i, c in enumerate(alpha)}
+    dkeys = np.array(sorted(dirty), dtype=np.int64)
+    dmat = np.zeros((len(dkeys), len(alpha)), dtype=np.int16)
+    dlen = np.zeros(len(dkeys), dtype=np.int32)
+    for r, k in enumerate(dkeys):
+        s = dirty[int(k)]
+        dlen[r] = len(s)
+        for ch in s:
+            dmat[r, aidx[ch]] += 1
+    rows = []
+    for ka in SAMPLE:
+        na = clean[ka]
+        va = np.zeros(len(alpha), dtype=np.int16)
+        for ch in na:
+            va[aidx[ch]] += 1
+        mask = (np.abs(dlen - len(na)) <= 2) & \
+               (np.abs(dmat - va).sum(axis=1) <= 4)
+        matches = []
+        for r in np.nonzero(mask)[0]:
+            d = lev_leq(na, dirty[int(dkeys[r])], 2)
+            if d is not None:
+                matches.append((int(dkeys[r]), d))
+        if matches:
+            best = min(d for _, d in matches)
+            best_match = min(kb for kb, d in matches if d == best)
+            rows.append((ka, len(matches), best, best_match))
+    want = results_df(rows, ["id_a", "n_match", "best_dist", "best_match"])
+    got = load_dump("q_fuzzy_join2")
+    got = got[got["id_a"] % mod == 0]
+    compare("q_fuzzy_join2", got, want, res, "python_exact",
+            note=f"{len(SAMPLE)} sampled clean keys (mod {mod}) vs ALL "
+                 f"{len(dkeys)} dirty names, {time.time()-t0:.0f}s")
+
+
+if selected("mm_phash_dedup"):
+    check_phash()
+if selected("dd_ngram_jaccard"):
+    check_ngram_jaccard()
+if selected("q_checksum"):
+    check_checksum()
+if selected("q_kcore_peel") or selected("q_triangles"):
+    check_graph()
+if selected("q_fuzzy_join2"):
+    check_fuzzy2()
 
 # ---------------------------------------------------------------- emit
 n_fail = sum(1 for v in res.values() if not v.get("ok"))
 methods = Counter(v.get("method", "rows_only") for v in res.values())
 artifact = {
     "summary": {
-        "sf": f"sf1 ({SF_DIR}: sf0.1 replicated x10, aligned key offsets)",
+        "sf": f"{SF_DIR} (sf0.1 replicated, aligned key offsets)",
         "queries": len(res),
         "failures": n_fail,
         "methods": dict(methods),
+        "only": sorted(ONLY) if ONLY else None,
         "note": ("every query compared: full DuckDB oracles where "
                  "cost-feasible; per-key-independent oracles over a "
                  "deterministic key sample; python/numpy third-engine "

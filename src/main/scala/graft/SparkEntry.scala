@@ -1898,10 +1898,16 @@ object SparkEntry {
         .fuzzyJoin(clean, col("ka"), col("na"), dirty, col("kb"), col("nb"),
           maxDist = 1)
         .groupBy(col("id_a"))
+        // best (d, id_b) packed into ONE long (d ≤ τ, id_b ≪ 2^40):
+        // min over a long keeps the aggregate a codegen HASH agg with
+        // map-side partials — min_by over a struct falls to a
+        // SortAggregate, which at sf10 spill-thrashed the whole
+        // expanded pair stream through one task
         .agg(
           count(lit(1)).as("n_match"),
           min(col("d")).as("best_dist"),
-          min_by(col("id_b"), struct(col("d"), col("id_b"))).as("best_match"))
+          (min(col("d") * lit(1099511627776L) + col("id_b")) %
+            lit(1099511627776L)).as("best_match"))
     },
 
     // --- τ=2 fuzzy reconcile via COMPLETE segment blocking (PassJoin):
@@ -1923,10 +1929,14 @@ object SparkEntry {
         .fuzzyJoinSegments(clean, col("ka"), col("na"),
           dirty, col("kb"), col("nb"), maxDist = 2)
         .groupBy(col("id_a"))
+        // packed-long min instead of struct min_by — hash agg with
+        // map-side partials, not a single-task SortAggregate (see
+        // q_fuzzy_join)
         .agg(
           count(lit(1)).as("n_match"),
           min(col("d")).as("best_dist"),
-          min_by(col("id_b"), struct(col("d"), col("id_b"))).as("best_match"))
+          (min(col("d") * lit(1099511627776L) + col("id_b")) %
+            lit(1099511627776L)).as("best_match"))
     },
 
     // --- the no-silent-caps report for the uncapped segment blocking:

@@ -36,8 +36,17 @@ object Verify {
       Future {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          // coalesce(1) keeps the sf0.01 gate's dumps single-file, but
+          // it also collapses the FINAL STAGE to one task — at sf10 a
+          // query whose last aggregation sees many rows (q_fuzzy_join2's
+          // expanded pair stream) single-threads for tens of minutes.
+          // The checker reads multi-file dirs fine; big-SF sweeps set
+          // SPARK_GRAFT_NO_COALESCE=1.
+          val out0 = fn(spark, sfDir)
+          val out =
+            if (sys.env.contains("SPARK_GRAFT_NO_COALESCE")) out0
+            else out0.coalesce(1)
+          out.write.mode("overwrite").parquet(s"$outDir/$name")
           // per-query wall time to stderr: the slow tail should name
           // itself (r8: txt_char_stats ran 8 min at sf1 and had to be
           // found with a thread dump)
