@@ -170,7 +170,12 @@ object Reconcile {
       .filter(col("d") <= maxDist)
       .select(col("_sa"), col("_sb"), col("d"))
       .distinct() // folds prefix+suffix double catches
-    stringPairs
+    // pinned-width EXPANSION, same lesson as the kernel: the distinct
+    // string pairs are few BYTES, so AQE coalesces their stage to one
+    // task — but each pair fans out to (ids per left string)×(ids per
+    // right string) id pairs on a replicated corpus, so that one task
+    // would run the whole expansion + the downstream partial agg
+    stringPairs.repartition(width, col("_sa"))
       .join(la, "_sa")
       .join(ra, "_sb")
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
@@ -337,8 +342,11 @@ object Reconcile {
       .filter(col("d") <= tau)
       .select(col("_sa"), col("_sb"), col("d"))
       .distinct() // folds multi-block catches
-    // expand verified string pairs back to id pairs
-    stringPairs
+    // expand verified string pairs back to id pairs — at PINNED width:
+    // the distinct pairs are few bytes (AQE would coalesce to one
+    // task) but fan out multiplicatively on a replicated corpus, so
+    // the expansion + downstream partial agg must stay spread
+    stringPairs.repartition(width, col("_sa"))
       .join(la, "_sa")
       .join(ra, "_sb")
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))

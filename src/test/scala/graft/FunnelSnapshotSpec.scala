@@ -239,14 +239,25 @@ class FunnelSnapshotSpec extends SparkSpec {
     // one shuffle origin AQE coalescing is forbidden to touch.
     val l = Seq((1L, "martha king")).toDF("id", "s")
     val r = Seq((10L, "marta king")).toDF("id", "s")
+    // kernel pins + the id-pair EXPANSION pin (the r9 sf10 lesson:
+    // distinct string pairs are few BYTES, so AQE coalesced the
+    // expansion — multiplicative id fan-out on a replicated corpus —
+    // plus its downstream partial agg into ONE task). On these tiny
+    // spec frames Catalyst broadcasts the kernel joins (no shuffle to
+    // coalesce — fine); the expansion pin on _sa must ALWAYS survive.
+    val expansionPin = """hashpartitioning\(_sa#\d+, \d+\), REPARTITION_BY_NUM""".r
     val segPlan = graft.ops.Reconcile.fuzzyJoinSegments(
       l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
       .queryExecution.executedPlan.toString
     assert(segPlan.contains("REPARTITION_BY_NUM"), segPlan.take(2000))
+    assert(expansionPin.findFirstIn(segPlan).isDefined,
+      s"expansion not pinned:\n${segPlan.take(2000)}")
     val capPlan = graft.ops.Reconcile.fuzzyJoin(
       l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 1)
       .queryExecution.executedPlan.toString
     assert(capPlan.contains("REPARTITION_BY_NUM"), capPlan.take(2000))
+    assert(expansionPin.findFirstIn(capPlan).isDefined,
+      s"expansion not pinned:\n${capPlan.take(2000)}")
   }
 
   test("fuzzyJoin skips degenerate blocks; the other end still recovers matches") {
