@@ -678,13 +678,21 @@ WHERE cos >= 0.98"""
         return ",\n".join(ctes), cur
 
     km_ctes, km_cent = kmeans_ctes("emb")
+    # maxCell = 4096: semanticNearDupPairs drops cells outside
+    # [2, 4096] BEFORE pair generation (the LSH maxBucket idiom) — the
+    # r9 sf10 sweep caught this cap missing here (cells only exceed it
+    # on the 100x replicated corpus, where the uncapped replica emitted
+    # 10.5M pairs against Spark's exact empty result)
     o["dd_semantic"] = f"""
 WITH emb AS ({PLANTED_EMB}),
-{km_ctes}
+{km_ctes},
+acap AS (
+ SELECT * FROM afin WHERE cell IN (
+  SELECT cell FROM afin GROUP BY cell HAVING count(*) BETWEEN 2 AND 4096))
 SELECT cell, id_a, id_b, cos FROM (
  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
   {cosine("a.embedding", "b.embedding")} AS cos
- FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+ FROM acap a JOIN acap b ON a.cell = b.cell AND a.vec_id < b.vec_id
  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.97)
 WHERE cos >= 0.98"""
 

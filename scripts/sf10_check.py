@@ -1,0 +1,435 @@
+#!/usr/bin/env python3
+"""sf10 (100x the gate SF) targeted correctness sweep: the
+bench-headline heavies + the recall-sensitive LSH family. Dev-only;
+NOT part of the library.
+
+At sf10 the corpus is sf0.1 replicated ~100x with identical texts, so
+the near-dup family's bucket caps (minhashLsh maxBucket=64,
+semanticNearDupPairs maxCell=4096) legitimately drop every bucket —
+the exact result is EMPTY, and that is verified exactly (full sig +
+bucket-size replication, not an assumption). The pair kernels whose
+DuckDB replicas explode at this scale (the first attempt filled 75 GB
+of spill before dying) are replicated in numpy instead, bit-exactly:
+
+- "full"            : standard DuckDB oracle over the full sf10 tables
+- "python_exact"    : numpy/python third-engine replication of the
+                      deterministic kernels (minhash sigs + banded
+                      buckets + caps, simhash bit votes, splitmix
+                      phash + planted flips, integer PageRank,
+                      bounded Levenshtein over sampled clean keys)
+
+Usage: python3 scripts/sf10_check.py [sf10_dir] [verify_out] [json_out]
+"""
+import json
+import os
+import sys
+import time
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_frags import norm
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf10"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_sf10"
+JSON_OUT = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/CORRECTNESS_sf10.json"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+M64 = (1 << 64) - 1
+U64 = np.uint64
+FNV_OFFSET = 0xcbf29ce484222325
+FNV_PRIME = 0x100000001b3
+
+
+def fnv1a(data: bytes) -> int:
+    h = FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * FNV_PRIME) & M64
+    return h
+
+
+def splitmix64(seed: int) -> int:
+    z = (seed + 0x9E3779B97F4A7C15) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return (z ^ (z >> 31)) & M64
+
+
+def signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def load_dump(name):
+    return pd.read_parquet(os.path.join(OUT_DIR, name))
+
+
+res = {}
+
+
+def compare(name, got_df, want_df, method, note=""):
+    got, want = norm(got_df), norm(want_df)
+    if list(got.columns) != list(want.columns):
+        res[name] = {"ok": False, "method": method,
+                     "detail": f"columns {list(got.columns)} vs {list(want.columns)}"}
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}",
+              flush=True)
+        return
+    if got.equals(want):
+        res[name] = {"ok": True, "rows": len(got), "method": method}
+        if note:
+            res[name]["note"] = note
+        print(f"  ok {name}: {len(got)} rows [{method}] {note}", flush=True)
+    else:
+        res[name] = {"ok": False, "method": method,
+                     "detail": f"shape {got.shape} vs {want.shape}"}
+        print(f"FAIL {name}: shape {got.shape} vs {want.shape}", flush=True)
+        if got.shape == want.shape:
+            d = got.compare(want)
+            if len(d):
+                print(d.head(5), flush=True)
+
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF_DIR}/{t}.parquet"
+    if os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+
+# ------------------------------------------------------------ corpus
+# texts with the planted near-dup rows every dd_* query unions in
+docs = con.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+doc_ids = docs["doc_id"].to_numpy()
+texts = list(docs["text"])
+all_rows = [(int(i), t) for i, t in zip(doc_ids, texts)]
+all_rows += [(int(i) + 1000000, t + " near duplicate suffix")
+             for i, t in zip(doc_ids, texts) if int(i) % 50 == 0]
+
+# popcount LUT for 16-bit halves
+_POP16 = np.array([bin(x).count("1") for x in range(1 << 16)], dtype=np.int64)
+
+
+def popcount64(a):
+    a = a.astype(np.uint64)
+    r = _POP16[(a & U64(0xFFFF)).astype(np.int64)]
+    r += _POP16[((a >> U64(16)) & U64(0xFFFF)).astype(np.int64)]
+    r += _POP16[((a >> U64(32)) & U64(0xFFFF)).astype(np.int64)]
+    r += _POP16[((a >> U64(48)) & U64(0xFFFF)).astype(np.int64)]
+    return r
+
+
+def gram_hashes(text: str, k: int) -> np.ndarray:
+    """FNV-1a over every k-byte window (whole text if shorter),
+    vectorized: 2k numpy ops per doc instead of len·k python ops."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(U64)
+    n = len(b)
+    if n < k:
+        return np.array([fnv1a(text.encode("utf-8"))], dtype=U64)
+    g = n - k + 1
+    with np.errstate(over="ignore"):
+        h = np.full(g, FNV_OFFSET, dtype=U64)
+        for t in range(k):
+            h = (h ^ b[t:t + g]) * U64(FNV_PRIME)
+    return h
+
+
+def check_minhash_and_components():
+    """Full python replica of minhashLsh (shingle 5, 64 perms, 16
+    bands of 4, est >= 0.5, maxBucket 64) at the ID level — sigs
+    computed once per DISTINCT text (edit distance of the kernel: the
+    sig depends only on the text). On this replicated corpus every
+    candidate bucket exceeds the cap, so the exact output is empty —
+    verified, not assumed."""
+    t0 = time.time()
+    pa = np.array([splitmix64(0x5eed0000 + i) | 1 for i in range(64)], dtype=U64)
+    pb = np.array([splitmix64(0xbeef0000 + i) for i in range(64)], dtype=U64)
+    sig_cache = {}
+    text_ids = defaultdict(list)
+    for i, t in all_rows:
+        text_ids[t].append(i)
+    for t in text_ids:
+        hs = gram_hashes(t, 5)
+        with np.errstate(over="ignore"):
+            v = hs[:, None] * pa[None, :] + pb[None, :]
+        sig_cache[t] = tuple(v.view(np.int64).min(axis=0))  # SIGNED min
+    # id-level band buckets keyed by the raw 4-perm slice
+    buckets = defaultdict(list)   # (band, slice) -> [text, ...]
+    for t, sig in sig_cache.items():
+        for band in range(16):
+            buckets[(band, sig[band * 4:(band + 1) * 4])].append(t)
+    pair_best = {}
+    capped = 0
+    for members in buckets.values():
+        ids = [i for t in members for i in text_ids[t]]
+        if len(ids) < 2:
+            continue
+        if len(ids) > 64:
+            capped += 1
+            continue
+        sigs = {i: sig_cache[t] for t in members for i in text_ids[t]}
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                eq = sum(1 for k in range(64) if sigs[a][k] == sigs[b][k])
+                est = eq / 64.0
+                if est >= 0.5:
+                    key = (min(a, b), max(a, b))
+                    if key not in pair_best or est > pair_best[key]:
+                        pair_best[key] = est
+    want = pd.DataFrame(
+        [(a, b, e) for (a, b), e in pair_best.items()],
+        columns=["id_a", "id_b", "jaccard_est"])
+    compare("dd_minhash_lsh", load_dump("dd_minhash_lsh"), want,
+            "python_exact",
+            note=f"{len(sig_cache)} distinct-text sigs, {capped} buckets "
+                 f"over the 64-id cap, {len(pair_best)} pairs, "
+                 f"{time.time()-t0:.0f}s")
+    # components over exactly those pairs: union-find, min-id label
+    t0 = time.time()
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_best:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {x: find(x) for x in parent}
+    want_c = pd.DataFrame(sorted(comp.items()), columns=["doc_id", "comp"])
+    compare("dd_components", load_dump("dd_components"), want_c,
+            "python_exact",
+            note=f"union-find over the verified pair set, {time.time()-t0:.0f}s")
+
+
+def banded_hamming_pairs(sig_of_id, max_ham=3, max_bucket=256):
+    """hammingPairs replica: 4x16-bit piece buckets at the id level,
+    [2, max_bucket] cap, numpy popcount pair kernel per bucket,
+    min-hamming dedup across pieces."""
+    buckets = defaultdict(list)
+    for i, s in sig_of_id.items():
+        for piece in range(4):
+            buckets[(piece, (s >> (piece * 16)) & 0xFFFF)].append(i)
+    frames = []
+    capped = 0
+    for members in buckets.values():
+        n = len(members)
+        if n < 2:
+            continue
+        if n > max_bucket:
+            capped += 1
+            continue
+        ids = np.array(members, dtype=np.int64)
+        sigs = np.array([sig_of_id[i] for i in members], dtype=U64)
+        iu, ju = np.triu_indices(n, k=1)
+        ham = popcount64(sigs[iu] ^ sigs[ju])
+        keep = ham <= max_ham
+        if keep.any():
+            a = ids[iu[keep]]
+            b = ids[ju[keep]]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            frames.append(np.stack([lo, hi, ham[keep]], axis=1))
+    if not frames:
+        return pd.DataFrame(columns=["id_a", "id_b", "hamming"]), capped
+    allp = np.concatenate(frames)
+    df = pd.DataFrame(allp, columns=["id_a", "id_b", "hamming"])
+    df = df.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+    return df, capped
+
+
+def check_simhash():
+    t0 = time.time()
+    sig_text = {}
+    for t in {t for _, t in all_rows}:
+        votes = np.zeros(64, dtype=np.int64)
+        for w in t.split():
+            h = np.uint64(fnv1a(w.encode("utf-8")))
+            bits = (h >> np.arange(64, dtype=U64)) & U64(1)
+            votes += np.where(bits.astype(bool), 1, -1)
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= (1 << b)
+        sig_text[t] = sig
+    sig_of_id = {i: sig_text[t] for i, t in all_rows}
+    want, capped = banded_hamming_pairs(sig_of_id)
+    compare("dd_simhash", load_dump("dd_simhash"), want, "python_exact",
+            note=f"{len(sig_text)} distinct-text sigs, {capped} capped "
+                 f"buckets, {time.time()-t0:.0f}s")
+
+
+def check_phash():
+    t0 = time.time()
+    text_sig = {}
+    for t in set(texts):
+        text_sig[t] = splitmix64(fnv1a(t.encode("utf-8")))
+    sig_of_id = {int(i): text_sig[t] for i, t in zip(doc_ids, texts)}
+    for i in doc_ids:
+        i = int(i)
+        if i % 50 == 0:
+            sig_of_id[i + 1000000] = sig_of_id[i] ^ (1 << (i % 64))
+    want, capped = banded_hamming_pairs(sig_of_id)
+    compare("mm_phash_dedup", load_dump("mm_phash_dedup"), want,
+            "python_exact",
+            note=f"{len(sig_of_id)} signatures, {capped} capped buckets, "
+                 f"{time.time()-t0:.0f}s")
+
+
+def check_pagerank():
+    """Integer-exact PageRank replica: same edge build (orders x
+    lineitem, both directions, distinct), same scaled-integer
+    arithmetic (floor div, damping 17/20), 3 rounds."""
+    t0 = time.time()
+    ol = con.sql("""
+        SELECT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+               CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""").df()
+    src = ol["src"].to_numpy()
+    dst = ol["dst"].to_numpy()
+    e = np.unique(np.concatenate([
+        (src.astype(np.int64) << 32) | dst.astype(np.int64),
+        (dst.astype(np.int64) << 32) | src.astype(np.int64)]))
+    es = (e >> 32).astype(np.int64)
+    ed = (e & 0xFFFFFFFF).astype(np.int64)
+    nodes = np.unique(np.concatenate([es, ed]))
+    idx = {int(n): k for k, n in enumerate(nodes)}
+    si = np.array([idx[int(x)] for x in es], dtype=np.int64)
+    di = np.array([idx[int(x)] for x in ed], dtype=np.int64)
+    n = len(nodes)
+    scale = 1000000000000
+    base = (scale * 3 // 20) // n
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    rank = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(3):
+        contrib = rank[si] // np.maximum(deg[si], 1)
+        in_mass = np.zeros(n, dtype=np.int64)
+        np.add.at(in_mass, di, contrib)
+        rank = base + (in_mass * 17) // 20
+    want = pd.DataFrame({"node": nodes, "rank": rank})
+    compare("q_pagerank", load_dump("q_pagerank"), want, "python_exact",
+            note=f"{len(e)} distinct directed edges, {n} nodes, 3 integer "
+                 f"rounds, {time.time()-t0:.0f}s")
+
+
+def lev_leq(a, b, tau):
+    la, lb = len(a), len(b)
+    if abs(la - lb) > tau:
+        return None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [tau + 1] * lb
+        lo = max(1, i - tau)
+        hi = min(lb, i + tau)
+        if lo > 1:
+            cur[lo - 1] = tau + 1
+        best = tau + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            best = min(best, cur[j])
+        if best > tau:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= tau else None
+
+
+def check_fuzzy2():
+    # identical to the sf1 method; the clean-key sample modulus scales
+    # with the part count so the brute force stays ~500 keys
+    t0 = time.time()
+    parts = con.sql("SELECT p_partkey, lower(p_name) AS n FROM part").df()
+    pk = parts["p_partkey"].to_numpy()
+    names = list(parts["n"])
+    clean = {int(k): n for k, n in zip(pk, names) if k % 4 == 0}
+    dirty = {}
+    for k, n in zip(pk, names):
+        k = int(k)
+        dirty[k + 1000000] = (n[:3] + n[4:7] + n[8:]) if k % 2 == 0 else n
+    mod = 400 * max(1, len(clean) // 50000)
+    SAMPLE = sorted(k for k in clean if k % mod == 0)
+    alpha = sorted({c for n in names for c in n})
+    aidx = {c: i for i, c in enumerate(alpha)}
+    dkeys = np.array(sorted(dirty), dtype=np.int64)
+    dmat = np.zeros((len(dkeys), len(alpha)), dtype=np.int16)
+    dlen = np.zeros(len(dkeys), dtype=np.int32)
+    for r, k in enumerate(dkeys):
+        s = dirty[int(k)]
+        dlen[r] = len(s)
+        for ch in s:
+            dmat[r, aidx[ch]] += 1
+    rows = []
+    for ka in SAMPLE:
+        na = clean[ka]
+        va = np.zeros(len(alpha), dtype=np.int16)
+        for ch in na:
+            va[aidx[ch]] += 1
+        mask = (np.abs(dlen - len(na)) <= 2) & \
+               (np.abs(dmat - va).sum(axis=1) <= 4)
+        matches = []
+        for r in np.nonzero(mask)[0]:
+            d = lev_leq(na, dirty[int(dkeys[r])], 2)
+            if d is not None:
+                matches.append((int(dkeys[r]), d))
+        if matches:
+            best = min(d for _, d in matches)
+            best_match = min(kb for kb, d in matches if d == best)
+            rows.append((ka, len(matches), best, best_match))
+    want = pd.DataFrame(rows, columns=["id_a", "n_match", "best_dist", "best_match"])
+    got = load_dump("q_fuzzy_join2")
+    got = got[got["id_a"] % mod == 0]
+    compare("q_fuzzy_join2", got, want, "python_exact",
+            note=f"{len(SAMPLE)} sampled clean keys (mod {mod}) vs ALL "
+                 f"{len(dkeys)} dirty names, {time.time()-t0:.0f}s")
+
+
+def check_full(name, views=None):
+    t0 = time.time()
+    want = con.sql(oracle[name]).df()
+    compare(name, load_dump(name), want, "full",
+            note=f"oracle {time.time()-t0:.0f}s")
+
+
+# fast first, the DuckDB long poles last
+check_pagerank()
+check_phash()
+check_simhash()
+check_minhash_and_components()
+check_fuzzy2()
+check_full("dd_semantic")
+check_full("curate_pipeline")
+
+n_fail = sum(1 for v in res.values() if not v.get("ok"))
+methods = Counter(v.get("method") for v in res.values())
+artifact = {
+    "summary": {
+        "sf": f"sf10 ({SF_DIR}: ~100x the sf0.01 gate; sf0.1 replicated, "
+              "aligned key offsets, identical texts)",
+        "queries": len(res),
+        "failures": n_fail,
+        "methods": dict(methods),
+        "note": ("bench-headline heavies + recall-sensitive LSH family at "
+                 "the top of the scaling curve. The near-dup bucket caps "
+                 "legitimately empty minhash/components/semantic on this "
+                 "replicated corpus — verified by full signature + "
+                 "bucket-size replication, not assumed. DuckDB replicas "
+                 "that explode at this scale (75 GB spill) are replaced "
+                 "by bit-exact numpy third-engine replications."),
+    },
+    "queries": dict(sorted(res.items())),
+}
+json.dump(artifact, open(JSON_OUT, "w"), indent=1)
+print(f"{JSON_OUT}: {len(res)} queries, {n_fail} failures, "
+      f"methods={dict(methods)}", flush=True)
+sys.exit(1 if n_fail else 0)
