@@ -36,6 +36,11 @@ from oracle_frags import norm
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf10"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_sf10"
 JSON_OUT = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/CORRECTNESS_sf10.json"
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+
+
+def selected(name):
+    return ONLY is None or name in ONLY
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -79,7 +84,15 @@ def compare(name, got_df, want_df, method, note=""):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}",
               flush=True)
         return
-    if got.equals(want):
+    if len(got) == 0 and len(want) == 0:
+        # empty == empty: a DataFrame built from an empty row list has
+        # object dtypes, which pandas .equals treats as != the dump's
+        # typed empty frame — columns already matched above
+        res[name] = {"ok": True, "rows": 0, "method": method}
+        if note:
+            res[name]["note"] = note
+        print(f"  ok {name}: 0 rows (exact empty) [{method}] {note}", flush=True)
+    elif got.equals(want):
         res[name] = {"ok": True, "rows": len(got), "method": method}
         if note:
             res[name]["note"] = note
@@ -92,6 +105,9 @@ def compare(name, got_df, want_df, method, note=""):
             d = got.compare(want)
             if len(d):
                 print(d.head(5), flush=True)
+    # incremental artifact: a wall-clock kill loses at most one check
+    json.dump({"partial": True, "queries": dict(sorted(res.items()))},
+              open(JSON_OUT + ".partial", "w"), indent=1)
 
 
 con = duckdb.connect()
@@ -402,13 +418,29 @@ def check_full(name, views=None):
 
 
 # fast first, the DuckDB long poles last
-check_pagerank()
-check_phash()
-check_simhash()
-check_minhash_and_components()
-check_fuzzy2()
-check_full("dd_semantic")
-check_full("curate_pipeline")
+if selected("q_pagerank"):
+    check_pagerank()
+if selected("mm_phash_dedup"):
+    check_phash()
+if selected("dd_simhash"):
+    check_simhash()
+if selected("dd_minhash_lsh") or selected("dd_components"):
+    check_minhash_and_components()
+if selected("q_fuzzy_join2"):
+    check_fuzzy2()
+if selected("dd_semantic"):
+    check_full("dd_semantic")
+if selected("curate_pipeline"):
+    check_full("curate_pipeline")
+
+# cumulative artifact: a rerun of a subset merges over prior rows
+if os.path.exists(JSON_OUT):
+    try:
+        prior = json.load(open(JSON_OUT)).get("queries", {})
+        for k, v in prior.items():
+            res.setdefault(k, v)
+    except Exception:
+        pass
 
 n_fail = sum(1 for v in res.values() if not v.get("ok"))
 methods = Counter(v.get("method") for v in res.values())
