@@ -20,6 +20,23 @@ class GraphSpec extends SparkSpec {
     assert(a.forall(_.getLong(1) > 0L))
   }
 
+  test("pageRank shuffle regime (n > maxBroadcastNodes) matches broadcast bit-exactly") {
+    // 211+199-node graph forced through the large-n branch (bound = 10):
+    // the two regimes differ ONLY in physical layout (broadcast vs
+    // shuffled contribution frame), so integer arithmetic must make
+    // them bit-identical — any divergence means the src-partitioned
+    // round body changed semantics, not just shape
+    val e = spark.range(0, 5000)
+      .selectExpr("id % 211 as src", "(id * 37 + 11) % 199 as dst")
+    val small = Graph.pageRank(e, col("src"), col("dst"), iters = 3)
+      .orderBy("node").collect().toSeq
+    val large = Graph.pageRank(e, col("src"), col("dst"), iters = 3,
+        maxBroadcastNodes = 10L)
+      .orderBy("node").collect().toSeq
+    assert(small == large, "shuffle regime must reproduce broadcast ranks bit-exactly")
+    assert(small.nonEmpty && small.forall(_.getLong(1) > 0L))
+  }
+
   test("pageRank orders a star graph correctly: hub above leaves") {
     // leaves all point at the hub and the hub points back — the hub
     // aggregates every leaf's mass, each leaf gets 1/n of the hub's

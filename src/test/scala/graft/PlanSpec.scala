@@ -208,6 +208,70 @@ class PlanSpec extends SparkSpec {
       "contribution frame should broadcast onto the stationary edges")
   }
 
+  test("pageRank large regime shuffles only node-sized frames, never the edges") {
+    import org.apache.spark.sql.functions._
+    val width = spark.sessionState.conf.numShufflePartitions
+    // mirror the n > maxBroadcastNodes setup: edges re-laid by src ONCE
+    // and persisted, node+deg frame persisted, bcast = identity — the
+    // shape a >10M-node graph actually runs
+    val raw = spark.range(0, 2000).selectExpr(
+      "id % 97 as src", "(id * 31) % 89 as dst")
+    val eDst = raw.repartition(width, col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = eDst.select(col("src").as("node"))
+      .union(eDst.select(col("dst").as("node"))).distinct()
+    val nodesDeg = nodes
+      .join(eDst.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodesDeg.count()
+    val eSrc = eDst.repartition(width, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    eSrc.count()
+    val rank = nodesDeg.withColumn("rank", lit(1000000L)).localCheckpoint()
+    val round = graft.ops.Graph.pageRankRound(
+      eSrc, nodesDeg, rank, 100L, identity)
+    round.count() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val all = walk(round.queryExecution.executedPlan)
+    val shuffleSubtrees = all.collect { case s: ShuffleExchangeLike => s }
+    val plan = round.queryExecution.executedPlan.toString
+    eDst.unpersist(); nodesDeg.unpersist(); eSrc.unpersist()
+    // the edge cache scans with [src, dst] columns; a stationary edge
+    // frame means no shuffle's INPUT subtree scans raw edges — the dst
+    // aggregation shuffle sits ABOVE a partial HashAggregate, so what
+    // crosses the wire is map-combined contribution rows, and the src
+    // join reuses the persisted hash(src) layout on the edge side
+    def scansRawEdges(p: SparkPlan): Boolean = walk(p).exists { n =>
+      val s = n.nodeName
+      (s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage")) &&
+        n.output.map(_.name).toSet == Set("src", "dst")
+    }
+    val offending = shuffleSubtrees.filter(s =>
+      s.children.exists(c => scansRawEdges(c) &&
+        !walk(c).exists(_.nodeName.contains("HashAggregate"))))
+    assert(offending.isEmpty,
+      s"edges must never cross a shuffle un-aggregated:\n$plan")
+    // node-sized shuffles only: the N-row contribution frame to the
+    // stationary src partitions, the map-combined dst aggregation, and
+    // (at most) the contribs side of the rank assembly
+    assert(shuffleSubtrees.nonEmpty,
+      s"the large regime must shuffle the contribution frame — the walk found none:\n$plan")
+    assert(shuffleSubtrees.size <= 3,
+      s"expected <= 3 node-sized shuffles, found ${shuffleSubtrees.size}:\n$plan")
+  }
+
   test("dd_containment is single-lineage: exactly three shuffles, no join") {
     val plan = physicalPlan("dd_containment")
     // gram-posting aggregation + per-doc window; the pair
