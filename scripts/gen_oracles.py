@@ -480,32 +480,52 @@ SELECT q_id, vec_id, cos FROM (
  JOIN embeddings c ON c.vec_id != q.vec_id)
 WHERE cos >= 0.2"""
 
-    # ---- dd_simhash: banded Hamming<=3 pairs. Pigeonhole makes the
-    # 4x16-bit banding lossless for ham<=3 — but ONLY through buckets
-    # the [2, 256] size cap keeps, so the oracle replicates the
-    # banding + cap rather than brute-forcing all pairs (a degenerate
-    # piece value shared by >256 docs is dropped by both sides). The
-    # piece VALUE is the bucket key (no hash), so this is exact. ----
-    o["dd_simhash"] = f"""
-WITH docs AS ({PLANTED_DOCS}),
-sigs AS (SELECT doc_id, {to_signed(simhash("text"))} AS sig FROM docs),
+    # ---- dd_simhash / mm_phash_dedup: banded Hamming<=3 pairs.
+    # Pigeonhole makes the 4x16-bit banding lossless for ham<=3 —
+    # through buckets the [2, 256] size cap keeps, with the r10
+    # sig-level collapse replicated: identical sigs collapse to their
+    # min-id rep BEFORE banding (caps count distinct sigs), rep pairs
+    # expand back through class membership, and sig-equal pairs are
+    # Hamming 0 unconditionally. The piece VALUE is the bucket key
+    # (no hash), so this is exact. ----
+    def hamming_body(sig_src):
+        """Shared collapse + banding + cap + expansion over a
+        (doc_id, sig) CTE named `sig_src` — mirrors
+        Dedup.hammingPairs operation-for-operation."""
+        return f"""cls AS (
+ SELECT doc_id, sig,
+  min(doc_id) OVER (PARTITION BY sig) AS rep,
+  count(*) OVER (PARTITION BY sig) AS n
+ FROM {sig_src}),
+reps AS (SELECT doc_id, sig FROM cls WHERE doc_id = rep),
 pieces AS (
  SELECT doc_id, sig, piece,
   (CAST(sig AS HUGEINT) + CASE WHEN sig < 0 THEN {TWO64} ELSE 0 END)
     // ([1, 65536, 4294967296, 281474976710656])[piece+1] % 65536 AS pval
- FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS piece) _p),
-sized AS (SELECT piece, pval, count(*) AS bn FROM pieces GROUP BY 1, 2)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
- CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM pieces a
-JOIN pieces b ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id
-JOIN sized s ON s.piece = a.piece AND s.pval = a.pval
-WHERE s.bn BETWEEN 2 AND 256
-  AND bit_count(xor(a.sig, b.sig)) <= 3"""
+ FROM reps CROSS JOIN (SELECT unnest(range(0, 4)) AS piece) _p),
+sized AS (SELECT piece, pval, count(*) AS bn FROM pieces GROUP BY 1, 2),
+rp AS (
+ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+ FROM pieces a
+ JOIN pieces b ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id
+ JOIN sized s ON s.piece = a.piece AND s.pval = a.pval
+ WHERE s.bn BETWEEN 2 AND 256
+   AND bit_count(xor(a.sig, b.sig)) <= 3)
+SELECT id_a, id_b, CAST(min(hamming) AS BIGINT) AS hamming FROM (
+ SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+        greatest(ma.doc_id, mb.doc_id) AS id_b, rp.hamming
+ FROM rp JOIN cls ma ON ma.rep = rp.id_a JOIN cls mb ON mb.rep = rp.id_b
+ UNION ALL
+ SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+ FROM cls a JOIN cls b ON a.rep = b.rep AND a.doc_id < b.doc_id) _x
+GROUP BY id_a, id_b"""
 
-    # ---- mm_phash_dedup: banded Hamming<=3 on the stubbed pHash
-    # (splitmix of payload FNV); planted copies flip bit doc_id%64 —
-    # same banding + cap replication as dd_simhash ----
+    o["dd_simhash"] = f"""
+WITH docs AS ({PLANTED_DOCS}),
+sigs AS (SELECT doc_id, {to_signed(simhash("text"))} AS sig FROM docs),
+{hamming_body("sigs")}"""
+
     ph = to_signed(splitmix(fnv_text("text")))
     flip = to_signed("(CAST(1 AS HUGEINT) << CAST(doc_id % 64 AS INT))")
     o["mm_phash_dedup"] = f"""
@@ -513,24 +533,15 @@ WITH base AS (SELECT doc_id, {ph} AS sig FROM documents),
 pl AS (SELECT doc_id + 1000000 AS doc_id, xor(sig, {flip}) AS sig
        FROM base WHERE doc_id % 50 = 0),
 sigs AS (SELECT doc_id, sig FROM base UNION ALL SELECT doc_id, sig FROM pl),
-pieces AS (
- SELECT doc_id, sig, piece,
-  (CAST(sig AS HUGEINT) + CASE WHEN sig < 0 THEN {TWO64} ELSE 0 END)
-    // ([1, 65536, 4294967296, 281474976710656])[piece+1] % 65536 AS pval
- FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS piece) _p),
-sized AS (SELECT piece, pval, count(*) AS bn FROM pieces GROUP BY 1, 2)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
- CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM pieces a
-JOIN pieces b ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id
-JOIN sized s ON s.piece = a.piece AND s.pval = a.pval
-WHERE s.bn BETWEEN 2 AND 256
-  AND bit_count(xor(a.sig, b.sig)) <= 3"""
+{hamming_body("sigs")}"""
 
     # ---- dd_lsh_stats: bucket-size histogram per band (raw-slice
-    # bucket keys — engine-exact, no hash) ----
+    # bucket keys — engine-exact, no hash). r10: buckets count
+    # DISTINCT content (the collapse pre-pass), mirroring what the
+    # capped pair kernel actually faces ----
     o["dd_lsh_stats"] = f"""
-WITH sigs AS (SELECT doc_id, {minhash_sig("text")} AS sig FROM documents),
+WITH sigs AS (SELECT {minhash_sig("text")} AS sig
+              FROM (SELECT DISTINCT text FROM documents) _d),
 b AS (
  SELECT band, sig[band*4+1 : band*4+4] AS bkey
  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) _b),
@@ -540,14 +551,74 @@ SELECT CAST(band AS BIGINT) AS band, bucket_size,
  CAST(count(*) AS BIGINT) AS n_buckets
 FROM g GROUP BY band, bucket_size"""
 
-    # ---- dd_minhash_lsh: full signature + banding pipeline. Pairs
-    # share a (band, 4-long slice) bucket of size in [2, maxBucket],
-    # estimate = matching signature positions / 64 >= 0.5. (Spark
-    # buckets by hash(band, slice); equality-on-slice is the same
-    # relation modulo 32-bit hash collisions — none on this data.) ----
+    # ---- dd_minhash_lsh: full signature + banding pipeline with the
+    # r10 content collapse replicated: identical texts collapse to
+    # their min-id rep BEFORE signatures (caps count distinct
+    # content), rep pairs share a (band, 4-long slice) bucket of
+    # distinct-size in [2, maxBucket] with estimate = matching
+    # signature positions / 64 >= 0.5, pairs expand back through
+    # class membership, and text-equal pairs are est 1.0
+    # unconditionally. (Spark buckets by hash(band, slice);
+    # equality-on-slice is the same relation modulo 32-bit hash
+    # collisions — none on this data.) ----
     est = ("list_sum(list_transform(range(1, 65), "
            "i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 64.0")
-    lsh_body = f"""docs AS ({PLANTED_DOCS}),
+    # shared collapsed body: cls (membership), repdocs, sigs over
+    # reps, banding + distinct-content cap, rp = rep-level pairs
+    lsh_cls = f"""docs AS ({PLANTED_DOCS}),
+cls AS (
+ SELECT doc_id, text,
+  min(doc_id) OVER (PARTITION BY text) AS rep,
+  count(*) OVER (PARTITION BY text) AS n
+ FROM docs),
+repdocs AS (SELECT doc_id, text, n FROM cls WHERE doc_id = rep),
+sigs AS (SELECT doc_id, {minhash_sig("text")} AS sig FROM repdocs),
+banded AS (
+ SELECT doc_id, sig, band, sig[band*4+1 : band*4+4] AS sl
+ FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS band) _b),
+sized AS (
+ SELECT band, sl, count(*) AS bn FROM banded GROUP BY band, sl),
+cand AS (
+ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+ FROM banded a
+ JOIN banded b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+ JOIN sized s ON s.band = a.band AND s.sl = a.sl
+ WHERE s.bn BETWEEN 2 AND 64),
+rp AS MATERIALIZED (
+ SELECT id_a, id_b, jaccard_est FROM (
+  SELECT id_a, id_b, {est} AS jaccard_est
+  FROM (SELECT c.id_a, c.id_b, x.sig AS sa, y.sig AS sb
+        FROM cand c
+        JOIN sigs x ON x.doc_id = c.id_a
+        JOIN sigs y ON y.doc_id = c.id_b) _j) _e
+ WHERE jaccard_est >= 0.5)"""
+    o["dd_minhash_lsh"] = f"""
+WITH {lsh_cls}
+SELECT id_a, id_b, max(jaccard_est) AS jaccard_est FROM (
+ SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+        greatest(ma.doc_id, mb.doc_id) AS id_b, rp.jaccard_est
+ FROM rp JOIN cls ma ON ma.rep = rp.id_a JOIN cls mb ON mb.rep = rp.id_b
+ UNION ALL
+ SELECT a.doc_id, b.doc_id, CAST(1.0 AS DOUBLE)
+ FROM cls a JOIN cls b ON a.rep = b.rep AND a.doc_id < b.doc_id) _x
+GROUP BY id_a, id_b"""
+
+    # ---- dd_minhash_classes: the representative-COMPRESSED form —
+    # one row per distinct-content pair with class multiplicities
+    # (linear in distinct content however duplicated the corpus) ----
+    o["dd_minhash_classes"] = f"""
+WITH {lsh_cls}
+SELECT rp.id_a, rp.id_b, rp.jaccard_est,
+ CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+FROM rp JOIN repdocs sa ON sa.doc_id = rp.id_a
+JOIN repdocs sb ON sb.doc_id = rp.id_b"""
+
+    # ---- dd_incremental_lsh: the UNCOLLAPSED full pipeline
+    # restricted to pairs touching the delta (planted ids >= 1000000)
+    # — the incremental operator probes delta-touched buckets of the
+    # raw stream and must equal this exactly ----
+    o["dd_incremental_lsh"] = f"""
+WITH docs AS ({PLANTED_DOCS}),
 sigs AS (SELECT doc_id, {minhash_sig("text")} AS sig FROM docs),
 banded AS (
  SELECT doc_id, sig, band, sig[band*4+1 : band*4+4] AS sl
@@ -566,30 +637,24 @@ SELECT id_a, id_b, jaccard_est FROM (
        FROM cand c
        JOIN sigs x ON x.doc_id = c.id_a
        JOIN sigs y ON y.doc_id = c.id_b))
-WHERE jaccard_est >= 0.5"""
-    o["dd_minhash_lsh"] = f"WITH {lsh_body}"
+WHERE jaccard_est >= 0.5
+ AND (id_a >= 1000000 OR id_b >= 1000000)"""
 
-    # ---- dd_incremental_lsh: the same full pipeline restricted to
-    # pairs touching the delta (planted ids >= 1000000) — the
-    # incremental operator must equal this exactly ----
-    o["dd_incremental_lsh"] = (
-        f"WITH {lsh_body}\n AND (id_a >= 1000000 OR id_b >= 1000000)")
-
-    # ---- dd_components: transitive closure of the LSH pair graph;
-    # comp = min doc_id reachable (matches min-label propagation
-    # fixpoint) ----
-    pr_body = lsh_body.replace(
-        "WHERE s.bn BETWEEN 2 AND 64)\nSELECT id_a, id_b, jaccard_est FROM (",
-        "WHERE s.bn BETWEEN 2 AND 64),\npr AS MATERIALIZED (SELECT id_a, id_b FROM (", 1)
-    o["dd_components"] = f"""
-WITH RECURSIVE {pr_body}
-),
-e AS MATERIALIZED (SELECT id_a AS x, id_b AS y FROM pr
-      UNION SELECT id_b, id_a FROM pr),
+    # ---- dd_components: transitive closure over the REP pair graph,
+    # members inherit their rep's component — provably equal to the
+    # closure of the expanded pair graph (reps are class minima;
+    # within-class edges interconnect every member) ----
+    comp_ctes = f"""e AS MATERIALIZED (SELECT id_a AS x, id_b AS y FROM rp
+      UNION SELECT id_b, id_a FROM rp),
 r AS (SELECT x, y FROM e
-      UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x)
-SELECT x AS doc_id, least(x, min(y)) AS comp
-FROM r GROUP BY x"""
+      UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x),
+repcomp AS (SELECT x AS rep, least(x, min(y)) AS comp FROM r GROUP BY x)"""
+    o["dd_components"] = f"""
+WITH RECURSIVE {lsh_cls},
+{comp_ctes}
+SELECT m.doc_id, coalesce(rc.comp, m.rep) AS comp
+FROM cls m LEFT JOIN repcomp rc ON rc.rep = m.rep
+WHERE m.n >= 2 OR rc.comp IS NOT NULL"""
 
     # composite quality score (shared by dd_keep_best and
     # curate_pipeline; must stay operation-for-operation identical to
@@ -605,15 +670,15 @@ FROM r GROUP BY x"""
           THEN 0.1 ELSE 0.0 END)"""
 
     # ---- dd_keep_best: per-cluster canonical by quality argmax
-    # (tie -> min doc_id) over the same LSH-pair closure ----
+    # (tie -> min doc_id) over the same rep-closure + membership
+    # expansion as dd_components ----
     o["dd_keep_best"] = f"""
-WITH RECURSIVE {pr_body}
-),
-e AS MATERIALIZED (SELECT id_a AS x, id_b AS y FROM pr
-      UNION SELECT id_b, id_a FROM pr),
-r AS (SELECT x, y FROM e
-      UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x),
-comp AS (SELECT x AS doc_id, least(x, min(y)) AS comp FROM r GROUP BY x),
+WITH RECURSIVE {lsh_cls},
+{comp_ctes},
+comp AS (
+ SELECT m.doc_id, coalesce(rc.comp, m.rep) AS comp
+ FROM cls m LEFT JOIN repcomp rc ON rc.rep = m.rep
+ WHERE m.n >= 2 OR rc.comp IS NOT NULL),
 scored AS (
  SELECT doc_id,
   {quality_expr} AS quality
@@ -683,17 +748,39 @@ WHERE cos >= 0.98"""
     # r9 sf10 sweep caught this cap missing here (cells only exceed it
     # on the 100x replicated corpus, where the uncapped replica emitted
     # 10.5M pairs against Spark's exact empty result)
+    # r10 collapse: identical vectors collapse to their min-id rep
+    # after assignment (a class shares one cell); maxCell counts
+    # DISTINCT vectors, cross-vector pairs come from capped cells,
+    # vector-equal pairs are unconditional with the self-cosine
+    # computed by the same double formula (cos(v,v) is 1.0 only up to
+    # sqrt rounding)
     o["dd_semantic"] = f"""
 WITH emb AS ({PLANTED_EMB}),
 {km_ctes},
-acap AS (
- SELECT * FROM afin WHERE cell IN (
-  SELECT cell FROM afin GROUP BY cell HAVING count(*) BETWEEN 2 AND 4096))
+vcls AS (
+ SELECT cell, vec_id, embedding,
+  min(vec_id) OVER (PARTITION BY embedding) AS rep,
+  count(*) OVER (PARTITION BY embedding) AS n
+ FROM afin),
+vreps AS (SELECT cell, vec_id, embedding FROM vcls WHERE vec_id = rep),
+vcap AS (
+ SELECT * FROM vreps WHERE cell IN (
+  SELECT cell FROM vreps GROUP BY cell HAVING count(*) BETWEEN 2 AND 4096)),
+srp AS (
+ SELECT cell, id_a, id_b, cos FROM (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+   {cosine("a.embedding", "b.embedding")} AS cos
+  FROM vcap a JOIN vcap b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.97) _p
+ WHERE cos >= 0.98)
+SELECT p.cell, least(ma.vec_id, mb.vec_id) AS id_a,
+ greatest(ma.vec_id, mb.vec_id) AS id_b, p.cos
+FROM srp p JOIN vcls ma ON ma.rep = p.id_a JOIN vcls mb ON mb.rep = p.id_b
+UNION ALL
 SELECT cell, id_a, id_b, cos FROM (
  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
-  {cosine("a.embedding", "b.embedding")} AS cos
- FROM acap a JOIN acap b ON a.cell = b.cell AND a.vec_id < b.vec_id
- WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.97)
+  {cosine("a.embedding", "a.embedding")} AS cos
+ FROM vcls a JOIN vcls b ON a.rep = b.rep AND a.vec_id < b.vec_id) _w
 WHERE cos >= 0.98"""
 
     o["q_kmeans_cells"] = f"""

@@ -554,10 +554,22 @@ object SparkEntry {
 
     "dd_components" -> { (s, dir) =>
       // near-dup pairs → canonical clusters (min-id label propagation
-      // to fixpoint): A~B, B~C collapse to one component
-      val pairs =
-        Dedup.minhashLsh(docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
-      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      // to fixpoint): A~B, B~C collapse to one component. Composed
+      // the scale-linear way (r10): propagation over content-class
+      // REPRESENTATIVES only, members inherit their rep's component —
+      // provably equal to components over the expanded pair graph
+      val comps = Dedup.nearDupComponents(
+        docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
+      comps
+    },
+
+    "dd_minhash_classes" -> { (s, dir) =>
+      // the representative-COMPRESSED near-dup output (r10): one row
+      // per distinct-content pair with class multiplicities — linear
+      // in distinct content however duplicated the corpus; the form
+      // a 100 TB pipeline consumes (expansion is opt-in)
+      Dedup.minhashLsh(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+        expandDups = false)
     },
 
     "dd_simhash" -> { (s, dir) =>
@@ -596,8 +608,7 @@ object SparkEntry {
       // per-cluster arg-max over the composite quality score, one
       // aggregation past the clustering
       val docs = docsWithPlantedDups(s, dir)
-      val pairs = Dedup.minhashLsh(docs, col("doc_id"), col("text"))
-      val comps = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      val comps = Dedup.nearDupComponents(docs, col("doc_id"), col("text"))
       val q = TextAnalysis.qualityScore(docs, col("doc_id"), col("text"))
       comps.join(q, Seq("doc_id"))
         .groupBy(col("comp"))

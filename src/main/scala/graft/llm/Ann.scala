@@ -230,17 +230,34 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed self-join,
     * exact cosine ≥ `minCos` verification inside buckets.
     */
+  /** Identical VECTORS collapse to their min-id representative before
+    * bucketing (the [[Dedup.contentClasses]] idiom, r10): cosine
+    * depends only on the vectors, so buckets hold distinct vectors,
+    * vector-equal pairs come back through the expansion with their
+    * self-cosine computed by the SAME double formula the kernel uses
+    * (cos(v,v) is 1.0 only up to sqrt rounding — it must be computed,
+    * not assumed), and a replicated corpus can't inflate bucket work
+    * quadratically.
+    */
   def cosineNearDupPairs(
       df: DataFrame, id: Column, vec: Column,
       minCos: Double = 0.95, planes: Int = 8): DataFrame = {
-    val b = df.select(id.as("vec_id"), vec.as("v"), srpBucket(vec, planes).as("bucket"))
+    val members = Dedup.contentClasses(df, id, vec)
+    val b = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id").as("vec_id"), col("_t").as("v"),
+        srpBucket(col("_t"), planes).as("bucket"))
     // single-shuffle bucket-group + codegen pair kernel (see
     // Dedup.minhashLsh for rationale)
-    b.groupBy(col("bucket"))
+    val repPairs = b.groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("items"))
       .filter(size(col("items")) >= 2)
       .select(explode(F.cosineBucketPairs(col("items"), minCos)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cos")).as("cos"))
+    Dedup.expandClassPairs(repPairs, members, "cos",
+        F.cosineSim(col("_t"), col("_t")))
+      .filter(col("cos") >= minCos)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cos")).as("cos"))
   }

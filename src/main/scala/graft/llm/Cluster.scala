@@ -95,18 +95,60 @@ object Cluster {
     * the SRP-bucket variant). `maxCell` guards degenerate clusterings
     * the way `maxBucket` guards LSH skew — at scale, k must grow with
     * the corpus (SemDeDup uses ~√n cells) so cells stay bounded.
+    *
+    * Identical VECTORS collapse to their min-id representative after
+    * assignment (the [[Dedup.contentClasses]] idiom, r10; k-means
+    * itself stays on the FULL corpus — duplicate mass legitimately
+    * weights the centroid means). Assignment is a pure function of
+    * the vector, so a class shares one cell; `maxCell` counts
+    * DISTINCT vectors, cross-vector pairs come from capped cells, and
+    * vector-equal pairs are emitted unconditionally with their
+    * self-cosine computed by the same double formula the kernel uses.
+    * Pre-r10, a ×100-replicated corpus blew every cell cap and
+    * returned exact-EMPTY.
     */
   def semanticNearDupPairs(
       df: DataFrame, id: Column, vec: Column,
       minCos: Double = 0.98, k: Int = 8, iters: Int = 2,
       maxCell: Int = 4096): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val km = kmeans(df, id, vec, k, iters)
-    km.assigned
-      .select(col("cell"), col("vec_id"), col("c_vec").as("v"))
+    // the contentClasses window inline, `cell` riding along (a class
+    // shares one cell, so it is constant within the partition)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
+    val members = km.assigned
+      .select(col("cell"), col("vec_id").as("doc_id"), col("c_vec").as("_t"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+    val repPairs = members.filter(col("doc_id") === col("rep"))
+      .select(col("cell"), col("doc_id").as("vec_id"), col("_t").as("v"))
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("items"))
       .filter(size(col("items")).between(2, maxCell))
       .select(col("cell"), explode(F.cosineBucketPairs(col("items"), minCos)).as("p"))
       .select(col("cell"), col("p.id_a"), col("p.id_b"), col("p.cos"))
+    // bespoke expansion (Dedup.expandClassPairs doesn't carry `cell`):
+    // a class shares one cell and a cross pair's classes share the
+    // kernel's cell, so the cell rides the pair rows directly. Pinned
+    // width on both fan-out joins — the §5 byte-coalescing lesson.
+    val ma = members.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
+    val mb = members.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
+    val cross = repPairs.repartition(width, col("id_a"))
+      .join(ma, "id_a")
+      .join(mb, "id_b")
+      .select(col("cell"),
+        least(col("_ma"), col("_mb")).as("id_a"),
+        greatest(col("_ma"), col("_mb")).as("id_b"),
+        col("cos"))
+    val dupMembers = members.filter(col("n") >= 2)
+      .select(col("cell"), col("rep"), col("doc_id"), col("_t"))
+      .repartition(width, col("rep"))
+    val within = dupMembers.join(
+        dupMembers.select(col("rep"), col("doc_id").as("_mb")), Seq("rep"))
+      .filter(col("doc_id") < col("_mb"))
+      .select(col("cell"), col("doc_id").as("id_a"), col("_mb").as("id_b"),
+        F.cosineSim(col("_t"), col("_t")).as("cos"))
+      .filter(col("cos") >= minCos)
+    cross.unionByName(within)
   }
 }

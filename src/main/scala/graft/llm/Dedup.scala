@@ -38,6 +38,68 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n"))
   }
 
+  /** Exact-duplicate CONTENT CLASSES — the collapse pre-pass shared
+    * by the whole near-dup family (the r9 verdict's top item; same
+    * idiom as [[graft.ops.Reconcile.fuzzyJoin]]'s distinct-string
+    * collapse): one window shuffle keyed by the class key assigns
+    * every row its class representative (min id) and class size.
+    * Returns (doc_id, rep, n, _t) — reps are the rows with
+    * doc_id == rep.
+    *
+    * Why this exists: banding/bucketing over RAW rows makes every
+    * skew cap measure DUPLICATION instead of distinct-content work —
+    * on a corpus where each doc has 99 exact copies, every LSH bucket
+    * blows its cap and a near-dup detector finds nothing. Collapsing
+    * first makes caps measure distinct content, duplicates rejoin by
+    * construction, and pair kernels never pay c² for a c-fold
+    * replicated corpus. At 100 TB the class key would be a 64-bit
+    * content hash (8-byte shuffle key); kept as the raw value here so
+    * the oracles are plain SQL — identical semantics modulo 2^-64
+    * collisions.
+    */
+  private[graft] def contentClasses(
+      df: DataFrame, id: Column, key: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
+    df.select(id.as("doc_id"), key.as("_t"))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+  }
+
+  /** Expand representative-level pairs back to member-id pairs, plus
+    * the within-class pairs (exact duplicates — similarity `selfSim`
+    * by construction; it may reference the class content as
+    * `col("_t")`, e.g. a computed self-cosine). Both expansion joins
+    * and the within-class self-join run at PINNED width: the
+    * rep-pair / member frames are few BYTES (AQE would byte-coalesce
+    * them to one task) but fan out multiplicatively on a replicated
+    * corpus — the §5 lesson, same as fuzzyJoin's expansion. Output
+    * (id_a < id_b, sim); within-class pair fan-out is bounded by the
+    * duplication factor per class.
+    */
+  private[graft] def expandClassPairs(
+      repPairs: DataFrame, members: DataFrame,
+      simCol: String, selfSim: Column): DataFrame = {
+    val width = members.sparkSession.sessionState.conf.numShufflePartitions
+    val ma = members.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
+    val mb = members.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
+    val cross = repPairs.repartition(width, col("id_a"))
+      .join(ma, "id_a")
+      .join(mb, "id_b")
+      .select(
+        least(col("_ma"), col("_mb")).as("id_a"),
+        greatest(col("_ma"), col("_mb")).as("id_b"),
+        col(simCol))
+    val dupMembers = members.filter(col("n") >= 2)
+      .select(col("rep"), col("doc_id"), col("_t"))
+      .repartition(width, col("rep"))
+    val within = dupMembers.join(
+        dupMembers.select(col("rep"), col("doc_id").as("_mb")), Seq("rep"))
+      .filter(col("doc_id") < col("_mb"))
+      .select(col("doc_id").as("id_a"), col("_mb").as("id_b"),
+        selfSim.as(simCol))
+    cross.unionByName(within)
+  }
+
   /** MinHash + banded LSH near-dup pairs.
     *
     * shingle→minhash→band→bucket-join: `perms`-wide signatures over
@@ -46,9 +108,26 @@ object Dedup {
     * candidates; the Jaccard estimate is the fraction of matching
     * signature positions. Pairs with estimate ≥ `minJaccard` survive.
     *
-    * Buckets larger than `maxBucket` are dropped — degenerate buckets
-    * (boilerplate, empty docs) would otherwise produce quadratic
-    * pairs; this is the standard guard at scale.
+    * Exact-duplicate content collapses to class representatives
+    * BEFORE signatures ([[contentClasses]]): banding, buckets and the
+    * `maxBucket` cap all see DISTINCT content, so caps measure
+    * distinct-content work and recall survives duplicate-heavy
+    * corpora (pre-r10, a ×100-replicated corpus blew every bucket cap
+    * and returned exact-EMPTY). Exact-dup pairs are Jaccard 1 by
+    * construction — reported without consulting the banding at all.
+    *
+    * Buckets larger than `maxBucket` (distinct contents) are dropped —
+    * degenerate buckets (boilerplate, empty docs) would otherwise
+    * produce quadratic pairs; this is the standard guard at scale.
+    *
+    * @param expandDups true (default): emit member-id pairs, i.e. the
+    *   pre-collapse semantics — within-class pairs carry estimate 1.0
+    *   (identical signatures). The expansion is inherently quadratic
+    *   in duplicate multiplicity because the OUTPUT is; pipelines at
+    *   scale set false and get the representative-compressed form
+    *   (id_a, id_b, jaccard_est, n_a, n_b) — one row per distinct
+    *   content pair with class multiplicities, linear in distinct
+    *   content. Exact-duplicate mass itself is [[exact]]'s report.
     */
   def minhashLsh(
       df: DataFrame,
@@ -58,20 +137,45 @@ object Dedup {
       perms: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      expandDups: Boolean = true): DataFrame = {
+    val members = contentClasses(df, id, text)
+    val repPairs = minhashLshReps(members, shingle, perms, bands,
+      minJaccard, maxBucket)
+    if (expandDups)
+      expandClassPairs(repPairs, members, "jaccard_est", lit(1.0))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("jaccard_est")).as("jaccard_est"))
+    else {
+      val sizes = members.filter(col("doc_id") === col("rep"))
+        .select(col("rep"), col("n"))
+      repPairs
+        .join(sizes.select(col("rep").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("rep").as("id_b"), col("n").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard_est"),
+          col("n_a"), col("n_b"))
+    }
+  }
+
+  /** The banded pair kernel over class REPRESENTATIVES — (id_a, id_b,
+    * jaccard_est) with id_a < id_b, both rep ids. One shuffle: group
+    * each (band, bucket) and emit that bucket's qualifying pairs in a
+    * single codegen'd kernel call — no self-join (which would
+    * duplicate and re-execute the signature subtree), no window pass
+    * for the cap, no per-pair Catalyst struct machinery.
+    */
+  private def minhashLshReps(
+      members: DataFrame, shingle: Int, perms: Int, bands: Int,
+      minJaccard: Double, maxBucket: Int): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    val sigs = df.select(id.as("doc_id"), F.minhashSig(text, shingle, perms).as("sig"))
+    val sigs = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), F.minhashSig(col("_t"), shingle, perms).as("sig"))
     val banded = sigs
       .select(
         col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    // One shuffle total: group each (band, bucket) and emit that
-    // bucket's qualifying pairs in a single codegen'd kernel call —
-    // no self-join (which would duplicate and re-execute the
-    // signature subtree), no window pass for the cap, no per-pair
-    // Catalyst struct machinery.
     banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("items"))
@@ -80,6 +184,44 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard_est")).as("jaccard_est"))
+  }
+
+  /** Near-dup CLUSTERS composed the scale-linear way: compressed
+    * representative pairs → label-propagation components over the
+    * REP graph only → every member inherits its rep's component.
+    *
+    * This equals [[connectedComponents]] over the EXPANDED pair graph
+    * (what a naive composition would feed it), by construction:
+    * within a class all members interconnect (est-1.0 edges), so a
+    * member's component is its rep's; and because each rep is its
+    * class MINIMUM, the min-reachable-id label over the expanded
+    * graph equals the min-reachable-rep label over the rep graph.
+    * The iterative part therefore touches distinct content only —
+    * a ×100-replicated corpus pays the propagation once, not 100×,
+    * and no quadratic pair expansion ever materializes.
+    *
+    * Output: (doc_id, comp) for every doc in ≥1 near-dup pair of the
+    * expanded graph — members of classes of size ≥ 2, plus members
+    * of classes whose rep has a cross-content pair.
+    */
+  def nearDupComponents(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingle: Int = 5,
+      perms: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val members = contentClasses(df, id, text)
+    val repPairs = minhashLshReps(members, shingle, perms, bands,
+      minJaccard, maxBucket)
+    val repComp = connectedComponents(repPairs, col("id_a"), col("id_b"))
+      .select(col("doc_id").as("rep"), col("comp"))
+    members
+      .join(repComp, Seq("rep"), "left")
+      .filter(col("n") >= 2 || col("comp").isNotNull)
+      .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("comp"))
   }
 
   /** LSH tuning report: the bucket-size DISTRIBUTION per band —
@@ -91,9 +233,15 @@ object Dedup {
     * Buckets are keyed by the raw band slice (no hash), so the
     * report is engine-exact.
     *
-    * Shape: map-side signatures + band explode, one (band, key)
-    * aggregation (map-combining), then the histogram rollup on
-    * (band, size) — both shuffles carry bucket-cardinality rows.
+    * Mirrors [[minhashLsh]]'s r10 collapse exactly: buckets count
+    * DISTINCT content (class representatives), so the histogram
+    * reports the work the capped kernel actually faces — on a
+    * replicated corpus the pre-collapse histogram showed every
+    * bucket over the cap while the kernel (post-collapse) was fine.
+    *
+    * Shape: one collapse window, map-side signatures + band explode,
+    * one (band, key) aggregation (map-combining), then the histogram
+    * rollup on (band, size) — shuffles carry bucket-cardinality rows.
     */
   def lshBucketStats(
       df: DataFrame,
@@ -104,7 +252,9 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    df.select(id.as("doc_id"), F.minhashSig(text, shingle, perms).as("sig"))
+    contentClasses(df, id, text)
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), F.minhashSig(col("_t"), shingle, perms).as("sig"))
       .select(
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("band").cast("long").as("band"),
@@ -193,23 +343,35 @@ object Dedup {
     * image hashes, audio fingerprints) reuses the same scale
     * machinery. 4 bands of 16 bits make recall pigeonhole-EXACT for
     * maxHamming ≤ 3: ≤3 differing bits cannot touch all 4 pieces.
+    *
+    * Hamming distance depends only on the SIGNATURES, so identical
+    * sigs collapse to their min-id representative before banding
+    * (the [[contentClasses]] idiom keyed by the sig itself): the
+    * `maxBucket` cap measures distinct-signature work, sig-equal
+    * pairs are Hamming 0 by construction (emitted without the
+    * banding), and a replicated corpus cannot cap away its own
+    * near-dups.
     */
   def hammingPairs(
       sigs: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(3))).as("piece"))
+    val members = contentClasses(sigs, col("doc_id"), col("sig"))
+    val banded = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("_t").as("sig"),
+        explode(sequence(lit(0), lit(3))).as("piece"))
       .withColumn("pval", expr("shiftrightunsigned(sig, piece * 16)").bitwiseAND(lit(0xffffL)))
     // same single-shuffle bucket-group + codegen pair kernel as
     // minhashLsh — no self-join, cap applied in the aggregation
-    banded
+    val repPairs = banded
       .groupBy(col("piece"), col("pval"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("items"))
       .filter(size(col("items")).between(2, maxBucket))
       .select(explode(F.simhashBucketPairs(col("items"), maxHamming)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+    expandClassPairs(repPairs, members, "hamming", lit(0L))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }

@@ -33,6 +33,64 @@ class LlmSpec extends SparkSpec {
       s"found ${found.size}/${expected.size} planted pairs")
   }
 
+  test("minhash LSH survives a duplicate-heavy corpus (r10 collapse pre-pass)") {
+    // 12 distinct texts each replicated 70x — above maxBucket=64, so
+    // the pre-r10 code (caps on RAW rows) returned exact-EMPTY here.
+    // Post-collapse: caps count distinct content (12 reps), the
+    // planted near-dup pair of text 0 is found, and exact-dup pairs
+    // come back est-1.0 through the expansion.
+    // class vocabularies are fully disjoint so cross-CLASS similarity
+    // is near zero and only the planted near-dup pairs with class 0
+    val base = (0 until 12).map(i =>
+      (0 until 30).map(w => s"w${i}qz$w").mkString(" "))
+    val corpus = (for {
+      i <- 0 until 12; c <- 0 until 70
+    } yield (i * 1000L + c, base(i))) :+ (99999L, base(0) + " almost")
+    val df = corpus.toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, col("doc_id"), col("text"))
+    val got = pairs.select($"id_a", $"id_b", $"jaccard_est")
+      .as[(Long, Long, Double)].collect()
+    // cross-content recall: the near-dup of text 0 pairs with EVERY
+    // member of class 0 (70 copies)
+    val nearDup = got.filter(p => p._1 == 99999L || p._2 == 99999L)
+    assert(nearDup.length == 70, s"expected 70 near-dup pairs, got ${nearDup.length}")
+    assert(nearDup.forall(p => p._3 >= 0.5 && p._3 < 1.0))
+    // within-class pairs: C(70,2) per class at est exactly 1.0 (plus
+    // class 0's extra member count stays 70 — 99999 is NOT exact)
+    val exact = got.filter(_._3 == 1.0)
+    assert(exact.length == 12 * (70 * 69 / 2), s"got ${exact.length} exact pairs")
+
+    // compressed mode: one row per distinct-content pair, class sizes
+    // (class 1 ⊂ class 11 vocabularies also near-dup — that pair is
+    // the operator's true semantics, not noise)
+    val compressed = Dedup.minhashLsh(df, col("doc_id"), col("text"),
+        expandDups = false)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    val planted = compressed.filter(_._2 == 99999L)
+    assert(planted.length == 1, s"got ${compressed.mkString(";")}")
+    assert(planted.head._1 == 0L && planted.head._4 == 70L && planted.head._5 == 1L)
+
+    // composed components equal naive components over expanded pairs
+    val composed = Dedup.nearDupComponents(df, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    val naive = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(composed == naive, "rep-composition must equal expanded closure")
+    assert(composed.nonEmpty)
+  }
+
+  test("hammingPairs collapses identical signatures before banding") {
+    // 300 copies of sig A (> maxBucket=256) + one 2-bit neighbor:
+    // pre-r10 every piece bucket blew the cap and nothing came back
+    val sigs = ((0 until 300).map(i => (i.toLong, 0x0123456789abcdefL)) :+
+      (777L, 0x0123456789abcdefL ^ 3L)).toDF("doc_id", "sig")
+    val got = Dedup.hammingPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val near = got.filter(p => p._1 == 777L || p._2 == 777L)
+    assert(near.length == 300 && near.forall(_._3 == 2L))
+    assert(got.count(_._3 == 0L) == 300 * 299 / 2)
+  }
+
   test("ngram jaccard finds planted pairs across length buckets") {
     val planted = docs.select($"doc_id", $"text").unionByName(
       docs.filter($"doc_id" % 50 === 0).select(
