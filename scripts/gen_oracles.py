@@ -772,16 +772,18 @@ srp AS (
    {cosine("a.embedding", "b.embedding")} AS cos
   FROM vcap a JOIN vcap b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.97) _p
- WHERE cos >= 0.98)
+ WHERE cos >= 0.98),
+selfcos AS (
+ SELECT vec_id AS rep, cell, {cosine("embedding", "embedding")} AS cos
+ FROM vreps)
 SELECT p.cell, least(ma.vec_id, mb.vec_id) AS id_a,
  greatest(ma.vec_id, mb.vec_id) AS id_b, p.cos
 FROM srp p JOIN vcls ma ON ma.rep = p.id_a JOIN vcls mb ON mb.rep = p.id_b
 UNION ALL
-SELECT cell, id_a, id_b, cos FROM (
- SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
-  {cosine("a.embedding", "a.embedding")} AS cos
- FROM vcls a JOIN vcls b ON a.rep = b.rep AND a.vec_id < b.vec_id) _w
-WHERE cos >= 0.98"""
+SELECT w.cell, a.vec_id AS id_a, b.vec_id AS id_b, w.cos
+FROM vcls a JOIN vcls b ON a.rep = b.rep AND a.vec_id < b.vec_id
+JOIN selfcos w ON w.rep = a.rep
+WHERE w.cos >= 0.98"""
 
     o["q_kmeans_cells"] = f"""
 WITH emb AS (SELECT vec_id, embedding FROM embeddings),

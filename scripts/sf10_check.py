@@ -156,12 +156,13 @@ def gram_hashes(text: str, k: int) -> np.ndarray:
 
 
 def check_minhash_and_components():
-    """Full python replica of minhashLsh (shingle 5, 64 perms, 16
-    bands of 4, est >= 0.5, maxBucket 64) at the ID level — sigs
-    computed once per DISTINCT text (edit distance of the kernel: the
-    sig depends only on the text). On this replicated corpus every
-    candidate bucket exceeds the cap, so the exact output is empty —
-    verified, not assumed."""
+    """Full python replica of the r10 COLLAPSED minhashLsh (shingle 5,
+    64 perms, 16 bands of 4, est >= 0.5, maxBucket 64): sigs + banding
+    + cap over DISTINCT texts (class representatives), rep pairs
+    expand back through class membership, text-equal pairs are est-1.0
+    unconditionally. Pre-r10 every bucket on this replicated corpus
+    exceeded the ID-level cap and the exact output was empty; the
+    collapse is exactly what makes recall survive here."""
     t0 = time.time()
     pa = np.array([splitmix64(0x5eed0000 + i) | 1 for i in range(64)], dtype=U64)
     pb = np.array([splitmix64(0xbeef0000 + i) for i in range(64)], dtype=U64)
@@ -170,43 +171,80 @@ def check_minhash_and_components():
     for i, t in all_rows:
         text_ids[t].append(i)
     for t in text_ids:
+        text_ids[t].sort()
         hs = gram_hashes(t, 5)
         with np.errstate(over="ignore"):
             v = hs[:, None] * pa[None, :] + pb[None, :]
         sig_cache[t] = tuple(v.view(np.int64).min(axis=0))  # SIGNED min
-    # id-level band buckets keyed by the raw 4-perm slice
+    rep = {t: ids[0] for t, ids in text_ids.items()}
+    # rep-level band buckets keyed by the raw 4-perm slice
     buckets = defaultdict(list)   # (band, slice) -> [text, ...]
     for t, sig in sig_cache.items():
         for band in range(16):
             buckets[(band, sig[band * 4:(band + 1) * 4])].append(t)
-    pair_best = {}
+    rep_pairs = {}  # (text_a, text_b) ordered by rep id -> est
     capped = 0
     for members in buckets.values():
-        ids = [i for t in members for i in text_ids[t]]
-        if len(ids) < 2:
+        if len(members) < 2:
             continue
-        if len(ids) > 64:
+        if len(members) > 64:
             capped += 1
             continue
-        sigs = {i: sig_cache[t] for t in members for i in text_ids[t]}
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                a, b = ids[x], ids[y]
-                eq = sum(1 for k in range(64) if sigs[a][k] == sigs[b][k])
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                ta, tb = members[x], members[y]
+                if rep[ta] > rep[tb]:
+                    ta, tb = tb, ta
+                sa, sb = sig_cache[ta], sig_cache[tb]
+                eq = sum(1 for k in range(64) if sa[k] == sb[k])
                 est = eq / 64.0
                 if est >= 0.5:
-                    key = (min(a, b), max(a, b))
-                    if key not in pair_best or est > pair_best[key]:
-                        pair_best[key] = est
-    want = pd.DataFrame(
-        [(a, b, e) for (a, b), e in pair_best.items()],
-        columns=["id_a", "id_b", "jaccard_est"])
+                    key = (ta, tb)
+                    if key not in rep_pairs or est > rep_pairs[key]:
+                        rep_pairs[key] = est
+    # expansion: cross-class member pairs + within-class est-1.0 pairs
+    frames = []
+    for (ta, tb), est in rep_pairs.items():
+        ia = np.array(text_ids[ta], dtype=np.int64)
+        ib = np.array(text_ids[tb], dtype=np.int64)
+        A = np.repeat(ia, len(ib))
+        B = np.tile(ib, len(ia))
+        lo, hi = np.minimum(A, B), np.maximum(A, B)
+        frames.append(np.stack(
+            [lo.astype(np.float64), hi.astype(np.float64),
+             np.full(len(lo), est)], axis=1))
+    for t, ids in text_ids.items():
+        if len(ids) >= 2:
+            arr = np.array(ids, dtype=np.int64)
+            iu, ju = np.triu_indices(len(arr), k=1)
+            frames.append(np.stack(
+                [arr[iu].astype(np.float64), arr[ju].astype(np.float64),
+                 np.ones(len(iu))], axis=1))
+    if frames:
+        allp = np.concatenate(frames)
+        want = pd.DataFrame(
+            {"id_a": allp[:, 0].astype(np.int64),
+             "id_b": allp[:, 1].astype(np.int64),
+             "jaccard_est": allp[:, 2]})
+    else:
+        want = pd.DataFrame(columns=["id_a", "id_b", "jaccard_est"])
     compare("dd_minhash_lsh", load_dump("dd_minhash_lsh"), want,
             "python_exact",
-            note=f"{len(sig_cache)} distinct-text sigs, {capped} buckets "
-                 f"over the 64-id cap, {len(pair_best)} pairs, "
-                 f"{time.time()-t0:.0f}s")
-    # components over exactly those pairs: union-find, min-id label
+            note=f"{len(sig_cache)} distinct-text sigs (collapse pre-pass), "
+                 f"{capped} rep buckets over the 64 cap, {len(rep_pairs)} "
+                 f"rep pairs -> {len(want)} expanded, {time.time()-t0:.0f}s")
+    # dd_minhash_classes: the compressed rep-pair form with class sizes
+    want_k = pd.DataFrame(
+        [(rep[ta], rep[tb], est, len(text_ids[ta]), len(text_ids[tb]))
+         for (ta, tb), est in rep_pairs.items()],
+        columns=["id_a", "id_b", "jaccard_est", "n_a", "n_b"])
+    if selected("dd_minhash_classes"):
+        compare("dd_minhash_classes", load_dump("dd_minhash_classes"), want_k,
+                "python_exact",
+                note=f"{len(want_k)} rep pairs with class sizes")
+    # components: union-find over the REP graph, members inherit —
+    # equal to the closure of the expanded graph (reps are class
+    # minima; within-class edges interconnect every member)
     t0 = time.time()
     parent = {}
 
@@ -216,28 +254,42 @@ def check_minhash_and_components():
             x = parent[x]
         return x
 
-    for a, b in pair_best:
+    for ta, tb in rep_pairs:
+        a, b = rep[ta], rep[tb]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    comp = {x: find(x) for x in parent}
-    want_c = pd.DataFrame(sorted(comp.items()), columns=["doc_id", "comp"])
+    rows_c = []
+    for t, ids in text_ids.items():
+        r = rep[t]
+        if len(ids) >= 2 or r in parent:
+            c = find(r) if r in parent else r
+            rows_c.extend((i, c) for i in ids)
+    want_c = pd.DataFrame(sorted(rows_c), columns=["doc_id", "comp"])
     compare("dd_components", load_dump("dd_components"), want_c,
             "python_exact",
-            note=f"union-find over the verified pair set, {time.time()-t0:.0f}s")
+            note=f"union-find over {len(rep_pairs)} rep pairs + membership "
+                 f"expansion -> {len(want_c)} rows, {time.time()-t0:.0f}s")
 
 
 def banded_hamming_pairs(sig_of_id, max_ham=3, max_bucket=256):
-    """hammingPairs replica: 4x16-bit piece buckets at the id level,
-    [2, max_bucket] cap, numpy popcount pair kernel per bucket,
-    min-hamming dedup across pieces."""
-    buckets = defaultdict(list)
+    """hammingPairs replica with the r10 sig-level collapse: identical
+    sigs collapse to their min-id rep, 4x16-bit piece buckets + the
+    [2, max_bucket] cap over DISTINCT sigs, numpy popcount pair kernel
+    per bucket, min-hamming dedup across pieces, then expansion through
+    sig-class membership plus within-class Hamming-0 pairs."""
+    sig_ids = defaultdict(list)
     for i, s in sig_of_id.items():
+        sig_ids[s].append(i)
+    for s in sig_ids:
+        sig_ids[s].sort()
+    buckets = defaultdict(list)
+    for s in sig_ids:
         for piece in range(4):
-            buckets[(piece, (s >> (piece * 16)) & 0xFFFF)].append(i)
-    frames = []
+            buckets[(piece, (s >> (piece * 16)) & 0xFFFF)].append(s)
+    rep_pairs = {}  # (sig_a, sig_b) ordered by rep id -> min hamming
     capped = 0
     for members in buckets.values():
         n = len(members)
@@ -246,17 +298,32 @@ def banded_hamming_pairs(sig_of_id, max_ham=3, max_bucket=256):
         if n > max_bucket:
             capped += 1
             continue
-        ids = np.array(members, dtype=np.int64)
-        sigs = np.array([sig_of_id[i] for i in members], dtype=U64)
+        sigs = np.array(members, dtype=U64)
         iu, ju = np.triu_indices(n, k=1)
         ham = popcount64(sigs[iu] ^ sigs[ju])
         keep = ham <= max_ham
-        if keep.any():
-            a = ids[iu[keep]]
-            b = ids[ju[keep]]
-            lo = np.minimum(a, b)
-            hi = np.maximum(a, b)
-            frames.append(np.stack([lo, hi, ham[keep]], axis=1))
+        for x, y, h in zip(iu[keep], ju[keep], ham[keep]):
+            sa, sb = members[int(x)], members[int(y)]
+            if sig_ids[sa][0] > sig_ids[sb][0]:
+                sa, sb = sb, sa
+            key = (sa, sb)
+            if key not in rep_pairs or h < rep_pairs[key]:
+                rep_pairs[key] = int(h)
+    frames = []
+    for (sa, sb), h in rep_pairs.items():
+        ia = np.array(sig_ids[sa], dtype=np.int64)
+        ib = np.array(sig_ids[sb], dtype=np.int64)
+        A = np.repeat(ia, len(ib))
+        B = np.tile(ib, len(ia))
+        lo, hi = np.minimum(A, B), np.maximum(A, B)
+        frames.append(np.stack([lo, hi, np.full(len(lo), h, dtype=np.int64)],
+                               axis=1))
+    for s, ids in sig_ids.items():
+        if len(ids) >= 2:
+            arr = np.array(ids, dtype=np.int64)
+            iu, ju = np.triu_indices(len(arr), k=1)
+            frames.append(np.stack(
+                [arr[iu], arr[ju], np.zeros(len(iu), dtype=np.int64)], axis=1))
     if not frames:
         return pd.DataFrame(columns=["id_a", "id_b", "hamming"]), capped
     allp = np.concatenate(frames)

@@ -175,6 +175,10 @@ def _load_docs():
 
 
 def check_phash():
+    # r10 sig-level collapse replicated: identical sigs collapse to
+    # their min-id rep before banding ([2,256] cap counts DISTINCT
+    # sigs), rep pairs expand through sig-class membership, sig-equal
+    # pairs are Hamming 0 unconditionally
     t0 = time.time()
     docs, doc_ids, texts = _load_docs()
     base_sig = {int(i): splitmix64(fnv1a(t.encode("utf-8")))
@@ -184,28 +188,45 @@ def check_phash():
         i = int(i)
         if i % 50 == 0:
             sigs[i + 1000000] = base_sig[i] ^ (1 << (i % 64))
-    buckets = defaultdict(list)
+    sig_ids = defaultdict(list)
     for i, s in sigs.items():
+        sig_ids[s].append(i)
+    for s in sig_ids:
+        sig_ids[s].sort()
+    buckets = defaultdict(list)
+    for s in sig_ids:
         for piece in range(4):
-            buckets[(piece, (s >> (piece * 16)) & 0xFFFF)].append(i)
-    pair_min = {}
+            buckets[(piece, (s >> (piece * 16)) & 0xFFFF)].append(s)
+    rep_pairs = {}
     for members in buckets.values():
         if len(members) < 2 or len(members) > 256:
             continue
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
-                a, b = members[x], members[y]
-                ham = bin(sigs[a] ^ sigs[b]).count("1")
+                sa, sb = members[x], members[y]
+                ham = bin(sa ^ sb).count("1")
                 if ham <= 3:
-                    key = (min(a, b), max(a, b))
-                    if key not in pair_min or ham < pair_min[key]:
-                        pair_min[key] = ham
+                    if sig_ids[sa][0] > sig_ids[sb][0]:
+                        sa, sb = sb, sa
+                    key = (sa, sb)
+                    if key not in rep_pairs or ham < rep_pairs[key]:
+                        rep_pairs[key] = ham
+    pair_min = {}
+    for (sa, sb), h in rep_pairs.items():
+        for a in sig_ids[sa]:
+            for b in sig_ids[sb]:
+                pair_min[(min(a, b), max(a, b))] = h
+    for s, ids in sig_ids.items():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pair_min[(ids[x], ids[y])] = 0
     want = results_df(
         [(a, b, h) for (a, b), h in pair_min.items()],
         ["id_a", "id_b", "hamming"])
     compare("mm_phash_dedup", load_dump("mm_phash_dedup"), want, res,
             "python_exact",
-            note=f"all {len(sigs)} signatures, {time.time()-t0:.0f}s")
+            note=f"{len(sig_ids)} distinct sigs (collapse pre-pass), "
+                 f"{time.time()-t0:.0f}s")
 
 
 def check_ngram_jaccard():

@@ -60,6 +60,21 @@ object SparkEntry {
   }
 
   /** Embeddings plus scaled copies (same direction ⇒ cosine 1). */
+  /** Best (d, id) argmin packed into ONE long — min over
+    * d·2^40 + id keeps the aggregate a codegen HASH agg with map-side
+    * partials (min_by over a struct falls to a SortAggregate, which
+    * at sf10 spill-thrashed the whole pair stream through one task).
+    * The packing silently corrupts outside id ∈ [0, 2^40), so the
+    * domain is ENFORCED here (r9 advice): an out-of-range id raises
+    * instead of returning a wrong best_match.
+    */
+  private def packedBestMatch(d: Column, id: Column): Column =
+    min(d * lit(1099511627776L) +
+      when(id.between(0L, 1099511627775L), id)
+        .otherwise(raise_error(concat(
+          lit("packedBestMatch: id out of [0, 2^40): "), id.cast("string"))))) %
+      lit(1099511627776L)
+
   private def embWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val dups = e
@@ -1909,16 +1924,10 @@ object SparkEntry {
         .fuzzyJoin(clean, col("ka"), col("na"), dirty, col("kb"), col("nb"),
           maxDist = 1)
         .groupBy(col("id_a"))
-        // best (d, id_b) packed into ONE long (d ≤ τ, id_b ≪ 2^40):
-        // min over a long keeps the aggregate a codegen HASH agg with
-        // map-side partials — min_by over a struct falls to a
-        // SortAggregate, which at sf10 spill-thrashed the whole
-        // expanded pair stream through one task
         .agg(
           count(lit(1)).as("n_match"),
           min(col("d")).as("best_dist"),
-          (min(col("d") * lit(1099511627776L) + col("id_b")) %
-            lit(1099511627776L)).as("best_match"))
+          packedBestMatch(col("d"), col("id_b")).as("best_match"))
     },
 
     // --- τ=2 fuzzy reconcile via COMPLETE segment blocking (PassJoin):
@@ -1936,18 +1945,51 @@ object SparkEntry {
             substring(lower(col("p_name")), 5, 3),
             lower(col("p_name")).substr(lit(9), lit(1000000))))
           .otherwise(lower(col("p_name"))).as("nb"))
-      Reconcile
-        .fuzzyJoinSegments(clean, col("ka"), col("na"),
-          dirty, col("kb"), col("nb"), maxDist = 2)
+      // r10: computed through the representative-COMPRESSED pairs —
+      // the id expansion was the only superlinear point on the r9
+      // scale curve (195 s at sf10: |dups(a)|×|dups(b)| rows per
+      // string pair), and every id-level aggregate here is exactly
+      // recoverable from the compressed form: members of a left
+      // string class share the match set, n_match = Σ n_b over
+      // matched string pairs, and the packed (d, id_b) argmin over
+      // canonical ids equals the argmin over expanded ids because
+      // each canonical IS its class minimum. Output row-identical to
+      // the expanded formulation (same oracle).
+      val pairs = Reconcile.fuzzyJoinSegments(clean, col("ka"), col("na"),
+        dirty, col("kb"), col("nb"), maxDist = 2, expandIds = false)
+      val agg = pairs
         .groupBy(col("id_a"))
-        // packed-long min instead of struct min_by — hash agg with
-        // map-side partials, not a single-task SortAggregate (see
-        // q_fuzzy_join)
         .agg(
-          count(lit(1)).as("n_match"),
+          sum(col("n_b")).as("n_match"),
           min(col("d")).as("best_dist"),
-          (min(col("d") * lit(1099511627776L) + col("id_b")) %
-            lit(1099511627776L)).as("best_match"))
+          packedBestMatch(col("d"), col("id_b")).as("best_match"))
+      // every member of a left string class inherits its canonical's
+      // aggregate — one string-keyed window + a canonical-keyed join
+      // of aggregate-sized rows, linear in |clean|
+      val mem = clean.select(col("ka"),
+        min(col("ka")).over(Window.partitionBy(col("na"))).as("id_a"))
+      mem.join(agg, "id_a")
+        .select(col("ka").as("id_a"), col("n_match"), col("best_dist"),
+          col("best_match"))
+    },
+
+    // --- the representative-compressed fuzzy output itself (r10):
+    // one row per matching distinct-string pair — canonical min ids +
+    // carrier counts; linear in distinct content however duplicated
+    // the corpus (the 100 TB consumption form; expansion is opt-in) ---
+    "q_fuzzy_classes" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val clean = p.filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("ka"), lower(col("p_name")).as("na"))
+      val dirty = p.select(
+        (col("p_partkey") + 1000000L).as("kb"),
+        when(col("p_partkey") % 2 === 0,
+          concat(substring(lower(col("p_name")), 1, 3),
+            substring(lower(col("p_name")), 5, 3),
+            lower(col("p_name")).substr(lit(9), lit(1000000))))
+          .otherwise(lower(col("p_name"))).as("nb"))
+      Reconcile.fuzzyJoinSegments(clean, col("ka"), col("na"),
+        dirty, col("kb"), col("nb"), maxDist = 2, expandIds = false)
     },
 
     // --- the no-silent-caps report for the uncapped segment blocking:
@@ -3503,6 +3545,28 @@ object SparkEntry {
         | min(CASE WHEN d = md THEN id_b END) AS best_match
         |FROM (SELECT *, min(d) OVER (PARTITION BY id_a) AS md FROM p)
         |GROUP BY id_a""".stripMargin,
+
+    // the compressed form's oracle: distinct-string join + carrier
+    // counts (segment blocking is COMPLETE, so the naive join is the
+    // exact relation)
+    "q_fuzzy_classes" ->
+      """WITH clean AS (
+        | SELECT p_partkey AS ka, lower(p_name) AS na FROM part
+        | WHERE p_partkey % 4 = 0),
+        |dirty AS (
+        | SELECT p_partkey + 1000000 AS kb,
+        |  CASE WHEN p_partkey % 2 = 0
+        |   THEN substr(lower(p_name), 1, 3) || substr(lower(p_name), 5, 3)
+        |     || substr(lower(p_name), 9)
+        |   ELSE lower(p_name) END AS nb
+        | FROM part),
+        |ca AS (SELECT na, min(ka) AS id_a, count(*) AS n_a
+        |       FROM (SELECT DISTINCT ka, na FROM clean) GROUP BY na),
+        |cb AS (SELECT nb, min(kb) AS id_b, count(*) AS n_b
+        |       FROM (SELECT DISTINCT kb, nb FROM dirty) GROUP BY nb)
+        |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS d, n_a, n_b
+        |FROM ca, cb
+        |WHERE abs(length(na) - length(nb)) <= 2 AND levenshtein(na, nb) <= 2""".stripMargin,
 
     // k=3 segment geometry mirrored in SQL: base=⌊L/3⌋, rem=L%3,
     // start_i = i·base + max(i-(3-rem),0) + 1, len_i = base + [i ≥ 3-rem]

@@ -116,11 +116,22 @@ object Reconcile {
     * runs inside whole-stage codegen. Distance semantics are
     * engine-portable (unit-cost edit distance, identical in DuckDB).
     */
+  /** @param expandIds true (default): emit every matching (id_a,
+    *   id_b) pair — inherently quadratic in duplicate multiplicity
+    *   because the OUTPUT is (a c-fold replicated corpus emits c²
+    *   rows per matching string pair). false: the representative-
+    *   COMPRESSED form (r10) — one row per matching STRING pair as
+    *   (id_a, id_b, d, n_a, n_b) with id_a/id_b the min ids carrying
+    *   each string and n_a/n_b the carrier counts; linear in distinct
+    *   content, and every id-level aggregate is recoverable (counts
+    *   via n products, id minima via the canonical ids).
+    */
   def fuzzyJoin(
       left: DataFrame, leftId: Column, leftStr: Column,
       right: DataFrame, rightId: Column, rightStr: Column,
       maxDist: Int, blockPrefix: Int = 3,
-      maxBlockPairs: Long = 1000000L): DataFrame = {
+      maxBlockPairs: Long = 1000000L,
+      expandIds: Boolean = true): DataFrame = {
     require(maxDist <= 1,
       s"fuzzyJoin's prefix∪suffix blocking is COMPLETE only for maxDist ≤ 1 " +
         s"(got $maxDist): a 2-edit pair can touch both ends and never share " +
@@ -170,16 +181,36 @@ object Reconcile {
       .filter(col("d") <= maxDist)
       .select(col("_sa"), col("_sb"), col("d"))
       .distinct() // folds prefix+suffix double catches
-    // pinned-width EXPANSION, same lesson as the kernel: the distinct
-    // string pairs are few BYTES, so AQE coalesces their stage to one
-    // task — but each pair fans out to (ids per left string)×(ids per
-    // right string) id pairs on a replicated corpus, so that one task
-    // would run the whole expansion + the downstream partial agg
-    stringPairs.repartition(width, col("_sa"))
-      .join(la, "_sa")
-      .join(ra, "_sb")
-      .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
+    expandOrCompress(stringPairs, la, ra, width, expandIds)
   }
+
+  /** The shared output tail of [[fuzzyJoin]]/[[fuzzyJoinSegments]]:
+    * either the pinned-width id EXPANSION (the distinct string pairs
+    * are few BYTES, so AQE would coalesce their stage to one task —
+    * but each pair fans out to (ids per left string)×(ids per right
+    * string) id pairs on a replicated corpus, so that one task would
+    * run the whole expansion + the downstream partial agg), or the
+    * representative-compressed form: canonical (min) ids + carrier
+    * counts per side, one row per verified string pair.
+    */
+  private def expandOrCompress(
+      stringPairs: DataFrame, la: DataFrame, ra: DataFrame,
+      width: Int, expandIds: Boolean): DataFrame =
+    if (expandIds)
+      stringPairs.repartition(width, col("_sa"))
+        .join(la, "_sa")
+        .join(ra, "_sb")
+        .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
+    else {
+      val ca = la.groupBy(col("_sa"))
+        .agg(min(col("id_a")).as("id_a"), count(lit(1)).as("n_a"))
+      val cb = ra.groupBy(col("_sb"))
+        .agg(min(col("id_b")).as("id_b"), count(lit(1)).as("n_b"))
+      stringPairs.repartition(width, col("_sa"))
+        .join(ca, "_sa").join(cb, "_sb")
+        .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"),
+          col("n_a"), col("n_b"))
+    }
 
   /** Blocked fuzzy join COMPLETE for ANY `maxDist`, via
     * segment-partition blocking (the PassJoin family: Li, Deng, Feng,
@@ -267,10 +298,15 @@ object Reconcile {
     *   [[fuzzyJoinSegmentStats]] with the same `maxBlockSize` reports
     *   which blocks salted and how many shards each got.
     */
+  /** @param expandIds [[fuzzyJoin]]'s parameter: false returns the
+    *   representative-compressed (id_a, id_b, d, n_a, n_b) form —
+    *   one row per verified string pair, linear in distinct content.
+    */
   def fuzzyJoinSegments(
       left: DataFrame, leftId: Column, leftStr: Column,
       right: DataFrame, rightId: Column, rightStr: Column,
-      maxDist: Int, maxBlockSize: Int = 0): DataFrame = {
+      maxDist: Int, maxBlockSize: Int = 0,
+      expandIds: Boolean = true): DataFrame = {
     require(maxDist >= 1, s"maxDist must be ≥ 1, got $maxDist")
     val tau = maxDist
     val k = tau + 1
@@ -342,14 +378,7 @@ object Reconcile {
       .filter(col("d") <= tau)
       .select(col("_sa"), col("_sb"), col("d"))
       .distinct() // folds multi-block catches
-    // expand verified string pairs back to id pairs — at PINNED width:
-    // the distinct pairs are few bytes (AQE would coalesce to one
-    // task) but fan out multiplicatively on a replicated corpus, so
-    // the expansion + downstream partial agg must stay spread
-    stringPairs.repartition(width, col("_sa"))
-      .join(la, "_sa")
-      .join(ra, "_sb")
-      .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
+    expandOrCompress(stringPairs, la, ra, width, expandIds)
   }
 
   /** Block-size histogram for [[fuzzyJoinSegments]]' indexed side —

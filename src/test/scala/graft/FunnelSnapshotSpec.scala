@@ -128,6 +128,28 @@ class FunnelSnapshotSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1L), (1L, 13L, 2L), (1L, 14L, 0L)))
   }
 
+  test("fuzzyJoinSegments compressed mode: canonical ids + carrier counts, expansion-consistent") {
+    // replicated corpus: "alpha name" carried by 3 left ids, its
+    // 1-edit neighbor by 2 right ids; an unrelated singleton pair
+    val l = Seq((7L, "alpha name"), (3L, "alpha name"), (9L, "alpha name"),
+      (20L, "other thing")).toDF("id", "s")
+    val r = Seq((105L, "alpha namex"), (101L, "alpha namex"),
+      (200L, "other thing")).toDF("id", "s")
+    val comp = graft.ops.Reconcile.fuzzyJoinSegments(
+        l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2,
+        expandIds = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // canonical = min id per string; n = carrier count
+    assert(comp == Set((3L, 101L, 1L, 3L, 2L), (20L, 200L, 0L, 1L, 1L)))
+    // the expanded mode is exactly the compressed rows fanned out:
+    // n_a × n_b id pairs per string pair
+    val exp = graft.ops.Reconcile.fuzzyJoinSegments(
+        l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(exp.length == 3 * 2 + 1)
+    assert(exp.count(p => p._1 == 3L || p._1 == 7L || p._1 == 9L) == 6)
+  }
+
   test("fuzzyJoinSegments is COMPLETE: every planted ≤2-edit pair is found (120 random docs)") {
     val rnd = new scala.util.Random(20260814L)
     val ab = "abcdefghij"
