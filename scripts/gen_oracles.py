@@ -123,7 +123,11 @@ SELECT CAST(-11 AS BIGINT) AS doc_id, CAST(100 AS BIGINT) AS n_frames,
     # (count DESC, pair ASC); greedy left-to-right application =
     # alternation within runs of consecutive hit positions (for a!=b
     # hits are never adjacent; for a==b runs, odd-indexed hits merge
-    # and the following position is consumed) ----
+    # and the following position is consumed). h{r} LEFT-JOINs best{r}
+    # ON true (r9 advice): if pair exhaustion empties best{r} before
+    # the last round, every hit is 0 and seq{r} = seq{r-1} — matching
+    # the trainer's early-stop (keep the last vocab), where a CROSS
+    # JOIN would empty every downstream CTE ----
     def bpe_ctes(rounds):
         parts = ["""words AS MATERIALIZED (
  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -143,7 +147,7 @@ best{r} AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS
 h{r} AS MATERIALIZED (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
  CASE WHEN p.nxt IS NOT NULL AND p.sym = b.a AND p.nxt = b.b
       THEN 1 ELSE 0 END AS hit
- FROM p{r} p CROSS JOIN best{r} b),
+ FROM p{r} p LEFT JOIN best{r} b ON true),
 k{r} AS MATERIALIZED (SELECT word, pos FROM (
   SELECT word, pos, row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
   FROM (SELECT word, pos,

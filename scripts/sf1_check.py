@@ -428,6 +428,16 @@ if selected("q_fuzzy_join2"):
     check_fuzzy2()
 
 # ---------------------------------------------------------------- emit
+# cumulative artifact (the sf10_check discipline): a rerun of a
+# subset merges over prior rows instead of clobbering the full record
+if os.path.exists(JSON_OUT):
+    try:
+        prior = json.load(open(JSON_OUT)).get("queries", {})
+        for k, v in prior.items():
+            res.setdefault(k, v)
+    except Exception:
+        pass
+
 n_fail = sum(1 for v in res.values() if not v.get("ok"))
 methods = Counter(v.get("method", "rows_only") for v in res.values())
 artifact = {
@@ -436,7 +446,7 @@ artifact = {
         "queries": len(res),
         "failures": n_fail,
         "methods": dict(methods),
-        "only": sorted(ONLY) if ONLY else None,
+        "subset_run": sorted(ONLY) if ONLY else None,
         "note": ("every query compared: full DuckDB oracles where "
                  "cost-feasible; per-key-independent oracles over a "
                  "deterministic key sample; python/numpy third-engine "

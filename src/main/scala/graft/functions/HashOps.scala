@@ -537,10 +537,14 @@ object HashOps {
     * so the population is bounded by the number of distinct marker
     * literals in compiled plans (langId contributes 4). The cap is a
     * backstop against a caller that violates that contract with
-    * dynamic strings (the same executor-lifetime-registry discipline
-    * as `PageFetchers`/`ContinuationGroups`): past `MaxMarkerSets`
-    * entries the cache is flushed — a flush only costs re-parsing a
-    * tiny pipe-separated list, never correctness.
+    * dynamic strings: on overflow ONE entry is evicted (r9 advice —
+    * the earlier wholesale clear() meant >MaxMarkerSets live markers
+    * re-parsed EVERY call, thrashing per row). Eviction is arbitrary-
+    * victim rather than strict LRU deliberately: this is a PER-ROW
+    * hot path, and an access-ordered map would trade lock-free
+    * ConcurrentHashMap reads for a contended lock across all 32
+    * executor threads. Eviction only costs re-parsing a tiny
+    * pipe-separated list, never correctness.
     */
   private val MaxMarkerSets = 256
   private val markerCache =
@@ -555,14 +559,26 @@ object HashOps {
     * marker string.
     */
   def wordSetHits(s: UTF8String, markers: String): Long = {
-    if (markerCache.size() > MaxMarkerSets) markerCache.clear()
-    val set = markerCache.computeIfAbsent(
-      markers,
-      m => {
-        val hs = new java.util.HashSet[String]()
-        m.split("\\|").foreach(w => if (w.nonEmpty) hs.add(w))
-        hs
-      })
+    val set = {
+      val hit = markerCache.get(markers)
+      if (hit != null) hit
+      else {
+        // miss path only: evict one arbitrary victim at the cap so a
+        // contract-violating caller degrades to bounded re-parsing,
+        // never a full-cache flush per call
+        if (markerCache.size() >= MaxMarkerSets) {
+          val it = markerCache.keySet().iterator()
+          if (it.hasNext) markerCache.remove(it.next())
+        }
+        markerCache.computeIfAbsent(
+          markers,
+          m => {
+            val hs = new java.util.HashSet[String]()
+            m.split("\\|").foreach(w => if (w.nonEmpty) hs.add(w))
+            hs
+          })
+      }
+    }
     val str = s.toString
     def isWord(c: Char): Boolean =
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||

@@ -246,7 +246,12 @@ object ContinuationGroups {
       }
     }
   def register(name: String, entries: Seq[(String, String)]): Unit =
-    registry.synchronized { registry.put(name, entries); () }
+    registry.synchronized {
+      // re-registering a previously-evicted name makes it live again —
+      // the tombstone must not outlive the fresh entry (r9 advice)
+      evicted.remove(name)
+      registry.put(name, entries); ()
+    }
   def remove(name: String): Unit =
     registry.synchronized { registry.remove(name); () }
   def apply(name: String): Seq[(String, String)] = registry.synchronized {
@@ -339,20 +344,31 @@ private object ContinuationScan {
     val hit = planCache.get(group)
     if (hit != null) hit
     else {
-      if (evicted.contains(group))
-        throw new NoSuchElementException(
-          s"continuation group consumed and its planned partitions evicted: " +
-            s"$group — >${ContinuationGroups.MaxGroups} groups planned after " +
-            "it; re-execute (or persist) long-lived flattened DataFrames " +
-            "before planning that many more groups, or rebuild this one " +
-            "from its source")
-      val parts = ContinuationGroups(group).flatMap { case (key, fetcherName) =>
+      // registry FIRST (r9 advice): a group re-registered under the
+      // same name after its planned partitions were LRU-evicted is
+      // freshly plannable — raising the evicted-specific error there
+      // (which advises rebuilding, i.e. exactly what the caller just
+      // did) would wedge the name forever. The consumed-and-evicted
+      // story is only accurate when the registry ALSO has nothing.
+      val entries =
+        try ContinuationGroups(group)
+        catch {
+          case _: NoSuchElementException if evicted.contains(group) =>
+            throw new NoSuchElementException(
+              s"continuation group consumed and its planned partitions evicted: " +
+                s"$group — >${ContinuationGroups.MaxGroups} groups planned after " +
+                "it; re-execute (or persist) long-lived flattened DataFrames " +
+                "before planning that many more groups, or rebuild this one " +
+                "from its source")
+        }
+      val parts = entries.flatMap { case (key, fetcherName) =>
         val fetcher = PageFetchers(fetcherName)
         PagedGraphQL.fetchAllCursors(fetcher).zipWithIndex.map {
           case (after, i) => KeyedPagePartition(key, i, after, fetcher): InputPartition
         }
       }.toArray
       planCache.put(group, parts)
+      evicted.remove(group)
       // consumed: the registry entry's job is done; the LRU there is
       // now a backstop for never-planned groups only
       ContinuationGroups.remove(group)

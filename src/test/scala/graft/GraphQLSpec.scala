@@ -348,6 +348,12 @@ class GraphQLSpec extends SparkSpec {
     assert(ContinuationGroups(
       s"filler-${ContinuationGroups.MaxGroups - 1}@$stamp") == Seq("k" -> "f"))
     assert(ContinuationGroups.registeredCount <= ContinuationGroups.MaxGroups)
+    // r10 (r9 advice): RE-registering an evicted name clears its
+    // tombstone — the fresh entry must resolve, not throw the
+    // evicted error whose remedy (rebuild) is what the caller just did
+    ContinuationGroups.register(s"evict-probe@$stamp", Seq("k2" -> "f2"))
+    assert(ContinuationGroups(s"evict-probe@$stamp") == Seq("k2" -> "f2"),
+      "a re-registered name must be live again after eviction")
   }
 
   test("mutation sink fans out across partitions") {
