@@ -128,7 +128,39 @@ SELECT CAST(-11 AS BIGINT) AS doc_id, CAST(100 AS BIGINT) AS n_frames,
     # the last round, every hit is 0 and seq{r} = seq{r-1} — matching
     # the trainer's early-stop (keep the last vocab), where a CROSS
     # JOIN would empty every downstream CTE ----
-    def bpe_ctes(rounds):
+    def bpe_apply(name, src, best):
+        """One merge application over sequence CTE `src` against the
+        1-row (possibly empty) pair CTE `best` -> sequence CTE `name`.
+        LEFT JOIN ON true: an empty best leaves the sequence as-is
+        (trainer early-stop / unfilled batch slot)."""
+        return f"""pl_{name} AS MATERIALIZED (SELECT word, freq, pos, sym,
+ lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM {src}),
+h_{name} AS MATERIALIZED (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+ CASE WHEN p.nxt IS NOT NULL AND p.sym = b.a AND p.nxt = b.b
+      THEN 1 ELSE 0 END AS hit
+ FROM pl_{name} p LEFT JOIN {best} b ON true),
+k_{name} AS MATERIALIZED (SELECT word, pos FROM (
+  SELECT word, pos, row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+  FROM (SELECT word, pos,
+    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+   FROM h_{name} WHERE hit = 1))
+ WHERE rn % 2 = 1),
+{name} AS MATERIALIZED (
+ SELECT h.word, h.freq,
+  CAST(row_number() OVER (PARTITION BY h.word ORDER BY h.pos) AS BIGINT) AS pos,
+  CASE WHEN k.pos IS NOT NULL THEN h.sym || h.nxt ELSE h.sym END AS sym
+ FROM h_{name} h
+ LEFT JOIN k_{name} k ON k.word = h.word AND k.pos = h.pos
+ LEFT JOIN k_{name} kp ON kp.word = h.word AND kp.pos = h.pos - 1
+ WHERE kp.pos IS NULL)"""
+
+    def bpe_ctes(rounds, batch, fetch):
+        """Replay `rounds` driver rounds of the r10 batched trainer:
+        per round, rank pair counts once (count DESC, pair ASC, top
+        `fetch`), greedily select up to `batch` symbol-disjoint pairs
+        in rank order skipping conflicts (the p{r}_{j} chain with an
+        accumulating used-symbol set), then apply the selected merges
+        one at a time to the sequence. Mirrors Bpe.train exactly."""
         parts = ["""words AS MATERIALIZED (
  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
   SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
@@ -138,42 +170,49 @@ seq0 AS MATERIALIZED (
  FROM words CROSS JOIN
   (SELECT unnest(range(1, (SELECT max(length(word)) + 1 FROM words))) AS i) t
  WHERE t.i <= length(word))"""]
+        prev_seq = "seq0"
         for r in range(1, rounds + 1):
-            parts.append(f"""p{r} AS MATERIALIZED (SELECT word, freq, pos, sym,
- lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM seq{r-1}),
-best{r} AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS c
- FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
- ORDER BY c DESC, a, b LIMIT 1),
-h{r} AS MATERIALIZED (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
- CASE WHEN p.nxt IS NOT NULL AND p.sym = b.a AND p.nxt = b.b
-      THEN 1 ELSE 0 END AS hit
- FROM p{r} p LEFT JOIN best{r} b ON true),
-k{r} AS MATERIALIZED (SELECT word, pos FROM (
-  SELECT word, pos, row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
-  FROM (SELECT word, pos,
-    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
-   FROM h{r} WHERE hit = 1))
- WHERE rn % 2 = 1),
-seq{r} AS MATERIALIZED (
- SELECT h.word, h.freq,
-  CAST(row_number() OVER (PARTITION BY h.word ORDER BY h.pos) AS BIGINT) AS pos,
-  CASE WHEN k.pos IS NOT NULL THEN h.sym || h.nxt ELSE h.sym END AS sym
- FROM h{r} h
- LEFT JOIN k{r} k ON k.word = h.word AND k.pos = h.pos
- LEFT JOIN k{r} kp ON kp.word = h.word AND kp.pos = h.pos - 1
- WHERE kp.pos IS NULL)""")
-        return ",\n".join(parts)
+            parts.append(f"""cand{r} AS MATERIALIZED (
+ SELECT a, b, c, rn FROM (
+  SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS c,
+   row_number() OVER (ORDER BY CAST(sum(freq) AS BIGINT) DESC, sym, nxt) AS rn
+  FROM (SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM {prev_seq})
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt) _c
+ WHERE rn <= {fetch})""")
+            for j in range(1, batch + 1):
+                if j == 1:
+                    parts.append(f"""p{r}_1 AS MATERIALIZED (
+ SELECT a, b, c, rn FROM cand{r} ORDER BY rn LIMIT 1),
+u{r}_1 AS (SELECT a AS s FROM p{r}_1 UNION SELECT b FROM p{r}_1)""")
+                else:
+                    parts.append(f"""p{r}_{j} AS MATERIALIZED (
+ SELECT a, b, c, rn FROM cand{r}
+ WHERE a NOT IN (SELECT s FROM u{r}_{j-1})
+   AND b NOT IN (SELECT s FROM u{r}_{j-1})
+ ORDER BY rn LIMIT 1),
+u{r}_{j} AS (SELECT a AS s FROM p{r}_{j} UNION SELECT b FROM p{r}_{j}
+ UNION SELECT s FROM u{r}_{j-1})""")
+                parts.append(bpe_apply(f"s{r}_{j}",
+                                       prev_seq if j == 1 else f"s{r}_{j-1}",
+                                       f"p{r}_{j}"))
+            prev_seq = f"s{r}_{batch}"
+        return ",\n".join(parts), prev_seq
 
-    R = 8
+    BPE_R, BPE_K, BPE_F = 6, 16, 64
+    bpe_body, bpe_final = bpe_ctes(BPE_R, BPE_K, BPE_F)
     merge_rows = "\nUNION ALL\n".join(
-        f'SELECT CAST({r} AS BIGINT) AS "rank", a AS lhs, b AS rhs,'
-        f" c AS pair_count FROM best{r}"
-        for r in range(1, R + 1))
-    o["txt_bpe_train"] = f"WITH {bpe_ctes(R)}\n{merge_rows}"
+        f"SELECT {r} AS _r, {j} AS _j, a, b, c FROM p{r}_{j}"
+        for r in range(1, BPE_R + 1) for j in range(1, BPE_K + 1))
+    o["txt_bpe_train"] = f"""WITH {bpe_body}
+SELECT CAST(row_number() OVER (ORDER BY _r, _j) AS BIGINT) AS "rank",
+ a AS lhs, b AS rhs, c AS pair_count
+FROM ({merge_rows})"""
 
-    o["ds_pack_bpe"] = f"""WITH RECURSIVE {bpe_ctes(R)},
+    o["ds_pack_bpe"] = f"""WITH RECURSIVE {bpe_body},
 vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS toklen
-          FROM seq{R} GROUP BY word),
+          FROM {bpe_final} GROUP BY word),
 dt AS (
  SELECT doc_id, source, CAST(sum(toklen) AS BIGINT) AS bpe_tokens
  FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word
@@ -1058,7 +1097,19 @@ def emit_scala(path: str):
     for name in sorted(o):
         sql = o[name].strip()
         assert '"""' not in sql
-        entries.append(f'    "{name}" ->\n      """{sql}""",')
+        # JVM class-file string constants cap at 64 KiB of modified
+        # UTF-8 — split long SQL into concatenated triple-quote chunks
+        # (constant-folded at most into a StringBuilder chain, still a
+        # plain String value)
+        if len(sql) > 60000:
+            # Seq(...).mkString, NOT literal +: scalac constant-folds
+            # adjacent literal concatenation back into one oversized
+            # constant
+            chunks = [sql[i:i + 60000] for i in range(0, len(sql), 60000)]
+            lit = ",\n      ".join(f'"""{c}"""' for c in chunks)
+            entries.append(f'    "{name}" ->\n      Seq({lit}).mkString,')
+        else:
+            entries.append(f'    "{name}" ->\n      """{sql}""",')
     body = "\n".join(entries).rstrip(",")
     src = f"""package graft
 

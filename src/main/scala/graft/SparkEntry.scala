@@ -1799,22 +1799,26 @@ object SparkEntry {
     "txt_bpe_train" -> { (s, dir) =>
       import s.implicits._
       // deterministic learned merges: corpus touched once (word-freq
-      // agg), each round a vocab-sized pair agg + 1-row collect + a
-      // map-only codegen merge kernel; the DuckDB oracle replays all
-      // 8 rounds (lead-window pair counts, same total tie-break,
-      // alternation-within-runs greedy application)
+      // agg), each DRIVER round a vocab-sized pair agg + top-64
+      // collect + a map-only codegen kernel applying up to 16
+      // greedily-selected symbol-disjoint merges (r10 parallel-BPE
+      // batching — ~64+ merges in 6 driver rounds). The DuckDB
+      // oracle replays every round's ranking, skip-walk and
+      // per-merge application exactly
       graft.llm.Bpe.train(
-        t(s, dir, "documents"), col("text"), rounds = 8)._1.toDF()
+        t(s, dir, "documents"), col("text"), rounds = 6, batch = 16)._1.toDF()
     },
 
     // --- sequence packing on LEARNED-BPE token counts ---
     "ds_pack_bpe" -> { (s, dir) =>
       // the composition a training pipeline actually runs: train the
-      // tokenizer, charge every doc its real learned-token count,
-      // next-fit pack into 512-token sequences per source
+      // tokenizer (6 batched rounds of up to 16 disjoint merges each,
+      // r10 — a realistic-vocabulary path), charge every doc its
+      // real learned-token count, next-fit pack into 512-token
+      // sequences per source
       val counts = graft.llm.Bpe.docTokenCounts(
         t(s, dir, "documents"), col("doc_id"), col("text"),
-        extra = Seq(col("source")), rounds = 8)
+        extra = Seq(col("source")), rounds = 6, batch = 16)
       graft.ops.Packing.nextFit(
           counts, col("source"), col("doc_id"), col("bpe_tokens"), budget = 512)
         .groupBy(col("grp").as("source"), col("seq_id"))

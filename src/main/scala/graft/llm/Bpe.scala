@@ -48,24 +48,65 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** Learn `rounds` merges; returns (merges in rank order, final
-    * vocabulary frame (word, freq, syms) whose symbol-array sizes ARE
-    * the learned token counts). Stops early if no adjacent pair
-    * remains (degenerate single-char corpus).
+  /** Learn merges over `rounds` DRIVER rounds, up to `batch` per
+    * round; returns (merges in rank order, final vocabulary frame
+    * (word, freq, syms) whose symbol-array sizes ARE the learned
+    * token counts). With `batch = 1` a round is one merge — classic
+    * sequential Sennrich, the pre-r10 behavior, and `rounds` counts
+    * merges. Stops early if no adjacent pair remains (degenerate
+    * single-char corpus).
+    *
+    * `batch` > 1 (r10) is what makes a realistic (1k+ merge)
+    * vocabulary practical — one pair-count job + one checkpoint per
+    * round instead of per merge (spec-pinned: ≥64 merges in ≤8
+    * driver rounds at batch 16). Selection per round is the standard
+    * parallel-BPE rule: walk candidates in the global (count DESC,
+    * pair ASC) rank order over the top `4·batch` ranking prefix and
+    * greedily accept pairs SYMBOL-DISJOINT from every already-
+    * accepted pair, skipping conflicting ones, until `batch` accepted
+    * or candidates exhaust. Disjointness means applying one accepted
+    * merge neither creates nor destroys another accepted pair's
+    * adjacencies, so the batch's merges commute and each records the
+    * same count sequential recounting would see.
+    *
+    * Batched selection EQUALS sequential Sennrich whenever the
+    * accepted candidates strictly dominate every pair sharing a
+    * symbol with them (e.g. a compatibility-partitioned vocabulary —
+    * spec-pinned); on tie-heavy corpora it may diverge from the
+    * sequential order (a conflicting pair tied with an accepted one
+    * can, after an earlier merge, surface a new pair that outranks a
+    * tied acceptance lexicographically) — the standard, documented
+    * parallel-BPE trade. It stays fully DETERMINISTIC and
+    * engine-independent: the DuckDB oracle replays the exact ranking,
+    * skip-walk and per-merge application, and BpeSpec replicates it
+    * against a driver-side reference on randomized corpora.
     */
+  /** Driver rounds the last [[train]] call used — diagnostic only
+    * (spec-pinned: 64 merges in ≤ 8 rounds at batch 16); driver-side
+    * single-threaded use like the rest of the trainer loop.
+    */
+  @volatile private[graft] var lastTrainRounds: Int = 0
+
   def train(
-      docs: DataFrame, text: Column, rounds: Int): (Seq[Merge], DataFrame) = {
+      docs: DataFrame, text: Column, rounds: Int,
+      batch: Int = 1): (Seq[Merge], DataFrame) = {
     require(rounds >= 1, s"rounds must be ≥ 1, got $rounds")
+    require(batch >= 1, s"batch must be ≥ 1, got $batch")
+    var driverRounds = 0
     var vocab = wordFreqs(docs, text)
       .withColumn("syms", split(col("word"), ""))
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
-    var r = 1
+    var learned = 0
     var exhausted = false
-    while (r <= rounds && !exhausted) {
+    while (driverRounds < rounds && !exhausted) {
+      driverRounds += 1
+      // the ranking prefix the skip-walk sees — FIXED per (batch), so
+      // the oracle's per-round LIMIT replays it exactly
+      val fetchN = batch * 4
       // adjacent pairs of the symbol array, freq-weighted: transform
       // emits size-1 structs per word, explode + map-combined agg
-      val best = vocab
+      val top = vocab
         .select(col("freq"),
           explode(expr(
             "transform(slice(syms, 1, size(syms) - 1)," +
@@ -73,19 +114,37 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1)
+        .limit(fetchN)
         .collect()
-      if (best.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(r.toLong, a, b, c)
+        // greedy disjoint skip-walk (parallel-BPE selection)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        var i = 0
+        while (n < batch && i < top.length) {
+          val (a, b, c) = top(i)
+          if (!used.contains(a) && !used.contains(b)) {
+            used += a; used += b; accepted += ((a, b, c)); n += 1
+          }
+          i += 1
+        }
+        val sel = accepted.result()
+        sel.foreach { case (a, b, c) =>
+          learned += 1
+          merges += Merge(learned.toLong, a, b, c)
+        }
         vocab = vocab
-          .withColumn("syms", graft.functions.F.bpeMerge(col("syms"), a, b))
+          .withColumn("syms",
+            sel.foldLeft(col("syms")) { case (s, (a, b, _)) =>
+              graft.functions.F.bpeMerge(s, a, b)
+            })
           .localCheckpoint()
-        r += 1
       }
     }
+    lastTrainRounds = driverRounds
     (merges.result(), vocab)
   }
 
@@ -98,8 +157,8 @@ object Bpe {
     */
   def docTokenCounts(
       docs: DataFrame, id: Column, text: Column, extra: Seq[Column],
-      rounds: Int): DataFrame = {
-    val (_, vocab) = train(docs, text, rounds)
+      rounds: Int, batch: Int = 1): DataFrame = {
+    val (_, vocab) = train(docs, text, rounds, batch)
     val tokLen = vocab.select(col("word"), size(col("syms")).cast("long").as("toklen"))
     val exploded = docs.select(
       (id.as("doc_id") +: extra) :+ explode(split(lower(text), " ")).as("word"): _*)

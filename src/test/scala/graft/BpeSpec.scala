@@ -17,13 +17,25 @@ class BpeSpec extends SparkSpec {
     * merge.
     */
   private def refBpe(
-      texts: Seq[String], rounds: Int): (Seq[(String, String, Long)], Map[String, Int]) = {
+      texts: Seq[String], rounds: Int,
+      batch: Int = 1): (Seq[(String, String, Long)], Map[String, Int]) = {
     var vocab: Map[Vector[String], Long] = texts
       .flatMap(_.toLowerCase.split(" ", -1))
       .filter(_.nonEmpty)
       .groupBy(identity).map { case (w, ws) =>
         w.map(_.toString).toVector -> ws.size.toLong
       }
+    def applyMerge(v: Map[Vector[String], Long], a: String, b: String) =
+      v.groupBy { case (syms, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }.map { case (syms, m) => syms -> m.values.sum }
     val merges = Seq.newBuilder[(String, String, Long)]
     for (_ <- 1 to rounds) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -33,18 +45,18 @@ class BpeSpec extends SparkSpec {
         }
       }
       if (counts.nonEmpty) {
-        val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
-        merges += ((a, b, c))
-        vocab = vocab.groupBy { case (syms, _) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.size) {
-            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
+        // the trainer's skip-walk over the top 4·batch ranking prefix
+        val ranked = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.take(batch * 4)
+        val used = scala.collection.mutable.Set.empty[String]
+        var n = 0
+        ranked.foreach { case ((a, b), c) =>
+          if (n < batch && !used.contains(a) && !used.contains(b)) {
+            used += a; used += b; n += 1
+            merges += ((a, b, c))
+            vocab = applyMerge(vocab, a, b)
           }
-          out.result()
-        }.map { case (syms, m) => syms -> m.values.sum }
+        }
       }
     }
     (merges.result(), vocab.map { case (syms, _) => syms.mkString -> syms.size })
@@ -69,6 +81,59 @@ class BpeSpec extends SparkSpec {
     val gotLens = vocabDf.select(col("word"), size(col("syms")))
       .as[(String, Int)].collect().toMap
     assert(gotLens == wantLens, s"lens differ: ${gotLens.toSeq.sorted.take(5)}")
+  }
+
+  test("batched training equals SEQUENTIAL on a compatibility-partitioned vocab") {
+    // disjoint per-class alphabets with strictly decreasing dominant
+    // pair counts: every top candidate is symbol-disjoint from and
+    // strictly dominates the rest, so the parallel skip-walk batch IS
+    // the sequential Sennrich prefix — the "where compatible" clause
+    // of the r10 batching, asserted
+    // two-symbol words: merging one fuses the whole word, creating NO
+    // new pairs — the classes never interact
+    val texts =
+      Seq.fill(40)("ab ab") ++ Seq.fill(30)("cd cd") ++
+        Seq.fill(20)("ef ef") ++ Seq.fill(10)("gh gh")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (seq, seqVocab) = Bpe.train(docs, col("text"), rounds = 4, batch = 1)
+    val (bat, batVocab) = Bpe.train(docs, col("text"), rounds = 1, batch = 4)
+    assert(bat == seq && bat.size == 4,
+      s"batch=${bat.toList}\nseq=${seq.toList}")
+    val sv = seqVocab.select(col("word"), col("syms")).as[(String, Seq[String])]
+      .collect().toMap
+    val bv = batVocab.select(col("word"), col("syms")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(bv == sv)
+  }
+
+  test("batched training replicates the reference skip-walk on randomized corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    val ab = "abcde"
+    (0 until 4).foreach { trial =>
+      val texts = (0 until 30).map { _ =>
+        (0 until (1 + rnd.nextInt(6)))
+          .map(_ => (1 to (1 + rnd.nextInt(6)))
+            .map(_ => ab(rnd.nextInt(ab.length))).mkString)
+          .mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (want, _) = refBpe(texts, rounds = 4, batch = 5)
+      val (bat, _) = Bpe.train(docs, col("text"), rounds = 4, batch = 5)
+      assert(bat.map(m => (m.lhs, m.rhs, m.pair_count)) == want,
+        s"trial $trial diverged:\nbatch=${bat.toList}\nref=$want\ncorpus=$texts")
+    }
+  }
+
+  test("64+ merges on the real corpus in <= 8 driver rounds at batch 16") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (merges, _) = Bpe.train(docs, col("text"), rounds = 6, batch = 16)
+    assert(merges.size >= 64, s"learned only ${merges.size}")
+    assert(Bpe.lastTrainRounds <= 8,
+      s"took ${Bpe.lastTrainRounds} driver rounds")
+    // ranks are the global learned order
+    assert(merges.map(_.rank) == (1L to merges.size).toSeq)
   }
 
   test("merge application handles overlapping same-symbol runs greedily") {
