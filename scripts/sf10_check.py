@@ -499,6 +499,12 @@ if selected("dd_semantic"):
     check_full("dd_semantic")
 if selected("curate_pipeline"):
     check_full("curate_pipeline")
+# r10 additions: the compressed fuzzy form (distinct-string naive-join
+# oracle — replication-invariant, cheap at any SF) and the batched BPE
+# pair (vocab-sized replay, corpus size only enters the word-freq agg)
+for _name in ["q_fuzzy_classes", "txt_bpe_train", "ds_pack_bpe"]:
+    if selected(_name):
+        check_full(_name)
 
 # cumulative artifact: a rerun of a subset merges over prior rows
 if os.path.exists(JSON_OUT):

@@ -278,6 +278,96 @@ class StreamingSpec extends SparkSpec {
       "the planted spike on day 8 must score")
   }
 
+  test("checkpoint RESTART: mapGroupsWithState state survives a real stop/start cycle") {
+    // the property production streams actually rely on (r9 gap #3):
+    // a query stopped mid-stream and RESTARTED as a fresh query
+    // instance from the same checkpoint dir must recover its state
+    // store, not recompute from scratch — no prior spec killed a
+    // query. foreachBatch sink (memory sink refuses recovery).
+    import graft.streaming.EventStreams.UpsertOut
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, UpsertOut)]
+    def start() = EventStreams.upsertLatest(mem.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[UpsertOut], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .start()
+    val q1 = start()
+    mem.addData(
+      Event(10, 50L * us, 1L, "purchase", 9.0),
+      Event(11, 40L * us, 2L, "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop() // the "kill": query object discarded, state only on disk
+    // data arrives while the query is DOWN
+    mem.addData(
+      Event(1, 10L * us, 1L, "view", 1.0),   // OLDER than the pre-restart purchase
+      Event(12, 40L * us, 2L, "click", 3.0)) // same ts as pre-restart, higher id
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // batch 1's emissions (before the kill)
+    val b1 = buf.synchronized(buf.filter(_._1 == 0L).map(_._2)).toSeq
+    assert(b1.exists(r => r.user_id == 1L && r.event_id == 10L))
+    // the restarted query's decisions REQUIRE the recovered state:
+    // without it, user 1's post-restart older row would win as
+    // "latest" (view@10) instead of losing to the checkpointed
+    // purchase@50, and user 2's tie-break would lack the stored row
+    val b2 = buf.synchronized(buf.filter(_._1 == 1L).map(_._2)).toSeq
+    assert(b2.nonEmpty, "restart must process the down-time batch")
+    val u1 = b2.find(_.user_id == 1L).get
+    assert(u1.event_id == 10L && u1.event_type == "purchase" && u1.ts_us == 50L * us,
+      s"state lost across restart: $u1")
+    val u2 = b2.find(_.user_id == 2L).get
+    assert(u2.event_id == 12L && u2.event_type == "click",
+      s"tie-break against checkpointed state failed: $u2")
+    // and the final state equals the batch twin over the FULL stream
+    val twin = Seq(
+      Event(10, 50L * us, 1L, "purchase", 9.0), Event(11, 40L * us, 2L, "view", 2.0),
+      Event(1, 10L * us, 1L, "view", 1.0), Event(12, 40L * us, 2L, "click", 3.0))
+      .groupBy(_.user_id).map { case (u, es) =>
+        u -> es.maxBy(e => (e.ts_us, e.event_id)).event_id
+      }
+    val finalPerUser = (b1 ++ b2).groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.last.event_id }
+    assert(finalPerUser == twin)
+  }
+
+  test("checkpoint RESTART: watermarked dedup remembers pre-restart ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_dd").toString
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]
+    def start() = EventStreams.dedup(
+        mem.toDF().toDF("event_id", "ts", "event_type"),
+        Seq("event_id"), "2 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("event_id").collect().map(_.getLong(0))
+        buf.synchronized { ids.foreach(buf += _) }
+      }
+      .start()
+    val q1 = start()
+    mem.addData((1L, at(0), "click"), (2L, at(5), "view"))
+    q1.processAllAvailable()
+    q1.stop()
+    // the duplicate of id 1 arrives after the restart — only the
+    // checkpointed dedup state can drop it
+    mem.addData((1L, at(10), "click"), (3L, at(15), "view"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = buf.synchronized(buf.toList)
+    assert(got.sorted == List(1L, 2L, 3L),
+      s"id 1 must appear exactly once across the restart, got $got")
+  }
+
   test("custom codegen expressions run inside a streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
