@@ -1222,6 +1222,17 @@ object SparkEntry {
         s, "/root/repo/data/alignments_sample.xlsx")
     },
 
+    "src_xlsx_dir" -> { (s, _) =>
+      // the DISTRIBUTED many-workbook arm (r10): binaryFile scan over
+      // a directory of 20 workbooks with varying column orders, an
+      // extra column, and one missing column — per-task StAX parse,
+      // header-name mapping onto the declared schema, cluster-wide
+      // union. Oracle = the CSV export of the same rows.
+      graft.sources.Xlsx.readSheetDir(
+        s, "/root/repo/data/alignments_books", "Alignments",
+        Seq("region", "district", "unit", "location_name"))
+    },
+
     "src_jsonl_events" -> { (s, _) =>
       // JSONL ingestion with corrupt-record quarantine: malformed
       // lines survive verbatim with valid=false instead of killing
@@ -2151,6 +2162,12 @@ object SparkEntry {
         |           'unit':'DOUBLE','manager_email':'VARCHAR','zip_raw':'VARCHAR'})
         |WHERE region IS NOT NULL AND district IS NOT NULL
         |  AND unit IS NOT NULL AND location_name IS NOT NULL""".stripMargin,
+
+    "src_xlsx_dir" ->
+      """SELECT region, district, unit, location_name
+        |FROM read_csv('/root/repo/data/alignments_books.csv', header=true,
+        |  columns={'region':'VARCHAR','district':'VARCHAR',
+        |           'unit':'VARCHAR','location_name':'VARCHAR'})""".stripMargin,
 
     "src_jsonl_events" ->
       """SELECT

@@ -136,6 +136,37 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("readSheetDir: distributed many-workbook read equals the per-file union") {
+    val dir = "/root/repo/data/alignments_books"
+    val cols = Seq("region", "district", "unit", "location_name")
+    val dist = Xlsx.readSheetDir(spark, dir, "Alignments", cols)
+    // the single-file driver path, unioned by hand, projected to the
+    // same declared columns by header name
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+      .sortBy(_.getName)
+    assert(files.length == 20)
+    val manual = files.toSeq.flatMap { f =>
+      val grid = Xlsx.readGrid(f.getPath, "Alignments")
+      val header = grid.head.zipWithIndex.map { case (h, i) => h.getOrElse(s"_c$i") }
+      val idx = cols.map(header.indexOf)
+      grid.tail.map(r => idx.map(i => if (i < 0) null else r.lift(i).flatten.orNull))
+    }
+    val got = dist.collect().map(r => cols.indices.map(r.getString).toSeq)
+    assert(got.length == manual.length && got.sortBy(_.toString).toSeq ==
+      manual.map(_.toSeq).sortBy(_.toString),
+      s"distributed ${got.length} rows != manual ${manual.length}")
+    // header-name mapping proof: the shuffled-order books (14-17)
+    // still land region in the region column; book 19 (no district
+    // header) yields nulls there and nowhere else
+    assert(got.forall(r => r.head == null || r.head.startsWith("R")))
+    val nulls = dist.filter(col("district").isNull).count()
+    assert(nulls > 0 && nulls == manual.count(_(1) == null))
+    // provenance arm: src_file names each row's workbook
+    val withF = Xlsx.readSheetDir(spark, dir, "Alignments", cols, withFile = true)
+    val perFile = withF.groupBy("src_file").count().collect()
+    assert(perFile.length == 20 && perFile.map(_.getLong(1)).sum == manual.length)
+  }
+
   test("AlignmentsFile: the xlsx workbook and its CSV export clean to the SAME frame") {
     // missing-value encodings align: an empty workbook CELL and an
     // empty CSV field both read as NULL, so the two formats clean
