@@ -242,6 +242,52 @@ def check_minhash_and_components():
         compare("dd_minhash_classes", load_dump("dd_minhash_classes"), want_k,
                 "python_exact",
                 note=f"{len(want_k)} rep pairs with class sizes")
+    # dd_ngram_jaccard (r10): its candidate tier IS this minhash pass
+    # (shingle 5, est >= 0.5, same collapse), so verify the exact
+    # 5-gram Jaccard once per rep pair and expand — text-equal pairs
+    # are Jaccard exactly 1
+    if selected("dd_ngram_jaccard"):
+        t0 = time.time()
+
+        def grams(t):
+            return (frozenset(t[k:k + 5] for k in range(len(t) - 4))
+                    if len(t) >= 5 else frozenset([t]))
+        frames_j = []
+        n_rep = 0
+        for (ta, tb), est in rep_pairs.items():
+            ga, gb = grams(ta), grams(tb)
+            j = len(ga & gb) / len(ga | gb)
+            if j >= 0.7:
+                n_rep += 1
+                ia = np.array(text_ids[ta], dtype=np.int64)
+                ib = np.array(text_ids[tb], dtype=np.int64)
+                A = np.repeat(ia, len(ib))
+                B = np.tile(ib, len(ia))
+                lo, hi = np.minimum(A, B), np.maximum(A, B)
+                frames_j.append(np.stack(
+                    [lo.astype(np.float64), hi.astype(np.float64),
+                     np.full(len(lo), j)], axis=1))
+        for t, ids in text_ids.items():
+            if len(ids) >= 2:
+                arr = np.array(ids, dtype=np.int64)
+                iu, ju = np.triu_indices(len(arr), k=1)
+                frames_j.append(np.stack(
+                    [arr[iu].astype(np.float64), arr[ju].astype(np.float64),
+                     np.ones(len(iu))], axis=1))
+        if frames_j:
+            allj = np.concatenate(frames_j)
+            want_j = pd.DataFrame(
+                {"id_a": allj[:, 0].astype(np.int64),
+                 "id_b": allj[:, 1].astype(np.int64),
+                 "jaccard": allj[:, 2]})
+        else:
+            want_j = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+        compare("dd_ngram_jaccard", load_dump("dd_ngram_jaccard"), want_j,
+                "python_exact",
+                note=f"exact Jaccard over {n_rep} verified rep pairs + "
+                     f"class expansion -> {len(want_j)} rows, "
+                     f"{time.time()-t0:.0f}s")
+
     # components: union-find over the REP graph, members inherit —
     # equal to the closure of the expanded graph (reps are class
     # minima; within-class edges interconnect every member)
@@ -484,6 +530,28 @@ def check_full(name, views=None):
             note=f"oracle {time.time()-t0:.0f}s")
 
 
+def check_sampled(name):
+    """Per-key-independent per-doc oracles (sf1_check's sampled_keys
+    method at 100x): run the oracle over doc_id % 10 = 0 only and
+    compare row-exactly against the dump restricted to those keys."""
+    con_s = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            if t == "documents":
+                con_s.sql(f"CREATE VIEW documents AS "
+                          f"SELECT * FROM '{p}' WHERE doc_id % 10 = 0")
+            else:
+                con_s.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    t0 = time.time()
+    want = con_s.sql(oracle[name]).df()
+    got = load_dump(name)
+    got = got[got["doc_id"] % 10 == 0]
+    compare(name, got, want, "sampled_keys",
+            note=f"doc_id % 10 = 0 sample, {len(want)} keys, "
+                 f"oracle {time.time()-t0:.0f}s")
+
+
 # fast first, the DuckDB long poles last
 if selected("q_pagerank"):
     check_pagerank()
@@ -491,7 +559,8 @@ if selected("mm_phash_dedup"):
     check_phash()
 if selected("dd_simhash"):
     check_simhash()
-if selected("dd_minhash_lsh") or selected("dd_components"):
+if (selected("dd_minhash_lsh") or selected("dd_components")
+        or selected("dd_ngram_jaccard")):
     check_minhash_and_components()
 if selected("q_fuzzy_join2"):
     check_fuzzy2()
@@ -502,9 +571,14 @@ if selected("curate_pipeline"):
 # r10 additions: the compressed fuzzy form (distinct-string naive-join
 # oracle — replication-invariant, cheap at any SF) and the batched BPE
 # pair (vocab-sized replay, corpus size only enters the word-freq agg)
-for _name in ["q_fuzzy_classes", "txt_bpe_train", "ds_pack_bpe"]:
+for _name in ["q_fuzzy_classes", "txt_bpe_train", "ds_pack_bpe",
+              "q_weighted_pct", "txt_boilerplate"]:
     if selected(_name):
         check_full(_name)
+# per-doc slow-tail ops at 100x via the sampled-key method
+for _name in ["txt_char_stats", "txt_type_token"]:
+    if selected(_name):
+        check_sampled(_name)
 
 # cumulative artifact: a rerun of a subset merges over prior rows
 if os.path.exists(JSON_OUT):

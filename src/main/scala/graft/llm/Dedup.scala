@@ -395,20 +395,30 @@ object Dedup {
       minJaccard: Double = 0.5,
       candidateMinEst: Double = 0.3): DataFrame = {
     val idDf = df.select(id.as("doc_id"), text.as("_text"))
-    val candidates = minhashLsh(idDf, col("doc_id"), col("_text"),
-      shingle = n, minJaccard = candidateMinEst)
+    // r10: the whole tier runs at the DISTINCT-CONTENT level — the
+    // LSH candidate pass is already collapse-based, so take its
+    // compressed rep pairs, pay the exact set kernel ONCE per
+    // distinct text pair, and expand verified pairs through class
+    // membership (text-equal pairs are Jaccard exactly 1 ≥ any
+    // threshold, so they're unconditional). A ×100-replicated corpus
+    // pays 1/10000th of the kernel calls for the identical result.
+    // r8's lesson still holds inside: join TEXT, not gram arrays —
+    // an unsafe array of n-gram strings is ~16× the text's bytes;
+    // the one-pass kernel builds the distinct-gram sets in the
+    // post-join projection (values bit-identical).
+    val members = contentClasses(idDf, col("doc_id"), col("_text"))
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("rep"), col("_t"))
+    val candidates = minhashLshReps(members, shingle = n, perms = 64,
+      bands = 16, minJaccard = candidateMinEst, maxBucket = 64)
       .select(col("id_a"), col("id_b"))
-    // r8: join TEXT, not gram arrays — an unsafe array of n-gram
-    // strings is ~16× the text's bytes, and it shuffled through BOTH
-    // candidate joins; the one-pass kernel builds the same distinct-
-    // gram sets in the post-join projection (values bit-identical:
-    // same sets, same int counts, same single double division)
-    candidates
-      .join(idDf.select(col("doc_id").as("id_a"), col("_text").as("_ta")), Seq("id_a"))
-      .join(idDf.select(col("doc_id").as("id_b"), col("_text").as("_tb")), Seq("id_b"))
+    val verified = candidates
+      .join(reps.select(col("rep").as("id_a"), col("_t").as("_ta")), Seq("id_a"))
+      .join(reps.select(col("rep").as("id_b"), col("_t").as("_tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         F.ngramJaccardSim(col("_ta"), col("_tb"), n).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    expandClassPairs(verified, members, "jaccard", lit(1.0))
   }
 
   /** Directed rare-gram CONTAINMENT pairs — |A∩B| / |A| over
