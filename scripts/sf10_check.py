@@ -571,8 +571,14 @@ if selected("curate_pipeline"):
 # r10 additions: the compressed fuzzy form (distinct-string naive-join
 # oracle — replication-invariant, cheap at any SF) and the batched BPE
 # pair (vocab-sized replay, corpus size only enters the word-freq agg)
+# ... plus a relational cross-section (agg / window / sessionize /
+# salted+skew / rollup / HLL) whose DuckDB oracles stay tractable over
+# the full 60M-row sf10 lineitem
 for _name in ["q_fuzzy_classes", "txt_bpe_train", "ds_pack_bpe",
-              "q_weighted_pct", "txt_boilerplate"]:
+              "q_weighted_pct", "txt_boilerplate",
+              "q_agg_pricing", "q_window_topk", "q_sessionize",
+              "q_salted_agg", "q_hll_distinct", "q_rollup_agg",
+              "q_skew_join"]:
     if selected(_name):
         check_full(_name)
 # per-doc slow-tail ops at 100x via the sampled-key method

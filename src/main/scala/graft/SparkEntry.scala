@@ -2340,7 +2340,7 @@ object SparkEntry {
 
     "q_incremental_agg" ->
       """SELECT event_type, count(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
         | MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -2412,17 +2412,17 @@ object SparkEntry {
 
     "q_bloom_prune" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
         |GROUP BY l_suppkey""".stripMargin,
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2523,7 +2523,7 @@ object SparkEntry {
 
     "q_hierarchy_rollup" ->
       """SELECT r_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         | count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -2575,7 +2575,7 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
         | count(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
@@ -2602,14 +2602,14 @@ object SparkEntry {
     "q_rollup_agg" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
         | count(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS rev
         |FROM orders
         |GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin,
 
     "q_cube_agg" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
         | count(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS rev
         |FROM orders
         |GROUP BY CUBE (CAST(year(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin,
 
@@ -2639,13 +2639,13 @@ object SparkEntry {
 
     "q_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_set_ops" ->
@@ -2672,7 +2672,7 @@ object SparkEntry {
 
     "q_range_join" ->
       """SELECT bucket_id, count(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
         |FROM events
         |JOIN (SELECT i AS bucket_id, CAST(i*100 AS DOUBLE) AS lo,
         |             CAST((i+1)*100 AS DOUBLE) AS hi
@@ -2693,8 +2693,8 @@ object SparkEntry {
 
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS DOUBLE) AS running_spend
         |FROM orders""".stripMargin,
 
     "q_gaps_islands" ->
@@ -2735,7 +2735,7 @@ object SparkEntry {
 
     "q_skew_join" ->
       """SELECT e.event_type, d.type_n, count(*) AS n,
-        | CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        | CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
         |FROM events e
         |JOIN (SELECT event_type AS etype, count(*) AS type_n
         |      FROM events GROUP BY 1) d
@@ -2864,7 +2864,7 @@ object SparkEntry {
       """WITH daily AS (
         | SELECT o_custkey AS cust,
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS day_total
         | FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1, 2),
         |bounds AS (SELECT cust, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
         |spine AS (SELECT cust, unnest(generate_series(d0, d1)) AS day FROM bounds),
@@ -2882,10 +2882,10 @@ object SparkEntry {
       """WITH daily AS (
         | SELECT o_custkey AS cust,
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS day,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS day_total
         | FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1, 2)
         |SELECT cust, day, day_total,
-        | CAST(sum(CAST(day_total AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        | CAST(CAST(sum(CAST(day_total AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
         |   / (count(*) OVER w) AS mavg,
         | CAST(count(*) OVER w AS BIGINT) AS n_window
         |FROM daily
@@ -3083,8 +3083,8 @@ object SparkEntry {
         | CAST(sum(CASE WHEN v < b_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
         | CAST(sum(CASE WHEN v > b_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
         | min(b_lo) AS b_lo, min(b_hi) AS b_hi,
-        | ((CAST(sum(CASE WHEN v >= b_lo AND v <= b_hi
-        |     THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+        | ((CAST(CAST(sum(CASE WHEN v >= b_lo AND v <= b_hi
+        |     THEN CAST(v AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
         |   + CAST(sum(CASE WHEN v < b_lo THEN 1 ELSE 0 END) AS DOUBLE) * min(b_lo))
         |   + CAST(sum(CASE WHEN v > b_hi THEN 1 ELSE 0 END) AS DOUBLE) * min(b_hi))
         |   / CAST(count(*) AS DOUBLE) AS win_mean
@@ -3391,10 +3391,10 @@ object SparkEntry {
     "q_corr_matrix" ->
       """WITH a AS (
         | SELECT CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_d,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_p,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_q,
-        |  CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS s_t,
+        |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s_d,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s_p,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s_q,
+        |  CAST(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s_t,
         |  CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_dd,
         |  CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_dp,
         |  CAST(CAST(sum(CAST(CAST(l_discount AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS s_dq,
@@ -3473,7 +3473,7 @@ object SparkEntry {
       """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
         | o_orderpriority AS pri,
         | count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((yr, pri), (yr), ())""".stripMargin,
 
