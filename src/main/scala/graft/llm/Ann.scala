@@ -242,9 +242,9 @@ object Ann {
   def cosineNearDupPairs(
       df: DataFrame, id: Column, vec: Column,
       minCos: Double = 0.95, planes: Int = 8): DataFrame = {
-    val members = Dedup.contentClasses(df, id, vec)
-    val b = members.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id").as("vec_id"), col("_t").as("v"),
+    val cc = Dedup.contentClasses(df, id, vec)
+    val b = cc.classes
+      .select(col("rep").as("vec_id"), col("_t").as("v"),
         srpBucket(col("_t"), planes).as("bucket"))
     // single-shuffle bucket-group + codegen pair kernel (see
     // Dedup.minhashLsh for rationale)
@@ -255,10 +255,10 @@ object Ann {
       .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cos")).as("cos"))
-    Dedup.expandClassPairs(repPairs, members, "cos",
+    // exactly-once per member pair (expandClassPairs); the filter
+    // re-checks the class self-cosine against the threshold
+    Dedup.expandClassPairs(repPairs, cc, "cos",
         F.cosineSim(col("_t"), col("_t")))
       .filter(col("cos") >= minCos)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cos")).as("cos"))
   }
 }

@@ -113,42 +113,54 @@ object Cluster {
       maxCell: Int = 4096): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val km = kmeans(df, id, vec, k, iters)
-    // the contentClasses window inline, `cell` riding along (a class
-    // shares one cell, so it is constant within the partition)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
-    val members = km.assigned
+    // the contentClasses hash-collapse inline, `cell` riding along
+    // (a class shares one cell — assignment is a pure function of the
+    // vector — so first(cell) within the hash group is deterministic).
+    // r11: map-combined groupBy(xxhash64(vec)) replaces the prior
+    // vector-keyed window — duplicate mass dedups map-side and no
+    // full-corpus vector sort is paid; membership is a window over
+    // the 8-byte hash on (doc_id, _h) rows only (see
+    // Dedup.contentClasses for the shape rationale).
+    val keyed = km.assigned
       .select(col("cell"), col("vec_id").as("doc_id"), col("c_vec").as("_t"))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .withColumn("n", count(lit(1)).over(w))
-    val repPairs = members.filter(col("doc_id") === col("rep"))
-      .select(col("cell"), col("doc_id").as("vec_id"), col("_t").as("v"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val classes = keyed.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+        first(col("_t")).as("_t"), first(col("cell")).as("cell"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val members = keyed.select(col("doc_id"), col("_h"))
+      .withColumn("rep", min(col("doc_id")).over(wh))
+      .withColumn("n", count(lit(1)).over(wh))
+      .select(col("doc_id"), col("rep"), col("n"))
+    val repPairs = classes
+      .select(col("cell"), col("rep").as("vec_id"), col("_t").as("v"))
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("items"))
       .filter(size(col("items")).between(2, maxCell))
       .select(col("cell"), explode(F.cosineBucketPairs(col("items"), minCos)).as("p"))
       .select(col("cell"), col("p.id_a"), col("p.id_b"), col("p.cos"))
-    // bespoke expansion (Dedup.expandClassPairs doesn't carry `cell`):
-    // a class shares one cell and a cross pair's classes share the
-    // kernel's cell, so the cell rides the pair rows directly. Pinned
-    // width on both fan-out joins — the §5 byte-coalescing lesson.
+    // bespoke expansion (Dedup.expandClassPairs doesn't carry `cell`)
+    // but the same r11 unified shape: classes with n ≥ 2 contribute a
+    // SELF rep-pair (r, r, self-cos) — computed once per class, same
+    // double formula as the kernel — and one two-sided membership
+    // join expands cross and within-class pairs together, exactly
+    // once per member pair (`_ma < _mb` guards the self pairs; see
+    // Dedup.expandClassPairs). Pinned width on the fan-out join — the
+    // §5 byte-coalescing lesson.
+    val selfPairs = classes.filter(col("n") >= 2)
+      .select(col("cell"), col("rep").as("id_a"), col("rep").as("id_b"),
+        F.cosineSim(col("_t"), col("_t")).as("cos"))
+      .filter(col("cos") >= minCos)
     val ma = members.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
     val mb = members.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
-    val cross = repPairs.repartition(width, col("id_a"))
+    repPairs.unionByName(selfPairs)
+      .repartition(width, col("id_a"))
       .join(ma, "id_a")
       .join(mb, "id_b")
+      .filter(col("id_a") =!= col("id_b") || col("_ma") < col("_mb"))
       .select(col("cell"),
         least(col("_ma"), col("_mb")).as("id_a"),
         greatest(col("_ma"), col("_mb")).as("id_b"),
         col("cos"))
-    val dupMembers = members.filter(col("n") >= 2)
-      .select(col("cell"), col("rep"), col("doc_id"), col("_t"))
-      .repartition(width, col("rep"))
-    val within = dupMembers.join(
-        dupMembers.select(col("rep"), col("doc_id").as("_mb")), Seq("rep"))
-      .filter(col("doc_id") < col("_mb"))
-      .select(col("cell"), col("doc_id").as("id_a"), col("_mb").as("id_b"),
-        F.cosineSim(col("_t"), col("_t")).as("cos"))
-      .filter(col("cos") >= minCos)
-    cross.unionByName(within)
   }
 }

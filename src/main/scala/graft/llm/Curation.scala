@@ -42,26 +42,34 @@ object Curation {
     val quality = TextAnalysis.qualityScore(base, col("doc_id"), col("text"))
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"))
-    // persisted: referenced by both the dedup branch and the final
-    // anti-join — without it Catalyst re-executes the whole upstream
-    // (scan + quality scoring + hashing) once per reference
-    val qualified = base.join(quality, Seq("doc_id"), "left_semi").persist()
+    val qualified = base.join(quality, Seq("doc_id"), "left_semi")
 
-    val exactKeep = Dedup.exact(qualified, col("doc_id"), col("text"))
-      .select(col("keep_id").as("doc_id"))
-    val exactDeduped = qualified.join(exactKeep, Seq("doc_id"), "left_semi").persist()
+    // ONE collapse serves both dedup stages (r11, the r10 verdict's
+    // item 6): the content classes ARE the exact dedup (keep the min
+    // id per distinct text = the class rep) AND the distinct-content
+    // level the near-dup tier runs at. Member-level pairs NEVER
+    // materialize anywhere in this plan — exact-duplicate mass
+    // vanishes at the collapse (map-side partial agg), and near-dup
+    // losers are decided and dropped at REP level. Persisted: the
+    // class frame feeds both the loser computation and the final
+    // anti-join (persist keeps outputPartitioning under AQE — §5).
+    val classes = Dedup
+      .contentClasses(qualified, col("doc_id"), col("text"))
+      .classes.persist()
 
     // Near-dup stage is EXACT-verified: MinHash-LSH proposes cheap
     // candidates, the exact 5-gram set Jaccard decides (tiered, same
     // shape as Dedup.ngramJaccard) — so "near-dup" has a precise,
     // engine-independent definition a brute-force oracle can check.
+    // Of each verified rep pair, the higher id is dropped.
     val nearDupLosers = Dedup
-      .ngramJaccard(exactDeduped, col("doc_id"), col("text"),
+      .ngramJaccardReps(classes,
         n = 5, minJaccard = minJaccard, candidateMinEst = 0.5)
-      .select(col("id_b").as("doc_id"))
+      .select(col("id_b").as("rep"))
       .distinct()
-    val result = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    Curated(result, () => { qualified.unpersist(); exactDeduped.unpersist() })
+    val result = classes.join(nearDupLosers, Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("_t").as("text"))
+    Curated(result, () => { classes.unpersist(); () })
   }
 
   /** [[curateReleasable]] without the release handle. */

@@ -38,13 +38,20 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n"))
   }
 
+  /** The collapse pre-pass output: `classes` is one row per DISTINCT
+    * key value — (rep, n, _t) with rep the min id carrying it and n
+    * the carrier count; `members` is one row per INPUT row —
+    * (doc_id, rep, n) with NO text. Rep-level consumers (signatures,
+    * banding, bucket stats) read `classes` and never pay a
+    * membership join; expansion reads `members` and never ships
+    * text.
+    */
+  private[graft] case class ContentClasses(classes: DataFrame, members: DataFrame)
+
   /** Exact-duplicate CONTENT CLASSES — the collapse pre-pass shared
     * by the whole near-dup family (the r9 verdict's top item; same
     * idiom as [[graft.ops.Reconcile.fuzzyJoin]]'s distinct-string
-    * collapse): one window shuffle keyed by the class key assigns
-    * every row its class representative (min id) and class size.
-    * Returns (doc_id, rep, n, _t) — reps are the rows with
-    * doc_id == rep.
+    * collapse).
     *
     * Why this exists: banding/bucketing over RAW rows makes every
     * skew cap measure DUPLICATION instead of distinct-content work —
@@ -52,52 +59,84 @@ object Dedup {
     * blows its cap and a near-dup detector finds nothing. Collapsing
     * first makes caps measure distinct content, duplicates rejoin by
     * construction, and pair kernels never pay c² for a c-fold
-    * replicated corpus. At 100 TB the class key would be a 64-bit
-    * content hash (8-byte shuffle key); kept as the raw value here so
-    * the oracles are plain SQL — identical semantics modulo 2^-64
-    * collisions.
+    * replicated corpus.
+    *
+    * Shape (r11 — this replaced a `Window.partitionBy(_t)` pass that
+    * shipped and SORTED the whole corpus keyed by its own raw
+    * content): classes come from `groupBy(xxhash64(_t))` with
+    * map-side partial aggregation, so duplicate mass dedups BEFORE
+    * the Exchange — a c-fold-replicated corpus ships ~1/c of its
+    * text, a duplication-free corpus ships each text once, and
+    * nothing is ever sorted by text. Membership (doc_id → rep, n)
+    * comes from a window over the 8-byte hash on (doc_id, _h) rows
+    * only — 16 bytes shuffled per input row, no text, no join; the
+    * one membership Exchange is identical across an operator's
+    * ma/mb/dup-member branches, so Catalyst reuses it. `first(_t)`
+    * is deterministic because every row in a hash group carries the
+    * identical key value — modulo 2^-64 xxhash64 collisions, the one
+    * approximation this buys (classes are otherwise exactly the
+    * GROUP BY _t classes, which is what the plain-SQL oracles
+    * compute).
     */
   private[graft] def contentClasses(
-      df: DataFrame, id: Column, key: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
-    df.select(id.as("doc_id"), key.as("_t"))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .withColumn("n", count(lit(1)).over(w))
+      df: DataFrame, id: Column, key: Column): ContentClasses = {
+    val keyed = df
+      .select(id.as("doc_id"), key.as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val classes = keyed
+      .groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+        first(col("_t")).as("_t"))
+      .select(col("rep"), col("n"), col("_t"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val members = keyed.select(col("doc_id"), col("_h"))
+      .withColumn("rep", min(col("doc_id")).over(wh))
+      .withColumn("n", count(lit(1)).over(wh))
+      .select(col("doc_id"), col("rep"), col("n"))
+    ContentClasses(classes, members)
   }
 
   /** Expand representative-level pairs back to member-id pairs, plus
     * the within-class pairs (exact duplicates — similarity `selfSim`
     * by construction; it may reference the class content as
-    * `col("_t")`, e.g. a computed self-cosine). Both expansion joins
-    * and the within-class self-join run at PINNED width: the
-    * rep-pair / member frames are few BYTES (AQE would byte-coalesce
-    * them to one task) but fan out multiplicatively on a replicated
-    * corpus — the §5 lesson, same as fuzzyJoin's expansion. Output
-    * (id_a < id_b, sim); within-class pair fan-out is bounded by the
-    * duplication factor per class.
+    * `col("_t")`, evaluated ONCE per class on `cc.classes`).
+    *
+    * r11 shape: within-class pairs are NOT a separate self-join
+    * branch — classes with n ≥ 2 contribute a SELF rep-pair (r, r)
+    * to the rep-pair stream, and the one two-sided membership join
+    * expands cross pairs and within-class pairs together. A cross
+    * rep-pair (rA < rB) meets each (x ∈ A, y ∈ B) combination
+    * exactly once; a self pair (r, r) meets each unordered member
+    * pair once via the `_ma < _mb` guard. Because classes are
+    * disjoint and `repPairs` is distinct on (id_a, id_b), the OUTPUT
+    * IS EXACTLY-ONCE per member pair — callers need no post-expansion
+    * dedup aggregation (one whole Exchange removed vs r10).
+    *
+    * The expansion join runs at PINNED width: the rep-pair / member
+    * frames are few BYTES (AQE would byte-coalesce them to one task)
+    * but fan out multiplicatively on a replicated corpus — the §5
+    * lesson, same as fuzzyJoin's expansion. Output (id_a < id_b,
+    * sim); within-class fan-out is bounded by the duplication factor
+    * per class.
     */
   private[graft] def expandClassPairs(
-      repPairs: DataFrame, members: DataFrame,
+      repPairs: DataFrame, cc: ContentClasses,
       simCol: String, selfSim: Column): DataFrame = {
-    val width = members.sparkSession.sessionState.conf.numShufflePartitions
-    val ma = members.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
-    val mb = members.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
-    val cross = repPairs.repartition(width, col("id_a"))
+    val width = cc.members.sparkSession.sessionState.conf.numShufflePartitions
+    val selfPairs = cc.classes.filter(col("n") >= 2)
+      .select(col("rep").as("id_a"), col("rep").as("id_b"),
+        selfSim.as(simCol))
+    val ma = cc.members.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
+    val mb = cc.members.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
+    repPairs.unionByName(selfPairs)
+      .repartition(width, col("id_a"))
       .join(ma, "id_a")
       .join(mb, "id_b")
+      .filter(col("id_a") =!= col("id_b") || col("_ma") < col("_mb"))
       .select(
         least(col("_ma"), col("_mb")).as("id_a"),
         greatest(col("_ma"), col("_mb")).as("id_b"),
         col(simCol))
-    val dupMembers = members.filter(col("n") >= 2)
-      .select(col("rep"), col("doc_id"), col("_t"))
-      .repartition(width, col("rep"))
-    val within = dupMembers.join(
-        dupMembers.select(col("rep"), col("doc_id").as("_mb")), Seq("rep"))
-      .filter(col("doc_id") < col("_mb"))
-      .select(col("doc_id").as("id_a"), col("_mb").as("id_b"),
-        selfSim.as(simCol))
-    cross.unionByName(within)
   }
 
   /** MinHash + banded LSH near-dup pairs.
@@ -139,16 +178,15 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucket: Int = 64,
       expandDups: Boolean = true): DataFrame = {
-    val members = contentClasses(df, id, text)
-    val repPairs = minhashLshReps(members, shingle, perms, bands,
+    val cc = contentClasses(df, id, text)
+    val repPairs = minhashLshReps(cc.classes, shingle, perms, bands,
       minJaccard, maxBucket)
     if (expandDups)
-      expandClassPairs(repPairs, members, "jaccard_est", lit(1.0))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(max(col("jaccard_est")).as("jaccard_est"))
+      // exactly-once per member pair by construction (see
+      // expandClassPairs) — no post-expansion dedup aggregation
+      expandClassPairs(repPairs, cc, "jaccard_est", lit(1.0))
     else {
-      val sizes = members.filter(col("doc_id") === col("rep"))
-        .select(col("rep"), col("n"))
+      val sizes = cc.classes.select(col("rep"), col("n"))
       repPairs
         .join(sizes.select(col("rep").as("id_a"), col("n").as("n_a")), "id_a")
         .join(sizes.select(col("rep").as("id_b"), col("n").as("n_b")), "id_b")
@@ -165,12 +203,13 @@ object Dedup {
     * for the cap, no per-pair Catalyst struct machinery.
     */
   private def minhashLshReps(
-      members: DataFrame, shingle: Int, perms: Int, bands: Int,
+      classes: DataFrame, shingle: Int, perms: Int, bands: Int,
       minJaccard: Double, maxBucket: Int): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    val sigs = members.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), F.minhashSig(col("_t"), shingle, perms).as("sig"))
+    val sigs = classes
+      .select(col("rep").as("doc_id"),
+        F.minhashSig(col("_t"), shingle, perms).as("sig"))
     val banded = sigs
       .select(
         col("doc_id"), col("sig"),
@@ -213,12 +252,12 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       maxBucket: Int = 64): DataFrame = {
-    val members = contentClasses(df, id, text)
-    val repPairs = minhashLshReps(members, shingle, perms, bands,
+    val cc = contentClasses(df, id, text)
+    val repPairs = minhashLshReps(cc.classes, shingle, perms, bands,
       minJaccard, maxBucket)
     val repComp = connectedComponents(repPairs, col("id_a"), col("id_b"))
       .select(col("doc_id").as("rep"), col("comp"))
-    members
+    cc.members
       .join(repComp, Seq("rep"), "left")
       .filter(col("n") >= 2 || col("comp").isNotNull)
       .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("comp"))
@@ -252,9 +291,8 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    contentClasses(df, id, text)
-      .filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), F.minhashSig(col("_t"), shingle, perms).as("sig"))
+    contentClasses(df, id, text).classes
+      .select(F.minhashSig(col("_t"), shingle, perms).as("sig"))
       .select(
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("band").cast("long").as("band"),
@@ -356,9 +394,9 @@ object Dedup {
       sigs: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
-    val members = contentClasses(sigs, col("doc_id"), col("sig"))
-    val banded = members.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("_t").as("sig"),
+    val cc = contentClasses(sigs, col("doc_id"), col("sig"))
+    val banded = cc.classes
+      .select(col("rep").as("doc_id"), col("_t").as("sig"),
         explode(sequence(lit(0), lit(3))).as("piece"))
       .withColumn("pval", expr("shiftrightunsigned(sig, piece * 16)").bitwiseAND(lit(0xffffL)))
     // same single-shuffle bucket-group + codegen pair kernel as
@@ -371,9 +409,7 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
-    expandClassPairs(repPairs, members, "hamming", lit(0L))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
+    expandClassPairs(repPairs, cc, "hamming", lit(0L))
   }
 
   /** Exact character n-gram Jaccard near-dup pairs, tiered for
@@ -402,23 +438,38 @@ object Dedup {
     // membership (text-equal pairs are Jaccard exactly 1 ≥ any
     // threshold, so they're unconditional). A ×100-replicated corpus
     // pays 1/10000th of the kernel calls for the identical result.
-    // r8's lesson still holds inside: join TEXT, not gram arrays —
-    // an unsafe array of n-gram strings is ~16× the text's bytes;
-    // the one-pass kernel builds the distinct-gram sets in the
-    // post-join projection (values bit-identical).
-    val members = contentClasses(idDf, col("doc_id"), col("_text"))
-    val reps = members.filter(col("doc_id") === col("rep"))
-      .select(col("rep"), col("_t"))
-    val candidates = minhashLshReps(members, shingle = n, perms = 64,
+    val cc = contentClasses(idDf, col("doc_id"), col("_text"))
+    expandClassPairs(
+      ngramJaccardReps(cc.classes, n, minJaccard, candidateMinEst),
+      cc, "jaccard", lit(1.0))
+  }
+
+  /** The rep-level tier under [[ngramJaccard]], exposed for callers
+    * that already hold collapsed content classes (e.g.
+    * [[Curation.curate]], whose exact-dedup stage IS the collapse):
+    * LSH candidates over the class reps, exact character-n-gram
+    * Jaccard verification, (id_a, id_b, jaccard) over REP ids only —
+    * member-level pairs never materialize. r8's lesson holds inside:
+    * the candidate joins ship TEXT, never materialized gram arrays
+    * (an unsafe array of n-gram strings is ~16× the text's bytes);
+    * the one-pass [[graft.functions.NgramJaccardSim]] kernel builds
+    * the distinct-gram sets in the post-join projection.
+    */
+  private[graft] def ngramJaccardReps(
+      classes: DataFrame,
+      n: Int,
+      minJaccard: Double,
+      candidateMinEst: Double): DataFrame = {
+    val reps = classes.select(col("rep"), col("_t"))
+    val candidates = minhashLshReps(classes, shingle = n, perms = 64,
       bands = 16, minJaccard = candidateMinEst, maxBucket = 64)
       .select(col("id_a"), col("id_b"))
-    val verified = candidates
+    candidates
       .join(reps.select(col("rep").as("id_a"), col("_t").as("_ta")), Seq("id_a"))
       .join(reps.select(col("rep").as("id_b"), col("_t").as("_tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         F.ngramJaccardSim(col("_ta"), col("_tb"), n).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-    expandClassPairs(verified, members, "jaccard", lit(1.0))
   }
 
   /** Directed rare-gram CONTAINMENT pairs — |A∩B| / |A| over
