@@ -46,7 +46,36 @@ object Graph {
   def pageRank(
       edges: DataFrame, src: Column, dst: Column,
       iters: Int = 3, scale: Long = 1000000000000L,
-      maxBroadcastNodes: Long = 10000000L): DataFrame = {
+      maxBroadcastNodes: Long = 10000000L): DataFrame =
+    pageRankConverged(edges, src, dst, iters, scale, maxBroadcastNodes,
+      eps = None).ranks
+
+  /** [[pageRankConverged]] output: final ranks + how many rounds
+    * actually ran (== `iters` when no early stop fired).
+    */
+  final case class PageRankRun(ranks: DataFrame, rounds: Int)
+
+  /** [[pageRank]] with optional CONVERGENCE control — what a 100 TB
+    * graph needs instead of a guessed iteration count (r10 verdict
+    * item 4). `eps = None` is exactly the fixed-iteration semantics
+    * above, with zero additional jobs — the oracle-checked
+    * `q_pagerank` path. `eps = Some(e)` adds one node-sized
+    * driver-checked aggregation per round (max |Δrank| over the two
+    * already-materialized rank frames — integer ranks make the check
+    * EXACT, no float tolerance) and stops as soon as max |Δrank| ≤ e.
+    *
+    * `Some(0L)` is a pure optimization, bit-identical to the fixed
+    * run: a round is a deterministic function of the rank state, so a
+    * zero-delta state is an ABSORBING fixpoint — every remaining
+    * round would reproduce it unchanged (spec-pinned in GraphSpec).
+    * `Some(e > 0)` trades exactness of the stopping point for rounds,
+    * the usual production setting.
+    */
+  def pageRankConverged(
+      edges: DataFrame, src: Column, dst: Column,
+      iters: Int = 3, scale: Long = 1000000000000L,
+      maxBroadcastNodes: Long = 10000000L,
+      eps: Option[Long] = None): PageRankRun = {
     // localCheckpoint each round (the connectedComponents idiom):
     // without it iteration t's LAZY plan re-executes iterations
     // 1..t−1, turning k rounds into O(k²) work and unbounded plan
@@ -97,14 +126,26 @@ object Graph {
     val base = (scale * 3 / 20) / n
     var rank = nodesDeg.withColumn("rank", lit(scale / n))
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       // localCheckpoint each round (the connectedComponents idiom):
       // without it iteration t's LAZY plan re-executes iterations
       // 1..t−1, turning k rounds into O(k²) work and unbounded plan
       // depth. Round t−1's checkpoint blocks are reclaimed by the
       // ContextCleaner once this reassignment drops the last
       // reference — a 50-round run tends toward one live rank RDD.
-      rank = pageRankRound(e, nodesDeg, rank, base, bcast).localCheckpoint()
+      val next = pageRankRound(e, nodesDeg, rank, base, bcast).localCheckpoint()
+      eps.foreach { e0 =>
+        // one node-sized join+agg over two ALREADY-materialized
+        // checkpoints (nothing upstream re-executes); exact in
+        // integers, so `<= eps` is a true statement, not a tolerance
+        val maxDelta = next.select(col("node"), col("rank").as("_r2"))
+          .join(rank.select(col("node"), col("rank").as("_r1")), "node")
+          .agg(max(abs(col("_r2") - col("_r1"))).as("d"))
+          .head.getLong(0)
+        if (maxDelta <= e0) converged = true
+      }
+      rank = next
       it += 1
     }
     // every round is eagerly materialized, so nothing the returned
@@ -112,7 +153,7 @@ object Graph {
     eDst.unpersist(false)
     nodesDeg.unpersist(false)
     if (!small) e.unpersist(false)
-    rank.select(col("node"), col("rank"))
+    PageRankRun(rank.select(col("node"), col("rank")), it)
   }
 
   /** One PR round over the stationary frames (factored out so a plan

@@ -87,19 +87,44 @@ object Xlsx {
     */
   def readGridBytes(
       bytes: Array[Byte], sheetName: String,
-      label: String): Vector[Vector[Option[String]]] = {
+      label: String,
+      maxCells: Long = Long.MaxValue,
+      maxPartBytes: Long = Long.MaxValue): Vector[Vector[Option[String]]] = {
     val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory) parts(e.getName) = zin.readAllBytes()
+        // the entry's DECLARED size is attacker-controlled (and -1 in
+        // streaming mode) — bound by what is actually read, so a
+        // zip-bombed part throws before materializing
+        if (!e.isDirectory)
+          parts(e.getName) = readBounded(zin, maxPartBytes,
+            s"$label!${e.getName}")
         zin.closeEntry()
         e = zin.getNextEntry
       }
     } finally zin.close()
-    gridFromParts(parts.get, label, sheetName)
+    gridFromParts(parts.get, label, sheetName, maxCells)
+  }
+
+  /** `readAllBytes` with a hard cap — throws (rather than OOMs the
+    * executor) when a part decompresses past `cap`.
+    */
+  private def readBounded(
+      in: java.io.InputStream, cap: Long, what: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap)
+        throw new IllegalArgumentException(
+          s"$what decompresses past the $cap-byte part cap")
+      n = in.read(buf)
+    }
+    out.toByteArray
   }
 
   /** Shared workbook-part walk behind both grid readers: workbook →
@@ -107,7 +132,8 @@ object Xlsx {
     */
   private def gridFromParts(
       part: String => Option[Array[Byte]], path: String,
-      sheetName: String): Vector[Vector[Option[String]]] = {
+      sheetName: String,
+      maxCells: Long = Long.MaxValue): Vector[Vector[Option[String]]] = {
     val wb = part("xl/workbook.xml").getOrElse(
       throw new IllegalArgumentException(s"$path: not an xlsx (no xl/workbook.xml)"))
     val sheets = parseWorkbookSheets(wb) // name -> r:id
@@ -124,7 +150,7 @@ object Xlsx {
       .map(parseSharedStrings).getOrElse(Vector.empty)
     val sheetXml = part(sheetPath).getOrElse(
       throw new IllegalArgumentException(s"$path: missing worksheet part $sheetPath"))
-    parseSheet(sheetXml, shared)
+    parseSheet(sheetXml, shared, maxCells)
   }
 
   /** DISTRIBUTED many-workbook ingestion (r10, closing the r9 gap):
@@ -171,6 +197,66 @@ object Xlsx {
           val vals = idx.map(i => if (i < 0) null else row.lift(i).flatten.orNull)
           Row.fromSeq(if (withFile) vals :+ fname else vals)
         }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** [[readSheetDir]] with the `src_jsonl_events` QUARANTINE stance
+    * (r10 verdict item 5): in a 1000-book directory one corrupt zip,
+    * truncated workbook, missing sheet, or zip-bombed/oversized sheet
+    * must neither kill the job (the strict reader's task throw) nor
+    * vanish silently. Each workbook parses under a per-file
+    * try/catch; a failing file contributes ONE side row — every data
+    * column null, `src_file` set, `error` carrying the reason — so
+    * the quarantine is auditable and the input file set is conserved
+    * (every workbook is either data rows or exactly one error row;
+    * empty-but-valid books contribute nothing, like the strict path).
+    *
+    * Two resource caps turn would-be executor OOMs into quarantine
+    * rows: `maxPartBytes` bounds what any zip part may DECOMPRESS to
+    * (declared sizes are attacker-controlled; the bound is enforced
+    * on actual bytes read), and `maxCells` bounds the materialized
+    * grid — a single multi-GB sheet quarantines instead of
+    * materializing per task.
+    */
+  def readSheetDirQuarantined(
+      spark: SparkSession, dir: String, sheetName: String,
+      columns: Seq[String],
+      maxCells: Long = 10000000L,
+      maxPartBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    val cols = columns.toVector
+    val schema = StructType(
+      cols.map(c => StructField(c, StringType, nullable = true))
+        :+ StructField("src_file", StringType, nullable = false)
+        :+ StructField("error", StringType, nullable = true))
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx").load(dir)
+      .select("path", "content")
+    val rows = bin.rdd.flatMap { r =>
+      val path = r.getString(0)
+      val fname = path.substring(path.lastIndexOf('/') + 1)
+      try {
+        val grid = readGridBytes(r.getAs[Array[Byte]](1), sheetName, path,
+          maxCells, maxPartBytes)
+        if (grid.isEmpty) Iterator.empty
+        else {
+          val header = grid.head.zipWithIndex.map { case (h, i) =>
+            h.getOrElse(s"_c$i")
+          }
+          val idx = cols.map(header.indexOf)
+          grid.tail.iterator.map { row =>
+            Row.fromSeq(
+              idx.map(i => if (i < 0) null else row.lift(i).flatten.orNull)
+                :+ fname :+ null)
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("")
+          Iterator.single(
+            Row.fromSeq(cols.map(_ => null) :+ fname :+ msg.take(300)))
       }
     }
     spark.createDataFrame(rows, schema)
@@ -275,9 +361,11 @@ object Xlsx {
     * file says is what the frame gets).
     */
   private def parseSheet(
-      bytes: Array[Byte], shared: Vector[String]): Vector[Vector[Option[String]]] = {
+      bytes: Array[Byte], shared: Vector[String],
+      maxCells: Long = Long.MaxValue): Vector[Vector[Option[String]]] = {
     val r = reader(bytes)
     val rows = Vector.newBuilder[Vector[Option[String]]]
+    var totalCells = 0L
     var cells: mutable.ArrayBuffer[Option[String]] = null
     var cellCol = -1
     var cellType = ""
@@ -287,6 +375,11 @@ object Xlsx {
     var sawV = false
     var lastCol = -1
     def endCell(): Unit = if (cells != null && cellCol >= 0) {
+      // OOXML's own column bound (XFD = 16384) — a hostile 'r' ref
+      // must not force a multi-GB sparse-fill of one row
+      if (cellCol >= 16384)
+        throw new IllegalArgumentException(
+          s"cell column $cellCol beyond the OOXML XFD bound")
       while (cells.length <= cellCol) cells += None
       val raw = v.toString
       val value =
@@ -347,7 +440,14 @@ object Xlsx {
           case "t" if inIsT => inIsT = false
           case "c" => endCell()
           case "row" =>
-            if (cells != null) rows += cells.toVector
+            if (cells != null) {
+              totalCells += math.max(cells.length.toLong, 1L)
+              if (totalCells > maxCells)
+                throw new IllegalArgumentException(
+                  s"sheet exceeds the $maxCells-cell cap (oversized " +
+                    "workbook quarantined rather than materialized)")
+              rows += cells.toVector
+            }
             cells = null
           case _ =>
         }

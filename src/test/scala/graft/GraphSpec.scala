@@ -37,6 +37,43 @@ class GraphSpec extends SparkSpec {
     assert(small.nonEmpty && small.forall(_.getLong(1) > 0L))
   }
 
+  test("pageRankConverged: eps=0 reproduces the fixed-round ranks bit-exactly") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val fixed = Graph.pageRank(e, col("src"), col("dst"), iters = 3)
+      .orderBy("node").collect().toSeq
+    val run = Graph.pageRankConverged(e, col("src"), col("dst"), iters = 3,
+      eps = Some(0L))
+    assert(run.ranks.orderBy("node").collect().toSeq == fixed)
+    assert(run.rounds == 3, "a non-converged graph must run every round")
+  }
+
+  test("pageRankConverged stops at the exact integer fixpoint, output unchanged") {
+    // uniform 4-cycle at scale 2000: rank_0 = 500 is already the exact
+    // fixpoint (75 + (500*17) div 20 = 500), so eps=0 stops after one
+    // round — and because a zero-delta state is absorbing, the output
+    // is bit-identical to any larger fixed iteration count
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val run = Graph.pageRankConverged(e, col("src"), col("dst"), iters = 50,
+      scale = 2000L, eps = Some(0L))
+    assert(run.rounds == 1, s"fixpoint must stop the loop, ran ${run.rounds}")
+    val fixed = Graph.pageRank(e, col("src"), col("dst"), iters = 50,
+        scale = 2000L)
+      .orderBy("node").collect().toSeq
+    assert(run.ranks.orderBy("node").collect().toSeq == fixed)
+    assert(fixed.forall(_.getLong(1) == 500L))
+  }
+
+  test("pageRankConverged honors a loose epsilon as an upper bound on rounds") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val run = Graph.pageRankConverged(e, col("src"), col("dst"), iters = 10,
+      eps = Some(Long.MaxValue))
+    assert(run.rounds == 1, "eps above any delta stops after the first round")
+    val one = Graph.pageRank(e, col("src"), col("dst"), iters = 1)
+      .orderBy("node").collect().toSeq
+    assert(run.ranks.orderBy("node").collect().toSeq == one)
+  }
+
   test("pageRank orders a star graph correctly: hub above leaves") {
     // leaves all point at the hub and the hub points back — the hub
     // aggregates every leaf's mass, each leaf gets 1/n of the hub's

@@ -136,6 +136,56 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("readSheetDirQuarantined: corrupt/truncated/oversized books become error rows") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_q").toFile
+    dir.deleteOnExit()
+    val cols = Seq("region", "unit")
+    def book(name: String, rows: Int): java.io.File = {
+      val f = new java.io.File(dir, name)
+      Xlsx.write(f.getAbsolutePath, "Alignments",
+        Seq(Seq(Xlsx.Str("region"), Xlsx.Str("unit"))) ++
+          (1 to rows).map(i => Seq(Xlsx.Str(s"R$i"), Xlsx.Num(i.toString))))
+      f
+    }
+    book("good1.xlsx", 3)
+    val g2 = book("good2.xlsx", 2)
+    // corrupt: not a zip at all
+    java.nio.file.Files.write(new java.io.File(dir, "corrupt.xlsx").toPath,
+      "this is not a zip archive".getBytes(UTF_8))
+    // truncated: a valid book cut mid-archive
+    val full = java.nio.file.Files.readAllBytes(g2.toPath)
+    java.nio.file.Files.write(new java.io.File(dir, "truncated.xlsx").toPath,
+      java.util.Arrays.copyOf(full, full.length / 2))
+    // oversized: 40 data rows x 2 cells blows a 50-cell cap
+    book("oversized.xlsx", 40)
+    // wrong sheet name: valid workbook, no "Alignments" sheet
+    val ws = new java.io.File(dir, "wrongsheet.xlsx")
+    Xlsx.write(ws.getAbsolutePath, "Other",
+      Seq(Seq(Xlsx.Str("region")), Seq(Xlsx.Str("X"))))
+
+    val got = Xlsx.readSheetDirQuarantined(
+      spark, dir.getAbsolutePath, "Alignments", cols, maxCells = 50L)
+    val good = got.filter(col("error").isNull)
+    val bad = got.filter(col("error").isNotNull)
+      .select("src_file", "error").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // good books fully parsed (3 + 2 data rows), nothing dropped
+    assert(good.count() == 5L)
+    assert(good.select("src_file").distinct().collect().map(_.getString(0)).toSet
+      == Set("good1.xlsx", "good2.xlsx"))
+    // each bad book contributes exactly one accounted error row
+    assert(bad.keySet ==
+      Set("corrupt.xlsx", "truncated.xlsx", "oversized.xlsx", "wrongsheet.xlsx"),
+      s"quarantine set: $bad")
+    assert(bad("oversized.xlsx").contains("cell cap"))
+    assert(bad("wrongsheet.xlsx").contains("no sheet"))
+    // data columns of quarantine rows are null — in-band but inert
+    assert(got.filter(col("error").isNotNull && col("region").isNotNull).count() == 0)
+    // the file universe is conserved: every .xlsx appears exactly once
+    // as either data rows or one error row
+    assert(got.select("src_file").distinct().count() == 6L)
+  }
+
   test("readSheetDir: distributed many-workbook read equals the per-file union") {
     val dir = "/root/repo/data/alignments_books"
     val cols = Seq("region", "district", "unit", "location_name")
