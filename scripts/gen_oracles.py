@@ -157,10 +157,13 @@ k_{name} AS MATERIALIZED (SELECT word, pos FROM (
     def bpe_ctes(rounds, batch, fetch):
         """Replay `rounds` driver rounds of the r10 batched trainer:
         per round, rank pair counts once (count DESC, pair ASC, top
-        `fetch`), greedily select up to `batch` symbol-disjoint pairs
+        `fetch`), greedily select up to `batch` conflict-free pairs
         in rank order skipping conflicts (the p{r}_{j} chain with an
-        accumulating used-symbol set), then apply the selected merges
-        one at a time to the sequence. Mirrors Bpe.train exactly."""
+        accumulating used set holding accepted SYMBOLS and
+        CONCATENATIONS — r10 advice: a candidate whose symbol or
+        concatenation collides with an accepted concatenation or
+        symbol is skipped), then apply the selected merges one at a
+        time to the sequence. Mirrors Bpe.train exactly."""
         parts = ["""words AS MATERIALIZED (
  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
   SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
@@ -185,14 +188,17 @@ seq0 AS MATERIALIZED (
                 if j == 1:
                     parts.append(f"""p{r}_1 AS MATERIALIZED (
  SELECT a, b, c, rn FROM cand{r} ORDER BY rn LIMIT 1),
-u{r}_1 AS (SELECT a AS s FROM p{r}_1 UNION SELECT b FROM p{r}_1)""")
+u{r}_1 AS (SELECT a AS s FROM p{r}_1 UNION SELECT b FROM p{r}_1
+ UNION SELECT a || b FROM p{r}_1)""")
                 else:
                     parts.append(f"""p{r}_{j} AS MATERIALIZED (
  SELECT a, b, c, rn FROM cand{r}
  WHERE a NOT IN (SELECT s FROM u{r}_{j-1})
    AND b NOT IN (SELECT s FROM u{r}_{j-1})
+   AND a || b NOT IN (SELECT s FROM u{r}_{j-1})
  ORDER BY rn LIMIT 1),
 u{r}_{j} AS (SELECT a AS s FROM p{r}_{j} UNION SELECT b FROM p{r}_{j}
+ UNION SELECT a || b FROM p{r}_{j}
  UNION SELECT s FROM u{r}_{j-1})""")
                 parts.append(bpe_apply(f"s{r}_{j}",
                                        prev_seq if j == 1 else f"s{r}_{j-1}",

@@ -62,12 +62,18 @@ object Bpe {
     * driver rounds at batch 16). Selection per round is the standard
     * parallel-BPE rule: walk candidates in the global (count DESC,
     * pair ASC) rank order over the top `4·batch` ranking prefix and
-    * greedily accept pairs SYMBOL-DISJOINT from every already-
+    * greedily accept pairs CONFLICT-FREE against every already-
     * accepted pair, skipping conflicting ones, until `batch` accepted
-    * or candidates exhaust. Disjointness means applying one accepted
-    * merge neither creates nor destroys another accepted pair's
-    * adjacencies, so the batch's merges commute and each records the
-    * same count sequential recounting would see.
+    * or candidates exhaust. Conflict-free means disjoint in symbols
+    * AND in concatenations (r10 advice): a candidate is rejected when
+    * either of its symbols, or its concatenation a+b, collides with
+    * an accepted pair's symbol or concatenation — without the
+    * concatenation arm, accepting (a, b) alongside (ab, x) when 'ab'
+    * already exists as a symbol would let (a, b)'s application create
+    * NEW (ab, x) adjacencies the recorded count never saw. With it,
+    * applying one accepted merge neither creates nor destroys another
+    * accepted pair's adjacencies, so the batch's merges commute and
+    * each records the same count sequential recounting would see.
     *
     * Batched selection EQUALS sequential Sennrich whenever the
     * accepted candidates strictly dominate every pair sharing a
@@ -119,15 +125,19 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        // greedy disjoint skip-walk (parallel-BPE selection)
+        // greedy conflict-free skip-walk (parallel-BPE selection):
+        // `used` carries accepted symbols AND concatenations, and a
+        // candidate's own concatenation is checked too — see the
+        // concatenation-collision note in the scaladoc
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = Seq.newBuilder[(String, String, Long)]
         var n = 0
         var i = 0
         while (n < batch && i < top.length) {
           val (a, b, c) = top(i)
-          if (!used.contains(a) && !used.contains(b)) {
-            used += a; used += b; accepted += ((a, b, c)); n += 1
+          if (!used.contains(a) && !used.contains(b) && !used.contains(a + b)) {
+            used += a; used += b; used += (a + b)
+            accepted += ((a, b, c)); n += 1
           }
           i += 1
         }
