@@ -266,8 +266,10 @@ class FunnelSnapshotSpec extends SparkSpec {
     // expansion — multiplicative id fan-out on a replicated corpus —
     // plus its downstream partial agg into ONE task). On these tiny
     // spec frames Catalyst broadcasts the kernel joins (no shuffle to
-    // coalesce — fine); the expansion pin on _sa must ALWAYS survive.
-    val expansionPin = """hashpartitioning\(_sa#\d+, \d+\), REPARTITION_BY_NUM""".r
+    // coalesce — fine); the expansion pin must ALWAYS survive (r11:
+    // the expansion is keyed by the 8-byte string hash _ha, not the
+    // raw string — text never rides an expansion Exchange).
+    val expansionPin = """hashpartitioning\(_ha#\d+L?, \d+\), REPARTITION_BY_NUM""".r
     val segPlan = graft.ops.Reconcile.fuzzyJoinSegments(
       l, col("id"), col("s"), r, col("id"), col("s"), maxDist = 2)
       .queryExecution.executedPlan.toString
