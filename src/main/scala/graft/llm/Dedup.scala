@@ -332,33 +332,67 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
+    // r11: the incremental path collapses EXACTLY like the batch path
+    // (pre-r11 it banded raw rows, so on a duplicate-heavy base the
+    // caps measured duplication and the delta probe silently lost the
+    // recall the r10 collapse had restored to the full run — spec
+    // LlmSpec pins incr == full-restricted on a replicated corpus).
+    // `has_delta` rides the hash group: a class is delta-touching iff
+    // any member row is a delta row.
     val tagged = base
       .select(id.as("doc_id"), text.as("_t"), lit(false).as("is_delta"))
       .unionByName(delta
         .select(id.as("doc_id"), text.as("_t"), lit(true).as("is_delta")))
-    val banded = tagged
-      .select(col("doc_id"), col("is_delta"),
+    val keyed = tagged.withColumn("_h", xxhash64(col("_t")))
+    val classes = keyed.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+        first(col("_t")).as("_t"), max(col("is_delta")).as("has_delta"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val members = keyed.select(col("doc_id"), col("_h"))
+      .withColumn("rep", min(col("doc_id")).over(wh))
+      .withColumn("n", count(lit(1)).over(wh))
+      .select(col("doc_id"), col("rep"), col("n"))
+    val banded = classes
+      .select(col("rep"), col("has_delta"),
         F.minhashSig(col("_t"), shingle, perms).as("sig"))
-      .select(col("doc_id"), col("is_delta"), col("sig"),
+      .select(col("rep"), col("has_delta"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    val deltaBuckets = banded.filter(col("is_delta"))
+    // the scale point: only buckets a delta-touching CLASS lands in
+    // are aggregated — the nightly 0.1 % ingest probes the corpus
+    // instead of re-clustering it. Every delta-touching pair's rep
+    // shares each of its buckets with a delta class (its own), so no
+    // recall is lost; bucket membership and the cap are evaluated on
+    // the FULL probed buckets (all classes), identical to the full
+    // run minus untouched buckets.
+    val deltaBuckets = banded.filter(col("has_delta"))
       .select(col("band"), col("bucket")).distinct()
-    val deltaIds = delta.select(id.cast("long").as("d_id")).distinct()
-    banded
+    val repPairs = banded
       .join(broadcast(deltaBuckets), Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("items"))
+      .agg(collect_list(struct(col("rep").as("doc_id"), col("sig"))).as("items"))
       .filter(size(col("items")).between(2, maxBucket))
       .select(explode(F.minhashBucketPairs(col("items"), minJaccard)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
-      // base-base pairs sharing a delta bucket are not the delta's
-      // concern; the delta id set is tiny → broadcast semi
-      .join(broadcast(deltaIds),
-        col("id_a") === col("d_id") || col("id_b") === col("d_id"), "left_semi")
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard_est")).as("jaccard_est"))
+      // rep pairs where NEITHER class touches the delta expand to
+      // base-base member pairs only — prune before the expansion
+      .join(broadcast(classes.filter(col("has_delta"))
+          .select(col("rep").as("d_rep"))),
+        col("id_a") === col("d_rep") || col("id_b") === col("d_rep"),
+        "left_semi")
+    val deltaIds = delta.select(id.cast("long").as("d_id")).distinct()
+    // expand through class membership (exactly-once, same as the
+    // batch path), then keep only member pairs that actually touch a
+    // delta id — a delta-touching class still expands base-base
+    // within-pairs that are not the delta's concern
+    expandClassPairs(repPairs,
+        ContentClasses(classes.select(col("rep"), col("n"), col("_t")), members),
+        "jaccard_est", lit(1.0))
+      .join(broadcast(deltaIds),
+        col("id_a") === col("d_id") || col("id_b") === col("d_id"), "left_semi")
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, banded into 16-bit

@@ -117,6 +117,32 @@ class LlmSpec extends SparkSpec {
     assert(incr.nonEmpty, "planted delta dups must be found")
   }
 
+  test("incremental LSH matches the collapsed full run on a DUPLICATE-HEAVY base") {
+    // 12 distinct texts x 100 exact copies: pre-r11 the delta path
+    // banded RAW rows, every bucket blew the 64-id cap, and the delta
+    // probe returned empty while the collapsed full run found the
+    // planted near-dup — the r10 batch-path bug, alive on the
+    // incremental path. Post-r11 both collapse identically.
+    // disjoint per-class alphabets: cross-class shingle overlap ~0, so
+    // the only true near-dup is the delta against class 3's copies
+    val texts = (0 until 12).map { i =>
+      val w = ('a' + i).toChar.toString * 8
+      Seq.fill(10)(w).mkString(" ")
+    }
+    val base = (for (i <- texts.indices; c <- 0 until 100)
+      yield ((i * 1000 + c).toLong, texts(i))).toDF("doc_id", "text")
+    val delta = Seq((999999L, texts(3) + " tail")).toDF("doc_id", "text")
+    val incr = Dedup.minhashLshDelta(base, delta, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLsh(base.unionByName(delta), col("doc_id"), col("text"))
+      .filter($"id_a" === 999999L || $"id_b" === 999999L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr == full,
+      s"diverges: extra=${incr.diff(full).take(3)} missing=${full.diff(incr).take(3)}")
+    // the delta must pair with every copy of its near-dup class
+    assert(incr.size == 100, s"expected 100 delta pairs, got ${incr.size}")
+  }
+
   test("containment is directed: embedded doc scores 1.0, container does not") {
     // doc 1 is wholly embedded in doc 2 (which is ~3× larger); doc 3
     // shares the wrapper text so the universe has df>=2 grams beyond
