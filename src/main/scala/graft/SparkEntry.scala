@@ -1233,6 +1233,23 @@ object SparkEntry {
         Seq("region", "district", "unit", "location_name"))
     },
 
+    "src_xlsx_quarantine" -> { (s, _) =>
+      // the HOSTILE-directory arm (r11): corrupt zip, truncated
+      // workbook, over-cap sheet and missing sheet become in-band
+      // (src_file, error) rows instead of task-killing throws; good
+      // books (incl. a shuffled-column one) parse fully. The oracle
+      // is a CSV built from the fixture DEFINITION; error text is
+      // projected to a stable quarantined flag (messages carry local
+      // paths).
+      graft.sources.Xlsx.readSheetDirQuarantined(
+          s, "/root/repo/data/alignments_books_hostile", "Alignments",
+          Seq("region", "district", "unit", "location_name"),
+          maxCells = 200L)
+        .select(col("region"), col("district"), col("unit"),
+          col("location_name"), col("src_file"),
+          col("error").isNotNull.as("quarantined"))
+    },
+
     "src_jsonl_events" -> { (s, _) =>
       // JSONL ingestion with corrupt-record quarantine: malformed
       // lines survive verbatim with valid=false instead of killing
@@ -1390,6 +1407,25 @@ object SparkEntry {
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.ops.Graph.pageRank(e, col("src"), col("dst"), iters = 3)
+    },
+
+    "q_pagerank_conv" -> { (s, dir) =>
+      // the r11 CONVERGENCE-controlled variant on the same graph:
+      // eps = 0 stops only at the exact integer fixpoint, which is
+      // absorbing — so the output is bit-identical to the fixed
+      // 3-round run and shares q_pagerank's oracle (the correctness
+      // gate thereby checks the early-stop machinery end-to-end).
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val e = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.ops.Graph.pageRankConverged(e, col("src"), col("dst"),
+        iters = 3, eps = Some(0L)).ranks
     },
 
     // --- per-key winsorization at exact p05/p95 ---
@@ -2123,6 +2159,20 @@ object SparkEntry {
     * scripts/gen_oracles.py).
     */
   def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+    // bit-identical to q_pagerank by the absorbing-fixpoint argument
+    // (see the query comment) — deliberately the SAME oracle
+    "q_pagerank_conv" -> OracleSqlGen.sql("q_pagerank"),
+
+    // quarantine reader over the hostile fixture dir: oracle CSV is
+    // built from the fixture definition (scripts cannot read xlsx)
+    "src_xlsx_quarantine" ->
+      """SELECT region, district, unit, location_name, src_file, quarantined
+        |FROM read_csv('/root/repo/data/alignments_books_hostile.csv',
+        |  header=true,
+        |  columns={'region':'VARCHAR','district':'VARCHAR','unit':'VARCHAR',
+        |           'location_name':'VARCHAR','src_file':'VARCHAR',
+        |           'quarantined':'BOOLEAN'})""".stripMargin,
+
     // round-trip: every (region, nation) pair must come back through
     // the nested fixture, whether the child edge arrived inline or
     // via the per-node continuation pages

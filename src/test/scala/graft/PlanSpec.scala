@@ -30,6 +30,24 @@ class PlanSpec extends SparkSpec {
       "expected partial+final HashAggregate pair")
   }
 
+  test("dd_minhash_lsh: raw text never rides an Exchange key and never sorts (r11)") {
+    // the r10 collapse was Window.partitionBy(text): a full-corpus
+    // Exchange KEYED BY the raw text plus a per-partition text sort.
+    // The r11 shape must show neither — classes collapse through a
+    // map-combined groupBy(xxhash64(text)) (partial_first carries the
+    // text as a VALUE, deduped map-side) and membership windows over
+    // the 8-byte hash.
+    val plan = physicalPlan("dd_minhash_lsh")
+    assert(!"""hashpartitioning\(_t#""".r.findFirstIn(plan).isDefined,
+      "raw text is an Exchange key again")
+    assert(!"""Sort \[_t#""".r.findFirstIn(plan).isDefined,
+      "plan sorts by the raw text again")
+    assert("""partial_first\(_t#""".r.findFirstIn(plan).isDefined,
+      "collapse lost its map-side partial aggregation")
+    assert("""hashpartitioning\(_h#""".r.findFirstIn(plan).isDefined,
+      "membership is no longer keyed by the 8-byte content hash")
+  }
+
   test("q_merge_indicator uses a single full-outer join") {
     val plan = physicalPlan("q_merge_indicator")
     assert("FullOuter".r.findAllIn(plan).size == 1)
