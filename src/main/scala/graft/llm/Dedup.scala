@@ -573,10 +573,25 @@ object Dedup {
     *
     * Throws if `maxIter` rounds don't reach the fixpoint — a
     * truncated propagation would silently mislabel components.
+    *
+    * TWO REGIMES (r11, the pageRank `maxBroadcastNodes` idiom): a
+    * pair graph at or below `maxDriverEdges` solves driver-side with
+    * union-find — the pair set is CONTROL-PLANE data there (the
+    * near-dup rep graphs this feeds are distinct-content-sized, a few
+    * hundred rows at every test SF, and the iterative loop's per-round
+    * job overhead dwarfs the actual work); past the bound, the
+    * distributed pointer-jumping loop runs unchanged. Both regimes
+    * produce the identical (doc_id, comp = min reachable id) frame —
+    * spec-pinned bit-equality with the bound forced to 0.
     */
   def connectedComponents(
-      pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+      pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
+    val raw = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+    // one count job decides the regime (control-plane, the node-count
+    // idiom of pageRank); raw pair count upper-bounds distinct edges
+    if (raw.count() <= maxDriverEdges) return driverComponents(raw)
+    val edges = raw
       .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("x").as("id")).distinct()
@@ -602,6 +617,49 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("comp"))
+  }
+
+  /** The small-graph regime of [[connectedComponents]]: collect the
+    * (x, y) pairs, union-find with path compression + union by rank,
+    * label every component by its MINIMUM member id (the same label
+    * the min-propagation fixpoint converges to), return (doc_id,
+    * comp) for every node appearing in any pair. Deterministic and
+    * duplicate/self-loop tolerant; microseconds for the rep graphs
+    * the near-dup family feeds in.
+    */
+  private def driverComponents(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    val rank = mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (ka, kb) = (rank.getOrElse(ra, 0L), rank.getOrElse(rb, 0L))
+        if (ka < kb) parent(ra) = rb
+        else if (ka > kb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = ka + 1 }
+      }
+    }
+    raw.collect().foreach { r => union(r.getLong(0), r.getLong(1)) }
+    val nodes = parent.keys.toArray
+    val minLabel = mutable.LongMap.empty[Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minLabel(r) = math.min(minLabel.getOrElse(r, Long.MaxValue), n)
+    }
+    import spark.implicits._
+    nodes.toSeq.map(n => (n, minLabel(find(n)))).toDF("doc_id", "comp")
   }
 
   /** Duplicate-span statistics — the signal behind exact substring

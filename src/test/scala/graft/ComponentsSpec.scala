@@ -28,6 +28,27 @@ class ComponentsSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("driver and distributed regimes are bit-identical (r11 two-regime split)") {
+    // force the distributed pointer-jumping loop with the bound at 0
+    // and require exact equality with the driver union-find on a
+    // graph mixing chains, stars, singleton-pair edges, dups and a
+    // self-loop
+    val pairs = (
+      (0 until 40).map(i => (i.toLong, i + 1L)) ++          // long chain
+        (50 until 60).map(i => (100L, i.toLong)) ++          // star
+        Seq((200L, 201L), (201L, 200L), (300L, 300L),        // dup + loop
+          (400L, 401L))
+      ).toDF("a", "b")
+    val driver = Dedup.connectedComponents(pairs, col("a"), col("b"),
+        maxIter = 80)
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(pairs, col("a"), col("b"),
+        maxIter = 80, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(driver == dist,
+      s"regimes diverge: ${driver.diff(dist)} / ${dist.diff(driver)}")
+  }
+
   test("connectedComponents result is partitioning-independent") {
     val pairs = (0 until 60).map(i => ((i % 20).toLong, (20 + i % 7).toLong)).toDF("a", "b")
     def run(parts: Int) =
