@@ -288,6 +288,73 @@ def check_minhash_and_components():
                      f"class expansion -> {len(want_j)} rows, "
                      f"{time.time()-t0:.0f}s")
 
+    # ---- r10 advice: INDEPENDENT textbook spot-check ----
+    # The python replicas above mirror the implementation's own
+    # collapse/rep-expansion algorithm, so a shared algorithmic error
+    # would pass both engines. Independent arm: two texts share a band
+    # bucket iff their sig SLICES are equal — bucket capping is the
+    # only cross-text interaction in the whole operator. Restricting
+    # to ids of texts NONE of whose band buckets exceed the cap, the
+    # implementation's semantics provably reduce to TEXTBOOK per-ID
+    # LSH: pair iff est >= 0.5 and some band slice matches (equal
+    # texts match all bands at est 1.0). Recompute that from per-ID
+    # signatures with no collapse, no caps and no expansion machinery,
+    # and require bit-equality with the Spark dump restricted to the
+    # sampled ids.
+    if selected("dd_minhash_lsh") or selected("dd_ngram_jaccard"):
+        t0 = time.time()
+        overcap = set()
+        for members in buckets.values():
+            if len(members) > 64:
+                overcap.update(members)
+        id2text = dict(all_rows)
+        safe = sorted(i for i, t in all_rows if t not in overcap)
+        step = max(1, len(safe) // 800)
+        sub = safe[::step][:800]
+        S = set(sub)
+        sig_m = np.array([sig_cache[id2text[i]] for i in sub], dtype=np.int64)
+        n_sub = len(sub)
+        pairs_tb = []
+        for x in range(n_sub):
+            eq = (sig_m[x + 1:] == sig_m[x][None, :])
+            est = eq.sum(axis=1) / 64.0
+            band_hit = eq.reshape(-1, 16, 4).all(axis=2).any(axis=1)
+            for off in np.nonzero((est >= 0.5) & band_hit)[0]:
+                a, b = sub[x], sub[x + 1 + int(off)]
+                pairs_tb.append((min(a, b), max(a, b), float(est[off])))
+        want_tb = (pd.DataFrame(pairs_tb,
+                                columns=["id_a", "id_b", "jaccard_est"])
+                   if pairs_tb else
+                   pd.DataFrame(columns=["id_a", "id_b", "jaccard_est"]))
+        if selected("dd_minhash_lsh"):
+            dump = load_dump("dd_minhash_lsh")
+            got_tb = dump[dump["id_a"].isin(S) & dump["id_b"].isin(S)]
+            compare("dd_minhash_lsh_textbook_sub", got_tb, want_tb,
+                    "python_textbook",
+                    note=f"{n_sub} sampled ids of cap-free texts, "
+                         f"{len(want_tb)} textbook pairs, no collapse/"
+                         f"expansion machinery, {time.time()-t0:.0f}s")
+        if selected("dd_ngram_jaccard"):
+            def grams5(t):
+                return (frozenset(t[k:k + 5] for k in range(len(t) - 4))
+                        if len(t) >= 5 else frozenset([t]))
+            rows_j = []
+            for a, b, est in pairs_tb:
+                ga, gb = grams5(id2text[a]), grams5(id2text[b])
+                j = len(ga & gb) / len(ga | gb)
+                if j >= 0.7:
+                    rows_j.append((a, b, j))
+            want_jtb = (pd.DataFrame(rows_j,
+                                     columns=["id_a", "id_b", "jaccard"])
+                        if rows_j else
+                        pd.DataFrame(columns=["id_a", "id_b", "jaccard"]))
+            dumpj = load_dump("dd_ngram_jaccard")
+            got_jtb = dumpj[dumpj["id_a"].isin(S) & dumpj["id_b"].isin(S)]
+            compare("dd_ngram_jaccard_textbook_sub", got_jtb, want_jtb,
+                    "python_textbook",
+                    note="exact 5-gram Jaccard over the textbook pair "
+                         "set, no shared machinery")
+
     # components: union-find over the REP graph, members inherit —
     # equal to the closure of the expanded graph (reps are class
     # minima; within-class edges interconnect every member)
