@@ -873,6 +873,57 @@ r0 AS (SELECT node, {SCALE} // n AS rank FROM nodes CROSS JOIN nn),
 {pr_body}
 SELECT node, rank FROM {prev}"""
 
+    # ---- q_bfs_hops: multi-source BFS (Graph.hopDistance), 3 unrolled
+    # frontier rounds on the same customer<->supplier graph; min-hop is
+    # deterministic (a node appears in the FIRST frontier reaching it,
+    # the anti-join removes it from later ones) ----
+    bfs_rounds = []
+    seen = "d0"
+    for i in range(1, 4):
+        prev_f = f"d{i-1}"
+        bfs_rounds.append(f"""d{i} AS (
+ SELECT DISTINCT e.dst AS node FROM e
+ JOIN {prev_f} f ON f.node = e.src
+ WHERE e.dst NOT IN (SELECT node FROM {seen})),
+s{i} AS (SELECT node FROM {seen} UNION SELECT node FROM d{i})""")
+        seen = f"s{i}"
+    bfs_body = ",\n".join(bfs_rounds)
+    bfs_out = "\nUNION ALL\n".join(
+        f"SELECT node, CAST({i} AS BIGINT) AS hops FROM d{i}"
+        for i in range(0, 4))
+    o["q_bfs_hops"] = f"""
+WITH p AS (
+ SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+ FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+d0 AS (
+ SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+ FROM supplier WHERE s_nationkey = 0),
+{bfs_body}
+{bfs_out}"""
+
+    # ---- q_dp_counts: eps = ln 2 discrete-Laplace noisy group counts
+    # (Privacy.dpCounts) — noise = G1 - G2, each G the TRAILING-ONES
+    # count of the 53-bit splitmix draw seeded by (fnv1a(key), salt):
+    # trailing-ones(v) = trailing-zeros(v+1) = bit_count((w & -w) - 1),
+    # pure integer bit-ops both engines share ----
+    def dp_geo(salt):
+        u = splitmix(f"xor({fnv_text('key')}, {salt})")
+        return (f"bit_count((CAST((({u}) // 2048) + 1 AS BIGINT) & "
+                f"-CAST((({u}) // 2048) + 1 AS BIGINT)) - 1)")
+    o["q_dp_counts"] = f"""
+WITH c AS (
+ SELECT CAST(event_type AS VARCHAR) AS key,
+  CAST(count(*) AS BIGINT) AS n
+ FROM events GROUP BY 1),
+g AS (
+ SELECT key, n,
+  CAST({dp_geo(2026 * 2 + 1)} AS BIGINT) AS g1,
+  CAST({dp_geo(2026 * 2 + 2)} AS BIGINT) AS g2
+ FROM c)
+SELECT key, n, g1 - g2 AS noise, n + g1 - g2 AS n_dp FROM g"""
+
     # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
     # size-ratio prefilter is sound (J <= min/max sizes) ----
     gr = ngrams("text", 5)

@@ -1428,6 +1428,36 @@ object SparkEntry {
         iters = 3, eps = Some(0L)).ranks
     },
 
+    "q_bfs_hops" -> { (s, dir) =>
+      // multi-source BFS over the q_pagerank customer↔supplier graph:
+      // seeds = nation-0 suppliers at hop 0, frontier expansion to
+      // maxHops — min #edges to reach each node from any seed. The
+      // frontier rounds shuffle only node-sized frames against the
+      // stationary src-partitioned edges (ops/Graph.hopDistance).
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val e = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, dir, "supplier").filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+      graft.ops.Graph.hopDistance(
+        e, col("src"), col("dst"), seeds, col("node"), maxHops = 3)
+    },
+
+    "q_dp_counts" -> { (s, dir) =>
+      // differentially-private per-type event counts: eps = ln 2
+      // discrete-Laplace in pure integer bit-ops (ops/Privacy) — the
+      // aggregate a pipeline can PUBLISH; engine-exact, so the gate
+      // checks the mechanism bit-for-bit
+      graft.ops.Privacy.dpCounts(
+        t(s, dir, "events"), col("event_type"), salt = 2026L)
+    },
+
     // --- per-key winsorization at exact p05/p95 ---
     "q_winsorize" -> { (s, dir) =>
       graft.ops.Stats.winsorize(

@@ -179,6 +179,66 @@ object Graph {
         (lit(base) + expr("(coalesce(in_mass, 0L) * 17) div 20")).as("rank"))
   }
 
+  /** Multi-source BFS hop distance: for every node reachable from the
+    * seed set within `maxHops` directed hops, the MINIMUM number of
+    * hops to reach it (seeds are hop 0). The classic frontier
+    * expansion, shaped for scale the same way [[pageRank]]'s big
+    * regime is:
+    *
+    *  - the edge frame is normalized, deduplicated and pre-partitioned
+    *    by `src` ONCE, then persisted — every round's frontier join
+    *    shuffles only the node-sized frontier to the STATIONARY edges,
+    *    never the edges themselves (persist retains outputPartitioning
+    *    where localCheckpoint would not);
+    *  - the visited set and each frontier are node-sized frames; the
+    *    per-round anti-join against visited is a node-key shuffle;
+    *  - each round localCheckpoints (round t must not re-execute
+    *    rounds 1..t−1 inside its lazy plan), and the loop stops EARLY
+    *    on an empty frontier — `maxHops` is a bound, not a fixed
+    *    round count, so a shallow reachable set costs only its true
+    *    depth in rounds. The empty test is one count job on the
+    *    already-materialized checkpoint (control-plane, like the
+    *    node count in pageRank).
+    *
+    * Min-hop is deterministic by construction (a node joins `dist` in
+    * the first round that reaches it, and rounds are sequential), so
+    * the result is partition-order invariant and a SQL oracle can
+    * unroll the same rounds. Output: (node, hops), seeds included at
+    * hops 0.
+    */
+  def hopDistance(
+      edges: DataFrame, src: Column, dst: Column,
+      seeds: DataFrame, seed: Column, maxHops: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // ONE exchange builds dedup AND the stationary layout: hash(src)
+    // colocates identical pairs, so distinct() aggregates
+    // partition-locally on top of the repartition (the pageRank eDst
+    // idiom).
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .repartition(width, col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(seed.cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = dist.select(col("node"))
+    var h = 0L
+    var done = false
+    while (h < maxHops && !done) {
+      val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h + 1L)).localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+      h += 1
+    }
+    e.unpersist(false)
+    dist
+  }
+
   /** Exact per-node triangle counts via degree-ordered orientation —
     * the standard communication-optimal distributed algorithm: orient
     * every undirected edge from its lower-(degree, id) endpoint to the

@@ -395,4 +395,95 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  case class Doc(doc_id: Long, text: String)
+
+  case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)
+
+  /** Streaming MinHash-LSH near-dup ingest (twin of the batch
+    * `dd_minhash_lsh`): as documents arrive, emit every candidate
+    * near-dup pair the batch banding would find — the dedup-on-ingest
+    * a training corpus needs so a crawler's near-duplicates are
+    * flagged the moment they land, not in a nightly re-cluster.
+    *
+    * Shape: each doc computes its 64-perm signature MAP-SIDE (the
+    * same [[graft.functions.HashOps.minhashSig]] kernel as batch) and
+    * fans out one row per band keyed by the band's raw signature
+    * slice — the exact bucket membership rule of the batch operator.
+    * `flatMapGroupsWithState` over the bucket key holds that bucket's
+    * admitted (id, sig) entries and emits (id_a, id_b, est) for every
+    * new-vs-stored pair with full-signature match fraction ≥
+    * `minJaccard`. A pair sharing several buckets is emitted once per
+    * bucket with the SAME est (est is a function of the full sigs);
+    * consumers aggregate max(est) per pair exactly like the batch
+    * kernel's final groupBy.
+    *
+    * Bounded state, stated trades: a bucket admits at most
+    * `maxBucket` entries — maxBucket × (64 longs + id) per bucket key
+    * forever, the same cap that bounds the batch kernel's compute.
+    * Past the cap the batch operator drops the WHOLE degenerate
+    * bucket; a stream cannot retract already-emitted pairs, so it
+    * stops ADMITTING instead (late arrivals to a saturated bucket
+    * emit nothing) — equal to batch wherever no bucket exceeds the
+    * cap (spec-checked), conservative-recall past it. Within a
+    * micro-batch docs apply in doc_id order, so in-order arrival is
+    * deterministic; exact duplicates ride the same buckets and emit
+    * est-1.0 pairs (the batch collapse pre-pass reaches the same
+    * pairs through class expansion).
+    */
+  def lshCandidates(
+      docs: Dataset[Doc],
+      shingle: Int = 5,
+      perms: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64): Dataset[LshCandidate] = {
+    import docs.sparkSession.implicits._
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    docs
+      .flatMap { d =>
+        val sig = graft.functions.HashOps
+          .minhashSig(
+            org.apache.spark.unsafe.types.UTF8String.fromString(d.text),
+            shingle, perms)
+          .toLongArray()
+        (0 until bands).iterator.map { b =>
+          val slice = java.util.Arrays.copyOfRange(sig, b * rows, (b + 1) * rows)
+          (b + ":" + slice.mkString(","), d.doc_id, sig)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Array[Array[Long]]), LshCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, batch: Iterator[(String, Long, Array[Long])],
+            state: GroupState[(Array[Long], Array[Array[Long]])]) =>
+          var (ids, sigs) = state.getOption.getOrElse(
+            (Array.empty[Long], Array.empty[Array[Long]]))
+          val out = Vector.newBuilder[LshCandidate]
+          batch.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            if (ids.length < maxBucket && !ids.contains(id)) {
+              var i = 0
+              while (i < ids.length) {
+                val other = sigs(i)
+                var eq = 0
+                var j = 0
+                while (j < perms) {
+                  if (sig(j) == other(j)) eq += 1
+                  j += 1
+                }
+                val est = eq.toDouble / perms
+                if (est >= minJaccard)
+                  out += LshCandidate(
+                    math.min(id, ids(i)), math.max(id, ids(i)), est)
+                i += 1
+              }
+              ids :+= id
+              sigs :+= sig
+            }
+          }
+          state.update((ids, sigs))
+          out.result().iterator
+      }
+  }
 }

@@ -368,6 +368,64 @@ class StreamingSpec extends SparkSpec {
       s"id 1 must appear exactly once across the restart, got $got")
   }
 
+  test("streaming LSH candidates equal the batch minhash kernel on the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sailors watch from the harbor wall and gulls wheel overhead in the salt wind"
+    val docs = Seq(
+      EventStreams.Doc(1L, base),
+      EventStreams.Doc(2L, base.replace("seventeen", "nineteen")), // near-dup of 1
+      EventStreams.Doc(3L, base),                                  // exact dup of 1
+      EventStreams.Doc(4L, "completely unrelated content about compiler " +
+        "internals, register allocation and loop invariant code motion passes"),
+      EventStreams.Doc(5L, base.replace("harbor wall", "harbour wall")))
+    val mem = MemoryStream[EventStreams.Doc]
+    mem.addData(docs: _*)
+    val q = EventStreams.lshCandidates(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lshcand").start()
+    q.processAllAvailable(); q.stop()
+    // consumers aggregate max(est) per pair — dedups the per-bucket emits
+    val got = spark.table("lshcand")
+      .groupBy($"id_a", $"id_b").agg(max($"jaccard_est").as("est"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    // batch twin: same kernel params, same docs
+    val batch = graft.llm.Dedup.minhashLsh(
+        docs.toDF().toDF("doc_id", "text"), $"doc_id", $"text")
+      .groupBy($"id_a", $"id_b").agg(max($"jaccard_est").as("est"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 1.0,
+      "exact dups must surface as est-1.0 pairs")
+    assert(got.contains((1L, 2L)), "near-dups must surface")
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc must not pair")
+  }
+
+  test("streaming LSH state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "pack my box with five dozen liquor jugs said the sphinx of " +
+      "black quartz while the wizards jumped quickly over the frozen river delta"
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.lshCandidates(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lshinc").start()
+    mem.addData(EventStreams.Doc(10L, base))
+    q.processAllAvailable()
+    assert(spark.table("lshinc").isEmpty, "a lone doc pairs with nothing")
+    // the near-dup arrives a micro-batch LATER — the pair must come from
+    // bucket state, not from within-batch comparison
+    mem.addData(EventStreams.Doc(11L, base.replace("five", "nine")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lshinc")
+      .groupBy($"id_a", $"id_b").agg(max($"jaccard_est").as("est"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._1 == 10L && got.head._2 == 11L
+      && got.head._3 >= 0.5, s"cross-batch near-dup pair expected, got ${got.toList}")
+  }
+
   test("custom codegen expressions run inside a streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
