@@ -358,6 +358,32 @@ FROM g JOIN b USING (gram)
 WHERE doc_id % 97 != 0
 GROUP BY doc_id"""
 
+    # ---- txt_cosine_pairs: exact all-pairs set cosine >= 3/5 over
+    # distinct word 5-gram sets, brute-forced via the FULL shared-gram
+    # self-join — independent of the engine's prefix-filtered plan;
+    # the qualifying predicate is the same integer comparison
+    # 25*c^2 >= 9*na*nb, the emitted cosine the same integer-exact
+    # divide-by-sqrt ----
+    grams5 = ("list_distinct(list_transform(range(1, len(toks)-5+2), "
+              "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+              " || ' ' || toks[i+3] || ' ' || toks[i+4]))")
+    o["txt_cosine_pairs"] = f"""
+WITH g AS (
+ SELECT doc_id, unnest({grams5}) AS tok
+ FROM (SELECT doc_id, {toks} AS toks FROM documents) _t
+ WHERE len(toks) >= 5),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+c AS (
+ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+ FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id
+ GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+ CAST(c.c AS DOUBLE) / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cosine
+FROM c
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE c.c * c.c * 25 >= 9 * sa.n * sb.n"""
+
     # ---- ds_*: deterministic sampling/splitting/mixing — the
     # per-mille bucket is (splitmix64(id+salt) >>> 1) % mod ----
     def bucket(id_expr, salt, mod):

@@ -733,6 +733,15 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
 
+    "txt_cosine_pairs" -> { (s, dir) =>
+      // exact all-pairs set-cosine >= 3/5 over word 5-gram sets:
+      // collapse -> df-ordered prefix-filtered candidates -> exact
+      // integer-predicate verify -> member expansion (the exact-recall
+      // complement of dd_minhash_lsh; llm/TextAnalysis.cosinePairs)
+      TextAnalysis.cosinePairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     "txt_char_stats" -> { (s, dir) =>
       TextAnalysis.charStats(t(s, dir, "documents"), col("doc_id"), col("text"))
     },

@@ -445,4 +445,89 @@ object TextAnalysis {
         size(col("_w")).cast("long").as("chunk_tokens"),
         array_join(col("_w"), " ").as("chunk_text"))
   }
+
+  /** All-pairs set-cosine similarity over word n-gram sets — the
+    * exact-similarity join (Bayardo et al., WWW'07 "Scaling Up All
+    * Pairs Similarity Search") where minhash gives only an estimate:
+    * every unordered doc pair with cos(A, B) = |A∩B| / √(|A|·|B|) ≥
+    * `simNum/simDen` over their DISTINCT word `n`-gram sets, with the
+    * EXACT cosine. The two tiers are complementary: LSH trades recall
+    * for one pass; this is exact-recall and prunes with the classic
+    * prefix filter instead of banding.
+    *
+    * Threshold arithmetic is EXACT — t = simNum/simDen stays
+    * rational, the qualifying predicate is the integer comparison
+    * c²·simDen² ≥ simNum²·|A|·|B| (no float threshold, no epsilon),
+    * and the emitted cosine is one integer-exact divide-by-√ both
+    * engines compute bit-identically.
+    *
+    * Scale shape, in order:
+    *  - exact-duplicate content collapses to class representatives
+    *    first ([[Dedup.contentClasses]] — the family pre-pass), so
+    *    the quadratic-risk tiers below see DISTINCT content only and
+    *    member pairs re-expand at pinned width at the end;
+    *  - candidate generation is PREFIX-FILTERED: each doc's grams
+    *    sort by the canonical (global df ASC, gram ASC) order and
+    *    only the first |A| − ⌈t²·|A|⌉ + 1 index/probe. Soundness: a
+    *    qualifying pair has c ≥ t·√(|A|·|B|) ≥ t²·max(|A|,|B|), so
+    *    if the canonically-SMALLEST shared gram sat outside either
+    *    doc's prefix, ALL shared grams would sit in that doc's
+    *    ⌈t²·n⌉−1 suffix — fewer than c. Hence every qualifying pair
+    *    shares a gram inside BOTH prefixes and the prefix self-join
+    *    finds it. df-ascending order is also the skew guard: the
+    *    corpus's hottest grams sort LAST and fall out of every
+    *    prefix, so candidate buckets are keyed by rare grams — no
+    *    cap needed, nothing dropped, exact recall;
+    *  - the size-ratio prune simDen²·min ≥ simNum²·max (implied by
+    *    the threshold) cuts cross-size candidates before dedup;
+    *  - candidates then verify EXACTLY: one join back to the full
+    *    gram lists keyed (doc, gram) counts c map-combined, the
+    *    integer predicate decides.
+    * Docs with fewer than `n` tokens have no grams and never pair
+    * (filtered before the collapse so within-class pairs of gramless
+    * texts are not emitted either).
+    *
+    * Output: (id_a, id_b, cosine), id_a < id_b, member-level.
+    */
+  def cosinePairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 5, simNum: Int = 3, simDen: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(simNum > 0 && simNum <= simDen, "threshold must be in (0, 1]")
+    val num2 = simNum.toLong * simNum
+    val den2 = simDen.toLong * simDen
+    val idDf = docs
+      .select(id.as("doc_id"), text.as("_text"))
+      .filter(size(F.wordNgrams(col("_text"), n)) > 0)
+    val cc = Dedup.contentClasses(idDf, col("doc_id"), col("_text"))
+    val toks = cc.classes
+      .select(col("rep"), explode(F.wordNgrams(col("_t"), n)).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("rep"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(wDoc).cast("long"))
+      .withColumn("nsz", count(lit(1)).over(Window.partitionBy(col("rep"))))
+      .filter(expr(s"pos <= nsz - (nsz * $num2 + ${den2 - 1}) div $den2 + 1"))
+    val cand = prefix.select(col("tok"), col("rep").as("id_a"), col("nsz").as("na"))
+      .join(prefix.select(col("tok"), col("rep").as("id_b"), col("nsz").as("nb")),
+        Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lit(num2) * greatest(col("na"), col("nb")) <=
+        lit(den2) * least(col("na"), col("nb")))
+      // (na, nb) are functions of the ids — carrying them through the
+      // dedup and the count keys saves two size joins later
+      .select(col("id_a"), col("id_b"), col("na"), col("nb")).distinct()
+    val counted = cand
+      .join(toks.select(col("rep").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("rep").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+    val repPairs = counted
+      .filter(col("c") * col("c") * den2 >= lit(num2) * col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
+    Dedup.expandClassPairs(repPairs, cc, "cosine", lit(1.0))
+  }
 }

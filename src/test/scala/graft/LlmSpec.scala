@@ -371,4 +371,58 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().head
     assert(got == ((1L, 5L, 2L, 3L, 0.6)))
   }
+
+  test("cosinePairs: integer-exact threshold boundary, no-gram docs, class expansion") {
+    // A: 9 tokens -> 5 distinct 5-grams g1..g5
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    // B: 5 grams sharing exactly g1,g2,g3 with A -> c=3, na=nb=5,
+    // cos = 3/5 EXACTLY -> must be included (>=, not >)
+    val b = "w1 w2 w3 w4 w5 w6 w7 x1 x2"
+    // C = B + one token: 6 grams, all 5 of B's -> cos(B,C) = 5/sqrt(30)
+    // included; but vs A it shares only g1,g2,g3 -> 3/sqrt(30) < 3/5
+    // -> (A,C) excluded
+    val c = "w1 w2 w3 w4 w5 w6 w7 x1 x2 x3"
+    val docs = Seq(
+      (1L, a), (2L, b), (3L, c),
+      (4L, a),                 // exact duplicate of 1 -> class pair, cos 1.0
+      (5L, "too short")        // < 5 tokens: no grams, never pairs
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cosinePairs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // boundary pair present with the exact rational value
+    assert(got((1L, 2L)) == 3.0 / 5.0)
+    assert(got((2L, 3L)) == 5.0 / math.sqrt(30.0))
+    assert(!got.contains((1L, 3L)) && !got.contains((3L, 4L)))
+    // duplicate of A expands: within-class (1,4) at 1.0 and the
+    // member-level echo of the (1,2) rep pair
+    assert(got((1L, 4L)) == 1.0)
+    assert(got((2L, 4L)) == 3.0 / 5.0)
+    assert(!got.keys.exists(k => k._1 == 5L || k._2 == 5L))
+    assert(got.size == 4)
+  }
+
+  test("cosinePairs: prefix filter is exact-recall vs the brute-force join") {
+    // brute force: FULL shared-gram self-join (no prefix, no size
+    // prune, no collapse) + the same integer predicate — the spec
+    // target is the candidate-generation logic, so any pair the
+    // prefix filter drops would show up here
+    val g = docs.select($"doc_id",
+      explode(F.wordNgrams($"text", 5)).as("tok"))
+    val sz = g.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val brute = g.select($"doc_id".as("id_a"), $"tok")
+      .join(g.select($"doc_id".as("id_b"), $"tok"), Seq("tok"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+      .join(sz.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sz.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .filter($"c" * $"c" * 25 >= $"na" * $"nb" * 9)
+      .select($"id_a", $"id_b",
+        ($"c".cast("double") / sqrt(($"na" * $"nb").cast("double")))
+          .as("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = TextAnalysis.cosinePairs(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute, s"prefix-filtered ${got.size} vs brute ${brute.size}")
+  }
 }
