@@ -258,7 +258,7 @@ object Ann {
     // exactly-once per member pair (expandClassPairs); the filter
     // re-checks the class self-cosine against the threshold
     Dedup.expandClassPairs(repPairs, cc, "cos",
-        F.cosineSim(col("_t"), col("_t")))
+        F.cosineSim(col("_t"), col("_t")), selfSimNeedsPayload = true)
       .filter(col("cos") >= minCos)
   }
 }

@@ -118,20 +118,20 @@ object Cluster {
     // vector — so first(cell) within the hash group is deterministic).
     // r11: map-combined groupBy(xxhash64(vec)) replaces the prior
     // vector-keyed window — duplicate mass dedups map-side and no
-    // full-corpus vector sort is paid; membership is a window over
-    // the 8-byte hash on (doc_id, _h) rows only (see
-    // Dedup.contentClasses for the shape rationale).
+    // full-corpus vector sort is paid; membership is DUP-ONLY, via
+    // the 8-byte hash join against the n ≥ 2 class slice (see
+    // Dedup.contentClasses for the shape rationale — empty and
+    // broadcast on a duplication-free corpus).
     val keyed = km.assigned
       .select(col("cell"), col("vec_id").as("doc_id"), col("c_vec").as("_t"))
       .withColumn("_h", xxhash64(col("_t")))
     val classes = keyed.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
         first(col("_t")).as("_t"), first(col("cell")).as("cell"))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
-    val members = keyed.select(col("doc_id"), col("_h"))
-      .withColumn("rep", min(col("doc_id")).over(wh))
-      .withColumn("n", count(lit(1)).over(wh))
-      .select(col("doc_id"), col("rep"), col("n"))
+    val dupMembers = keyed.select(col("doc_id"), col("_h"))
+      .join(classes.filter(col("n") >= 2)
+        .select(col("_h"), col("rep")), "_h")
+      .select(col("doc_id"), col("rep"))
     val repPairs = classes
       .select(col("cell"), col("rep").as("vec_id"), col("_t").as("v"))
       .groupBy(col("cell"))
@@ -142,21 +142,25 @@ object Cluster {
     // bespoke expansion (Dedup.expandClassPairs doesn't carry `cell`)
     // but the same r11 unified shape: classes with n ≥ 2 contribute a
     // SELF rep-pair (r, r, self-cos) — computed once per class, same
-    // double formula as the kernel — and one two-sided membership
-    // join expands cross and within-class pairs together, exactly
-    // once per member pair (`_ma < _mb` guards the self pairs; see
+    // double formula as the kernel — and two LEFT membership joins
+    // against the dup-only frame (misses coalesce to the rep id)
+    // expand cross and within-class pairs together, exactly once per
+    // member pair (`_ma < _mb` guards the self pairs; see
     // Dedup.expandClassPairs). Pinned width on the fan-out join — the
     // §5 byte-coalescing lesson.
     val selfPairs = classes.filter(col("n") >= 2)
       .select(col("cell"), col("rep").as("id_a"), col("rep").as("id_b"),
         F.cosineSim(col("_t"), col("_t")).as("cos"))
       .filter(col("cos") >= minCos)
-    val ma = members.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
-    val mb = members.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
+    val ma = dupMembers.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
+    val mb = dupMembers.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
     repPairs.unionByName(selfPairs)
       .repartition(width, col("id_a"))
-      .join(ma, "id_a")
-      .join(mb, "id_b")
+      .join(ma, Seq("id_a"), "left")
+      .join(mb, Seq("id_b"), "left")
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"),
+        coalesce(col("_ma"), col("id_a")).as("_ma"),
+        coalesce(col("_mb"), col("id_b")).as("_mb"))
       .filter(col("id_a") =!= col("id_b") || col("_ma") < col("_mb"))
       .select(col("cell"),
         least(col("_ma"), col("_mb")).as("id_a"),

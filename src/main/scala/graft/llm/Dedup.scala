@@ -39,14 +39,21 @@ object Dedup {
   }
 
   /** The collapse pre-pass output: `classes` is one row per DISTINCT
-    * key value — (rep, n, _t) with rep the min id carrying it and n
-    * the carrier count; `members` is one row per INPUT row —
-    * (doc_id, rep, n) with NO text. Rep-level consumers (signatures,
-    * banding, bucket stats) read `classes` and never pay a
-    * membership join; expansion reads `members` and never ships
-    * text.
+    * key value — (rep, n, payload) with rep the min id carrying it
+    * and n the carrier count; the payload is the raw key `_t` from
+    * [[contentClasses]] or the map-side signature from
+    * [[sigClasses]]; `dupMembers` is one row per input row of a
+    * class with n ≥ 2 ONLY — (doc_id, rep, n), no text, reps
+    * included. Rep-level consumers (signatures, banding, bucket
+    * stats) read `classes` and never pay a membership join;
+    * expansion LEFT-joins `dupMembers` and coalesces misses to the
+    * rep id — a singleton class (rep == its only member) needs no
+    * membership row at all, so the frame's size is the DUPLICATE
+    * MASS, not the corpus: empty on a duplication-free corpus
+    * (AQE broadcasts it and expansion is map-only), and still only
+    * the duplicated slice of a 100 TB corpus otherwise.
     */
-  private[graft] case class ContentClasses(classes: DataFrame, members: DataFrame)
+  private[graft] case class ContentClasses(classes: DataFrame, dupMembers: DataFrame)
 
   /** Exact-duplicate CONTENT CLASSES — the collapse pre-pass shared
     * by the whole near-dup family (the r9 verdict's top item; same
@@ -67,33 +74,34 @@ object Dedup {
     * map-side partial aggregation, so duplicate mass dedups BEFORE
     * the Exchange — a c-fold-replicated corpus ships ~1/c of its
     * text, a duplication-free corpus ships each text once, and
-    * nothing is ever sorted by text. Membership (doc_id → rep, n)
-    * comes from a window over the 8-byte hash on (doc_id, _h) rows
-    * only — 16 bytes shuffled per input row, no text, no join; the
-    * one membership Exchange is identical across an operator's
-    * ma/mb/dup-member branches, so Catalyst reuses it. `first(_t)`
-    * is deterministic because every row in a hash group carries the
-    * identical key value — modulo 2^-64 xxhash64 collisions, the one
-    * approximation this buys (classes are otherwise exactly the
-    * GROUP BY _t classes, which is what the plain-SQL oracles
-    * compute).
+    * nothing is ever sorted by text. Membership is DUP-ONLY (late
+    * r11 — this replaced a full-corpus (doc_id, _h) window that paid
+    * an Exchange + hash-sort over every input row even when there
+    * were no duplicates at all): the raw (doc_id, _h) scan joins the
+    * n ≥ 2 slice of the class frame on the 8-byte hash, so the
+    * membership frame's cardinality is the duplicate mass — zero
+    * rows on a duplication-free corpus, where AQE turns the join
+    * into a broadcast over the map-only scan and nothing membership-
+    * shaped ever crosses the wire. `first(_t)` is deterministic
+    * because every row in a hash group carries the identical key
+    * value — modulo 2^-64 xxhash64 collisions, the one approximation
+    * this buys (classes are otherwise exactly the GROUP BY _t
+    * classes, which is what the plain-SQL oracles compute).
     */
   private[graft] def contentClasses(
       df: DataFrame, id: Column, key: Column): ContentClasses = {
     val keyed = df
       .select(id.as("doc_id"), key.as("_t"))
       .withColumn("_h", xxhash64(col("_t")))
-    val classes = keyed
+    val classesH = keyed
       .groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
         first(col("_t")).as("_t"))
-      .select(col("rep"), col("n"), col("_t"))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
-    val members = keyed.select(col("doc_id"), col("_h"))
-      .withColumn("rep", min(col("doc_id")).over(wh))
-      .withColumn("n", count(lit(1)).over(wh))
-      .select(col("doc_id"), col("rep"), col("n"))
-    ContentClasses(classes, members)
+    val dupMembers = keyed.select(col("doc_id"), col("_h"))
+      .join(classesH.filter(col("n") >= 2)
+        .select(col("_h"), col("rep")), "_h")
+      .select(col("doc_id"), col("rep"))
+    ContentClasses(classesH.select(col("rep"), col("n"), col("_t")), dupMembers)
   }
 
   /** Expand representative-level pairs back to member-id pairs, plus
@@ -112,7 +120,12 @@ object Dedup {
     * IS EXACTLY-ONCE per member pair — callers need no post-expansion
     * dedup aggregation (one whole Exchange removed vs r10).
     *
-    * The expansion join runs at PINNED width: the rep-pair / member
+    * The membership joins are LEFT joins against the dup-only frame
+    * with misses coalesced to the rep id itself (a singleton class's
+    * rep IS its one member): on a duplication-free corpus both dup
+    * sides are empty, AQE broadcasts them, and the whole expansion is
+    * one pinned Exchange + a map — no membership ever shuffles. The
+    * rep-pair stream runs at PINNED width: the rep-pair / member
     * frames are few BYTES (AQE would byte-coalesce them to one task)
     * but fan out multiplicatively on a replicated corpus — the §5
     * lesson, same as fuzzyJoin's expansion. Output (id_a < id_b,
@@ -121,17 +134,31 @@ object Dedup {
     */
   private[graft] def expandClassPairs(
       repPairs: DataFrame, cc: ContentClasses,
-      simCol: String, selfSim: Column): DataFrame = {
-    val width = cc.members.sparkSession.sessionState.conf.numShufflePartitions
-    val selfPairs = cc.classes.filter(col("n") >= 2)
-      .select(col("rep").as("id_a"), col("rep").as("id_b"),
-        selfSim.as(simCol))
-    val ma = cc.members.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
-    val mb = cc.members.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
+      simCol: String, selfSim: Column,
+      selfSimNeedsPayload: Boolean = false): DataFrame = {
+    val width = cc.dupMembers.sparkSession.sessionState.conf.numShufflePartitions
+    // self pairs: one (r, r) row per n ≥ 2 class. When the self
+    // similarity is a literal (every near-dup operator but the
+    // vector-cosine one), derive them from the dup-membership frame's
+    // REP ROWS (doc_id == rep): ma, mb and selfPairs then prune to
+    // the identical (doc_id, rep) subtree and AQE materializes it
+    // ONCE instead of re-aggregating the corpus for a separate
+    // classes branch. A payload-referencing selfSim (e.g.
+    // cosineSim(_t, _t)) reads the classes frame, which carries it.
+    val selfPairs =
+      (if (selfSimNeedsPayload) cc.classes.filter(col("n") >= 2)
+       else cc.dupMembers.filter(col("doc_id") === col("rep")))
+        .select(col("rep").as("id_a"), col("rep").as("id_b"),
+          selfSim.as(simCol))
+    val ma = cc.dupMembers.select(col("rep").as("id_a"), col("doc_id").as("_ma"))
+    val mb = cc.dupMembers.select(col("rep").as("id_b"), col("doc_id").as("_mb"))
     repPairs.unionByName(selfPairs)
       .repartition(width, col("id_a"))
-      .join(ma, "id_a")
-      .join(mb, "id_b")
+      .join(ma, Seq("id_a"), "left")
+      .join(mb, Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"), col(simCol),
+        coalesce(col("_ma"), col("id_a")).as("_ma"),
+        coalesce(col("_mb"), col("id_b")).as("_mb"))
       .filter(col("id_a") =!= col("id_b") || col("_ma") < col("_mb"))
       .select(
         least(col("_ma"), col("_mb")).as("id_a"),
@@ -178,9 +205,10 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucket: Int = 64,
       expandDups: Boolean = true): DataFrame = {
-    val cc = contentClasses(df, id, text)
-    val repPairs = minhashLshReps(cc.classes, shingle, perms, bands,
-      minJaccard, maxBucket)
+    val cc = sigClasses(df, id, text, shingle, perms)
+    val repPairs = minhashLshRepsFromSigs(
+      cc.classes.select(col("rep").as("doc_id"), col("sig")),
+      perms, bands, minJaccard, maxBucket)
     if (expandDups)
       // exactly-once per member pair by construction (see
       // expandClassPairs) — no post-expansion dedup aggregation
@@ -195,27 +223,58 @@ object Dedup {
     }
   }
 
-  /** The banded pair kernel over class REPRESENTATIVES — (id_a, id_b,
-    * jaccard_est) with id_a < id_b, both rep ids. One shuffle: group
-    * each (band, bucket) and emit that bucket's qualifying pairs in a
-    * single codegen'd kernel call — no self-join (which would
-    * duplicate and re-execute the signature subtree), no window pass
-    * for the cap, no per-pair Catalyst struct machinery.
+  /** [[contentClasses]] with the minhash SIGNATURE carried through
+    * the collapse instead of the text: `classes` is (rep, n, sig).
+    *
+    * This is the signatures-at-the-scan shape a 100 TB LSH pass
+    * wants: the signature is computed MAP-SIDE on every raw row —
+    * pure parallel CPU, nothing on the wire — and the collapse
+    * Exchange then ships `perms`·8 bytes per distinct content per
+    * map partition instead of the document text (KBs), with no text
+    * ever sorted or shuffled anywhere in the operator. The price is
+    * recomputing the signature for duplicate rows map-side, which
+    * trades (cheap, embarrassingly parallel) hashing CPU for shuffle
+    * bytes — measured at sf0.1 this makes the collapse pre-pass cost
+    * indistinguishable from the no-collapse kernel. `first(sig)` is
+    * deterministic: the signature is a pure function of the text and
+    * every row in a hash group carries identical text.
+    *
+    * Consumers that must verify on raw content (ngram Jaccard,
+    * fuzzy reconcile, cosinePairs) stay on [[contentClasses]] —
+    * their verify stage ships text regardless.
     */
-  private def minhashLshReps(
-      classes: DataFrame, shingle: Int, perms: Int, bands: Int,
+  private[graft] def sigClasses(
+      df: DataFrame, id: Column, text: Column,
+      shingle: Int, perms: Int): ContentClasses = {
+    val keyed = df.select(
+      id.as("doc_id"),
+      xxhash64(text).as("_h"),
+      F.minhashSig(text, shingle, perms).as("sig"))
+    val classesH = keyed
+      .groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
+        first(col("sig")).as("sig"))
+    val dupMembers = keyed.select(col("doc_id"), col("_h"))
+      .join(classesH.filter(col("n") >= 2)
+        .select(col("_h"), col("rep")), "_h")
+      .select(col("doc_id"), col("rep"))
+    ContentClasses(classesH.select(col("rep"), col("n"), col("sig")), dupMembers)
+  }
+
+  /** The banded pair kernel over pre-computed signatures — (id_a,
+    * id_b, jaccard_est), id_a < id_b. Input (doc_id, sig); one
+    * shuffle of signature bytes only.
+    */
+  private def minhashLshRepsFromSigs(
+      sigs: DataFrame, perms: Int, bands: Int,
       minJaccard: Double, maxBucket: Int): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    val sigs = classes
-      .select(col("rep").as("doc_id"),
-        F.minhashSig(col("_t"), shingle, perms).as("sig"))
-    val banded = sigs
+    sigs
       .select(
         col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-    banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("items"))
       .filter(size(col("items")).between(2, maxBucket))
@@ -223,6 +282,22 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.jaccard_est"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard_est")).as("jaccard_est"))
+  }
+
+  /** The banded pair kernel over class REPRESENTATIVES holding raw
+    * content — signature computed per class, then the shared
+    * [[minhashLshRepsFromSigs]] banding. For callers that already
+    * hold text-carrying classes because their VERIFY stage needs the
+    * text anyway (ngram Jaccard, curation); the pure-LSH operators
+    * use [[sigClasses]] and never materialize text-carrying classes.
+    */
+  private def minhashLshReps(
+      classes: DataFrame, shingle: Int, perms: Int, bands: Int,
+      minJaccard: Double, maxBucket: Int): DataFrame = {
+    val sigs = classes
+      .select(col("rep").as("doc_id"),
+        F.minhashSig(col("_t"), shingle, perms).as("sig"))
+    minhashLshRepsFromSigs(sigs, perms, bands, minJaccard, maxBucket)
   }
 
   /** Near-dup CLUSTERS composed the scale-linear way: compressed
@@ -252,15 +327,24 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       maxBucket: Int = 64): DataFrame = {
-    val cc = contentClasses(df, id, text)
-    val repPairs = minhashLshReps(cc.classes, shingle, perms, bands,
-      minJaccard, maxBucket)
+    val cc = sigClasses(df, id, text, shingle, perms)
+    val repPairs = minhashLshRepsFromSigs(
+      cc.classes.select(col("rep").as("doc_id"), col("sig")),
+      perms, bands, minJaccard, maxBucket)
     val repComp = connectedComponents(repPairs, col("id_a"), col("id_b"))
       .select(col("doc_id").as("rep"), col("comp"))
-    cc.members
+    // members of duplicate classes inherit comp(rep) (or the rep
+    // itself as a pure exact-dup component); reps of SINGLETON
+    // classes appear only if the rep graph labeled them — the
+    // anti-join excludes dup-class reps already emitted by the first
+    // branch. Both branches are duplicate-mass / component-sized.
+    val dupPart = cc.dupMembers
       .join(repComp, Seq("rep"), "left")
-      .filter(col("n") >= 2 || col("comp").isNotNull)
       .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("comp"))
+    val singlePart = repComp
+      .join(cc.dupMembers.select(col("rep")).distinct(), Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("comp"))
+    dupPart.unionByName(singlePart)
   }
 
   /** LSH tuning report: the bucket-size DISTRIBUTION per band —
@@ -278,9 +362,10 @@ object Dedup {
     * replicated corpus the pre-collapse histogram showed every
     * bucket over the cap while the kernel (post-collapse) was fine.
     *
-    * Shape: one collapse window, map-side signatures + band explode,
-    * one (band, key) aggregation (map-combining), then the histogram
-    * rollup on (band, size) — shuffles carry bucket-cardinality rows.
+    * Shape: the [[sigClasses]] signatures-at-the-scan collapse (text
+    * never shuffles), band explode, one (band, key) aggregation
+    * (map-combining), then the histogram rollup on (band, size) —
+    * post-collapse shuffles carry bucket-cardinality rows.
     */
   def lshBucketStats(
       df: DataFrame,
@@ -291,8 +376,8 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    contentClasses(df, id, text).classes
-      .select(F.minhashSig(col("_t"), shingle, perms).as("sig"))
+    sigClasses(df, id, text, shingle, perms).classes
+      .select(col("sig"))
       .select(
         explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("band").cast("long").as("band"),
@@ -339,22 +424,26 @@ object Dedup {
     // LlmSpec pins incr == full-restricted on a replicated corpus).
     // `has_delta` rides the hash group: a class is delta-touching iff
     // any member row is a delta row.
+    // signatures-at-the-scan (the sigClasses shape): sig computed
+    // map-side per raw row, so the collapse agg carries 8·perms
+    // bytes per distinct content and text never crosses the wire
     val tagged = base
       .select(id.as("doc_id"), text.as("_t"), lit(false).as("is_delta"))
       .unionByName(delta
         .select(id.as("doc_id"), text.as("_t"), lit(true).as("is_delta")))
-    val keyed = tagged.withColumn("_h", xxhash64(col("_t")))
+    val keyed = tagged.select(
+      col("doc_id"), col("is_delta"),
+      xxhash64(col("_t")).as("_h"),
+      F.minhashSig(col("_t"), shingle, perms).as("sig"))
     val classes = keyed.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        first(col("_t")).as("_t"), max(col("is_delta")).as("has_delta"))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
-    val members = keyed.select(col("doc_id"), col("_h"))
-      .withColumn("rep", min(col("doc_id")).over(wh))
-      .withColumn("n", count(lit(1)).over(wh))
-      .select(col("doc_id"), col("rep"), col("n"))
+        first(col("sig")).as("sig"), max(col("is_delta")).as("has_delta"))
+    // dup-only membership via the hash join, same as contentClasses
+    val dupMembers = keyed.select(col("doc_id"), col("_h"))
+      .join(classes.filter(col("n") >= 2)
+        .select(col("_h"), col("rep")), "_h")
+      .select(col("doc_id"), col("rep"))
     val banded = classes
-      .select(col("rep"), col("has_delta"),
-        F.minhashSig(col("_t"), shingle, perms).as("sig"))
       .select(col("rep"), col("has_delta"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
@@ -389,7 +478,7 @@ object Dedup {
     // delta id — a delta-touching class still expands base-base
     // within-pairs that are not the delta's concern
     expandClassPairs(repPairs,
-        ContentClasses(classes.select(col("rep"), col("n"), col("_t")), members),
+        ContentClasses(classes.select(col("rep"), col("n")), dupMembers),
         "jaccard_est", lit(1.0))
       .join(broadcast(deltaIds),
         col("id_a") === col("d_id") || col("id_b") === col("d_id"), "left_semi")

@@ -30,20 +30,23 @@ class PlanSpec extends SparkSpec {
       "expected partial+final HashAggregate pair")
   }
 
-  test("dd_minhash_lsh: raw text never rides an Exchange key and never sorts (r11)") {
+  test("dd_minhash_lsh: text never crosses the wire — signatures at the scan (r11)") {
     // the r10 collapse was Window.partitionBy(text): a full-corpus
     // Exchange KEYED BY the raw text plus a per-partition text sort.
-    // The r11 shape must show neither — classes collapse through a
-    // map-combined groupBy(xxhash64(text)) (partial_first carries the
-    // text as a VALUE, deduped map-side) and membership windows over
-    // the 8-byte hash.
+    // The late-r11 shape is stronger still: the signature is computed
+    // MAP-SIDE on raw rows (sigClasses), the collapse agg carries the
+    // SIGNATURE (partial_first(sig)) map-combined, and the text
+    // column does not appear in the collapse aggregation at all — not
+    // as an Exchange key, not sorted, not even as a shuffled value.
     val plan = physicalPlan("dd_minhash_lsh")
     assert(!"""hashpartitioning\(_t#""".r.findFirstIn(plan).isDefined,
       "raw text is an Exchange key again")
     assert(!"""Sort \[_t#""".r.findFirstIn(plan).isDefined,
       "plan sorts by the raw text again")
-    assert("""partial_first\(_t#""".r.findFirstIn(plan).isDefined,
-      "collapse lost its map-side partial aggregation")
+    assert(!"""partial_first\(_t#""".r.findFirstIn(plan).isDefined,
+      "collapse carries raw text as an aggregated value again")
+    assert("""partial_first\(sig#""".r.findFirstIn(plan).isDefined,
+      "collapse lost its map-side partial aggregation over signatures")
     assert("""hashpartitioning\(_h#""".r.findFirstIn(plan).isDefined,
       "membership is no longer keyed by the 8-byte content hash")
   }
