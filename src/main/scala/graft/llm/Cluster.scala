@@ -113,23 +113,29 @@ object Cluster {
       maxCell: Int = 4096): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val km = kmeans(df, id, vec, k, iters)
-    // the contentClasses hash-collapse inline, `cell` riding along
-    // (a class shares one cell — assignment is a pure function of the
-    // vector — so first(cell) within the hash group is deterministic).
-    // r11: map-combined groupBy(xxhash64(vec)) replaces the prior
-    // vector-keyed window — duplicate mass dedups map-side and no
-    // full-corpus vector sort is paid; membership is DUP-ONLY, via
-    // the 8-byte hash join against the n ≥ 2 class slice (see
+    // the contentClasses hash-collapse inline — collapse FIRST, then
+    // assign cells to class REPS only: assignment is a pure function
+    // of the vector, so every member shares its rep's cell by
+    // construction, the driver-embedded centroid expression appears
+    // in exactly ONE plan subtree, and assignment cost is paid per
+    // DISTINCT vector instead of per raw row. Membership is DUP-ONLY,
+    // via the 8-byte hash join against the n ≥ 2 class slice (see
     // Dedup.contentClasses for the shape rationale — empty and
-    // broadcast on a duplication-free corpus).
-    val keyed = km.assigned
-      .select(col("cell"), col("vec_id").as("doc_id"), col("c_vec").as("_t"))
+    // broadcast on a duplication-free corpus). k-means TRAINING stays
+    // on the full corpus: duplicate mass legitimately weights the
+    // centroid means.
+    val keyed = df
+      .select(id.as("doc_id"), vec.as("_t"))
       .withColumn("_h", xxhash64(col("_t")))
-    val classes = keyed.groupBy(col("_h"))
+    val classesH = keyed.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        first(col("_t")).as("_t"), first(col("cell")).as("cell"))
+        first(col("_t")).as("_t"))
+    val classes = Ann.assignCells(
+        classesH.select(col("rep"), col("n"), col("_t").as("c_vec")),
+        km.centroids)
+      .select(col("rep"), col("n"), col("c_vec").as("_t"), col("cell"))
     val dupMembers = keyed.select(col("doc_id"), col("_h"))
-      .join(classes.filter(col("n") >= 2)
+      .join(classesH.filter(col("n") >= 2)
         .select(col("_h"), col("rep")), "_h")
       .select(col("doc_id"), col("rep"))
     val repPairs = classes
