@@ -768,6 +768,24 @@ SELECT comp, n_members, doc_id AS keep_id, best_quality FROM (
  FROM cq) _k
 WHERE rn = 1"""
 
+    # ---- ds_split_leakage_safe: 80/10/10 split keyed on the near-dup
+    # COMPONENT (same rep-closure as dd_components; docs outside any
+    # duplicate relation key on their own id), same splitmix bucket
+    # rule as ds_split_assign (salt 42) ----
+    o["ds_split_leakage_safe"] = f"""
+WITH RECURSIVE {lsh_cls},
+{comp_ctes},
+comp AS (
+ SELECT m.doc_id, coalesce(rc.comp, m.rep) AS comp
+ FROM cls m LEFT JOIN repcomp rc ON rc.rep = m.rep
+ WHERE m.n >= 2 OR rc.comp IS NOT NULL)
+SELECT doc_id, comp,
+ CASE WHEN ({bucket('comp', 42, 100)}) < 80 THEN 'train'
+      WHEN ({bucket('comp', 42, 100)}) < 90 THEN 'val'
+      ELSE 'test' END AS split
+FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+      FROM docs d LEFT JOIN comp c ON c.doc_id = d.doc_id) _c"""
+
     # ---- dd_embed_cosine: tiered exact — native float cosine as a
     # loose prefilter (error ~1e-6 << 0.01 margin), bit-exact double
     # formula decides at 0.98 ----

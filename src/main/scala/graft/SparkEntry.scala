@@ -1135,6 +1135,15 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     },
 
+    "ds_split_leakage_safe" -> { (s, dir) =>
+      // leakage-safe 80/10/10: split keyed on the near-dup COMPONENT
+      // so a duplicate/near-dup pair can never straddle train/eval;
+      // non-duplicated docs keep their id-keyed assignment
+      // (llm/Sampling.assignSplitsByComponent)
+      graft.llm.Sampling.assignSplitsByComponent(
+        docsWithPlantedDups(s, dir), col("doc_id"), col("text"))
+    },
+
     "ds_temperature_sample" -> { (s, dir) =>
       // τ=1/2 temperature rebalance: keep P = min(1, 2/√n_source) per
       // row — big sources flatten toward √n, small ones pass whole

@@ -74,6 +74,46 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** LEAKAGE-SAFE train/val/test assignment: the split decision keys
+    * on the document's NEAR-DUP COMPONENT ([[Dedup.nearDupComponents]]
+    * — exact-duplicate classes unioned with LSH-verified near-dup
+    * clusters, transitively closed), not its id. Id-keyed splitting
+    * puts ~20% of every duplicate pair's copies in eval — on a real
+    * web corpus that is memorized-train-data sitting in the test
+    * set; component-keyed splitting makes straddling IMPOSSIBLE by
+    * construction, the property a contamination audit
+    * (`ds_leakage_audit`) can only detect after the fact.
+    *
+    * Documents in no duplicate relation (the vast majority) have
+    * comp == doc_id, so their assignment is IDENTICAL to
+    * [[assignSplits]] with the same salt — adopting the safe variant
+    * reshuffles only the duplicated slice of an existing split.
+    *
+    * Scale shape: the component frame is duplicate-mass-sized (empty
+    * on a clean corpus → AQE broadcasts the left join and the whole
+    * op is the near-dup pass + a map); the bucket decision is the
+    * same pure splitmix function, map-only. Output: (doc_id, comp,
+    * split).
+    */
+  def assignSplitsByComponent(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      pctTrain: Int = 80,
+      pctVal: Int = 10,
+      salt: Long = 42L): DataFrame = {
+    val comp = Dedup.nearDupComponents(df, id, text)
+    val b = shiftrightunsigned(F.splitmix64(col("comp") + lit(salt)), 1) % 100
+    df.select(id.as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      .withColumn(
+        "split",
+        when(b < pctTrain, lit("train"))
+          .when(b < pctTrain + pctVal, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Weighted source mixing (epoch composition): each row gets
     * `floor(w) + Bernoulli(frac(w))` copies where `w` is its
     * source's weight — the standard way to up-/down-sample corpora

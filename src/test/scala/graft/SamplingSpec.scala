@@ -55,6 +55,45 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got("train") - 8000.0) / 8000.0 < 0.05, got.toString)
   }
 
+  test("assignSplitsByComponent: no dup pair straddles, singletons keep the id-keyed split") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // exact copies of every doc_id % 40 == 0, near-dup copies of
+    // every % 50 == 0 — both relations must be split-atomic
+    val planted = docs
+      .unionByName(docs.filter($"doc_id" % 40 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      .unionByName(docs.filter($"doc_id" % 50 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat($"text", lit(" near duplicate suffix")).as("text")))
+    val got = Sampling
+      .assignSplitsByComponent(planted, col("doc_id"), col("text"))
+    val m = got.select($"doc_id", $"comp", $"split")
+      .as[(Long, Long, String)].collect()
+    val splitOf = m.map(r => r._1 -> r._3).toMap
+    // every planted relation shares its original's split
+    docs.filter($"doc_id" % 40 === 0).select($"doc_id").as[Long].collect()
+      .foreach(i => assert(splitOf(i) == splitOf(i + 2000000L),
+        s"exact pair ($i, ${i + 2000000L}) straddles"))
+    // near-dups: only assert pairs the LSH tier actually linked
+    // (recall is estimate-bounded) — linked means same comp
+    val compOf = m.map(r => r._1 -> r._2).toMap
+    val linked = docs.filter($"doc_id" % 50 === 0).select($"doc_id")
+      .as[Long].collect().filter(i => compOf.get(i + 1000000L) == compOf.get(i))
+    assert(linked.nonEmpty)
+    linked.foreach(i => assert(splitOf(i) == splitOf(i + 1000000L),
+      s"near-dup pair ($i, ${i + 1000000L}) straddles"))
+    // a doc in no duplicate relation keeps assignSplits' decision
+    val solo = m.filter(r => r._1 == r._2).map(_._1).toSet
+    val idKeyed = Sampling.assignSplits(planted, col("doc_id"))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(solo.nonEmpty)
+    solo.take(200).foreach(i => assert(splitOf(i) == idKeyed(i)))
+    // exhaustive + disjoint
+    assert(m.length == planted.count())
+    assert(m.map(_._3).toSet == Set("train", "val", "test"))
+  }
+
   test("mixWeighted emits floor(w)+Bernoulli(frac(w)) copies; explodeCopies indexes them") {
     val df = ids.withColumn("src", when(col("id") < 5000, "up").otherwise("down"))
     val mixed = Sampling.mixWeighted(df, col("id"), col("src"),
