@@ -129,7 +129,7 @@ object Cluster {
       .withColumn("_h", xxhash64(col("_t")))
     val classesH = keyed.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        first(col("_t")).as("_t"))
+        graft.functions.FirstAny.firstAny(col("_t")).as("_t"))
     val classes = Ann.assignCells(
         classesH.select(col("rep"), col("n"), col("_t").as("c_vec")),
         km.centroids)

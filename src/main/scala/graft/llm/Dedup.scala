@@ -96,7 +96,7 @@ object Dedup {
     val classesH = keyed
       .groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        first(col("_t")).as("_t"))
+        graft.functions.FirstAny.firstAny(col("_t")).as("_t"))
     val dupMembers = keyed.select(col("doc_id"), col("_h"))
       .join(classesH.filter(col("n") >= 2)
         .select(col("_h"), col("rep")), "_h")
@@ -223,21 +223,25 @@ object Dedup {
     }
   }
 
-  /** [[contentClasses]] with the minhash SIGNATURE carried through
-    * the collapse instead of the text: `classes` is (rep, n, sig).
+  /** [[contentClasses]] with the minhash SIGNATURE attached to the
+    * collapsed classes: `classes` is (rep, n, sig).
     *
-    * This is the signatures-at-the-scan shape a 100 TB LSH pass
-    * wants: the signature is computed MAP-SIDE on every raw row —
-    * pure parallel CPU, nothing on the wire — and the collapse
-    * Exchange then ships `perms`·8 bytes per distinct content per
-    * map partition instead of the document text (KBs), with no text
-    * ever sorted or shuffled anywhere in the operator. The price is
-    * recomputing the signature for duplicate rows map-side, which
-    * trades (cheap, embarrassingly parallel) hashing CPU for shuffle
-    * bytes — measured at sf0.1 this makes the collapse pre-pass cost
-    * indistinguishable from the no-collapse kernel. `first(sig)` is
-    * deterministic: the signature is a pure function of the text and
-    * every row in a hash group carries identical text.
+    * Order matters at scale: the signature is computed AFTER the
+    * collapse, once per DISTINCT content. The tempting alternative —
+    * signatures at the scan, collapse carrying the 512-byte sig
+    * instead of the text — pays the 64-permutation kernel once per
+    * RAW row, which on a c-fold-replicated corpus is c× the CPU of
+    * the whole pass: measured 2× slower end-to-end on the 10×-
+    * replicated sf1 tables (minhash CPU per KB outweighs shuffling
+    * that KB by an order of magnitude). Collapse-then-sign keeps sig
+    * CPU replication-invariant; the text crosses the collapse
+    * Exchange once per distinct content per map partition (partial
+    * aggregation dedups colocated duplicate mass) and is NEVER
+    * sorted — the collapse aggregates with [[graft.functions
+    * .FirstAny]] (object hash agg), not the built-in `first`, whose
+    * variable-length buffer silently demotes the whole aggregation
+    * to SortAggregate (a full corpus sort by hash with the text
+    * riding every row).
     *
     * Consumers that must verify on raw content (ngram Jaccard,
     * fuzzy reconcile, cosinePairs) stay on [[contentClasses]] —
@@ -246,19 +250,10 @@ object Dedup {
   private[graft] def sigClasses(
       df: DataFrame, id: Column, text: Column,
       shingle: Int, perms: Int): ContentClasses = {
-    val keyed = df.select(
-      id.as("doc_id"),
-      xxhash64(text).as("_h"),
-      F.minhashSig(text, shingle, perms).as("sig"))
-    val classesH = keyed
-      .groupBy(col("_h"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        first(col("sig")).as("sig"))
-    val dupMembers = keyed.select(col("doc_id"), col("_h"))
-      .join(classesH.filter(col("n") >= 2)
-        .select(col("_h"), col("rep")), "_h")
-      .select(col("doc_id"), col("rep"))
-    ContentClasses(classesH.select(col("rep"), col("n"), col("sig")), dupMembers)
+    val cc = contentClasses(df, id, text)
+    val classes = cc.classes.select(col("rep"), col("n"),
+      F.minhashSig(col("_t"), shingle, perms).as("sig"))
+    ContentClasses(classes, cc.dupMembers)
   }
 
   /** The banded pair kernel over pre-computed signatures — (id_a,
@@ -424,26 +419,26 @@ object Dedup {
     // LlmSpec pins incr == full-restricted on a replicated corpus).
     // `has_delta` rides the hash group: a class is delta-touching iff
     // any member row is a delta row.
-    // signatures-at-the-scan (the sigClasses shape): sig computed
-    // map-side per raw row, so the collapse agg carries 8·perms
-    // bytes per distinct content and text never crosses the wire
+    // collapse-then-sign (the sigClasses shape + has_delta riding the
+    // hash group): sig computed once per DISTINCT content, collapse
+    // hash-aggregated via FirstAny (no SortAggregate demotion)
     val tagged = base
       .select(id.as("doc_id"), text.as("_t"), lit(false).as("is_delta"))
       .unionByName(delta
         .select(id.as("doc_id"), text.as("_t"), lit(true).as("is_delta")))
-    val keyed = tagged.select(
-      col("doc_id"), col("is_delta"),
-      xxhash64(col("_t")).as("_h"),
-      F.minhashSig(col("_t"), shingle, perms).as("sig"))
+    val keyed = tagged.withColumn("_h", xxhash64(col("_t")))
     val classes = keyed.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        first(col("sig")).as("sig"), max(col("is_delta")).as("has_delta"))
+        graft.functions.FirstAny.firstAny(col("_t")).as("_t"),
+        max(col("is_delta")).as("has_delta"))
     // dup-only membership via the hash join, same as contentClasses
     val dupMembers = keyed.select(col("doc_id"), col("_h"))
       .join(classes.filter(col("n") >= 2)
         .select(col("_h"), col("rep")), "_h")
       .select(col("doc_id"), col("rep"))
     val banded = classes
+      .select(col("rep"), col("has_delta"),
+        F.minhashSig(col("_t"), shingle, perms).as("sig"))
       .select(col("rep"), col("has_delta"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",

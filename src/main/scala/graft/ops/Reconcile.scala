@@ -158,9 +158,9 @@ object Reconcile {
     // duplicate-inflated blocks blew the cap and were skipped).
     // Map-combined hash-agg: duplicate text dedups BEFORE the
     // Exchange, which ships each distinct string once.
-    val ld = keyedL.groupBy(col("_ha")).agg(first(col("_sa")).as("_sa"))
+    val ld = keyedL.groupBy(col("_ha")).agg(graft.functions.FirstAny.firstAny(col("_sa")).as("_sa"))
       .select(col("_sa"))
-    val rd = keyedR.groupBy(col("_hb")).agg(first(col("_sb")).as("_sb"))
+    val rd = keyedR.groupBy(col("_hb")).agg(graft.functions.FirstAny.firstAny(col("_sb")).as("_sb"))
       .select(col("_sb"))
     def blocked(df: DataFrame, sName: String) = {
       val s = col(sName)
@@ -344,9 +344,9 @@ object Reconcile {
     val mb = keyedR.select(col("id_b"), col("_hb")).distinct()
     // the pair kernel sees each STRING once, however many ids carry
     // it — map-combined, so duplicate text dedups before the Exchange
-    val ld = keyedL.groupBy(col("_ha")).agg(first(col("_sa")).as("_sa"))
+    val ld = keyedL.groupBy(col("_ha")).agg(graft.functions.FirstAny.firstAny(col("_sa")).as("_sa"))
       .select(col("_sa"))
-    val rd = keyedR.groupBy(col("_hb")).agg(first(col("_sb")).as("_sb"))
+    val rd = keyedR.groupBy(col("_hb")).agg(graft.functions.FirstAny.firstAny(col("_sb")).as("_sb"))
       .select(col("_sb"))
 
     // right (indexed) side: its own τ+1 segments, exact positions
