@@ -2063,10 +2063,18 @@ object SparkEntry {
           min(col("d")).as("best_dist"),
           packedBestMatch(col("d"), col("id_b")).as("best_match"))
       // every member of a left string class inherits its canonical's
-      // aggregate — one string-keyed window + a canonical-keyed join
-      // of aggregate-sized rows, linear in |clean|
-      val mem = clean.select(col("ka"),
-        min(col("ka")).over(Window.partitionBy(col("na"))).as("id_a"))
+      // aggregate. Canonical lookup is DUP-ONLY (the expandClassPairs
+      // idiom — a string-keyed window here would Exchange + sort the
+      // whole clean side by its own text even when nothing is
+      // duplicated): a singleton's canonical IS its own key, so only
+      // n ≥ 2 hash classes join (hash-agg of 16-byte rows, broadcast
+      // when duplication is low) and misses coalesce to ka.
+      val keyed = clean.select(col("ka"), xxhash64(col("na")).as("_h"))
+      val dupCanon = keyed.groupBy(col("_h"))
+        .agg(min(col("ka")).as("id_a"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("_h"), col("id_a"))
+      val mem = keyed.join(dupCanon, Seq("_h"), "left")
+        .select(col("ka"), coalesce(col("id_a"), col("ka")).as("id_a"))
       mem.join(agg, "id_a")
         .select(col("ka").as("id_a"), col("n_match"), col("best_dist"),
           col("best_match"))
