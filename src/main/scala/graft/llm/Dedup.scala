@@ -797,12 +797,16 @@ object Dedup {
     * granularity, the variant that keeps reconstruction unambiguous
     * (non-overlapping chunks never partially overlap a removal).
     *
-    * Scale shape: two shuffles total — one window keyed by the
-    * segment text to rank occurrences (at 100 TB the key would be a
-    * 64-bit hash of the segment; kept as the string so the oracle is
-    * plain SQL), one groupBy doc_id to reassemble. Per-key state is
-    * bounded (occurrence lists stream through the window; the rebuild
-    * collects only a document's own kept segments).
+    * Scale shape: two shuffles total — one window keyed by
+    * xxhash64(segment) to rank occurrences (8-byte partition key, no
+    * text comparisons in the sort; the segment text rides as a VALUE
+    * because the rebuild needs it — that part is inherent), one
+    * groupBy doc_id to reassemble. Per-key state is bounded
+    * (occurrence lists stream through the window; the rebuild
+    * collects only a document's own kept segments). Hash-keying is
+    * the family convention: groups equal the plain-SQL text groups
+    * modulo 2^-64 collisions, so the oracle stays PARTITION BY
+    * seg_text.
     *
     * Requires non-empty text (a zero-word document would need a
     * degenerate empty segment; callers filter blanks first).
@@ -821,7 +825,8 @@ object Dedup {
     val ranked = segs.withColumn(
       "rn",
       row_number().over(
-        Window.partitionBy(col("seg_text")).orderBy(col("doc_id"), col("seg_idx"))))
+        Window.partitionBy(xxhash64(col("seg_text")))
+          .orderBy(col("doc_id"), col("seg_idx"))))
     ranked
       .groupBy(col("doc_id"))
       .agg(
@@ -844,12 +849,15 @@ object Dedup {
     * (keep-first), removal is unconditional: boilerplate has no
     * canonical owner.
     *
-    * Scale shape: segmentation is map-only fan-out; the df table is a
-    * (seg_text, doc_id)-distinct aggregation followed by a count (both
-    * map-side partial); segments then join the df table on the segment
-    * key — both sides are already hashed on it, so AQE plans a
-    * co-partitioned join — and one groupBy(doc_id) reassembles.
-    * Never all-pairs; per-key state is one document's own segments.
+    * Scale shape: segmentation is map-only fan-out; the df table is
+    * keyed by xxhash64(segment) — its (hash, doc_id)-distinct, the
+    * count aggregation and the join key are all 8-byte-hash rows, so
+    * no segment text ever rides an Exchange key or the df-table side
+    * at all (the segs side ships text as a VALUE because the rebuild
+    * needs it — inherent); one groupBy(doc_id) reassembles. Never
+    * all-pairs; per-key state is one document's own segments. Hash
+    * groups equal the plain-SQL text groups modulo 2^-64 collisions
+    * (the family convention), so the oracle stays text-keyed.
     *
     * Same non-empty-text precondition as [[spanDedup]].
     */
@@ -864,9 +872,11 @@ object Dedup {
         sequence(lit(0), nSegs - 1),
         i => array_join(slice(words, i * chunk + 1, lit(chunk)), " ")))
         .as(Seq("seg_idx", "seg_text")))
-    val dfTab = segs.select(col("seg_text"), col("doc_id")).distinct()
-      .groupBy(col("seg_text")).agg(count(lit(1)).as("seg_df"))
-    segs.join(dfTab, "seg_text")
+    val dfTab = segs
+      .select(xxhash64(col("seg_text")).as("_h"), col("doc_id")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("seg_df"))
+    segs.withColumn("_h", xxhash64(col("seg_text")))
+      .join(dfTab, "_h")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segs"),
