@@ -804,22 +804,28 @@ WHERE cos >= 0.98"""
     # fixed-point mean floorDiv(sum(floor(v*2^20)), n) / 2^20 —
     # integer sums are order-invariant, so this replicates Spark's
     # VectorSumLong bit-for-bit ----
-    def kmeans_ctes(src, k=8, iters=2):
+    def kmeans_ctes(src, k=8, iters=2, train_permille=1000):
         sm = to_signed(splitmix("CAST(vec_id AS HUGEINT)"))
-        def assign(name, cent):
+        # train_permille < 1000: Lloyd's init + update rounds run on a
+        # deterministic splitmix id-sample (Cluster.kmeans's
+        # trainPermille, salt 5); the FINAL assignment stays full-src
+        tsrc = src if train_permille >= 1000 else (
+            f"(SELECT * FROM {src} "
+            f"WHERE ({bucket('vec_id', 5, 1000)}) < {train_permille})")
+        def assign(name, cent, asrc):
             return f"""{name} AS (
  SELECT vec_id, embedding, cell FROM (
   SELECT c.vec_id, c.embedding, t.cid AS cell,
    row_number() OVER (PARTITION BY c.vec_id
      ORDER BY {cosine("c.embedding", "t.cent_vec")} DESC, t.cid DESC) AS rn
-  FROM {src} c CROSS JOIN {cent} t)
+  FROM {asrc} c CROSS JOIN {cent} t)
  WHERE rn = 1)"""
         ctes = [f"""cent0 AS (
- SELECT vec_id AS cid, embedding AS cent_vec FROM {src}
+ SELECT vec_id AS cid, embedding AS cent_vec FROM {tsrc}
  ORDER BY {sm}, vec_id LIMIT {k})"""]
         cur = "cent0"
         for r in range(1, iters + 1):
-            ctes.append(assign(f"a{r}", cur))
+            ctes.append(assign(f"a{r}", cur, tsrc))
             ctes.append(f"""q{r} AS (
  SELECT cell, i,
   SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
@@ -832,10 +838,14 @@ WHERE cos >= 0.98"""
     AS cent_vec
  FROM q{r} GROUP BY cell)""")
             cur = f"cent{r}"
-        ctes.append(assign("afin", cur))
+        ctes.append(assign("afin", cur, src))
         return ",\n".join(ctes), cur
 
     km_ctes, km_cent = kmeans_ctes("emb")
+    # dd_semantic trains on the 25% id-sample (the 100 TB shape);
+    # q_kmeans_cells keeps full-corpus training (it checks kmeans
+    # itself)
+    km_ctes_s, _ = kmeans_ctes("emb", train_permille=250)
     # maxCell = 4096: semanticNearDupPairs drops cells outside
     # [2, 4096] BEFORE pair generation (the LSH maxBucket idiom) — the
     # r9 sf10 sweep caught this cap missing here (cells only exceed it
@@ -849,7 +859,7 @@ WHERE cos >= 0.98"""
     # sqrt rounding)
     o["dd_semantic"] = f"""
 WITH emb AS ({PLANTED_EMB}),
-{km_ctes},
+{km_ctes_s},
 vcls AS (
  SELECT cell, vec_id, embedding,
   min(vec_id) OVER (PARTITION BY embedding) AS rep,

@@ -151,6 +151,13 @@ object Bench {
     val QuietRatio = 1.5
     val maxRuns =
       sys.env.get("SPARK_GRAFT_ATTEMPTS").map(_.toInt).getOrElse(4).max(2)
+    // SPARK_GRAFT_MIN_ATTEMPTS (default 2): floor on runs per query
+    // even when the two fastest already agree. Iterative 32-core
+    // queries (pageRank at sf10) keep JIT-tiering through run 3 —
+    // a 2-run record can sit 2x above the steady state the metric is
+    // defined to report, so scale sweeps set 3.
+    val minRuns = sys.env.get("SPARK_GRAFT_MIN_ATTEMPTS")
+      .map(_.toInt).getOrElse(2).max(2).min(maxRuns)
     def quiet(ts: Seq[Double]): Boolean = {
       val best = ts.sorted.take(2)
       best.size == 2 && best(1) <= best(0) * QuietRatio
@@ -162,7 +169,7 @@ object Bench {
       go()
       if (!stats.contains(None)) go()
       while (!stats.contains(None) && stats.size < maxRuns &&
-          !quiet(stats.flatten.map(_.secs)))
+          (stats.size < minRuns || !quiet(stats.flatten.map(_.secs))))
         go()
       statsPerRun(name) = stats.flatten
       name -> stats.map(_.fold(-1.0)(_.secs))

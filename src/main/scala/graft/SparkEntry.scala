@@ -659,9 +659,12 @@ object SparkEntry {
       // geometry) instead of SRP buckets (random hyperplanes) — the
       // planted scaled copies land in their original's cell because
       // cosine is scale-invariant, so recall on them is exact
+      // trainPermille = 250: Lloyd's passes touch a deterministic 25%
+      // id-sample (the 100 TB shape — training cost decouples from
+      // corpus size), assignment + dedup stay full-corpus and exact
       Cluster.semanticNearDupPairs(
         embWithPlantedDups(s, dir), col("vec_id"), col("embedding"),
-        minCos = 0.98, k = 8, iters = 2)
+        minCos = 0.98, k = 8, iters = 2, trainPermille = 250)
     },
 
     "q_kmeans_cells" -> { (s, dir) =>

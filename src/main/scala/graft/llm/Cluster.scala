@@ -48,10 +48,23 @@ object Cluster {
     * Cells that lose all members simply drop out of the centroid set
     * (k can shrink); ties in the assignment argmax go to the larger
     * cid, matching `max(struct(cos, cid))` exactly.
+    *
+    * `trainPermille` < 1000 trains on a deterministic splitmix
+    * sample (bucket(vec_id, salt 5) < permille) and assigns the FULL
+    * corpus against the learned centroids — the standard 100 TB
+    * k-means shape: Lloyd's passes touch the sample only, so
+    * training cost is corpus-size-independent at a fixed sample
+    * size, while assignment stays one map-only full pass. The
+    * sample is a pure function of ids (reproducible, append-stable,
+    * oracle-replicable); default 1000 = train on everything.
     */
-  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): KMeans = {
+  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+      trainPermille: Int = 1000): KMeans = {
     val c = df.select(id.as("vec_id"), vec.as("c_vec"))
-    var cent: DataFrame = c
+    val train =
+      if (trainPermille >= 1000) c
+      else c.filter(Sampling.permilleBucket(col("vec_id"), 5L) < trainPermille)
+    var cent: DataFrame = train
       .orderBy(F.splitmix64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("c_vec").as("cent_vec"))
     var it = 0
@@ -61,7 +74,7 @@ object Cluster {
       // mantissa bits — the float is exact). The floorDiv is spelled
       // (x − posmod(x, n)) div n so Spark and the oracle agree on
       // negative sums regardless of each engine's division rounding.
-      cent = Ann.assignCells(c, cent)
+      cent = Ann.assignCells(train, cent)
         .select(col("cell"), VectorSum.quantizeVec(col("c_vec"), Bits).as("qv"))
         .groupBy(col("cell"))
         .agg(VectorSum.vecSumLong(col("qv")).as("s"), count(lit(1)).as("n"))
@@ -110,9 +123,9 @@ object Cluster {
   def semanticNearDupPairs(
       df: DataFrame, id: Column, vec: Column,
       minCos: Double = 0.98, k: Int = 8, iters: Int = 2,
-      maxCell: Int = 4096): DataFrame = {
+      maxCell: Int = 4096, trainPermille: Int = 1000): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    val km = kmeans(df, id, vec, k, iters)
+    val km = kmeans(df, id, vec, k, iters, trainPermille)
     // the contentClasses hash-collapse inline — collapse FIRST, then
     // assign cells to class REPS only: assignment is a pure function
     // of the vector, so every member shares its rep's cell by
