@@ -213,7 +213,14 @@ object Bench {
     // mid-`runs`, leaving the committed record incomplete. Write the
     // full line to a file FIRST so no capture layer between this JVM
     // and the artifact can cut it; stdout stays the driver contract.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // BENCH.json is the per-round sf0.1 record the driver/judge read —
+    // a dev run at another SF must not clobber it (r10 advice: an
+    // sf0.001 smoke run got committed as the round artifact). Any
+    // non-sf0.1 run lands in BENCH_dev.json (gitignored) unless
+    // SPARK_GRAFT_BENCH_OUT says otherwise.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "BENCH.json"
+      else "BENCH_dev.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
