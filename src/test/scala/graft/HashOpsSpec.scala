@@ -83,4 +83,46 @@ class HashOpsSpec extends SparkSpec {
     assert(a == a2)
     assert(a != b)
   }
+
+  test("FirstAny: skips nulls, empty group is null, plans as ObjectHashAggregate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.FirstAny.firstAny
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[String]), (1L, Some("kept")), (1L, Some("later")),
+      (2L, None), (2L, None),
+      (3L, Some("solo"))).toDF("k", "v")
+    val agg = df.groupBy($"k").agg(firstAny($"v").as("v"))
+    val got = agg.as[(Long, Option[String])].collect().toMap
+    // group 1: SOME non-null value of the group (any_value semantics —
+    // the collapse callers group by a key the value is a function of,
+    // where all candidates are equal; here we only pin non-nullness)
+    assert(Set("kept", "later").contains(got(1L).get))
+    assert(got(2L).isEmpty)        // all-null group -> null, no crash
+    assert(got(3L).contains("solo"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), "not object-hash aggregated")
+    assert(!plan.contains("SortAggregate"), "demoted to SortAggregate")
+  }
+
+  test("FirstAny: serialize/deserialize roundtrip (partial-agg spill path)") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    val fa = graft.functions.FirstAny(BoundReference(0, StringType, nullable = true))
+    val buf = UTF8String.fromString("roundtrip ünïcode ✓")
+    val bytes = fa.serialize(buf)
+    assert(fa.deserialize(bytes) == buf)
+    // null buffer <-> empty bytes
+    assert(fa.serialize(null).isEmpty)
+    assert(fa.deserialize(Array.emptyByteArray) == null)
+    // array payloads roundtrip through the same UnsafeRow wrapping
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val faArr = graft.functions.FirstAny(
+      BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true))
+    val arr = ArrayData.toArrayData(Array(1L, -2L, Long.MaxValue))
+    val got = faArr.deserialize(faArr.serialize(arr))
+      .asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(got == Seq(1L, -2L, Long.MaxValue))
+  }
 }
