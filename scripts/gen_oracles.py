@@ -298,6 +298,46 @@ SELECT
  exact_union, exact_intersect
 FROM ms, ic, ex"""
 
+    # ---- q_join_estimate: join-size estimation from per-side KMV
+    # sketches — dint_est·(n_a/da_est)·(n_b/db_est); same biased hash
+    # + (k−1)·2^64/u(k) estimator as q_kmv_set_ops; exact pairs from
+    # per-key count products, never the join ----
+    hk = splitmix("CAST(key AS HUGEINT)")
+    kmv_est = (lambda cnt, kth:
+               f"""CASE WHEN {cnt} < 64 THEN CAST({cnt} AS DOUBLE)
+      ELSE 63.0 * 1.8446744073709552E19
+           / (CAST({kth} AS DOUBLE) + 9.223372036854776E18) END""")
+    o["q_join_estimate"] = f"""
+WITH oa AS (SELECT o_custkey AS key FROM orders),
+cb AS (SELECT c_custkey AS key FROM customer),
+ha AS (SELECT DISTINCT CAST(({hk}) - 9223372036854775808 AS BIGINT) AS h FROM oa),
+hb AS (SELECT DISTINCT CAST(({hk}) - 9223372036854775808 AS BIGINT) AS h FROM cb),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+sa AS (SELECT count(*) AS n, max(h) AS kth FROM ska),
+sb AS (SELECT count(*) AS n, max(h) AS kth FROM skb),
+mg AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) _u
+       ORDER BY h LIMIT 64),
+ms AS (SELECT count(*) AS msize, max(h) AS kth FROM mg),
+ic AS (SELECT count(*) AS icnt FROM mg
+       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM oa),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM cb),
+ex AS (SELECT CAST(coalesce(sum(x.ca * y.cb), 0) AS BIGINT) AS exact_pairs
+       FROM (SELECT key, count(*) AS ca FROM oa GROUP BY key) x
+       JOIN (SELECT key, count(*) AS cb FROM cb GROUP BY key) y USING (key))
+SELECT n_a, n_b,
+ {kmv_est("sa.n", "sa.kth")} AS da_est,
+ {kmv_est("sb.n", "sb.kth")} AS db_est,
+ (CAST(icnt AS DOUBLE) / CAST(msize AS DOUBLE)) *
+   ({kmv_est("msize", "ms.kth")}) AS dint_est,
+ ((CAST(icnt AS DOUBLE) / CAST(msize AS DOUBLE)) *
+   ({kmv_est("msize", "ms.kth")}))
+  * (CAST(n_a AS DOUBLE) / ({kmv_est("sa.n", "sa.kth")}))
+  * (CAST(n_b AS DOUBLE) / ({kmv_est("sb.n", "sb.kth")})) AS est_pairs,
+ exact_pairs
+FROM sa, sb, ms, ic, na, nb, ex"""
+
     # ---- q_sliding_distinct: per-wday KMV estimate over the raw
     # union (equals merged daily sketches by the bottom-k merge
     # property); same biased hash + estimator as q_approx_distinct ----

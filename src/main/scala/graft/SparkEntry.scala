@@ -933,6 +933,46 @@ object SparkEntry {
           col("exact_union"), col("exact_intersect"))
     },
 
+    "q_join_estimate" -> { (s, dir) =>
+      // join-size estimation from per-side KMV sketches — the planner
+      // question a 100 TB join asks BEFORE paying its shuffle: each
+      // side reduces map-side to (64-long sketch, row count); the
+      // estimate is dint_est · (n_a/da_est) · (n_b/db_est)
+      // (key-overlap from merged-sketch Jaccard × per-side mean
+      // multiplicities — exact under per-key-uniform multiplicity,
+      // the textbook containment assumption). The exact cardinality
+      // rides along to show the estimator's error, computed from
+      // per-key COUNT joins (Σ ca·cb), never the join itself.
+      import graft.functions.KMinValues._
+      val k = 64
+      val o = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      val c = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      val a = o.agg(kmvSketch(col("key"), k).as("ska"),
+        count(lit(1)).as("n_a"))
+      val b = c.agg(kmvSketch(col("key"), k).as("skb"),
+        count(lit(1)).as("n_b"))
+      val exact = o.groupBy(col("key")).agg(count(lit(1)).as("ca"))
+        .join(c.groupBy(col("key")).agg(count(lit(1)).as("cb")), "key")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .cast("long").as("exact_pairs"))
+      a.crossJoin(b).crossJoin(exact)
+        .withColumn("da_est", estimateFromSketch(col("ska"), k))
+        .withColumn("db_est", estimateFromSketch(col("skb"), k))
+        .withColumn("_m", mergeSketches(array(col("ska"), col("skb")), k))
+        .withColumn("_msize", size(col("_m")))
+        .withColumn("est_union", estimateFromSketch(col("_m"), k))
+        .withColumn("_icnt", size(
+          array_intersect(array_intersect(col("_m"), col("ska")), col("skb"))))
+        .withColumn("dint_est",
+          (col("_icnt").cast("double") / col("_msize").cast("double")) *
+            col("est_union"))
+        .withColumn("est_pairs",
+          col("dint_est") * (col("n_a").cast("double") / col("da_est")) *
+            (col("n_b").cast("double") / col("db_est")))
+        .select(col("n_a"), col("n_b"), col("da_est"), col("db_est"),
+          col("dint_est"), col("est_pairs"), col("exact_pairs"))
+    },
+
     "q_sliding_distinct" -> { (s, dir) =>
       // sliding 7-day distinct users from MERGED daily KMV sketches:
       // one pass builds a 64-long sketch per day; each window then

@@ -54,4 +54,22 @@ class KMinValuesSpec extends SparkSpec {
       assert(est > 10.0 && est < 200.0, s"g=${r.get(0)} est=$est")
     }
   }
+
+  test("q_join_estimate: exact_pairs is the true join size; estimate lands in range") {
+    val row = SparkEntry.queries("q_join_estimate")(spark, sf).collect().head
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val truth = o.join(c, o("o_custkey") === c("c_custkey")).count()
+    assert(row.getAs[Long]("exact_pairs") == truth,
+      "per-key count-product formula disagrees with the actual join")
+    // KMV at k=64 has ~1/sqrt(62) relative sd on each distinct
+    // estimate; with the uniform-multiplicity assumption holding on
+    // this data, a 2x envelope is a conservative sanity band
+    val est = row.getAs[Double]("est_pairs")
+    assert(est > truth / 2.0 && est < truth * 2.0,
+      s"est_pairs=$est vs exact=$truth")
+    // n_a/n_b are the raw side cardinalities
+    assert(row.getAs[Long]("n_a") == o.count())
+    assert(row.getAs[Long]("n_b") == c.count())
+  }
 }
