@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** The curated frame plus a `release()` that drops the two cached
-    * intermediates once the caller has materialized (written/counted)
-    * `df` — calling it earlier is safe but forfeits the cache reuse.
+  /** The curated frame plus a `release()` that drops the one cached
+    * intermediate (the content-class frame) once the caller has
+    * materialized (written/counted) `df` — calling it earlier is safe
+    * but forfeits the cache reuse.
     */
   final case class Curated(df: DataFrame, release: () => Unit)
 

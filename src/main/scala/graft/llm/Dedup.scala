@@ -357,10 +357,12 @@ object Dedup {
     * replicated corpus the pre-collapse histogram showed every
     * bucket over the cap while the kernel (post-collapse) was fine.
     *
-    * Shape: the [[sigClasses]] signatures-at-the-scan collapse (text
-    * never shuffles), band explode, one (band, key) aggregation
-    * (map-combining), then the histogram rollup on (band, size) —
-    * post-collapse shuffles carry bucket-cardinality rows.
+    * Shape: the [[sigClasses]] collapse-then-sign pass (each DISTINCT
+    * text crosses the collapse Exchange once and is signed after it;
+    * duplicate mass dedups map-side before the wire), band explode,
+    * one (band, key) aggregation (map-combining), then the histogram
+    * rollup on (band, size) — post-collapse shuffles carry
+    * bucket-cardinality rows.
     */
   def lshBucketStats(
       df: DataFrame,
@@ -468,12 +470,32 @@ object Dedup {
         col("id_a") === col("d_rep") || col("id_b") === col("d_rep"),
         "left_semi")
     val deltaIds = delta.select(id.cast("long").as("d_id")).distinct()
+    // Membership pruning (r11 advice): expandClassPairs derives a
+    // self rep-pair from EVERY n ≥ 2 class in its membership frame —
+    // fed the full base+delta dupMembers, that expands the within-
+    // class pairs of every base-only duplicate class (O(c²) per class
+    // over the whole base duplicate mass) only for the deltaIds
+    // semi-join to discard them, defeating the probe-not-re-cluster
+    // scaling. Restrict membership to the classes that can actually
+    // contribute a surviving pair: delta-touching classes (their
+    // within-pairs may hit a delta id) plus both end classes of every
+    // pruned rep pair (the non-delta side of a cross pair still needs
+    // its members for the expansion). repPairs is candidate-pair-
+    // sized; the eager localCheckpoint materializes it once so the
+    // relevant-reps semi-join below does not re-execute the banding.
+    val repPairsCk = repPairs.localCheckpoint()
+    val relevantReps = repPairsCk.select(col("id_a").as("rep"))
+      .unionByName(repPairsCk.select(col("id_b").as("rep")))
+      .unionByName(classes.filter(col("has_delta")).select(col("rep")))
+      .distinct()
+    val prunedMembers = dupMembers
+      .join(broadcast(relevantReps), Seq("rep"), "left_semi")
     // expand through class membership (exactly-once, same as the
     // batch path), then keep only member pairs that actually touch a
     // delta id — a delta-touching class still expands base-base
     // within-pairs that are not the delta's concern
-    expandClassPairs(repPairs,
-        ContentClasses(classes.select(col("rep"), col("n")), dupMembers),
+    expandClassPairs(repPairsCk,
+        ContentClasses(classes.select(col("rep"), col("n")), prunedMembers),
         "jaccard_est", lit(1.0))
       .join(broadcast(deltaIds),
         col("id_a") === col("d_id") || col("id_b") === col("d_id"), "left_semi")
@@ -671,13 +693,26 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25,
       maxDriverEdges: Long = 1000000L): DataFrame = {
+    // persist BEFORE the regime-deciding count (r11 advice): `pairs`
+    // is typically the full upstream LSH/rep-pair plan, so without the
+    // cache the count job executes the whole pair pipeline once and
+    // the chosen regime (driver collect OR the edge checkpoint)
+    // executes it AGAIN. Both regimes consume `raw` exactly once
+    // after the count — the driver collect and the eager edge
+    // localCheckpoint each materialize from the cache — so the cache
+    // is released as soon as that consumption finishes.
     val raw = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
-    // one count job decides the regime (control-plane, the node-count
-    // idiom of pageRank); raw pair count upper-bounds distinct edges
-    if (raw.count() <= maxDriverEdges) return driverComponents(raw)
-    val edges = raw
-      .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y")))
-      .distinct().localCheckpoint()
+      .persist()
+    val edges =
+      try {
+        // one count job decides the regime (control-plane, the
+        // node-count idiom of pageRank); raw pair count upper-bounds
+        // distinct edges
+        if (raw.count() <= maxDriverEdges) return driverComponents(raw)
+        raw
+          .union(raw.select(col("y").as("x"), col("x").as("y")))
+          .distinct().localCheckpoint()
+      } finally raw.unpersist()
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var converged = false

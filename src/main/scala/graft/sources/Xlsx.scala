@@ -93,15 +93,40 @@ object Xlsx {
     val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // Cumulative budgets across the whole zip walk (r11 advice): the
+    // per-part cap alone still lets a hostile workbook with thousands
+    // of entries each just UNDER maxPartBytes exhaust executor memory
+    // before any throw fires. Total decompressed bytes are bounded by
+    // 4× the part cap (a legitimate workbook holds exactly the ≤4
+    // parts the reader needs plus small metadata), and the entry
+    // count by a fixed 4096 (real books carry tens of entries) — both
+    // throws land in the same quarantine path as the per-part cap.
+    val maxTotalBytes =
+      if (maxPartBytes == Long.MaxValue) Long.MaxValue else 4L * maxPartBytes
+    val maxEntries = 4096
+    var totalBytes = 0L
+    var entries = 0
     try {
       var e = zin.getNextEntry
       while (e != null) {
         // the entry's DECLARED size is attacker-controlled (and -1 in
         // streaming mode) — bound by what is actually read, so a
         // zip-bombed part throws before materializing
-        if (!e.isDirectory)
-          parts(e.getName) = readBounded(zin, maxPartBytes,
-            s"$label!${e.getName}")
+        if (!e.isDirectory) {
+          entries += 1
+          if (entries > maxEntries)
+            throw new IllegalArgumentException(
+              s"$label has more than $maxEntries zip entries " +
+                "(hostile workbook quarantined rather than walked)")
+          val part = readBounded(zin, maxPartBytes, s"$label!${e.getName}")
+          totalBytes += part.length
+          if (totalBytes > maxTotalBytes)
+            throw new IllegalArgumentException(
+              s"$label decompresses past the $maxTotalBytes-byte " +
+                "whole-workbook budget (multi-part zip bomb " +
+                "quarantined rather than materialized)")
+          parts(e.getName) = part
+        }
         zin.closeEntry()
         e = zin.getNextEntry
       }
@@ -213,12 +238,15 @@ object Xlsx {
     * (every workbook is either data rows or exactly one error row;
     * empty-but-valid books contribute nothing, like the strict path).
     *
-    * Two resource caps turn would-be executor OOMs into quarantine
+    * Resource caps turn would-be executor OOMs into quarantine
     * rows: `maxPartBytes` bounds what any zip part may DECOMPRESS to
     * (declared sizes are attacker-controlled; the bound is enforced
-    * on actual bytes read), and `maxCells` bounds the materialized
-    * grid — a single multi-GB sheet quarantines instead of
-    * materializing per task.
+    * on actual bytes read), a 4×`maxPartBytes` WHOLE-WORKBOOK budget
+    * plus a 4096-entry cap bound the zip walk itself (r11 advice: a
+    * many-entry bomb with every part just under the per-part cap must
+    * quarantine too), and `maxCells` bounds the materialized grid — a
+    * single multi-GB sheet quarantines instead of materializing per
+    * task.
     */
   def readSheetDirQuarantined(
       spark: SparkSession, dir: String, sheetName: String,

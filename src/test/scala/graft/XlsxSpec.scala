@@ -186,6 +186,50 @@ class XlsxSpec extends SparkSpec {
     assert(got.select("src_file").distinct().count() == 6L)
   }
 
+  test("cumulative zip budgets: many-part bombs and entry floods throw (and quarantine)") {
+    // r11 advice: the per-part cap alone admits a workbook with many
+    // entries each just UNDER maxPartBytes. Whole-workbook budget =
+    // 4 x maxPartBytes; entry cap fixed at 4096.
+    def zipOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new ZipOutputStream(bos)
+      try entries.foreach { case (n, c) =>
+        out.putNextEntry(new ZipEntry(n)); out.write(c); out.closeEntry()
+      } finally out.close()
+      bos.toByteArray
+    }
+    // 10 parts x 600 bytes: every part under the 1024-byte part cap,
+    // total 6000 > the 4096-byte whole-workbook budget
+    val multi = zipOf((1 to 10).map(i =>
+      s"part$i.xml" -> Array.fill[Byte](600)('x')))
+    val e1 = intercept[IllegalArgumentException] {
+      Xlsx.readGridBytes(multi, "W", "multi.xlsx",
+        maxCells = 1000L, maxPartBytes = 1024L)
+    }
+    assert(e1.getMessage.contains("whole-workbook budget"))
+    // 5000 near-empty entries blow the fixed 4096-entry cap
+    val flood = zipOf((1 to 5000).map(i => s"e$i" -> Array[Byte]('x')))
+    val e2 = intercept[IllegalArgumentException] {
+      Xlsx.readGridBytes(flood, "W", "flood.xlsx",
+        maxCells = 1000L, maxPartBytes = 1024L)
+    }
+    assert(e2.getMessage.contains("zip entries"))
+    // both throws land in the quarantine path as in-band error rows
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_budget").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.write(new java.io.File(dir, "multi.xlsx").toPath, multi)
+    java.nio.file.Files.write(new java.io.File(dir, "flood.xlsx").toPath, flood)
+    val got = Xlsx.readSheetDirQuarantined(
+      spark, dir.getAbsolutePath, "Alignments", Seq("region"),
+      maxCells = 1000L, maxPartBytes = 1024L)
+    val bad = got.filter(col("error").isNotNull)
+      .select("src_file", "error").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bad.keySet == Set("multi.xlsx", "flood.xlsx"))
+    assert(bad("multi.xlsx").contains("whole-workbook budget"))
+    assert(bad("flood.xlsx").contains("zip entries"))
+  }
+
   test("readSheetDir: distributed many-workbook read equals the per-file union") {
     val dir = "/root/repo/data/alignments_books"
     val cols = Seq("region", "district", "unit", "location_name")
