@@ -192,13 +192,20 @@ object Graph {
     *    where localCheckpoint would not);
     *  - the visited set and each frontier are node-sized frames; the
     *    per-round anti-join against visited is a node-key shuffle;
-    *  - each round localCheckpoints (round t must not re-execute
-    *    rounds 1..t−1 inside its lazy plan), and the loop stops EARLY
-    *    on an empty frontier — `maxHops` is a bound, not a fixed
-    *    round count, so a shallow reachable set costs only its true
-    *    depth in rounds. The empty test is one count job on the
-    *    already-materialized checkpoint (control-plane, like the
-    *    node count in pageRank).
+    *  - each round localCheckpoints ONLY ITS NEW FRONTIER (round t
+    *    must not re-execute rounds 1..t−1 inside its lazy plan), and
+    *    the visited set is the UNION of the already-materialized
+    *    frontier checkpoints — r11 verdict item 6: re-checkpointing
+    *    the accumulated dist frame every round cost
+    *    O(rounds × |reachable|) checkpoint I/O, where the per-frontier
+    *    scheme writes each reachable node exactly once (total I/O
+    *    O(|reachable|)); the anti-join's plan grows by one
+    *    materialized-RDD leaf per round (linear, no recomputation).
+    *    The loop stops EARLY on an empty frontier — `maxHops` is a
+    *    bound, not a fixed round count, so a shallow reachable set
+    *    costs only its true depth in rounds. The empty test is one
+    *    count job on the already-materialized checkpoint
+    *    (control-plane, like the node count in pageRank).
     *
     * Min-hop is deterministic by construction (a node joins `dist` in
     * the first round that reaches it, and rounds are sequential), so
@@ -218,25 +225,32 @@ object Graph {
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .repartition(width, col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = seeds.select(seed.cast("long").as("node")).distinct()
+    val seed0 = seeds.select(seed.cast("long").as("node")).distinct()
       .withColumn("hops", lit(0L)).localCheckpoint()
-    var frontier = dist.select(col("node"))
+    var frontiers = Vector(seed0)
+    var frontier = seed0.select(col("node"))
     var h = 0L
     var done = false
     while (h < maxHops && !done) {
+      // visited = union of the per-round frontier CHECKPOINTS —
+      // every leaf is an already-materialized RDD, so this plan
+      // re-reads, never re-computes
+      val visited = frontiers.map(_.select(col("node"))).reduce(_ union _)
       val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(h + 1L)).localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        frontiers :+= next
         frontier = next.select(col("node"))
       }
       h += 1
     }
     e.unpersist(false)
-    dist
+    // one final union of the materialized frontiers — frontiers are
+    // disjoint by construction (each round anti-joins all priors)
+    frontiers.reduce(_ unionByName _)
   }
 
   /** Exact per-node triangle counts via degree-ordered orientation —

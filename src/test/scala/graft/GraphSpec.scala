@@ -86,6 +86,53 @@ class GraphSpec extends SparkSpec {
     assert(leaves.map(r).toSet.size == 1, "equivalent leaves must tie bit-exactly")
   }
 
+  test("hopDistance equals a driver BFS on a branchy digraph; depth-8 path + early stop") {
+    // r12 rework (per-round frontier checkpoints, visited = union of
+    // materialized frontiers): semantics must stay exactly min-hop BFS.
+    // Graph: an 8-deep path 0→1→…→8, a branch 2→20→21, a shortcut
+    // 0→5 (so node 5 is hop 1, not 5), a cycle back-edge 8→0, and an
+    // unreachable island 100→101.
+    val edges = Seq(
+      0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L,
+      6L -> 7L, 7L -> 8L, 2L -> 20L, 20L -> 21L, 0L -> 5L, 8L -> 0L,
+      100L -> 101L).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("s")
+    // driver reference BFS
+    def bfs(adj: Map[Long, Seq[Long]], seed: Set[Long], maxHops: Int): Map[Long, Long] = {
+      var dist = seed.map(_ -> 0L).toMap
+      var frontier = seed
+      var h = 0L
+      while (h < maxHops && frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains)
+        next.foreach(n => dist += n -> (h + 1L))
+        frontier = next
+        h += 1
+      }
+      dist
+    }
+    val adj = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 7L, 7L -> 8L, 2L -> 20L, 20L -> 21L, 0L -> 5L,
+      8L -> 0L, 100L -> 101L).groupMap(_._1)(_._2)
+    for (cap <- Seq(3, 8, 20)) {
+      val got = Graph.hopDistance(edges, col("src"), col("dst"),
+          seeds, col("s"), maxHops = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bfs(adj, Set(0L), cap), s"maxHops=$cap")
+    }
+    // shortcut honored (min-hop): 5 is 1 hop, its successors chain on
+    val d20 = Graph.hopDistance(edges, col("src"), col("dst"),
+        seeds, col("s"), maxHops = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d20(5L) == 1L && d20(6L) == 2L && d20(8L) == 4L)
+    assert(!d20.contains(100L) && !d20.contains(101L))
+    // multi-seed: seeds are hop 0, distances are min over seeds
+    val multi = Graph.hopDistance(edges, col("src"), col("dst"),
+        Seq(0L, 7L).toDF("s"), col("s"), maxHops = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(7L) == 0L && multi(8L) == 1L && multi(5L) == 1L)
+  }
+
   test("temperatureSample flattens big sources and passes small ones whole") {
     val df = (1L to 2000L).map(i => (i, if (i <= 1900) "big" else "small"))
       .toDF("doc_id", "source")
