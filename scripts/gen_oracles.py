@@ -240,6 +240,67 @@ SELECT source, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
  CAST(sum(bpe_tokens) AS BIGINT) AS tokens
 FROM pk GROUP BY source, seq"""
 
+    # ---- txt_bpe_encode / ds_pack_ids: token-ID sequences under the
+    # learned vocab (r11 verdict item 2). Id layout replicates
+    # Bpe.encode: base alphabet (distinct chars of the distinct-word
+    # frame, sorted — ASCII corpus, so DuckDB byte order == Scala
+    # UTF-16 order) at ids 0..C-1; merge rank r defines lhs||rhs at
+    # id C+r-1; a re-created token string takes its MIN id. Per-word
+    # symbol sequences come from the final training CTE; docs
+    # reassemble word ids in (word position, symbol position) order.
+    encode_ctes = f"""{bpe_body},
+alpha AS MATERIALIZED (SELECT DISTINCT sym FROM seq0),
+cid AS MATERIALIZED (
+ SELECT sym AS tok, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+ FROM alpha),
+mrg AS MATERIALIZED (
+ SELECT a || b AS tok,
+  (SELECT count(*) FROM alpha)
+    + row_number() OVER (ORDER BY _r, _j) - 1 AS id
+ FROM ({merge_rows})),
+tok_ids AS MATERIALIZED (
+ SELECT tok, CAST(min(id) AS BIGINT) AS id FROM (
+  SELECT tok, id FROM cid UNION ALL SELECT tok, id FROM mrg)
+ GROUP BY tok),
+wids AS MATERIALIZED (
+ SELECT f.word, f.pos, t.id FROM {bpe_final} f
+ JOIN tok_ids t ON t.tok = f.sym),
+dwp AS MATERIALIZED (
+ SELECT doc_id, source, t.i AS wpos, ws[t.i] AS word
+ FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+       FROM documents) d
+ CROSS JOIN (SELECT unnest(range(1,
+   (SELECT max(len(string_split(lower(text), ' '))) + 1
+    FROM documents))) AS i) t
+ WHERE t.i <= len(ws) AND ws[t.i] <> ''),
+enc AS MATERIALIZED (
+ SELECT doc_id, any_value(source) AS source,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  string_agg(CAST(w.id AS VARCHAR), ',' ORDER BY dwp.wpos, w.pos) AS ids
+ FROM dwp JOIN wids w ON w.word = dwp.word
+ GROUP BY doc_id)"""
+
+    o["txt_bpe_encode"] = f"""WITH {encode_ctes}
+SELECT doc_id, n_tokens, ids FROM enc"""
+
+    o["ds_pack_ids"] = f"""WITH RECURSIVE {encode_ctes},
+d AS (SELECT source, doc_id, n_tokens, ids,
+ row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM enc),
+pk AS (
+ SELECT source, doc_id, n_tokens, ids, rn, n_tokens AS acc,
+  CAST(0 AS BIGINT) AS seq
+ FROM d WHERE rn = 1
+ UNION ALL
+ SELECT d.source, d.doc_id, d.n_tokens, d.ids, d.rn,
+  CASE WHEN pk.acc + d.n_tokens > 512 THEN d.n_tokens
+       ELSE pk.acc + d.n_tokens END,
+  pk.seq + CASE WHEN pk.acc + d.n_tokens > 512 THEN 1 ELSE 0 END
+ FROM pk JOIN d ON d.source = pk.source AND d.rn = pk.rn + 1)
+SELECT source, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+ CAST(sum(n_tokens) AS BIGINT) AS tokens,
+ string_agg(ids, ',' ORDER BY rn) AS ids
+FROM pk GROUP BY source, seq"""
+
     # ---- q_approx_distinct: KMV bottom-k estimate, recomputed from
     # the k-th smallest biased splitmix hash (identical double ops) ----
     hu = splitmix("CAST(user_id AS HUGEINT)")

@@ -1963,6 +1963,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("tokens"))
     },
 
+    // --- BPE ENCODE: learned token-id sequences per document ---
+    "txt_bpe_encode" -> { (s, dir) =>
+      // the tokenizer output a training loader consumes (r11 verdict
+      // item 2): train at the pinned config, then emit each doc's
+      // token-id sequence under the learned vocab (base alphabet
+      // sorted = ids 0..C-1, merge rank r = id C+r-1, min id on
+      // string collisions). Ids ride as a comma-joined string so the
+      // cross-engine hash gate compares them value-exactly.
+      graft.llm.Bpe.encode(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          rounds = 6, batch = 16)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("token_ids"), x => x.cast("string")), ",")
+            .as("ids"))
+    },
+
+    // --- sequence packing of REAL token-id sequences ---
+    "ds_pack_ids" -> { (s, dir) =>
+      // end-to-end: encode -> next-fit pack into 512-token sequences
+      // per source -> each packed sequence carries its concatenated
+      // id stream in doc order (the actual trainer input), not just
+      // counts (which ds_pack_bpe keeps covering)
+      val enc = graft.llm.Bpe.encode(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        rounds = 6, batch = 16)
+      val sized = enc
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tok"),
+          array_join(transform(col("token_ids"), x => x.cast("string")), ",")
+            .as("doc_ids_str"))
+      graft.ops.Packing.nextFit(
+          sized, col("source"), col("doc_id"), col("n_tok"), budget = 512)
+        .join(sized,
+          col("grp") === col("source") && col("ord") === col("doc_id"))
+        .groupBy(col("grp").as("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ord"), col("doc_ids_str")))),
+            x => x.getField("doc_ids_str")), ",").as("ids"))
+    },
+
     // --- single-pass data-quality expectation suite ---
     "q_expectations" -> { (s, dir) =>
       import graft.ops.Expectations._

@@ -158,6 +158,63 @@ object Bpe {
     (merges.result(), vocab)
   }
 
+  /** Per-document LEARNED-BPE token-id sequences — what a training
+    * loader actually consumes (r11 verdict item 2; `docTokenCounts`
+    * stops at counts). Output: (doc_id, token_ids: array<int>), the
+    * document's words in order, each word replaced by its merged-
+    * symbol ids under the learned vocabulary.
+    *
+    * Id assignment is the classic tokenizer layout: the base
+    * alphabet (every distinct character of the distinct-word frame,
+    * sorted) takes ids 0..C−1, and merge `rank` defines token
+    * lhs+rhs at id C+rank−1. A later merge chain can re-CREATE a
+    * string an earlier merge already defined ((a,bc) then (ab,c)
+    * both yield "abc"); a token string maps to its MINIMUM id —
+    * first definition wins, deterministic and engine-independent.
+    *
+    * Scale shape: training touches the corpus once (word-freq agg);
+    * the alphabet collect is control-plane (≤ alphabet size); the
+    * symbol→id map rides as a BROADCAST LITERAL (`typedLit` map +
+    * `transform`/`element_at` — codegen, no join) over the
+    * vocab-sized frame; the only corpus-sized work is the word
+    * explode, the word→ids join (vocab-keyed — Catalyst broadcasts
+    * when the vocab is small) and the doc-keyed reassembly
+    * aggregation. Every symbol the trainer leaves in `syms` is
+    * either a base char or some accepted merge's concatenation, so
+    * the id lookup is total.
+    */
+  def encode(
+      docs: DataFrame, id: Column, text: Column,
+      rounds: Int, batch: Int = 1): DataFrame = {
+    val (merges, vocab) = train(docs, text, rounds, batch)
+    val baseChars = vocab
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val idMap: Map[String, Int] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      baseChars.zipWithIndex.foreach { case (c, i) => m(c) = i }
+      merges.foreach { mg =>
+        val tok = mg.lhs + mg.rhs
+        // ranks are 1-based and processed ascending, so first
+        // definition == minimum id
+        if (!m.contains(tok)) m(tok) = baseChars.length + mg.rank.toInt - 1
+      }
+      m.toMap
+    }
+    val wordIds = vocab.select(col("word"),
+      transform(col("syms"), s => element_at(typedLit(idMap), s)).as("ids"))
+    val words = docs
+      .select(id.as("doc_id"),
+        posexplode(split(lower(text), " ")).as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+    words.join(wordIds, "word")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        x => x.getField("ids"))).as("token_ids"))
+  }
+
   /** Per-document LEARNED-BPE token counts: train `rounds` merges,
     * then charge each document the sum over its word occurrences of
     * the word's final symbol count. One corpus-sized word explode +

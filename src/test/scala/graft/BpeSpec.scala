@@ -211,6 +211,46 @@ class BpeSpec extends SparkSpec {
     assert(got("abab") == ((Seq("a", "b", "a", "b"), Seq("ab", "ab"))))
   }
 
+  test("encode: ids decode back to the document, id layout and counts hold") {
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(docs, col("text"), rounds = 6)
+    // rebuild the id table exactly as encode defines it
+    val baseChars = corpus.flatMap(_.toLowerCase.split(" ", -1))
+      .filter(_.nonEmpty).flatMap(_.split("")).distinct.sorted
+    val idToTok = scala.collection.mutable.Map.empty[Int, String]
+    baseChars.zipWithIndex.foreach { case (c, i) => idToTok(i) = c }
+    merges.foreach { m =>
+      idToTok(baseChars.length + m.rank.toInt - 1) = m.lhs + m.rhs
+    }
+    val enc = Bpe.encode(docs, col("doc_id"), col("text"), rounds = 6)
+      .as[(Long, Seq[Int])].collect().toMap
+    // 1. round-trip: concatenating the id's token strings reproduces
+    //    the document's words (whitespace removed, in order)
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val want = t.toLowerCase.split(" ", -1).filter(_.nonEmpty).mkString
+      val got = enc(i.toLong).map(idToTok).mkString
+      assert(got == want, s"doc $i decode: $got != $want")
+    }
+    // 2. sequence length equals docTokenCounts' charge
+    val counts = Bpe.docTokenCounts(
+        docs, col("doc_id"), col("text"), Seq.empty, rounds = 6)
+      .select(col("doc_id"), col("bpe_tokens")).as[(Long, Long)]
+      .collect().toMap
+    enc.foreach { case (d, ids) => assert(ids.length.toLong == counts(d)) }
+    // 3. word-level ids match the trained vocab's symbol sequences
+    val tokToMinId = idToTok.toSeq.groupMap(_._2)(_._1)
+      .map { case (t, ids) => t -> ids.min }
+    val wordSyms = vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val want = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        .flatMap(w => wordSyms(w).map(tokToMinId))
+      assert(enc(i.toLong) == want.toSeq, s"doc $i ids")
+    }
+  }
+
   test("docTokenCounts charges each doc the learned per-word symbol counts") {
     val docs = corpus.zipWithIndex
       .map { case (t, i) => (i.toLong, t, s"src${i % 2}") }
