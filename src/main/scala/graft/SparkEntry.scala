@@ -973,6 +973,22 @@ object SparkEntry {
           col("dint_est"), col("est_pairs"), col("exact_pairs"))
     },
 
+    "q_adaptive_join" -> { (s, dir) =>
+      // the estimator's consumer (r11 verdict item 2 follow-through):
+      // the orders⋈customer join runs through the sketch-driven
+      // planner — per-side pre-flight stats pick broadcast / shuffle
+      // / salted (at the gate SF customer is broadcast-sized, and on
+      // a skewed 100 TB corpus the same call salts instead; the spec
+      // pins the decision logic and bit-equality across arms). The
+      // oracle checks the ARM-INVARIANT join result.
+      graft.ops.AdaptiveJoin.adaptiveJoin(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey").df
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+    },
+
     "q_sliding_distinct" -> { (s, dir) =>
       // sliding 7-day distinct users from MERGED daily KMV sketches:
       // one pass builds a 64-long sketch per day; each window then
@@ -2305,6 +2321,15 @@ object SparkEntry {
     // bit-identical to q_pagerank by the absorbing-fixpoint argument
     // (see the query comment) — deliberately the SAME oracle
     "q_pagerank_conv" -> OracleSqlGen.sql("q_pagerank"),
+
+    // the planner's output is arm-invariant, so the oracle is the
+    // plain join — WHICH physical arm ran is pinned by the spec
+    "q_adaptive_join" ->
+      """SELECT c_mktsegment,
+        | COUNT(*) AS n_orders,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // quarantine reader over the hostile fixture dir: oracle CSV is
     // built from the fixture definition (scripts cannot read xlsx)
