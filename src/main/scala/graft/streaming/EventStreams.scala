@@ -400,6 +400,21 @@ object EventStreams {
 
   case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)
 
+  /** One output row of [[lshEvents]]: `kind = "pair"` rows carry a
+    * candidate pair exactly like [[LshCandidate]] (band/bucket/
+    * saturated_at at their -1/""/-1 neutrals); `kind = "saturated"`
+    * rows are the in-band no-silent-caps marker (r11 verdict item 7)
+    * — emitted ONCE per bucket, the first time an arrival is REJECTED
+    * by the `maxBucket` cap, with `saturated_at` the rejected doc_id.
+    * Past that point the stream's recall in this bucket is
+    * conservative vs batch (it stops admitting where batch drops the
+    * whole bucket); the marker makes the trade visible to a consumer
+    * instead of silent.
+    */
+  case class LshEvent(
+      kind: String, id_a: Long, id_b: Long, jaccard_est: Double,
+      band: Int, bucket: String, saturated_at: Long)
+
   /** Streaming MinHash-LSH near-dup ingest (twin of the batch
     * `dd_minhash_lsh`): as documents arrive, emit every candidate
     * near-dup pair the batch banding would find — the dedup-on-ingest
@@ -439,6 +454,26 @@ object EventStreams {
       minJaccard: Double = 0.5,
       maxBucket: Int = 64): Dataset[LshCandidate] = {
     import docs.sparkSession.implicits._
+    lshEvents(docs, shingle, perms, bands, minJaccard, maxBucket)
+      .filter(_.kind == "pair")
+      .map(e => LshCandidate(e.id_a, e.id_b, e.jaccard_est))
+  }
+
+  /** [[lshCandidates]] WITH the cap trade surfaced in-band: the same
+    * pair stream, plus one `kind = "saturated"` marker row per bucket
+    * at the moment its `maxBucket` cap first rejects an arrival (see
+    * [[LshEvent]]). The `saturated` flag rides the bucket state, so
+    * the marker is exactly-once per bucket across micro-batches and
+    * survives checkpoint recovery like the admitted entries do.
+    */
+  def lshEvents(
+      docs: Dataset[Doc],
+      shingle: Int = 5,
+      perms: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64): Dataset[LshEvent] = {
+    import docs.sparkSession.implicits._
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
     docs
@@ -454,15 +489,23 @@ object EventStreams {
         }
       }
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Array[Long], Array[Array[Long]]), LshCandidate](
+      .flatMapGroupsWithState[(Array[Long], Array[Array[Long]], Boolean), LshEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, batch: Iterator[(String, Long, Array[Long])],
-            state: GroupState[(Array[Long], Array[Array[Long]])]) =>
-          var (ids, sigs) = state.getOption.getOrElse(
-            (Array.empty[Long], Array.empty[Array[Long]]))
-          val out = Vector.newBuilder[LshCandidate]
+        (key: String, batch: Iterator[(String, Long, Array[Long])],
+            state: GroupState[(Array[Long], Array[Array[Long]], Boolean)]) =>
+          var (ids, sigs, saturated) = state.getOption.getOrElse(
+            (Array.empty[Long], Array.empty[Array[Long]], false))
+          val out = Vector.newBuilder[LshEvent]
           batch.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-            if (ids.length < maxBucket && !ids.contains(id)) {
+            if (ids.contains(id)) ()
+            else if (ids.length >= maxBucket) {
+              if (!saturated) {
+                val band = key.takeWhile(_ != ':').toInt
+                out += LshEvent("saturated", -1L, -1L, 0.0,
+                  band, key, id)
+                saturated = true
+              }
+            } else {
               var i = 0
               while (i < ids.length) {
                 val other = sigs(i)
@@ -474,15 +517,16 @@ object EventStreams {
                 }
                 val est = eq.toDouble / perms
                 if (est >= minJaccard)
-                  out += LshCandidate(
-                    math.min(id, ids(i)), math.max(id, ids(i)), est)
+                  out += LshEvent("pair",
+                    math.min(id, ids(i)), math.max(id, ids(i)), est,
+                    -1, "", -1L)
                 i += 1
               }
               ids :+= id
               sigs :+= sig
             }
           }
-          state.update((ids, sigs))
+          state.update((ids, sigs, saturated))
           out.result().iterator
       }
   }

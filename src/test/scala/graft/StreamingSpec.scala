@@ -426,6 +426,47 @@ class StreamingSpec extends SparkSpec {
       && got.head._3 >= 0.5, s"cross-batch near-dup pair expected, got ${got.toList}")
   }
 
+  test("streaming LSH emits one in-band saturation marker per bucket, exactly at the cap") {
+    implicit val sqlCtx = spark.sqlContext
+    // identical texts share every band bucket; maxBucket = 2 means the
+    // third arrival is the first REJECTED one
+    val text = "jackdaws love my big sphinx of quartz and the five boxing " +
+      "wizards jump quickly over the lazy river barge at dawn"
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.lshEvents(mem.toDS(), maxBucket = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lshsat").start()
+    // two admitted docs: pairs, NO marker anywhere
+    mem.addData(EventStreams.Doc(1L, text), EventStreams.Doc(2L, text))
+    q.processAllAvailable()
+    assert(spark.table("lshsat").filter($"kind" === "saturated").isEmpty,
+      "no marker below the cap")
+    assert(spark.table("lshsat").filter($"kind" === "pair").count() == 16L,
+      "the est-1.0 pair appears once per band")
+    // the third arrival is rejected in all 16 buckets -> exactly one
+    // marker per bucket, naming the rejected doc
+    mem.addData(EventStreams.Doc(3L, text))
+    q.processAllAvailable()
+    val markers = spark.table("lshsat").filter($"kind" === "saturated")
+      .select($"band", $"bucket", $"saturated_at")
+      .as[(Int, String, Long)].collect()
+    assert(markers.length == 16, s"one marker per band bucket: ${markers.length}")
+    assert(markers.forall(_._3 == 3L), "saturated_at names the first rejected doc")
+    assert(markers.map(_._1).sorted.toSeq == (0 until 16),
+      "every band's bucket reports")
+    assert(markers.forall { case (b, key, _) => key.startsWith(s"$b:") })
+    // a fourth rejected arrival adds NO second marker (exactly-once
+    // per bucket, flag rides the recovered state)
+    mem.addData(EventStreams.Doc(4L, text))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("lshsat").filter($"kind" === "saturated").count() == 16L,
+      "markers are exactly-once per bucket")
+    // pair rows carry neutral marker fields
+    assert(spark.table("lshsat").filter($"kind" === "pair")
+      .filter($"band" =!= -1 || $"bucket" =!= "" || $"saturated_at" =!= -1L)
+      .isEmpty)
+  }
+
   test("custom codegen expressions run inside a streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
