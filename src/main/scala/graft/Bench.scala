@@ -57,9 +57,19 @@ object Bench {
     else (100.0 * (after._3 - before._3) / total, 100.0 * (after._2 - before._2) / total)
   }
 
-  /** One measured run: wall seconds + the noise triad recorded with it. */
-  private case class RunStat(
-      secs: Double, steal: Double, otherCores: Double, load: Double)
+  /** One measured run: wall seconds + the noise triad recorded with
+    * it. `selfLoad` is THIS JVM's estimated contribution to the 1-min
+    * loadavg at run end — an EMA of its own cores with the kernel's
+    * decay constant (see the tick in main) — so the load gate can
+    * subtract it: loadavg lags a minute behind, which means a short
+    * query's reading is dominated by the bench's own PAST compute,
+    * and subtracting the instantaneous self-cores (first attempt)
+    * still flagged every light query that ran in the heavy queries'
+    * load shadow.
+    */
+  private[graft] case class RunStat(
+      secs: Double, steal: Double, otherCores: Double, load: Double,
+      selfLoad: Double)
 
   /** CPU time this JVM has consumed (all threads), nanoseconds. */
   private def processCpuNanos(): Long =
@@ -95,6 +105,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-load EMA: this JVM's estimated contribution to the 1-min
+    // loadavg, maintained with the kernel's own decay law
+    // (a = exp(-dt/60) per dt-second tick over the JVM's measured
+    // cores). Ticked continuously from JVM start — through session
+    // init and warm-up too, because loadavg remembers the past
+    // minute and a short query measured right after the heavy warmup
+    // reads mostly the bench's OWN shadow. The gate subtracts this
+    // from the raw loadavg: what remains is load the host carries
+    // that this process did not generate.
+    //
+    // SEEDED with the loadavg at JVM start: whatever the host was
+    // doing BEFORE the bench (the sbt compile that launched it, a
+    // just-finished test JVM) is baseline, not co-runner evidence —
+    // the seed decays at exactly the kernel's rate, so a finished
+    // pre-bench process cancels out of the excess, while a LIVE
+    // co-runner keeps regenerating load above the decaying baseline
+    // and still stands out. (A co-runner already active at bench
+    // start is grandfathered — but that is the documented whole-bench
+    // blind spot: it slows every query equally and round-over-round
+    // comparison catches it.)
+    var selfLoad = math.max(0.0, loadAvg())
+    var slCpu = processCpuNanos()
+    var slT = System.nanoTime()
+    def tickSelfLoad(): Double = {
+      val now = System.nanoTime()
+      val cpu = processCpuNanos()
+      val dt = (now - slT) / 1e9
+      if (dt > 0) {
+        val cores = math.max(0.0, (cpu - slCpu) / 1e9 / dt)
+        val a = math.exp(-dt / 60.0)
+        selfLoad = selfLoad * a + cores * (1 - a)
+        slT = now
+        slCpu = cpu
+      }
+      selfLoad
+    }
     // Warm-up: execute each headline query once at the smallest SF so
     // Janino codegen compilation + JIT of the operator kernels is not
     // attributed to the measured steady-state runs (same plan shapes,
@@ -104,6 +150,7 @@ object Bench {
       selected.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()
         catch { case _: Throwable => () }
+        tickSelfLoad()
       }
     // Noise triad per measured run. The r7 lesson: /proc/stat steal
     // only sees HYPERVISOR preemption — a co-tenant process inside
@@ -130,7 +177,8 @@ object Bench {
         val selfCores =
           if (wall > 0) (processCpuNanos() - p0) / 1e9 / wall else 0.0
         val busyCores = (100.0 - idle - st) / 100.0 * ncpus
-        Some(RunStat(wall, st, math.max(0.0, busyCores - selfCores), loadAvg()))
+        Some(RunStat(wall, st, math.max(0.0, busyCores - selfCores),
+          loadAvg(), tickSelfLoad()))
       } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(name, {
@@ -148,7 +196,6 @@ object Bench {
     // every attempt and is reported as such. Queries still >1.5x
     // apart after all attempts land in host.noisy — the JSON
     // self-identifies instead of needing a judge re-run.
-    val QuietRatio = 1.5
     val maxRuns =
       sys.env.get("SPARK_GRAFT_ATTEMPTS").map(_.toInt).getOrElse(4).max(2)
     // SPARK_GRAFT_MIN_ATTEMPTS (default 2): floor on runs per query
@@ -158,12 +205,11 @@ object Bench {
     // defined to report, so scale sweeps set 3.
     val minRuns = sys.env.get("SPARK_GRAFT_MIN_ATTEMPTS")
       .map(_.toInt).getOrElse(2).max(2).min(maxRuns)
-    def quiet(ts: Seq[Double]): Boolean = {
-      val best = ts.sorted.take(2)
-      best.size == 2 && best(1) <= best(0) * QuietRatio
-    }
+    import BenchNoise.quiet
     val benchStart = cpuSample()
-    val results = selected.map { name =>
+    val rawTimes =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    selected.foreach { name =>
       var stats = Vector.empty[Option[RunStat]]
       def go(): Unit = stats :+= measure(name)
       go()
@@ -172,8 +218,43 @@ object Bench {
           (stats.size < minRuns || !quiet(stats.flatten.map(_.secs))))
         go()
       statsPerRun(name) = stats.flatten
-      name -> stats.map(_.fold(-1.0)(_.secs))
+      rawTimes(name) = stats.map(_.fold(-1.0)(_.secs))
     }
+    // Cross-query load gate (r11 verdict item 1): until-quiet compares
+    // a query only against ITSELF, so a co-runner persisting through
+    // both of a query's runs slows them EQUALLY and passes as quiet —
+    // the r11 q_fuzzy_join2 14 s recording (its min-run loadavg sat at
+    // 7.66 vs ~4.2 for every other query in the same bench, and
+    // other_cores ≈ 0 because the contention was I/O/memory-bandwidth,
+    // invisible to both existing stamps). The record's own loads make
+    // this self-identifying: a query whose min-run EXCESS load
+    // (loadavg minus this JVM's own cores — raw load would flag a
+    // CPU-heavy query as its own co-runner, measured at sf0.001)
+    // exceeds the gate (see BenchNoise.loadSuspects) earns up to 2
+    // extra attempts (by then a transient co-runner is gone and the
+    // clean min replaces the polluted one); one that still exceeds
+    // the gate lands in host.noisy.
+    val extraBudget = 2
+    def perQuery: Seq[(String, Seq[RunStat])] =
+      statsPerRun.toSeq.map { case (k, v) => (k, v: Seq[RunStat]) }
+    for (name <- selected if errors.get(name).isEmpty) {
+      var extra = 0
+      while (extra < extraBudget &&
+          BenchNoise.loadSuspects(perQuery).contains(name)) {
+        measure(name) match {
+          case Some(s) =>
+            statsPerRun(name) = statsPerRun(name) :+ s
+            rawTimes(name) = rawTimes(name) :+ s.secs
+          case None => extra = extraBudget // errored: stop retrying
+        }
+        extra += 1
+      }
+    }
+    val loadNoisy = BenchNoise.loadSuspects(perQuery)
+    val loadMedian = BenchNoise.median(
+      perQuery.filter(_._2.nonEmpty).map(p => BenchNoise.minRunExcess(p._2))
+        .filter(_ >= 0))
+    val results = rawTimes.toSeq
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -202,11 +283,12 @@ object Bench {
     def perRun(f: RunStat => Double): String = statsPerRun
       .map { case (k, ss) => jstr(k) + ":" + ss.map(s => r2(f(s))).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val noisy = statsPerRun.collect {
-      case (k, ss) if ss.size >= 2 && !quiet(ss.map(_.secs)) => jstr(k)
-    }.mkString("[", ",", "]")
+    // noisy = self-disagreement (quiet ratio) ∪ cross-query load gate
+    val noisy = (statsPerRun.collect {
+      case (k, ss) if ss.size >= 2 && !quiet(ss.map(_.secs)) => k
+    }.toSet ++ loadNoisy).toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val host =
-      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"quiet_ratio":$QuietRatio,"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"noisy":$noisy}"""
+      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"quiet_ratio":${BenchNoise.QuietRatio},"load_ratio":${BenchNoise.LoadRatio},"excess_median":${r2(loadMedian)},"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"self_load_per_run":${perRun(_.selfLoad)},"noisy":$noisy}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     // r8 lesson: the driver's stdout capture truncated BENCH_r08.json
@@ -228,5 +310,78 @@ object Bench {
       System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
     println(line)
     spark.stop()
+  }
+}
+
+/** The bench's noise-detection triad, factored out of the main so the
+  * flag logic is unit-testable on synthetic RunStats (r11 verdict
+  * item 1). Two independent detectors:
+  *
+  *  - [[quiet]]: a query's two FASTEST runs must agree within
+  *    [[QuietRatio]] — catches transient neighbors that pollute one
+  *    run but not the repeat;
+  *  - [[loadSuspects]]: the min-run (= reported-run) EXCESS load —
+  *    1-min loadavg minus this JVM's own cores over that run — must
+  *    stay within `max(MinExcess, LoadRatio × bench-wide median
+  *    excess)`. This catches the mode `quiet` cannot: a co-runner
+  *    persisting through ALL of one query's runs slows them equally
+  *    (self-comparison passes) while the load it adds stands out
+  *    against the other queries' runs; loadavg counts D-state
+  *    processes, so I/O-bound co-runners (the r11 pollution,
+  *    invisible to steal and other_cores) register. Self-subtraction
+  *    matters: raw loadavg counts the bench's OWN compute, so a
+  *    CPU-heavy query (q_fuzzy_join2 at any SF) flags itself against
+  *    a median set by light queries — measured on a clean sf0.001
+  *    run before the subtraction was added. The absolute MinExcess
+  *    floor keeps a near-zero median (idle host, loadavg lag) from
+  *    turning harmless decimals into flags. Known limitation,
+  *    documented: a co-runner spanning the ENTIRE bench raises the
+  *    median itself and is invisible here — but then every query is
+  *    equally slow and round-over-round comparison (not this stamp)
+  *    catches it.
+  */
+private[graft] object BenchNoise {
+  val QuietRatio = 1.5
+  val LoadRatio = 1.5
+  /** Excess load below this never flags (loadavg noise floor). */
+  val MinExcess = 1.0
+
+  def quiet(ts: Seq[Double]): Boolean = {
+    val best = ts.sorted.take(2)
+    best.size == 2 && best(1) <= best(0) * QuietRatio
+  }
+
+  def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+
+  /** Excess load of one run: loadavg minus this JVM's cores, floored
+    * at 0; -1 (unreadable /proc/loadavg) propagates as -1.
+    */
+  def excess(s: Bench.RunStat): Double =
+    if (s.load < 0) -1.0 else math.max(0.0, s.load - s.selfLoad)
+
+  /** The excess recorded with the FASTEST run — the run whose time
+    * the metric reports, so the one whose pollution matters.
+    */
+  def minRunExcess(ss: Seq[Bench.RunStat]): Double =
+    excess(ss.minBy(_.secs))
+
+  /** Queries whose reported run carries excess load above
+    * `max(MinExcess, LoadRatio × median excess)`. Unreadable loads
+    * are excluded from both the median and the gate.
+    */
+  def loadSuspects(perQuery: Seq[(String, Seq[Bench.RunStat])]): Set[String] = {
+    val withLoad = perQuery
+      .filter(_._2.nonEmpty)
+      .map { case (k, ss) => (k, minRunExcess(ss)) }
+      .filter(_._2 >= 0)
+    val med = median(withLoad.map(_._2))
+    val gate = math.max(MinExcess, LoadRatio * med)
+    withLoad.collect { case (k, l) if l > gate => k }.toSet
   }
 }
