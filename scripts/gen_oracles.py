@@ -485,6 +485,41 @@ JOIN sz sa ON sa.doc_id = c.id_a
 JOIN sz sb ON sb.doc_id = c.id_b
 WHERE c.c * c.c * 25 >= 9 * sa.n * sb.n"""
 
+    # ---- txt_cosine_stats: the prefix-filter funnel replayed — the
+    # ENGINE's plan shape (collapse, df-ASC prefix, candidate
+    # self-join, integer verify) re-derived in SQL so the candidate
+    # volume (the quadratic-risk number) is oracle-checked, not
+    # self-reported ----
+    o["txt_cosine_stats"] = f"""
+WITH dt AS (
+ SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+g AS (
+ SELECT rep, unnest({grams5}) AS tok
+ FROM (SELECT rep, {toks} AS toks FROM dt) _t
+ WHERE len(toks) >= 5),
+dfr AS (SELECT tok, count(*) AS df FROM g GROUP BY tok),
+pr AS (
+ SELECT rep, g.tok,
+  row_number() OVER (PARTITION BY rep ORDER BY df, g.tok) AS pos,
+  count(*) OVER (PARTITION BY rep) AS nsz
+ FROM g JOIN dfr ON dfr.tok = g.tok),
+pf AS (SELECT * FROM pr WHERE pos <= nsz - (nsz * 9 + 24) // 25 + 1),
+cand AS (
+ SELECT DISTINCT a.rep AS ia, b.rep AS ib, a.nsz AS na, b.nsz AS nb
+ FROM pf a JOIN pf b ON a.tok = b.tok AND a.rep < b.rep
+ WHERE 9 * greatest(a.nsz, b.nsz) <= 25 * least(a.nsz, b.nsz)),
+ver AS (
+ SELECT c.ia, c.ib FROM cand c
+ JOIN g a ON a.rep = c.ia
+ JOIN g b ON b.rep = c.ib AND b.tok = a.tok
+ GROUP BY c.ia, c.ib, c.na, c.nb
+ HAVING count(*) * count(*) * 25 >= 9 * c.na * c.nb)
+SELECT
+ (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT rep FROM g)) AS n_classes,
+ (SELECT CAST(count(*) AS BIGINT) FROM pf) AS n_prefix_rows,
+ (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+ (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified"""
+
     # ---- ds_*: deterministic sampling/splitting/mixing — the
     # per-mille bucket is (splitmix64(id+salt) >>> 1) % mod ----
     def bucket(id_expr, salt, mod):

@@ -653,6 +653,79 @@ for _name in ["txt_char_stats", "txt_type_token"]:
     if selected(_name):
         check_sampled(_name)
 
+
+def check_cosine_pairs():
+    """txt_cosine_pairs at 100x. The embedded brute-force oracle
+    self-joins RAW gram postings (df scales with replication — the
+    75 GB-spill shape), so this check brute-forces the rep level over
+    DISTINCT texts instead (cosine is a function of the texts, so
+    pairs(corpus) == expand(pairs(distinct)) is an identity, not an
+    engine assumption; the rep kernel itself stays plan-independent —
+    full shared-gram self-join, NO prefix filter) and expands to
+    member pairs in SQL. The ~25M-row comparison runs entirely in
+    DuckDB via EXCEPT ALL so pandas never materializes it."""
+    t0 = time.time()
+    grams5 = ("list_distinct(list_transform(range(1, len(toks)-5+2), "
+              "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+              " || ' ' || toks[i+3] || ' ' || toks[i+4]))")
+    toks_of = ("list_filter(regexp_split_to_array(text, "
+               "'[ \\n\\t\\r]+'), t -> t != '')")
+    con.sql(f"""
+CREATE OR REPLACE VIEW cp_want AS
+WITH dt0 AS (SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+dt AS (SELECT rep, text FROM
+       (SELECT rep, text, {toks_of} AS toks FROM dt0) _q
+       WHERE len(toks) >= 5),
+mem AS (SELECT d.doc_id, dt.rep FROM documents d JOIN dt ON dt.text = d.text),
+g AS (SELECT rep, unnest({grams5}) AS tok
+      FROM (SELECT rep, {toks_of} AS toks FROM dt) _t),
+sz AS (SELECT rep, count(*) AS n FROM g GROUP BY rep),
+c AS (SELECT a.rep AS ra, b.rep AS rb, count(*) AS c
+      FROM g a JOIN g b ON a.tok = b.tok AND a.rep < b.rep
+      GROUP BY 1, 2),
+rp AS (SELECT c.ra, c.rb,
+        CAST(c.c AS DOUBLE) / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cosine
+       FROM c JOIN sz sa ON sa.rep = c.ra JOIN sz sb ON sb.rep = c.rb
+       WHERE c.c * c.c * 25 >= 9 * sa.n * sb.n)
+SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+       greatest(ma.doc_id, mb.doc_id) AS id_b, r.cosine
+FROM rp r JOIN mem ma ON ma.rep = r.ra JOIN mem mb ON mb.rep = r.rb
+UNION ALL
+SELECT ma.doc_id, mb.doc_id, 1.0
+FROM mem ma JOIN mem mb ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id""")
+    con.sql(f"""CREATE OR REPLACE VIEW cp_got AS
+SELECT id_a, id_b, cosine
+FROM read_parquet('{OUT_DIR}/txt_cosine_pairs/*.parquet')""")
+    n_want = con.sql("SELECT count(*) FROM cp_want").fetchone()[0]
+    n_got = con.sql("SELECT count(*) FROM cp_got").fetchone()[0]
+    d1 = con.sql(
+        "SELECT count(*) FROM (SELECT * FROM cp_want EXCEPT ALL "
+        "SELECT * FROM cp_got)").fetchone()[0]
+    d2 = con.sql(
+        "SELECT count(*) FROM (SELECT * FROM cp_got EXCEPT ALL "
+        "SELECT * FROM cp_want)").fetchone()[0]
+    ok = n_want == n_got and d1 == 0 and d2 == 0
+    res["txt_cosine_pairs"] = {
+        "ok": bool(ok), "rows": int(n_got), "method": "python_exact",
+        "note": (f"rep-level brute force over distinct texts + SQL member "
+                 f"expansion, EXCEPT-ALL compare in DuckDB "
+                 f"(want {n_want}, got {n_got}, diffs {d1}/{d2}), "
+                 f"{time.time()-t0:.0f}s")}
+    print(f"  {'ok' if ok else 'FAIL'} txt_cosine_pairs: {n_got} rows "
+          f"[python_exact] want={n_want} diffs={d1}/{d2}", flush=True)
+    json.dump({"partial": True, "queries": dict(sorted(res.items()))},
+              open(JSON_OUT + ".partial", "w"), indent=1)
+
+
+if selected("txt_cosine_pairs"):
+    check_cosine_pairs()
+# the r12 funnel report and the component-keyed split: their embedded
+# oracles collapse to distinct content FIRST, so they stay tractable
+# at any replication factor
+for _name in ["txt_cosine_stats", "ds_split_leakage_safe"]:
+    if selected(_name):
+        check_full(_name)
+
 # cumulative artifact: a rerun of a subset merges over prior rows
 if os.path.exists(JSON_OUT):
     try:

@@ -28,7 +28,12 @@ object Bench {
     "dd_semantic", "q_pagerank",
     // r8: the uncapped pair kernel whose sf1 degenerate-corpus fix
     // (duplicate collapse + pinned kernel width) this entry tracks
-    "q_fuzzy_join2")
+    "q_fuzzy_join2",
+    // r12 (r11 verdict item 4): the two corpus-statistics-sensitive
+    // r11 ops — exact prefix-filtered cosine join (candidate volume
+    // rides the df distribution) and the component-keyed
+    // leakage-safe split (closure cost rides the duplication factor)
+    "txt_cosine_pairs", "ds_split_leakage_safe")
 
   /** One `/proc/stat` aggregate-cpu sample: (total, idle, steal)
     * jiffies. Deltas between two samples give the host's CPU mix over

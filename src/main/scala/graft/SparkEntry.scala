@@ -745,6 +745,16 @@ object SparkEntry {
         t(s, dir, "documents"), col("doc_id"), col("text"))
     },
 
+    "txt_cosine_stats" -> { (s, dir) =>
+      // the cosine kernel's FUNNEL (classes -> prefix rows ->
+      // candidates -> verified), one row of exact integers — the
+      // no-silent-caps artifact for the one family member with no
+      // cap: n_candidates is the quadratic-risk number the scale
+      // sweeps watch (r11 verdict item 4)
+      TextAnalysis.cosinePairStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     "txt_char_stats" -> { (s, dir) =>
       TextAnalysis.charStats(t(s, dir, "documents"), col("doc_id"), col("text"))
     },

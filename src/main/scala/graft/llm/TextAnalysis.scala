@@ -492,6 +492,20 @@ object TextAnalysis {
   def cosinePairs(
       docs: DataFrame, id: Column, text: Column,
       n: Int = 5, simNum: Int = 3, simDen: Int = 5): DataFrame = {
+    val s = cosineStages(docs, id, text, n, simNum, simDen)
+    Dedup.expandClassPairs(s.repPairs, s.cc, "cosine", lit(1.0))
+  }
+
+  /** The [[cosinePairs]] pipeline's intermediate frames, shared with
+    * the [[cosinePairStats]] funnel report.
+    */
+  private final case class CosineStages(
+      cc: Dedup.ContentClasses, prefix: DataFrame, cand: DataFrame,
+      repPairs: DataFrame)
+
+  private def cosineStages(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int, simNum: Int, simDen: Int): CosineStages = {
     import org.apache.spark.sql.expressions.Window
     require(simNum > 0 && simNum <= simDen, "threshold must be in (0, 1]")
     val num2 = simNum.toLong * simNum
@@ -528,6 +542,27 @@ object TextAnalysis {
       .select(col("id_a"), col("id_b"),
         (col("c").cast("double") /
           sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
-    Dedup.expandClassPairs(repPairs, cc, "cosine", lit(1.0))
+    CosineStages(cc, prefix, cand, repPairs)
+  }
+
+  /** The [[cosinePairs]] FUNNEL, one row: distinct-content classes
+    * entering the kernel, prefix rows the filter indexes, candidate
+    * pairs the prefix self-join emits, and verified rep pairs. The
+    * no-silent-caps idiom for the one operator in the family with NO
+    * cap (exact recall): the prefix length and candidate volume are
+    * corpus-statistics-dependent (df distribution), so a
+    * degenerate-corpus blowup must be visible from an artifact —
+    * n_candidates IS the quadratic-risk number to watch at scale
+    * (r11 verdict item 4). Costs one extra pass over the same
+    * stages; all counts are exact integers a SQL oracle replays.
+    */
+  def cosinePairStats(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 5, simNum: Int = 3, simDen: Int = 5): DataFrame = {
+    val s = cosineStages(docs, id, text, n, simNum, simDen)
+    s.cc.classes.agg(count(lit(1)).as("n_classes"))
+      .crossJoin(s.prefix.agg(count(lit(1)).as("n_prefix_rows")))
+      .crossJoin(s.cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(s.repPairs.agg(count(lit(1)).as("n_verified")))
   }
 }
