@@ -293,7 +293,7 @@ object Bench {
       case (k, ss) if ss.size >= 2 && !quiet(ss.map(_.secs)) => k
     }.toSet ++ loadNoisy).toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val host =
-      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"quiet_ratio":${BenchNoise.QuietRatio},"load_ratio":${BenchNoise.LoadRatio},"excess_median":${r2(loadMedian)},"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"self_load_per_run":${perRun(_.selfLoad)},"noisy":$noisy}"""
+      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"quiet_ratio":${BenchNoise.QuietRatio},"min_excess":${BenchNoise.MinExcess},"headroom_frac":${BenchNoise.HeadroomFrac},"excess_median":${r2(loadMedian)},"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"self_load_per_run":${perRun(_.selfLoad)},"noisy":$noisy}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     // r8 lesson: the driver's stdout capture truncated BENCH_r08.json
@@ -327,8 +327,8 @@ object Bench {
   *    run but not the repeat;
   *  - [[loadSuspects]]: the min-run (= reported-run) EXCESS load —
   *    1-min loadavg minus this JVM's own cores over that run — must
-  *    stay within `max(MinExcess, LoadRatio × bench-wide median
-  *    excess)`. This catches the mode `quiet` cannot: a co-runner
+  *    stand above the bench-wide median excess by no more than
+  *    `max(MinExcess, HeadroomFrac × its own selfLoad)`. This catches the mode `quiet` cannot: a co-runner
   *    persisting through ALL of one query's runs slows them equally
   *    (self-comparison passes) while the load it adds stands out
   *    against the other queries' runs; loadavg counts D-state
@@ -347,9 +347,19 @@ object Bench {
   */
 private[graft] object BenchNoise {
   val QuietRatio = 1.5
-  val LoadRatio = 1.5
-  /** Excess load below this never flags (loadavg noise floor). */
+  /** Excess-over-median margin below this never flags (loadavg
+    * noise floor). */
   val MinExcess = 1.0
+  /** Oversubscription headroom: loadavg counts RUNNABLE threads, and
+    * a local[32] burst keeps more threads runnable than the CPU-time-
+    * derived self-load can attribute (task + shuffle + GC threads
+    * queue behind 32 cores) — measured ~1.1-1.7 spurious excess on a
+    * verified-idle host whenever selfLoad sat at 4-7. The inflation
+    * scales with the JVM's own activity, so the floor does too:
+    * a query is only a suspect when its excess also clears
+    * `HeadroomFrac x` its own run's selfLoad.
+    */
+  val HeadroomFrac = 0.5
 
   def quiet(ts: Seq[Double]): Boolean = {
     val best = ts.sorted.take(2)
@@ -376,17 +386,32 @@ private[graft] object BenchNoise {
   def minRunExcess(ss: Seq[Bench.RunStat]): Double =
     excess(ss.minBy(_.secs))
 
-  /** Queries whose reported run carries excess load above
-    * `max(MinExcess, LoadRatio × median excess)`. Unreadable loads
-    * are excluded from both the median and the gate.
+  /** Queries whose reported run's excess load stands ABOVE the
+    * bench-wide median excess by more than
+    * `max(MinExcess, HeadroomFrac × that run's selfLoad)`.
+    *
+    * The MARGIN-over-median form (not a ratio) is what survives
+    * every measured host condition: the bench's own oversubscription
+    * raises the whole excess distribution together (sf10 median
+    * excess ≈ 2.6 with selfLoad ≈ 10-16 — a ratio gate flags its own
+    * tail), while a co-runner polluting SOME queries lifts exactly
+    * those queries' excess above the unpolluted median (the r11
+    * q_fuzzy_join2 record: excess 6.9 over a 0.2 median). Unreadable
+    * loads are excluded from both the median and the gate.
     */
   def loadSuspects(perQuery: Seq[(String, Seq[Bench.RunStat])]): Set[String] = {
     val withLoad = perQuery
       .filter(_._2.nonEmpty)
-      .map { case (k, ss) => (k, minRunExcess(ss)) }
+      .map { case (k, ss) =>
+        val m = ss.minBy(_.secs)
+        (k, excess(m), m.selfLoad)
+      }
       .filter(_._2 >= 0)
     val med = median(withLoad.map(_._2))
-    val gate = math.max(MinExcess, LoadRatio * med)
-    withLoad.collect { case (k, l) if l > gate => k }.toSet
+    withLoad.collect {
+      case (k, l, self)
+          if l - med > math.max(MinExcess, HeadroomFrac * self) =>
+        k
+    }.toSet
   }
 }

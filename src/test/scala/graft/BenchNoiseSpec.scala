@@ -66,16 +66,27 @@ class BenchNoiseSpec extends AnyFunSuite {
     assert(BenchNoise.loadSuspects(per).isEmpty)
   }
 
-  test("near-zero median: the MinExcess floor keeps decimals from flagging") {
+  test("near-zero median: MinExcess + oversubscription headroom keep decimals from flagging") {
     // idle host, one query with excess 0.8 — above 1.5 x median
-    // (0.1) but under the 1.0 floor
+    // (0.1) but under both floors
     val per = (1 to 9).map(i => s"q$i" -> Seq(rs(1.0, 4.1))) :+
       ("tail" -> Seq(rs(1.0, 4.8)))
     assert(BenchNoise.loadSuspects(per).isEmpty)
-    // excess 1.2 clears the floor AND the ratio -> flagged
+    // excess 2.2 clears MinExcess, the 0.5 x selfLoad(4) = 2.0
+    // headroom AND the ratio -> flagged
     val per2 = (1 to 9).map(i => s"q$i" -> Seq(rs(1.0, 4.1))) :+
-      ("tail" -> Seq(rs(1.0, 5.3)))
+      ("tail" -> Seq(rs(1.0, 6.3)))
     assert(BenchNoise.loadSuspects(per2) == Set("tail"))
+  }
+
+  test("oversubscription headroom: excess proportional to own self-load never flags") {
+    // the sf1 measurement that sized HeadroomFrac: a verified-idle
+    // host, 32-thread bursts keeping ~1.1-1.7 more threads runnable
+    // than CPU time attributes — excess 1.6 at selfLoad 4.5 is the
+    // JVM's own queue, not a co-runner
+    val per = (1 to 14).map(i => s"q$i" -> Seq(rs(0.5, 5.0, selfLoad = 4.5))) :+
+      ("victim" -> Seq(rs(0.4, 6.1, selfLoad = 4.5)))
+    assert(BenchNoise.loadSuspects(per).isEmpty)
   }
 
   test("unreadable loads (-1) and empty stat lists are excluded") {
