@@ -530,6 +530,30 @@ SELECT
 SELECT doc_id, lang FROM documents
 WHERE ({bucket('doc_id', 0, 1000)}) < CASE lang WHEN 'en' THEN 500 ELSE 250 END"""
 
+    # ---- ds_alloc_budget: integer-exact Hamilton allocation of a
+    # 301-doc budget across sources (floor quotas + largest-remainder
+    # seats, ties by source ASC), then the smallest-(signed splitmix,
+    # id) prefix per source — every seat replayed ----
+    alloc_h = to_signed(splitmix("CAST(doc_id + 7 AS HUGEINT)"))
+    o["ds_alloc_budget"] = f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+q0 AS (SELECT source, n, (301 * n) // tot AS fl, (301 * n) % tot AS rem
+       FROM c CROSS JOIN t),
+lo AS (SELECT 301 - sum(fl) AS leftover FROM q0),
+rk AS (SELECT source, fl,
+        row_number() OVER (ORDER BY rem DESC, source) AS r FROM q0),
+q AS (SELECT source,
+       fl + CASE WHEN r <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+         AS quota FROM rk),
+d AS (SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source
+         ORDER BY {alloc_h}, doc_id) AS drk
+      FROM documents)
+SELECT d.doc_id, d.source FROM d JOIN q USING (source)
+WHERE d.drk <= q.quota"""
+
     # ---- ds_temperature_sample: τ=1/2 source rebalance — keep iff
     # u53 < min(1, 2/sqrt(n_src)); the uniform is the top-53-bit
     # splitmix fraction (exact double), sqrt/div are IEEE-exact ----

@@ -1241,6 +1241,18 @@ object SparkEntry {
           col("source"), col("ikey"))
     },
 
+    "ds_alloc_budget" -> { (s, dir) =>
+      // integer-exact Hamilton allocation of a 301-doc budget across
+      // sources + smallest-hash per-source draw (llm/Sampling
+      // .allocProportional): output size is exactly the budget,
+      // every seat SQL-replayable (odd budget exercises the
+      // largest-remainder seats)
+      graft.llm.Sampling.allocProportional(
+          t(s, dir, "documents"), col("doc_id"), col("source"),
+          budget = 301L, salt = 7L)
+        .select(col("doc_id"), col("grp").as("source"))
+    },
+
     "ds_mix_weighted" -> { (s, dir) =>
       // per-source epoch weights 0.25/0.75/1.25/1.75 derived from the
       // source number; n_emitted counts floor(w) + Bernoulli(frac(w))

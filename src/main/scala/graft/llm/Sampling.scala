@@ -453,4 +453,64 @@ object Sampling {
         least(means: _*).as("boot_lo"),
         greatest(means: _*).as("boot_hi"))
   }
+
+  /** Integer-exact largest-remainder (Hamilton) allocation of a
+    * global sample `budget` across groups, then a deterministic
+    * smallest-hash draw of each group's quota — the budget-allocation
+    * step a dataset-mixing pipeline runs before assembling a
+    * training mix ("give me exactly N docs, proportional to source
+    * sizes, reproducibly").
+    *
+    * Allocation is EXACT integer arithmetic (no float shares, no
+    * rounding drift): group g with n_g of T rows gets
+    * floor(budget·n_g / T) seats, and the R = budget − Σ floor
+    * leftover seats go to the R largest remainders
+    * (budget·n_g mod T, ties by group name ascending) — so the
+    * output size is exactly `budget` whenever budget ≤ T, at most
+    * one seat from exact proportionality per group (the Hamilton
+    * guarantee), and a SQL oracle replays every seat. The per-group
+    * draw is the smallest-(splitmix64(id+salt), id) prefix — the
+    * [[fixedKPerStratum]] decision rule, so growing a group only
+    * ever swaps members in/out deterministically.
+    *
+    * Scale shape: the count aggregation is map-combined
+    * (group-cardinality rows cross the wire); quotas are computed on
+    * the DRIVER from the collected per-group counts (control-plane —
+    * the BPE/centroid idiom; group counts are bounded by the number
+    * of SOURCES, not by rows) and rejoin as a broadcast literal
+    * frame; the draw is one grp-keyed window. Output: (doc_id, grp).
+    */
+  def allocProportional(
+      df: DataFrame, id: Column, group: Column, budget: Long,
+      salt: Long = 0L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df.select(
+      group.cast("string").as("grp"),
+      id.cast("long").as("doc_id"),
+      F.splitmix64(id + lit(salt)).as("_h"))
+    val counts = keyed.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val total = counts.map(_._2).sum
+    require(budget <= total,
+      s"budget $budget exceeds the corpus size $total")
+    if (total == 0) return keyed.select(col("doc_id"), col("grp")).limit(0)
+    val floors = counts.map { case (g, n) => (g, budget * n / total) }
+    val leftover = budget - floors.map(_._2).sum
+    val bonus = counts
+      .map { case (g, n) => (g, budget * n % total) }
+      .sortBy { case (g, rem) => (-rem, g) }
+      .take(leftover.toInt).map(_._1).toSet
+    val quotas = floors.map { case (g, f) =>
+      (g, f + (if (bonus(g)) 1L else 0L))
+    }
+    val quotaDf = broadcast(quotas.toSeq.toDF("grp", "_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("_h"), col("doc_id"))
+    keyed.join(quotaDf, "grp")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_quota"))
+      .select(col("doc_id"), col("grp"))
+  }
 }

@@ -160,6 +160,47 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("allocProportional: exact budget, Hamilton quota bounds, determinism") {
+    // 3 sources with sizes 700 / 250 / 50 (total 1000)
+    val docs = spark.range(0, 1000)
+      .selectExpr("id",
+        "CASE WHEN id < 700 THEN 'big' WHEN id < 950 THEN 'mid' ELSE 'tiny' END AS src")
+    val got = Sampling.allocProportional(
+        docs, col("id"), col("src"), budget = 137L, salt = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // output size is EXACTLY the budget
+    assert(got.length == 137)
+    // Hamilton guarantee: each group within 1 seat of its exact share
+    val per = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val shares = Map("big" -> 137.0 * 0.7, "mid" -> 137.0 * 0.25,
+      "tiny" -> 137.0 * 0.05)
+    shares.foreach { case (g, s) =>
+      val q = per.getOrElse(g, 0)
+      assert(q >= math.floor(s) && q <= math.ceil(s),
+        s"$g got $q seats for exact share $s")
+    }
+    // deterministic at any partitioning
+    val again = Sampling.allocProportional(
+        docs.repartition(7), col("id"), col("src"), budget = 137L, salt = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // a different salt draws a different (same-sized) sample
+    val other = Sampling.allocProportional(
+        docs, col("id"), col("src"), budget = 137L, salt = 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(other.length == 137 && other.sorted.toSeq != got.sorted.toSeq)
+    // budget == total keeps everything; over-budget throws
+    assert(Sampling.allocProportional(
+      docs, col("id"), col("src"), budget = 1000L).count() == 1000L)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.allocProportional(docs, col("id"), col("src"), budget = 1001L)
+    }
+    assert(e.getMessage.contains("exceeds"))
+    // budget 0 yields an empty, well-typed frame
+    assert(Sampling.allocProportional(
+      docs, col("id"), col("src"), budget = 0L).count() == 0L)
+  }
+
   test("sampling decisions with different salts are decorrelated") {
     val a = Sampling.bernoulli(ids, col("id"), 500, salt = 0).select("id").as[Long].collect().toSet
     val b = Sampling.bernoulli(ids, col("id"), 500, salt = 99).select("id").as[Long].collect().toSet
