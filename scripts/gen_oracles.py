@@ -1117,6 +1117,36 @@ d0 AS (
 {bfs_body}
 {bfs_out}"""
 
+    # ---- q_sssp: multi-source weighted shortest paths — 3 DENSE
+    # Bellman-Ford rounds unrolled (min weight over <= 3-edge paths
+    # from any nation-0 supplier; the engine's sparse frontier rounds
+    # compute the identical iterate), edge weight = min shipment
+    # quantity per customer<->supplier pair ----
+    sssp_rounds = []
+    for i in range(1, 4):
+        sssp_rounds.append(f"""w{i} AS (
+ SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+  SELECT node, d FROM w{i-1}
+  UNION ALL
+  SELECT e.dst AS node, f.d + e.w AS d
+  FROM e JOIN w{i-1} f ON f.node = e.src) _u
+ GROUP BY node)""")
+    sssp_body = ",\n".join(sssp_rounds)
+    o["q_sssp"] = f"""
+WITH p AS (
+ SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst,
+  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+ FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+ GROUP BY 1, 2),
+e AS (SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
+w0 AS (
+ SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node,
+  CAST(0 AS BIGINT) AS d
+ FROM supplier WHERE s_nationkey = 0),
+{sssp_body}
+SELECT node, d AS dist FROM w3"""
+
     # ---- q_dp_counts: eps = ln 2 discrete-Laplace noisy group counts
     # (Privacy.dpCounts) — noise = G1 - G2, each G the TRAILING-ONES
     # count of the 53-bit splitmix draw seeded by (fnv1a(key), salt):

@@ -1548,6 +1548,31 @@ object SparkEntry {
         e, col("src"), col("dst"), seeds, col("node"), maxHops = 3)
     },
 
+    "q_sssp" -> { (s, dir) =>
+      // multi-source WEIGHTED shortest paths on the q_bfs_hops graph,
+      // edge weight = lightest shipment quantity between the pair —
+      // min total weight over paths of <= 3 edges from any nation-0
+      // supplier (the 3rd Bellman-Ford iterate; ops/Graph
+      // .shortestPaths, sparse frontier rounds against stationary
+      // src-partitioned edges)
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .agg(min(col("l_quantity").cast("long")).as("w"))
+      val e = pairs.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      val seeds = t(s, dir, "supplier").filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+      graft.ops.Graph.shortestPaths(
+        e, col("src"), col("dst"), col("w"), seeds, col("node"), maxRounds = 3)
+        .select(col("node"), col("d").as("dist"))
+    },
+
     "q_dp_counts" -> { (s, dir) =>
       // differentially-private per-type event counts: eps = ln 2
       // discrete-Laplace in pure integer bit-ops (ops/Privacy) — the

@@ -253,6 +253,77 @@ object Graph {
     frontiers.reduce(_ unionByName _)
   }
 
+  /** Multi-source WEIGHTED shortest paths over integer-weighted
+    * directed edges — the weighted sibling of [[hopDistance]]:
+    * for every node, the minimum total edge weight over paths from
+    * any seed using AT MOST `maxRounds` edges (seeds at 0). That
+    * "≤ k edges" contract is exactly the k-th Bellman-Ford iterate,
+    * which makes the operator deterministic, oracle-checkable (the
+    * SQL unrolls the same dense rounds) and convergent: the loop
+    * stops EARLY when a round improves nothing, at which point the
+    * result IS the true shortest-path distance (non-negative
+    * weights assumed for usefulness, not for correctness of the
+    * ≤ k-edge semantics).
+    *
+    * Scale shape (the [[pageRank]] / [[hopDistance]] discipline):
+    *  - edges normalize once — min weight per (src, dst) keeps the
+    *    lightest parallel edge — on a hash(src) layout built by ONE
+    *    exchange (hash(src) satisfies the (src, dst) clustering, so
+    *    the dedup aggregates partition-locally), then persist (NOT
+    *    checkpoint: outputPartitioning retention) as the stationary
+    *    frame every round's frontier join probes;
+    *  - a round relaxes only edges out of LAST ROUND'S IMPROVED
+    *    nodes (sparse Bellman-Ford — equal to the dense iterate
+    *    because every ≤ t-edge path's prefix improves, or is
+    *    already beaten, by round t), shuffling one node-sized
+    *    frontier + one reachable-set-sized min-merge per round;
+    *  - dist and the improved frontier localCheckpoint per round
+    *    (round t must not re-execute rounds 1..t−1); the empty test
+    *    is one count on the materialized checkpoint.
+    *
+    * Output: (node, dist), every node reachable within `maxRounds`
+    * edges, seeds included at 0.
+    */
+  def shortestPaths(
+      edges: DataFrame, src: Column, dst: Column, weight: Column,
+      seeds: DataFrame, seed: Column, maxRounds: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges
+      .select(src.cast("long").as("src"), dst.cast("long").as("dst"),
+        weight.cast("long").as("w"))
+      .repartition(width, col("src"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(seed.cast("long").as("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val cand = e
+        .join(frontier.select(col("node").as("src"), col("d")), Seq("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+      val merged = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      val improved = merged
+        .join(dist.select(col("node"), col("d").as("_old")), Seq("node"), "left")
+        .filter(col("_old").isNull || col("d") < col("_old"))
+        .select(col("node"), col("d"))
+        .localCheckpoint()
+      if (improved.isEmpty) done = true
+      else {
+        dist = merged
+        frontier = improved
+      }
+      r += 1
+    }
+    e.unpersist(false)
+    dist
+  }
+
   /** Exact per-node triangle counts via degree-ordered orientation —
     * the standard communication-optimal distributed algorithm: orient
     * every undirected edge from its lower-(degree, id) endpoint to the

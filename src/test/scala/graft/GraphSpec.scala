@@ -133,6 +133,50 @@ class GraphSpec extends SparkSpec {
     assert(multi(7L) == 0L && multi(8L) == 1L && multi(5L) == 1L)
   }
 
+  test("shortestPaths equals driver Bellman-Ford (<= k-edge semantics, early stop, parallel edges)") {
+    // weighted digraph: a cheap long way round (0→1→2→3, weight 3)
+    // vs an expensive direct edge (0→3, weight 10) — at cap 1 the
+    // direct edge wins, at cap 3 the path wins; a parallel 0→1 edge
+    // of weight 7 must lose to the weight-1 edge; island unreachable
+    val edges = Seq(
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 10L),
+      (0L, 1L, 7L), (3L, 4L, 2L), (100L, 101L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("s")
+    // dense Bellman-Ford reference: after k rounds, dd(v) = min
+    // weight over paths from the seed using <= k edges
+    def bf(k: Int): Map[Long, Long] = {
+      val es = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 10L),
+        (0L, 1L, 7L), (3L, 4L, 2L), (100L, 101L, 1L))
+      var dd = Map(0L -> 0L)
+      for (_ <- 1 to k) {
+        val next = es.flatMap { case (u, v, w) => dd.get(u).map(du => v -> (du + w)) }
+        dd = (dd.toSeq ++ next).groupMapReduce(_._1)(_._2)(math.min)
+      }
+      dd
+    }
+    for (k <- Seq(1, 2, 3, 6)) {
+      val got = Graph.shortestPaths(edges, col("src"), col("dst"), col("w"),
+          seeds, col("s"), maxRounds = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bf(k), s"maxRounds=$k: $got vs ${bf(k)}")
+    }
+    // cap 1: expensive direct edge; cap 3: the cheap path replaces it
+    val d1 = Graph.shortestPaths(edges, col("src"), col("dst"), col("w"),
+      seeds, col("s"), maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1(3L) == 10L)
+    val d3 = Graph.shortestPaths(edges, col("src"), col("dst"), col("w"),
+      seeds, col("s"), maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3(3L) == 3L && d3(1L) == 1L && !d3.contains(100L))
+    // early stop: a huge cap converges to the true SSSP (node 4 = 5)
+    val dBig = Graph.shortestPaths(edges, col("src"), col("dst"), col("w"),
+      seeds, col("s"), maxRounds = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dBig == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 5L))
+  }
+
   test("temperatureSample flattens big sources and passes small ones whole") {
     val df = (1L to 2000L).map(i => (i, if (i <= 1900) "big" else "small"))
       .toDF("doc_id", "source")
