@@ -497,10 +497,13 @@ object TextAnalysis {
   }
 
   /** The [[cosinePairs]] pipeline's intermediate frames, shared with
-    * the [[cosinePairStats]] funnel report.
+    * the [[cosinePairStats]] funnel report. `counted` carries one row
+    * per candidate pair with its shared-gram count (a candidate
+    * always matches ≥ 1 gram — it CAME from a shared prefix gram),
+    * plus the verification predicate as `_ok`.
     */
   private final case class CosineStages(
-      cc: Dedup.ContentClasses, prefix: DataFrame, cand: DataFrame,
+      cc: Dedup.ContentClasses, prefix: DataFrame, counted: DataFrame,
       repPairs: DataFrame)
 
   private def cosineStages(
@@ -537,12 +540,14 @@ object TextAnalysis {
       .join(toks.select(col("rep").as("id_b"), col("tok")), Seq("id_b", "tok"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
+      .withColumn("_ok",
+        col("c") * col("c") * den2 >= lit(num2) * col("na") * col("nb"))
     val repPairs = counted
-      .filter(col("c") * col("c") * den2 >= lit(num2) * col("na") * col("nb"))
+      .filter(col("_ok"))
       .select(col("id_a"), col("id_b"),
         (col("c").cast("double") /
           sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
-    CosineStages(cc, prefix, cand, repPairs)
+    CosineStages(cc, prefix, counted, repPairs)
   }
 
   /** The [[cosinePairs]] FUNNEL, one row: distinct-content classes
@@ -553,16 +558,27 @@ object TextAnalysis {
     * corpus-statistics-dependent (df distribution), so a
     * degenerate-corpus blowup must be visible from an artifact —
     * n_candidates IS the quadratic-risk number to watch at scale
-    * (r11 verdict item 4). Costs one extra pass over the same
-    * stages; all counts are exact integers a SQL oracle replays.
+    * (r11 verdict item 4). All counts are exact integers a SQL
+    * oracle replays.
+    *
+    * TWO subtrees, not four (a crossJoin of four independent
+    * aggregations re-executed the shared collapse/prefix pipeline
+    * once per count — 39 Exchanges at sf0.01): every class keeps
+    * ≥ 1 prefix row (the prefix bound is ≥ 1), so n_classes is
+    * countDistinct(rep) OVER the prefix frame; and every candidate
+    * pair matches ≥ 1 shared gram, so n_candidates/n_verified are
+    * one count/count-if over the verified-flagged count frame.
     */
   def cosinePairStats(
       docs: DataFrame, id: Column, text: Column,
       n: Int = 5, simNum: Int = 3, simDen: Int = 5): DataFrame = {
     val s = cosineStages(docs, id, text, n, simNum, simDen)
-    s.cc.classes.agg(count(lit(1)).as("n_classes"))
-      .crossJoin(s.prefix.agg(count(lit(1)).as("n_prefix_rows")))
-      .crossJoin(s.cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(s.repPairs.agg(count(lit(1)).as("n_verified")))
+    s.prefix
+      .agg(countDistinct(col("rep")).as("n_classes"),
+        count(lit(1)).as("n_prefix_rows"))
+      .crossJoin(s.counted.agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("_ok"), 1L).otherwise(0L)), lit(0L))
+          .as("n_verified")))
   }
 }
