@@ -1129,6 +1129,23 @@ object SparkEntry {
           col("ts_us"), col("event_id"))
     },
 
+    "q_incremental_join" -> { (s, dir) =>
+      // delta-join maintenance (ops/Incremental.deltaJoin): with
+      // orders/customer split into base + insert-only delta, emit
+      // exactly the NEW join rows — three joins where every join has
+      // a small delta probe side, the materialized base x base result
+      // untouched. The oracle checks the IDENTITY, not the algebra:
+      // full join restricted to rows touching either delta.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.Incremental.deltaJoin(
+        o.filter(col("o_orderkey") % 10 =!= 0),
+        o.filter(col("o_orderkey") % 10 === 0),
+        c.filter(col("c_custkey") % 7 =!= 0),
+        c.filter(col("c_custkey") % 7 === 0),
+        col("o_custkey"), col("c_custkey"))
+    },
+
     "q_scd2_history" -> { (s, dir) =>
       // slowly-changing-dimension type 2: each user's event stream
       // becomes versioned attribute rows with [valid_from, valid_to)
@@ -2368,6 +2385,14 @@ object SparkEntry {
     // bit-identical to q_pagerank by the absorbing-fixpoint argument
     // (see the query comment) — deliberately the SAME oracle
     "q_pagerank_conv" -> OracleSqlGen.sql("q_pagerank"),
+
+    // the delta-join identity from the OTHER side: the new rows of
+    // (A∪ΔA)⋈(B∪ΔB) are exactly the full-join rows touching either
+    // delta — independent of the three-term algebra the engine runs
+    "q_incremental_join" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 10 = 0 OR c_custkey % 7 = 0""".stripMargin,
 
     // the planner's output is arm-invariant, so the oracle is the
     // plain join — WHICH physical arm ran is pinned by the spec

@@ -56,4 +56,36 @@ object Incremental {
       col("k"), col("n"),
       col("sum_v").cast("double").as("sum_v"),
       col("min_v"), col("max_v"))
+
+  /** Incremental INNER-JOIN maintenance: given a join result already
+    * materialized over bases (A, B) and insert-only deltas (ΔA, ΔB),
+    * return exactly the NEW join rows — the delta-join identity
+    *
+    *   (A∪ΔA) ⋈ (B∪ΔB)  =  A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+    *
+    * (disjoint union for insert-only deltas: every output row pairs
+    * one left with one right row, and each combination falls in
+    * exactly one of the four terms by which side(s) its rows came
+    * from). This is the 100 TB pattern that turns a nightly re-join
+    * of two full tables into three joins where EVERY join has a
+    * delta side: the deltas are the small probes (Catalyst
+    * broadcasts them when they fit), the base tables are scanned
+    * once each, and the already-materialized A⋈B is never touched.
+    *
+    * Output: the three delta terms unioned, columns `left ++ right`
+    * (the [[AdaptiveJoin]] contract — disjoint column names).
+    */
+  def deltaJoin(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column): DataFrame = {
+    require(
+      baseLeft.columns.toSet.intersect(baseRight.columns.toSet).isEmpty,
+      "deltaJoin: left/right column names must be disjoint")
+    val cond = leftKey === rightKey
+    val outCols = (baseLeft.columns ++ baseRight.columns).map(col).toSeq
+    deltaLeft.join(baseRight, cond).select(outCols: _*)
+      .unionByName(baseLeft.join(deltaRight, cond).select(outCols: _*))
+      .unionByName(deltaLeft.join(deltaRight, cond).select(outCols: _*))
+  }
 }

@@ -50,6 +50,43 @@ class IncrementalSpec extends SparkSpec {
     assert(canon(folded) == want)
   }
 
+  test("deltaJoin emits exactly the full-join rows touching a delta (multiplicities kept)") {
+    // duplicate keys on BOTH sides so multiplicity matters: the
+    // delta-join must equal full-join minus base-join as MULTISETS
+    val left = Seq((1L, 10L, "l1"), (2L, 10L, "l2"), (3L, 20L, "l3"),
+      (4L, 20L, "l4"), (5L, 30L, "l5"), (6L, 99L, "l6"))
+      .toDF("lid", "lk", "lpay")
+    val right = Seq((100L, 10L, "r1"), (101L, 10L, "r2"),
+      (102L, 20L, "r3"), (103L, 40L, "r4"))
+      .toDF("rid", "rk", "rpay")
+    val (bl, dl) = (left.filter($"lid" % 2 === 1), left.filter($"lid" % 2 === 0))
+    val (br, dr) = (right.filter($"rid" % 2 === 1), right.filter($"rid" % 2 === 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val got = rows(Incremental.deltaJoin(
+      bl, dl, br, dr, col("lk"), col("rk")))
+    val full = left.join(right, $"lk" === $"rk")
+    val base = bl.join(br, $"lk" === $"rk")
+    val want = rows(full.exceptAll(base)
+      .select(left.columns.map(col) ++ right.columns.map(col): _*))
+    assert(got == want && got.nonEmpty)
+    // empty deltas -> empty result; one-sided delta still joins base
+    assert(Incremental.deltaJoin(
+      left, left.limit(0), right, right.limit(0),
+      col("lk"), col("rk")).isEmpty)
+    val oneSided = rows(Incremental.deltaJoin(
+      left, left.limit(0), br, dr, col("lk"), col("rk")))
+    val wantOne = rows(left.join(dr, $"lk" === $"rk")
+      .select(left.columns.map(col) ++ right.columns.map(col): _*))
+    assert(oneSided == wantOne)
+    // column-name collision rejected
+    val e = intercept[IllegalArgumentException] {
+      Incremental.deltaJoin(left, dl,
+        right.withColumnRenamed("rid", "lid"), dr, col("lk"), col("rk"))
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("repetition stats on hand-checked docs") {
     val df = Seq(
       (1L, "a a a a"),        // bigrams: aa,aa,aa → dup 2/3; top 4/4
