@@ -1122,9 +1122,14 @@ d0 AS (
     # from any nation-0 supplier; the engine's sparse frontier rounds
     # compute the identical iterate), edge weight = min shipment
     # quantity per customer<->supplier pair ----
+    # MATERIALIZED on every w{i}: each round references the previous
+    # round TWICE (carry + relax), so inlining doubles the plan per
+    # round — 2^3 copies of the 60M-row edge build at sf10 spilled
+    # 70+ GB of DuckDB temp before dying; materialized, the chain is
+    # linear and the sf10 oracle runs in-memory
     sssp_rounds = []
     for i in range(1, 4):
-        sssp_rounds.append(f"""w{i} AS (
+        sssp_rounds.append(f"""w{i} AS MATERIALIZED (
  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
   SELECT node, d FROM w{i-1}
   UNION ALL
@@ -1133,14 +1138,15 @@ d0 AS (
  GROUP BY node)""")
     sssp_body = ",\n".join(sssp_rounds)
     o["q_sssp"] = f"""
-WITH p AS (
+WITH p AS MATERIALIZED (
  SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
   CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst,
   CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
  GROUP BY 1, 2),
-e AS (SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
-w0 AS (
+e AS MATERIALIZED (
+ SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
+w0 AS MATERIALIZED (
  SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node,
   CAST(0 AS BIGINT) AS d
  FROM supplier WHERE s_nationkey = 0),

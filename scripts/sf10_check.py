@@ -725,6 +725,12 @@ if selected("txt_cosine_pairs"):
 for _name in ["txt_cosine_stats", "ds_split_leakage_safe"]:
     if selected(_name):
         check_full(_name)
+# r12 relational/graph additions whose full oracles stay tractable at
+# 100x (group-agg / restricted join / 3 dense BF rounds / seat replay)
+for _name in ["q_adaptive_join", "q_incremental_join", "q_sssp",
+              "ds_alloc_budget"]:
+    if selected(_name):
+        check_full(_name)
 
 # cumulative artifact: a rerun of a subset merges over prior rows
 if os.path.exists(JSON_OUT):
