@@ -520,6 +520,28 @@ SELECT
  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
  (SELECT CAST(count(*) AS BIGINT) FROM ver) AS n_verified"""
 
+    # ---- txt_jaccard_pairs: exact all-pairs set JACCARD >= 1/3 over
+    # distinct word 5-gram sets, brute-forced via the same FULL
+    # shared-gram self-join as the cosine twin — independent of the
+    # engine's prefix-filtered plan; verify c*(p+q) >= p*(na+nb) stays
+    # integer, the emitted jaccard is one exact divide ----
+    o["txt_jaccard_pairs"] = f"""
+WITH g AS (
+ SELECT doc_id, unnest({grams5}) AS tok
+ FROM (SELECT doc_id, {toks} AS toks FROM documents) _t
+ WHERE len(toks) >= 5),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+c AS (
+ SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+ FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id
+ GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+ CAST(c.c AS DOUBLE) / CAST(sa.n + sb.n - c.c AS DOUBLE) AS jaccard
+FROM c
+JOIN sz sa ON sa.doc_id = c.id_a
+JOIN sz sb ON sb.doc_id = c.id_b
+WHERE c.c * 4 >= sa.n + sb.n"""
+
     # ---- ds_*: deterministic sampling/splitting/mixing — the
     # per-mille bucket is (splitmix64(id+salt) >>> 1) % mod ----
     def bucket(id_expr, salt, mod):
@@ -1173,6 +1195,52 @@ g AS (
   CAST({dp_geo(2026 * 2 + 2)} AS BIGINT) AS g2
  FROM c)
 SELECT key, n, g1 - g2 AS noise, n + g1 - g2 AS n_dp FROM g"""
+
+    # ---- q_itemsets: pairwise frequent itemsets over order baskets
+    # (Mining.pairCooccurrence) — pair support via the basket
+    # self-join (the engine fans out C(k,2) pairs map-side from
+    # per-basket arrays; counts are identical), confidence/lift as
+    # single exact-integer divides ----
+    o["q_itemsets"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+i AS (SELECT item, CAST(count(*) AS BIGINT) AS item_n FROM b GROUP BY item),
+p AS (
+ SELECT a.item AS item_a, c.item AS item_b,
+  CAST(count(*) AS BIGINT) AS pair_n
+ FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+ GROUP BY 1, 2
+ HAVING count(*) >= 2)
+SELECT item_a, item_b, pair_n, na.item_n AS n_a, nb.item_n AS n_b,
+ tot.n_baskets,
+ CAST(pair_n AS DOUBLE) / CAST(na.item_n AS DOUBLE) AS confidence,
+ CAST(pair_n * tot.n_baskets AS DOUBLE)
+   / CAST(na.item_n * nb.item_n AS DOUBLE) AS lift
+FROM p
+JOIN i na ON na.item = item_a
+JOIN i nb ON nb.item = item_b
+CROSS JOIN tot"""
+
+    # ---- q_event_pattern: MATCH_RECOGNIZE-lite — per-user ordered
+    # symbol stream, non-overlapping regex scan. The pattern is
+    # SCAN-DETERMINISTIC (v[^vp]*p: the negated class pins each
+    # match's end at the first terminal symbol), so leftmost-first
+    # (JDK) and leftmost-longest (RE2) engines agree match-for-match
+    sym = ("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'"
+           " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'"
+           " ELSE 'e' END")
+    o["q_event_pattern"] = f"""
+WITH s AS (
+ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  string_agg({sym}, '' ORDER BY epoch_us(ts), event_id) AS str
+ FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+ CAST(len(regexp_extract_all(str, 'v[^vp]*p')) AS BIGINT) AS n_matches,
+ CAST(coalesce(list_max(list_transform(
+   regexp_extract_all(str, 'v[^vp]*p'), m -> len(m) - 2)), -1)
+  AS BIGINT) AS max_gap
+FROM s"""
 
     # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
     # size-ratio prefilter is sound (J <= min/max sizes) ----

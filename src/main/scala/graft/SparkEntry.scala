@@ -755,6 +755,17 @@ object SparkEntry {
         t(s, dir, "documents"), col("doc_id"), col("text"))
     },
 
+    "txt_jaccard_pairs" -> { (s, dir) =>
+      // exact all-pairs set-JACCARD >= 1/3 over word 5-gram sets:
+      // the exact-recall sibling of txt_cosine_pairs for the measure
+      // dd_ngram_jaccard only LSH-estimates candidates for — same
+      // collapse -> df-ordered prefix filter -> integer verify ->
+      // member expansion core, Jaccard's own overlap/size/verify
+      // bounds (llm/TextAnalysis.jaccardPairs)
+      TextAnalysis.jaccardPairs(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     "txt_char_stats" -> { (s, dir) =>
       TextAnalysis.charStats(t(s, dir, "documents"), col("doc_id"), col("text"))
     },
@@ -1597,6 +1608,32 @@ object SparkEntry {
       // checks the mechanism bit-for-bit
       graft.ops.Privacy.dpCounts(
         t(s, dir, "events"), col("event_type"), salt = 2026L)
+    },
+
+    "q_itemsets" -> { (s, dir) =>
+      // pairwise frequent itemsets over order baskets: part pairs
+      // co-ordered in >= 2 orders with exact support counts plus
+      // confidence/lift (ops/Mining.pairCooccurrence — map-side
+      // C(k,2) pair fan-out from per-basket arrays, one hash-agg
+      // shuffle, broadcast item supports)
+      graft.ops.Mining.pairCooccurrence(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
+    },
+
+    "q_event_pattern" -> { (s, dir) =>
+      // MATCH_RECOGNIZE-lite CEP: per-user view->purchase conversions
+      // with any non-view/non-purchase events between — a scan-
+      // deterministic regex (v[^vp]*p) over each user's (ts,
+      // event_id)-ordered symbol stream, so JDK and RE2 engines
+      // agree match-for-match (ops/Mining.eventPatterns)
+      val e = t(s, dir, "events")
+      graft.ops.Mining.eventPatterns(
+        e, col("user_id"), eventUs(e, "ts"), col("event_id"),
+        expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'" +
+          " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'" +
+          " ELSE 'e' END"),
+        "v[^vp]*p")
+        .withColumnRenamed("key", "user_id")
     },
 
     // --- per-key winsorization at exact p05/p95 ---

@@ -496,23 +496,47 @@ object TextAnalysis {
     Dedup.expandClassPairs(s.repPairs, s.cc, "cosine", lit(1.0))
   }
 
-  /** The [[cosinePairs]] pipeline's intermediate frames, shared with
-    * the [[cosinePairStats]] funnel report. `counted` carries one row
+  /** The prefix-filtered all-pairs pipeline's intermediate frames,
+    * shared by the cosine and Jaccard instantiations and the
+    * [[cosinePairStats]] funnel report. `counted` carries one row
     * per candidate pair with its shared-gram count (a candidate
     * always matches ≥ 1 gram — it CAME from a shared prefix gram),
     * plus the verification predicate as `_ok`.
     */
-  private final case class CosineStages(
+  private final case class PairStages(
       cc: Dedup.ContentClasses, prefix: DataFrame, counted: DataFrame,
       repPairs: DataFrame)
 
-  private def cosineStages(
-      docs: DataFrame, id: Column, text: Column,
-      n: Int, simNum: Int, simDen: Int): CosineStages = {
+  /** The shared prefix-filter all-pairs core under [[cosinePairs]]
+    * and [[jaccardPairs]]: collapse to distinct content, sort each
+    * doc's grams in the canonical (global df ASC, gram ASC) order,
+    * index/probe only each doc's first |A| − ⌈ovNum·|A|/ovDen⌉ + 1
+    * grams, prune candidates by the measure's size-ratio bound, then
+    * verify candidates EXACTLY from the full gram lists with an
+    * integer predicate.
+    *
+    * The instantiations differ only in the minimum-overlap fraction
+    * `ovNum/ovDen` (a qualifying pair must share ≥ ⌈ov·|A|⌉ grams
+    * with EITHER side: t² for cosine — c ≥ t·√(na·nb) ≥ t²·max — and
+    * t for Jaccard — c ≥ t/(1+t)·(na+nb) ≥ t·max, using min ≥ t·max),
+    * the size prune, the verify predicate, and the emitted similarity.
+    * Prefix soundness is measure-independent given the overlap bound:
+    * the canonically SMALLEST shared gram must sit inside both
+    * prefixes — if it fell outside doc A's, every shared gram would
+    * sit in A's ⌈ov·na⌉−1 suffix, fewer than the overlap the
+    * threshold forces — so the equi-join on prefix grams finds every
+    * qualifying pair on the same gram. df-ascending order is also
+    * the skew guard: the corpus's hottest grams sort LAST and fall
+    * out of every prefix, so candidate buckets are keyed by rare
+    * grams — no cap, nothing dropped, exact recall.
+    */
+  private def pairStages(
+      docs: DataFrame, id: Column, text: Column, n: Int,
+      ovNum: Long, ovDen: Long,
+      sizeOk: (Column, Column) => Column,
+      verified: (Column, Column, Column) => Column,
+      sim: (Column, Column, Column) => Column): PairStages = {
     import org.apache.spark.sql.expressions.Window
-    require(simNum > 0 && simNum <= simDen, "threshold must be in (0, 1]")
-    val num2 = simNum.toLong * simNum
-    val den2 = simDen.toLong * simDen
     val idDf = docs
       .select(id.as("doc_id"), text.as("_text"))
       .filter(size(F.wordNgrams(col("_text"), n)) > 0)
@@ -525,13 +549,12 @@ object TextAnalysis {
     val prefix = toks.join(dfreq, "tok")
       .withColumn("pos", row_number().over(wDoc).cast("long"))
       .withColumn("nsz", count(lit(1)).over(Window.partitionBy(col("rep"))))
-      .filter(expr(s"pos <= nsz - (nsz * $num2 + ${den2 - 1}) div $den2 + 1"))
+      .filter(expr(s"pos <= nsz - (nsz * $ovNum + ${ovDen - 1}) div $ovDen + 1"))
     val cand = prefix.select(col("tok"), col("rep").as("id_a"), col("nsz").as("na"))
       .join(prefix.select(col("tok"), col("rep").as("id_b"), col("nsz").as("nb")),
         Seq("tok"))
       .filter(col("id_a") < col("id_b"))
-      .filter(lit(num2) * greatest(col("na"), col("nb")) <=
-        lit(den2) * least(col("na"), col("nb")))
+      .filter(sizeOk(col("na"), col("nb")))
       // (na, nb) are functions of the ids — carrying them through the
       // dedup and the count keys saves two size joins later
       .select(col("id_a"), col("id_b"), col("na"), col("nb")).distinct()
@@ -540,14 +563,62 @@ object TextAnalysis {
       .join(toks.select(col("rep").as("id_b"), col("tok")), Seq("id_b", "tok"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("_ok",
-        col("c") * col("c") * den2 >= lit(num2) * col("na") * col("nb"))
+      .withColumn("_ok", verified(col("c"), col("na"), col("nb")))
     val repPairs = counted
       .filter(col("_ok"))
-      .select(col("id_a"), col("id_b"),
-        (col("c").cast("double") /
-          sqrt((col("na") * col("nb")).cast("double"))).as("cosine"))
-    CosineStages(cc, prefix, counted, repPairs)
+      .select(col("id_a"), col("id_b"), sim(col("c"), col("na"), col("nb")))
+    PairStages(cc, prefix, counted, repPairs)
+  }
+
+  private def cosineStages(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int, simNum: Int, simDen: Int): PairStages = {
+    require(simNum > 0 && simNum <= simDen, "threshold must be in (0, 1]")
+    val num2 = simNum.toLong * simNum
+    val den2 = simDen.toLong * simDen
+    pairStages(docs, id, text, n, ovNum = num2, ovDen = den2,
+      sizeOk = (na, nb) =>
+        lit(num2) * greatest(na, nb) <= lit(den2) * least(na, nb),
+      verified = (c, na, nb) => c * c * den2 >= lit(num2) * na * nb,
+      sim = (c, na, nb) =>
+        (c.cast("double") / sqrt((na * nb).cast("double"))).as("cosine"))
+  }
+
+  /** All-pairs set-JACCARD similarity over word n-gram sets — the
+    * exact-recall sibling of [[cosinePairs]] for the measure
+    * [[graft.llm.Dedup.ngramJaccard]] only estimates candidates for:
+    * every unordered doc pair with J(A, B) = |A∩B| / |A∪B| ≥
+    * `simNum/simDen` over their DISTINCT word `n`-gram sets, with the
+    * EXACT Jaccard. `dd_ngram_jaccard`'s recall is bounded by its
+    * MinHash-LSH candidate pass; this pass prunes with the classic
+    * prefix filter instead of banding and misses nothing.
+    *
+    * Threshold arithmetic is EXACT — t = simNum/simDen stays
+    * rational. A qualifying pair has c = |A∩B| ≥ t·(na+nb−c), i.e.
+    * c·(simNum+simDen) ≥ simNum·(na+nb) — the integer verify
+    * predicate — and min/max ≥ J ≥ t gives the size prune
+    * simNum·max ≤ simDen·min and the per-doc overlap bound
+    * c ≥ t/(1+t)·(na+nb) ≥ t/(1+t)·(1+t)·max = t·max that drives the
+    * prefix length |A| − ⌈t·|A|⌉ + 1 (see [[pairStages]]). The
+    * emitted jaccard is one integer-exact divide both engines
+    * compute bit-identically.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b, member-level
+    * (verified rep pairs re-expand through content classes at pinned
+    * width; within-class pairs are Jaccard exactly 1).
+    */
+  def jaccardPairs(
+      docs: DataFrame, id: Column, text: Column,
+      n: Int = 5, simNum: Int = 1, simDen: Int = 3): DataFrame = {
+    require(simNum > 0 && simNum <= simDen, "threshold must be in (0, 1]")
+    val p = simNum.toLong
+    val q = simDen.toLong
+    val s = pairStages(docs, id, text, n, ovNum = p, ovDen = q,
+      sizeOk = (na, nb) => lit(p) * greatest(na, nb) <= lit(q) * least(na, nb),
+      verified = (c, na, nb) => c * (p + q) >= lit(p) * (na + nb),
+      sim = (c, na, nb) =>
+        (c.cast("double") / (na + nb - c).cast("double")).as("jaccard"))
+    Dedup.expandClassPairs(s.repPairs, s.cc, "jaccard", lit(1.0))
   }
 
   /** The [[cosinePairs]] FUNNEL, one row: distinct-content classes

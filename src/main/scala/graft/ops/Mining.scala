@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pattern mining over relational streams (SURVEY.md §2): pairwise
+  * frequent-itemset / association-rule mining (the SON / "baskets"
+  * problem, pairwise tier) and regex sequence matching over per-key
+  * ordered event streams (MATCH_RECOGNIZE-lite CEP). Reference
+  * analog: the weekly-alignments script's pandas groupbys stop at
+  * single-column counts (ref: weekly alignments GQL API.py:422-436);
+  * these are the co-occurrence analyses a pipeline grows into.
+  */
+object Mining {
+
+  /** Pairwise frequent itemsets + association-rule statistics:
+    * every unordered item pair co-occurring in ≥ `minPairs` baskets,
+    * with the exact counts a rule miner needs — pair support, each
+    * item's support, basket total — plus confidence(a→b) and lift as
+    * single integer-exact divides.
+    *
+    * Scale shape: ONE shuffle builds the per-basket distinct item
+    * arrays (collect_set dedups map-side inside the hash aggregate);
+    * pair generation is MAP-SIDE from each array via codegen
+    * higher-order functions — for basket size k the fan-out is
+    * C(k, 2), bounded by the largest basket, never by the corpus —
+    * and the pair count is one map-combined hash aggregate keyed by
+    * (item_a, item_b). Item supports aggregate from the same arrays
+    * (items per basket are already distinct) and join BROADCAST onto
+    * the pair frame: the item-support frame is item-cardinality
+    * sized, orders of magnitude under the pair frame at any scale.
+    * A hot item inflates only the pairs it actually co-occurs in —
+    * there is no per-item bucket to cap, so no recall trade. The
+    * basket total rides a 1-row cross join (broadcast NestedLoop).
+    *
+    * Output: (item_a, item_b, pair_n, n_a, n_b, n_baskets,
+    * confidence, lift), item_a < item_b, confidence = pair_n/n_a,
+    * lift = pair_n·N / (n_a·n_b).
+    */
+  def pairCooccurrence(
+      df: DataFrame, basket: Column, item: Column,
+      minPairs: Long = 2L): DataFrame = {
+    val arrs = df.select(basket.as("basket"), item.as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+    // i < j index pairs from the sorted array: for element x at
+    // 0-based i, pair with every element of the (i+2)-based slice
+    val pairs = arrs.select(explode(flatten(transform(col("items"),
+        (x, i) => transform(
+          slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairs)
+    val itemN = arrs
+      .select(explode(col("items")).as("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("item_n"))
+    val totals = arrs.agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(itemN.select(
+        col("item").as("item_a"), col("item_n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemN.select(
+        col("item").as("item_b"), col("item_n").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("item_a"), col("item_b"), col("pair_n"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        (col("pair_n").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("pair_n") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  /** Regex sequence matching over per-key ordered event streams —
+    * MATCH_RECOGNIZE-lite: each key's events sort by (ts, then the
+    * id tiebreak), map to single-character symbols, and the pattern
+    * runs as a standard non-overlapping regex scan over the symbol
+    * string. The pattern must be SCAN-DETERMINISTIC — every possible
+    * match from a given start position has a unique end (e.g.
+    * `v[^vp]*p`: the negated class pins the end at the first
+    * terminal symbol) — so leftmost-first (JDK) and
+    * leftmost-longest (RE2-family) engines produce the identical
+    * match set and any SQL oracle replays it bit-for-bit.
+    *
+    * Per key this is one ordered collect (keys are bounded —
+    * sessions, users, devices; an unbounded key stream sessionizes
+    * first, see [[Sessionize]]) and the regex scan is linear in the
+    * symbol string for patterns of this shape. The corpus-sized work
+    * is the single groupBy(key) shuffle; everything after is
+    * key-cardinality sized.
+    *
+    * Output: (key, n_events, n_matches, max_gap) — max_gap is the
+    * largest number of intervening symbols inside any match
+    * (length − 2 under a 2-anchor pattern), −1 when the key has no
+    * match.
+    */
+  def eventPatterns(
+      df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      symbol: Column, pattern: String): DataFrame = {
+    val ordered = df
+      .select(key.as("key"), struct(ts, tiebreak, symbol.as("sym")).as("e"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("e"))),
+          e => e.getField("sym")), "").as("_str"))
+    ordered
+      .withColumn("_m", regexp_extract_all(col("_str"), lit(pattern), lit(0)))
+      .select(
+        col("key"), col("n_events"),
+        size(col("_m")).cast("long").as("n_matches"),
+        coalesce(
+          array_max(transform(col("_m"), m => length(m) - 2)).cast("long"),
+          lit(-1L)).as("max_gap"))
+  }
+}

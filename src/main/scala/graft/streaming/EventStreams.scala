@@ -396,6 +396,52 @@ object EventStreams {
       }
   }
 
+  /** One CEP match from [[patternMatches]]: the event that CLOSED the
+    * match and the number of intervening events inside it.
+    */
+  case class PatternOut(user_id: Long, end_event_id: Long, gap: Long)
+
+  /** Streaming CEP (twin of the batch `q_event_pattern`): the
+    * scan-deterministic pattern `v[^vp]*p` run as a per-key 2-state
+    * automaton instead of a regex over a materialized string —
+    * O(2 longs) state per user, no symbol history retained, which is
+    * the point: the batch operator collects each key's full ordered
+    * stream, the stream can't.
+    *
+    * Automaton = the regex's non-overlapping scan, exactly: a `v`
+    * ARMS (and re-arms — a later `v` before any `p` is where the
+    * regex scan restarts after the earlier start fails on the
+    * intervening `v`, so gap resets); a `p` while armed EMITS the
+    * match with the accumulated gap and disarms; any other symbol
+    * while armed grows the gap. In-batch order is (ts, event_id) —
+    * the batch twin's rule; cross-batch is arrival order (the
+    * `st_attribution` trade, stated). A match straddling micro-
+    * batches (v arrives, p arrives batches later) emits from
+    * recovered state.
+    */
+  def patternMatches(events: Dataset[Event]): Dataset[PatternOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Boolean, Long), PatternOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Boolean, Long)]) =>
+          var (armed, gap) = state.getOption.getOrElse((false, 0L))
+          val out = Seq.newBuilder[PatternOut]
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" => armed = true; gap = 0L
+              case "purchase" =>
+                if (armed) { out += PatternOut(userId, e.event_id, gap) }
+                armed = false
+              case _ => if (armed) gap += 1L
+            }
+          }
+          state.update((armed, gap))
+          out.result().iterator
+      }
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)

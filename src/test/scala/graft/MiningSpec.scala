@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Mining
+import graft.llm.TextAnalysis
+
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairCooccurrence counts pair/item supports, confidence and lift") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a} — pair (a,b) support 2, the
+    // rest support 1; a basket row repeated must not double-count
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "b"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("basket", "item")
+    val out = Mining.pairCooccurrence(df, col("basket"), col("item"),
+        minPairs = 2)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect()
+    assert(out.toSeq == Seq(("a", "b", 2L, 3L, 2L, 3L, 2.0 / 3.0, 1.0)))
+  }
+
+  test("pairCooccurrence minPairs=1 emits every co-occurring pair, item_a < item_b") {
+    val df = Seq((1L, "c"), (1L, "a"), (1L, "b"), (2L, "b"), (2L, "a"))
+      .toDF("basket", "item")
+    val out = Mining.pairCooccurrence(df, col("basket"), col("item"),
+        minPairs = 1)
+      .select(col("item_a"), col("item_b"), col("pair_n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // single-item baskets contribute no pairs but do count in totals
+    val one = Seq((1L, "a"), (2L, "b")).toDF("basket", "item")
+    assert(Mining.pairCooccurrence(one, col("basket"), col("item"), 1).isEmpty)
+  }
+
+  test("eventPatterns: non-overlapping scan-deterministic matches, gaps, ties") {
+    // user 1: v c p | v e v p  -> matches "vcp" (gap 1) and "vp" (gap 0)
+    //   — the v at ts 4 fails (a later v intervenes), the inner v at
+    //   ts 6 starts its own match: the scan restarts AFTER a failed
+    //   start, not after its whole window
+    // user 2: p v c c  -> 0 matches, max_gap -1
+    // user 3: same ts everywhere — event_id is the tiebreak: order
+    //   (10,'v'), (11,'c'), (12,'p') matches once
+    val df = Seq(
+      (1L, 1L, 1L, "v"), (1L, 2L, 2L, "c"), (1L, 3L, 3L, "p"),
+      (1L, 4L, 4L, "v"), (1L, 5L, 5L, "e"), (1L, 6L, 6L, "v"),
+      (1L, 7L, 7L, "p"),
+      (2L, 1L, 1L, "p"), (2L, 2L, 2L, "v"), (2L, 3L, 3L, "c"),
+      (2L, 4L, 4L, "c"),
+      (3L, 5L, 12L, "p"), (3L, 5L, 10L, "v"), (3L, 5L, 11L, "c"))
+      .toDF("user", "ts", "eid", "sym")
+    val out = Mining.eventPatterns(df, col("user"), col("ts"), col("eid"),
+        col("sym"), "v[^vp]*p")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (k, n, m, g) => k -> ((n, m, g)) }.toMap
+    assert(out(1L) == ((7L, 2L, 1L)))
+    assert(out(2L) == ((4L, 0L, -1L)))
+    assert(out(3L) == ((3L, 1L, 1L)))
+  }
+
+  test("jaccardPairs is exact-recall: equals brute force, finds what banding may miss") {
+    // docs built from word 1-grams so set arithmetic is hand-checkable
+    def doc(words: String*): String = words.mkString(" ")
+    val docs = Seq(
+      // A and B: |A|=4, |B|=4, shared 2 -> J = 2/6 = 1/3 exactly (edge)
+      (1L, doc("a", "b", "c", "d")),
+      (2L, doc("c", "d", "e", "f")),
+      // C and D: shared 1 of 4+4 -> J = 1/7 < 1/3
+      (3L, doc("g", "h", "i", "j")),
+      (4L, doc("j", "k", "l", "m")),
+      // E duplicates A exactly -> within-class pair at jaccard 1.0,
+      // and E pairs with B at the same 1/3
+      (5L, doc("a", "b", "c", "d"))).toDF("doc_id", "text")
+    val out = TextAnalysis.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 1, simNum = 1, simDen = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1.0 / 3.0), (2L, 5L, 1.0 / 3.0), (1L, 5L, 1.0)))
+  }
+
+  test("jaccardPairs matches a driver brute force on a mixed corpus") {
+    val words = Seq("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    // deterministic synthetic docs: doc i holds words i..i+3 mod 8
+    val docs = (0 until 12).map { i =>
+      (i.toLong, (0 until 4).map(j => words((i + j) % 8)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 1, simNum = 2, simDen = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = (0 until 12).map { i =>
+      i.toLong -> (0 until 4).map(j => words((i + j) % 8)).toSet
+    }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = (sets(a) & sets(b)).size
+      u = (sets(a) | sets(b)).size
+      if c * 5 >= 2 * u
+    } yield (a, b, c.toDouble / u)).toSet
+    assert(got == want)
+  }
+}

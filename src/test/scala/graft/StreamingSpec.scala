@@ -148,6 +148,51 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L).event_id == 12L && last(2L).event_type == "click")
   }
 
+  test("streaming pattern automaton equals the batch regex, matches straddle batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val out = EventStreams.patternMatches(mem.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("patout").start()
+    // batch 1 (out of order in the batch — the (ts,id) sort applies):
+    // user 1 stream so far: v c p  -> match ends at 3, gap 1;
+    // then v e v — the re-arm: the second v resets the gap, exactly
+    // where the regex scan restarts after the intervening v
+    mem.addData(
+      Event(3, 30L * us, 1L, "purchase", 0.0),
+      Event(1, 10L * us, 1L, "view", 0.0),
+      Event(2, 20L * us, 1L, "click", 0.0),
+      Event(4, 40L * us, 1L, "view", 0.0),
+      Event(5, 50L * us, 1L, "error", 0.0),
+      Event(6, 60L * us, 1L, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: the p that closes the armed v from batch 1 — the match
+    // emits from RECOVERED state, gap 0 (the re-arm reset it);
+    // user 2 purchases without ever viewing: no match
+    mem.addData(
+      Event(7, 70L * us, 1L, "purchase", 0.0),
+      Event(20, 20L * us, 2L, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("patout").as[EventStreams.PatternOut]
+      .collect().map(r => r.end_event_id -> r.gap).toMap
+    assert(got == Map(3L -> 1L, 7L -> 0L))
+    // twin equivalence on the full prefix: the batch regex operator
+    // over the same nine events agrees on n_matches and max_gap
+    import spark.implicits._
+    val batch = Seq(
+      (1L, 10L, 1L, "v"), (1L, 20L, 2L, "c"), (1L, 30L, 3L, "p"),
+      (1L, 40L, 4L, "v"), (1L, 50L, 5L, "e"), (1L, 60L, 6L, "v"),
+      (1L, 70L, 7L, "p"), (2L, 20L, 20L, "p"))
+      .toDF("user_id", "ts", "eid", "sym")
+    val twin = graft.ops.Mining.eventPatterns(batch, col("user_id"),
+        col("ts"), col("eid"), col("sym"), "v[^vp]*p")
+      .select(col("key"), col("n_matches"), col("max_gap"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(twin(1L) == ((2L, 1L)) && twin(2L) == ((0L, -1L)))
+    assert(got.size == twin(1L)._1 && got.values.max == twin(1L)._2)
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
