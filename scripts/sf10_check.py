@@ -654,16 +654,19 @@ for _name in ["txt_char_stats", "txt_type_token"]:
         check_sampled(_name)
 
 
-def check_cosine_pairs():
-    """txt_cosine_pairs at 100x. The embedded brute-force oracle
-    self-joins RAW gram postings (df scales with replication — the
-    75 GB-spill shape), so this check brute-forces the rep level over
-    DISTINCT texts instead (cosine is a function of the texts, so
-    pairs(corpus) == expand(pairs(distinct)) is an identity, not an
-    engine assumption; the rep kernel itself stays plan-independent —
-    full shared-gram self-join, NO prefix filter) and expands to
-    member pairs in SQL. The ~25M-row comparison runs entirely in
-    DuckDB via EXCEPT ALL so pandas never materializes it."""
+def check_pairs_rep_level(name, sim_col, rep_sim, rep_where):
+    """txt_cosine_pairs / txt_jaccard_pairs at 100x. The embedded
+    brute-force oracles self-join RAW gram postings (df scales with
+    replication — the 75 GB-spill shape), so this check brute-forces
+    the rep level over DISTINCT texts instead (both measures are
+    functions of the texts, so pairs(corpus) == expand(pairs(
+    distinct)) is an identity, not an engine assumption; the rep
+    kernel itself stays plan-independent — full shared-gram
+    self-join, NO prefix filter) and expands to member pairs in SQL.
+    The ~25M-row comparison runs entirely in DuckDB via EXCEPT ALL so
+    pandas never materializes it. `rep_sim`/`rep_where` are the
+    measure's emitted value and integer qualifying predicate over
+    (c.c, sa.n, sb.n); within-class pairs are similarity exactly 1."""
     t0 = time.time()
     grams5 = ("list_distinct(list_transform(range(1, len(toks)-5+2), "
               "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
@@ -683,19 +686,18 @@ sz AS (SELECT rep, count(*) AS n FROM g GROUP BY rep),
 c AS (SELECT a.rep AS ra, b.rep AS rb, count(*) AS c
       FROM g a JOIN g b ON a.tok = b.tok AND a.rep < b.rep
       GROUP BY 1, 2),
-rp AS (SELECT c.ra, c.rb,
-        CAST(c.c AS DOUBLE) / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cosine
+rp AS (SELECT c.ra, c.rb, {rep_sim} AS sim
        FROM c JOIN sz sa ON sa.rep = c.ra JOIN sz sb ON sb.rep = c.rb
-       WHERE c.c * c.c * 25 >= 9 * sa.n * sb.n)
+       WHERE {rep_where})
 SELECT least(ma.doc_id, mb.doc_id) AS id_a,
-       greatest(ma.doc_id, mb.doc_id) AS id_b, r.cosine
+       greatest(ma.doc_id, mb.doc_id) AS id_b, r.sim
 FROM rp r JOIN mem ma ON ma.rep = r.ra JOIN mem mb ON mb.rep = r.rb
 UNION ALL
 SELECT ma.doc_id, mb.doc_id, 1.0
 FROM mem ma JOIN mem mb ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id""")
     con.sql(f"""CREATE OR REPLACE VIEW cp_got AS
-SELECT id_a, id_b, cosine
-FROM read_parquet('{OUT_DIR}/txt_cosine_pairs/*.parquet')""")
+SELECT id_a, id_b, {sim_col}
+FROM read_parquet('{OUT_DIR}/{name}/*.parquet')""")
     n_want = con.sql("SELECT count(*) FROM cp_want").fetchone()[0]
     n_got = con.sql("SELECT count(*) FROM cp_got").fetchone()[0]
     d1 = con.sql(
@@ -705,20 +707,28 @@ FROM read_parquet('{OUT_DIR}/txt_cosine_pairs/*.parquet')""")
         "SELECT count(*) FROM (SELECT * FROM cp_got EXCEPT ALL "
         "SELECT * FROM cp_want)").fetchone()[0]
     ok = n_want == n_got and d1 == 0 and d2 == 0
-    res["txt_cosine_pairs"] = {
+    res[name] = {
         "ok": bool(ok), "rows": int(n_got), "method": "python_exact",
         "note": (f"rep-level brute force over distinct texts + SQL member "
                  f"expansion, EXCEPT-ALL compare in DuckDB "
                  f"(want {n_want}, got {n_got}, diffs {d1}/{d2}), "
                  f"{time.time()-t0:.0f}s")}
-    print(f"  {'ok' if ok else 'FAIL'} txt_cosine_pairs: {n_got} rows "
+    print(f"  {'ok' if ok else 'FAIL'} {name}: {n_got} rows "
           f"[python_exact] want={n_want} diffs={d1}/{d2}", flush=True)
     json.dump({"partial": True, "queries": dict(sorted(res.items()))},
               open(JSON_OUT + ".partial", "w"), indent=1)
 
 
 if selected("txt_cosine_pairs"):
-    check_cosine_pairs()
+    check_pairs_rep_level(
+        "txt_cosine_pairs", "cosine",
+        "CAST(c.c AS DOUBLE) / sqrt(CAST(sa.n * sb.n AS DOUBLE))",
+        "c.c * c.c * 25 >= 9 * sa.n * sb.n")
+if selected("txt_jaccard_pairs"):
+    check_pairs_rep_level(
+        "txt_jaccard_pairs", "jaccard",
+        "CAST(c.c AS DOUBLE) / CAST(sa.n + sb.n - c.c AS DOUBLE)",
+        "c.c * 4 >= sa.n + sb.n")
 # the r12 funnel report and the component-keyed split: their embedded
 # oracles collapse to distinct content FIRST, so they stay tractable
 # at any replication factor
@@ -728,7 +738,10 @@ for _name in ["txt_cosine_stats", "ds_split_leakage_safe"]:
 # r12 relational/graph additions whose full oracles stay tractable at
 # 100x (group-agg / restricted join / 3 dense BF rounds / seat replay)
 for _name in ["q_adaptive_join", "q_incremental_join", "q_sssp",
-              "ds_alloc_budget"]:
+              "ds_alloc_budget",
+              # basket self-join pair counts / per-user string_agg +
+              # regex scan — both stay tractable at 100x
+              "q_itemsets", "q_event_pattern"]:
     if selected(_name):
         check_full(_name)
 

@@ -20,18 +20,23 @@ object Mining {
     * single integer-exact divides.
     *
     * Scale shape: ONE shuffle builds the per-basket distinct item
-    * arrays (collect_set dedups map-side inside the hash aggregate);
-    * pair generation is MAP-SIDE from each array via codegen
-    * higher-order functions — for basket size k the fan-out is
-    * C(k, 2), bounded by the largest basket, never by the corpus —
-    * and the pair count is one map-combined hash aggregate keyed by
-    * (item_a, item_b). Item supports aggregate from the same arrays
-    * (items per basket are already distinct) and join BROADCAST onto
-    * the pair frame: the item-support frame is item-cardinality
-    * sized, orders of magnitude under the pair frame at any scale.
-    * A hot item inflates only the pairs it actually co-occurs in —
-    * there is no per-item bucket to cap, so no recall trade. The
-    * basket total rides a 1-row cross join (broadcast NestedLoop).
+    * arrays (collect_set dedups map-side inside the hash aggregate),
+    * and that frame MATERIALIZES ONCE (localCheckpoint) — all three
+    * consumers (pair stream, item supports, basket total) read the
+    * materialized partitions; without it Catalyst re-executes the
+    * scan + basket aggregation per consumer (three executions,
+    * plan-spec-pinned). Pair generation is MAP-SIDE from each array
+    * via codegen higher-order functions — for basket size k the
+    * fan-out is C(k, 2), bounded by the largest basket, never by the
+    * corpus — and the pair count is one map-combined hash aggregate
+    * keyed by (item_a, item_b). Item supports aggregate from the
+    * same arrays (items per basket are already distinct) and join
+    * BROADCAST onto the pair frame: the item-support frame is
+    * item-cardinality sized, orders of magnitude under the pair
+    * frame at any scale. A hot item inflates only the pairs it
+    * actually co-occurs in — there is no per-item bucket to cap, so
+    * no recall trade. The basket total rides a 1-row cross join
+    * (broadcast NestedLoop).
     *
     * Output: (item_a, item_b, pair_n, n_a, n_b, n_baskets,
     * confidence, lift), item_a < item_b, confidence = pair_n/n_a,
@@ -43,6 +48,7 @@ object Mining {
     val arrs = df.select(basket.as("basket"), item.as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
+      .localCheckpoint()
     // i < j index pairs from the sorted array: for element x at
     // 0-based i, pair with every element of the (i+2)-based slice
     val pairs = arrs.select(explode(flatten(transform(col("items"),

@@ -305,6 +305,25 @@ class PlanSpec extends SparkSpec {
       "containment must not join")
   }
 
+  test("q_itemsets: map-side pair fan-out, broadcast supports, no basket self-join") {
+    val plan = physicalPlan("q_itemsets")
+    // the oracle's formulation is a basket self-join; the engine must
+    // instead fan pairs out map-side from per-basket arrays — any
+    // SortMergeJoin means the self-join shape crept in, and the
+    // item-support/total joins must broadcast (item-cardinality
+    // frames), never shuffle the pair stream
+    assert(!plan.contains("SortMergeJoin"),
+      "basket self-join shape — pair generation must be map-side")
+    assert(plan.contains("BroadcastHashJoin"), "supports must broadcast")
+    // the basket-array frame materializes ONCE: every consumer scans
+    // the checkpointed partitions, so the plan holds no collect_set
+    // re-execution and only the pair-count + item-support shuffles
+    assert(!plan.contains("collect_set"),
+      "basket aggregation re-executed — the checkpoint reuse is gone")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
+      s"unexpected extra shuffles:\n$plan")
+  }
+
   test("dd_incremental_lsh probes buckets via broadcast, never shuffles the corpus for the probe") {
     val plan = physicalPlan("dd_incremental_lsh")
     assert(plan.contains("BroadcastExchange"),
