@@ -542,6 +542,27 @@ JOIN sz sa ON sa.doc_id = c.id_a
 JOIN sz sb ON sb.doc_id = c.id_b
 WHERE c.c * 4 >= sa.n + sb.n"""
 
+    # ---- txt_collocations: word2vec phrase score over adjacent
+    # token bigrams — (n_xy - 5)*T / (n_x*n_y) for pairs seen >= 20
+    # times; all counts integer, the score ONE exact double divide ----
+    o["txt_collocations"] = f"""
+WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+bi AS (SELECT unnest(list_transform(range(1, len(w)),
+        i -> struct_pack(x := w[i], y := w[i+1]))) AS p
+       FROM t WHERE len(w) >= 2),
+uni AS (SELECT unnest(w) AS tok FROM t),
+ux AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM uni),
+bc AS (SELECT p.x AS x, p.y AS y, CAST(count(*) AS BIGINT) AS n_xy
+       FROM bi GROUP BY 1, 2 HAVING count(*) >= 20)
+SELECT x, y, n_xy, nx.n AS n_x, ny.n AS n_y, tot.n_tokens,
+ CAST((n_xy - 5) * tot.n_tokens AS DOUBLE)
+   / CAST(nx.n * ny.n AS DOUBLE) AS score
+FROM bc
+JOIN ux nx ON nx.tok = x
+JOIN ux ny ON ny.tok = y
+CROSS JOIN tot"""
+
     # ---- ds_*: deterministic sampling/splitting/mixing — the
     # per-mille bucket is (splitmix64(id+salt) >>> 1) % mod ----
     def bucket(id_expr, salt, mod):

@@ -755,6 +755,15 @@ object SparkEntry {
         t(s, dir, "documents"), col("doc_id"), col("text"))
     },
 
+    "txt_collocations" -> { (s, dir) =>
+      // phrase detection: word2vec phrase score over adjacent token
+      // bigrams — (n_xy - 5)*T / (n_x*n_y) for pairs seen >= 20
+      // times; map-side bigram fan-out, broadcast vocab supports
+      // (llm/TextAnalysis.collocations)
+      TextAnalysis.collocations(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     "txt_jaccard_pairs" -> { (s, dir) =>
       // exact all-pairs set-JACCARD >= 1/3 over word 5-gram sets:
       // the exact-recall sibling of txt_cosine_pairs for the measure

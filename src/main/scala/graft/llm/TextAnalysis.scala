@@ -496,6 +496,58 @@ object TextAnalysis {
     Dedup.expandClassPairs(s.repPairs, s.cc, "cosine", lit(1.0))
   }
 
+  /** Collocation / phrase detection over adjacent token bigrams —
+    * the word2vec phrase-merging score (Mikolov et al., NIPS'13
+    * "Distributed Representations..."): for each adjacent pair (x, y)
+    * occurring ≥ `minCount` times, score = (n_xy − δ)·T / (n_x·n_y) —
+    * high when x and y co-occur far above independence, the signal a
+    * tokenizer/phrase-vocab builder thresholds to merge "new york"
+    * into one unit. δ (`discount`) suppresses rare-pair flukes.
+    *
+    * Exactness: all counts are integers; the score is ONE double
+    * divide of two exact integer products (n_xy·T and n_x·n_y stay
+    * under 2^53 far past 100 TB token counts), so any engine
+    * computes it bit-identically — no log, unlike textbook PMI,
+    * which is the same ranking monotonically.
+    *
+    * Scale shape: bigram generation is MAP-SIDE from each doc's token
+    * array (index transform, codegen), counted by one map-combined
+    * hash agg; unigram counts are a second map-combined agg whose
+    * vocab-sized result MATERIALIZES ONCE (localCheckpoint) — the
+    * token total then aggregates over the materialized vocab rows
+    * instead of re-running the corpus explode — and joins onto the
+    * bigram frame BROADCAST (vocabulary ≪ distinct bigrams at any
+    * scale). Output: (x, y, n_xy, n_x, n_y, n_tokens, score).
+    */
+  def collocations(
+      df: DataFrame, id: Column, text: Column,
+      minCount: Long = 20L, discount: Long = 5L): DataFrame = {
+    val w = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+    val toks = df.select(w.as("w"))
+    val pairs = toks
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("x"),
+          element_at(col("w"), i + 1).as("y")))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = uni.agg(sum(col("n")).as("n_tokens"))
+    pairs
+      .join(broadcast(uni.select(col("tok").as("x"), col("n").as("n_x"))),
+        Seq("x"))
+      .join(broadcast(uni.select(col("tok").as("y"), col("n").as("n_y"))),
+        Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("n_tokens"),
+        (((col("n_xy") - discount) * col("n_tokens")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")).as("score"))
+  }
+
   /** The prefix-filtered all-pairs pipeline's intermediate frames,
     * shared by the cosine and Jaccard instantiations and the
     * [[cosinePairStats]] funnel report. `counted` carries one row

@@ -79,6 +79,28 @@ class MiningSpec extends SparkSpec {
       (1L, 2L, 1.0 / 3.0), (2L, 5L, 1.0 / 3.0), (1L, 5L, 1.0)))
   }
 
+  test("collocations scores adjacent bigrams by the phrase formula") {
+    // "a b a b": (a,b) twice, (b,a) once; "b c": (b,c) once;
+    // T = 6 tokens, n_a = 2, n_b = 3, n_c = 1; empty/one-token docs
+    // contribute no pairs and (for the empty one) no tokens
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, ""), (4L, "x"))
+      .toDF("doc_id", "text")
+    val all = TextAnalysis.collocations(docs, col("doc_id"), col("text"),
+        minCount = 1, discount = 0)
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // T counts the x too: 6 + 1 = 7
+    assert(all(("a", "b")) == (("a", "b", 2L, 2L, 3L, 7L, 2L * 7L / (2.0 * 3.0))))
+    assert(all(("b", "a")) == (("b", "a", 1L, 3L, 2L, 7L, 1L * 7L / (3.0 * 2.0))))
+    assert(all(("b", "c")) == (("b", "c", 1L, 3L, 1L, 7L, 1L * 7L / (3.0 * 1.0))))
+    assert(all.size == 3)
+    // minCount prunes, discount shifts the numerator
+    val pruned = TextAnalysis.collocations(docs, col("doc_id"), col("text"),
+        minCount = 2, discount = 1)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    assert(pruned.toSeq == Seq(("a", "b", 2L, 2L, 3L, 7L, (2L - 1L) * 7L / (2.0 * 3.0))))
+  }
+
   test("jaccardPairs matches a driver brute force on a mixed corpus") {
     val words = Seq("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
     // deterministic synthetic docs: doc i holds words i..i+3 mod 8
