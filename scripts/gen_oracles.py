@@ -714,6 +714,31 @@ SELECT doc_id, lang FROM (
  FROM (SELECT doc_id, lang, {hsigned(0)} AS hs FROM documents) _h) _r
 WHERE rk <= 20"""
 
+    # ---- ds_kfold: exact-size k-fold CV assignment — the same
+    # signed-splitmix per-stratum rank, rotated mod k ----
+    o["ds_kfold"] = f"""
+SELECT doc_id, CAST(lang AS VARCHAR) AS stratum,
+ CAST((row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) - 1)
+      % 5 AS INT) AS fold
+FROM (SELECT doc_id, lang, {hsigned(0)} AS hs FROM documents) _h"""
+
+    # ---- q_target_encode: m-estimate smoothed target encoding —
+    # integer counts/sums, fixed-order double ratio (prior first,
+    # then numerator, one divide) for oracle parity ----
+    o["q_target_encode"] = """
+WITH g AS (
+ SELECT CAST(l_partkey AS VARCHAR) AS category,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_y
+ FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+        CAST(sum(sum_y) AS BIGINT) AS tot_s FROM g)
+SELECT category, n, sum_y,
+ (CAST(sum_y AS DOUBLE)
+   + 10.0 * (CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE)))
+  / CAST(n + 10 AS DOUBLE) AS encoding
+FROM g CROSS JOIN tot"""
+
     # ---- q_approx_quantiles: exact quantiles over the bottom-200-
     # by-signed-splitmix64(event_id+7) sample per event_type (same
     # keep rule as ds_sample_fixed_k, same interpolation kernel as

@@ -740,8 +740,10 @@ for _name in ["txt_cosine_stats", "ds_split_leakage_safe"]:
 for _name in ["q_adaptive_join", "q_incremental_join", "q_sssp",
               "ds_alloc_budget",
               # basket self-join pair counts / per-user string_agg +
-              # regex scan / bigram+unigram counts — tractable at 100x
-              "q_itemsets", "q_event_pattern", "txt_collocations"]:
+              # regex scan / bigram+unigram counts / stratum windows /
+              # category aggs — all tractable at 100x
+              "q_itemsets", "q_event_pattern", "txt_collocations",
+              "ds_kfold", "q_target_encode"]:
     if selected(_name):
         check_full(_name)
 

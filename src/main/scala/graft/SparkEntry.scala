@@ -755,13 +755,30 @@ object SparkEntry {
         t(s, dir, "documents"), col("doc_id"), col("text"))
     },
 
+    "ds_kfold" -> { (s, dir) =>
+      // exact-size 5-fold CV assignment per language stratum: fold
+      // sizes within ONE of each other per stratum (rank rotation
+      // over the signed-splitmix order — llm/Sampling.kfoldAssign);
+      // splitAssign is the map-only rate-based alternative
+      graft.llm.Sampling.kfoldAssign(
+        t(s, dir, "documents"), col("doc_id"), col("lang"), k = 5)
+    },
+
+    "q_target_encode" -> { (s, dir) =>
+      // m-estimate smoothed target encoding of l_partkey by mean
+      // shipment quantity — rare parts shrink toward the global
+      // prior (ops/Stats.targetEncode; fixed-order double ratio)
+      graft.ops.Stats.targetEncode(
+        t(s, dir, "lineitem"), col("l_partkey"),
+        col("l_quantity").cast("long"))
+    },
+
     "txt_collocations" -> { (s, dir) =>
       // phrase detection: word2vec phrase score over adjacent token
       // bigrams — (n_xy - 5)*T / (n_x*n_y) for pairs seen >= 20
       // times; map-side bigram fan-out, broadcast vocab supports
       // (llm/TextAnalysis.collocations)
-      TextAnalysis.collocations(
-        t(s, dir, "documents"), col("doc_id"), col("text"))
+      TextAnalysis.collocations(t(s, dir, "documents"), col("text"))
     },
 
     "txt_jaccard_pairs" -> { (s, dir) =>

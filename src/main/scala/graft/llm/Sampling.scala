@@ -513,4 +513,35 @@ object Sampling {
       .filter(col("_rk") <= col("_quota"))
       .select(col("doc_id"), col("grp"))
   }
+
+  /** Exact-size k-fold cross-validation assignment: every row gets a
+    * fold in [0, k) and, within each stratum, fold sizes differ by at
+    * most ONE — the CV contract [[splitAssign]]'s rate-based hash
+    * buckets cannot give (binomial fold sizes) — via the
+    * deterministic rank rotation fold = (rank − 1) mod k over the
+    * (splitmix64(id+salt), id) order, the [[fixedKPerStratum]]
+    * decision rule: growing a stratum reshuffles membership
+    * deterministically, and two engines replay the identical folds.
+    *
+    * Scale shape: ONE stratum-keyed window (shuffle + per-stratum
+    * sort). The sort is the price of the exact-size contract — a
+    * map-only mod-hash assign is [[splitAssign]]; use it when
+    * approximate fold sizes are fine. A single 10 TB stratum is one
+    * sorting partition: pre-split giant strata (salt the stratum) if
+    * that ever binds. Output: (doc_id, stratum, fold).
+    */
+  def kfoldAssign(
+      df: DataFrame, id: Column, stratum: Column, k: Int,
+      salt: Long = 0L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__st")).orderBy(col("__h"), col("__id"))
+    df.select(
+        stratum.cast("string").as("__st"),
+        id.cast("long").as("__id"),
+        F.splitmix64(id + lit(salt)).as("__h"))
+      .withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+      .select(col("__id").as("doc_id"), col("__st").as("stratum"),
+        col("fold"))
+  }
 }

@@ -520,7 +520,7 @@ object TextAnalysis {
     * scale). Output: (x, y, n_xy, n_x, n_y, n_tokens, score).
     */
   def collocations(
-      df: DataFrame, id: Column, text: Column,
+      df: DataFrame, text: Column,
       minCount: Long = 20L, discount: Long = 5L): DataFrame = {
     val w = filter(split(trim(text), "\\s+"), t => t =!= lit(""))
     val toks = df.select(w.as("w"))

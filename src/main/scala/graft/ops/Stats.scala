@@ -486,4 +486,41 @@ object Stats {
       .agg(outs.head, outs.tail: _*)
       .withColumn("_g", col("_g.k")) // unwrap the null-safe struct
   }
+
+  /** Smoothed target encoding (the m-estimate a tabular-ML feature
+    * pipeline applies to high-cardinality categoricals):
+    * enc(g) = (sum_y(g) + m·prior) / (n_g + m) with prior = S/N the
+    * global target mean — a rare category shrinks toward the prior,
+    * a frequent one trusts its own mean, and unseen-at-inference
+    * categories default to the prior the output carries.
+    *
+    * Ratios are DOUBLE with FIXED evaluation order (prior first, then
+    * the numerator sum, then one divide — the [[qualityScore]]
+    * oracle-parity discipline), so two engines compute the encoding
+    * bit-identically; counts and target sums stay exact integers.
+    *
+    * Scale shape: one map-combined (count, sum) aggregation to the
+    * category-cardinality frame, which MATERIALIZES ONCE
+    * (localCheckpoint) so the 1-row global total aggregates over the
+    * materialized rows instead of re-running the corpus aggregation,
+    * then rides back as a broadcast cross join.
+    * Output: (category, n, sum_y, encoding).
+    */
+  def targetEncode(
+      df: DataFrame, category: Column, target: Column,
+      m: Long = 10L): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    val g = df
+      .select(category.cast("string").as("category"),
+        target.cast("long").as("_y"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("sum_y"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("n")).as("_N"), sum(col("sum_y")).as("_S"))
+    g.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("sum_y"),
+        ((col("sum_y").cast("double") +
+          lit(m.toDouble) * (col("_S").cast("double") / col("_N").cast("double"))) /
+          (col("n") + lit(m)).cast("double")).as("encoding"))
+  }
 }

@@ -52,4 +52,21 @@ class LayoutStatsSpec extends SparkSpec {
     assert(row._2 == 13L)
     assert(row._3 == 1L && row._4 == 1L) // one below, one above
   }
+
+  test("targetEncode shrinks rare categories toward the global prior") {
+    // a: 3 rows summing 6; b: 1 row of 4 — N=4, S=10, prior=2.5;
+    // m=2: enc_a = (6 + 2*2.5)/(3+2) = 2.2, enc_b = (4 + 5)/3 = 3.0
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L)).toDF("c", "y")
+    val got = Stats.targetEncode(df, col("c"), col("y"), m = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 6L, 2.2)))
+    assert(got("b") == (("b", 1L, 4L, 3.0)))
+    // m = 0 is the plain per-category mean; a huge m pins the prior
+    val raw = Stats.targetEncode(df, col("c"), col("y"), m = 0)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(raw("a") == 2.0 && raw("b") == 4.0)
+    val pinned = Stats.targetEncode(df, col("c"), col("y"), m = 1000000)
+      .as[(String, Long, Long, Double)].collect().map(_._4)
+    assert(pinned.forall(e => math.abs(e - 2.5) < 0.01))
+  }
 }

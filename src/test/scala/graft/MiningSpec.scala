@@ -85,7 +85,7 @@ class MiningSpec extends SparkSpec {
     // contribute no pairs and (for the empty one) no tokens
     val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, ""), (4L, "x"))
       .toDF("doc_id", "text")
-    val all = TextAnalysis.collocations(docs, col("doc_id"), col("text"),
+    val all = TextAnalysis.collocations(docs, col("text"),
         minCount = 1, discount = 0)
       .as[(String, String, Long, Long, Long, Long, Double)]
       .collect().map(r => (r._1, r._2) -> r).toMap
@@ -95,7 +95,7 @@ class MiningSpec extends SparkSpec {
     assert(all(("b", "c")) == (("b", "c", 1L, 3L, 1L, 7L, 1L * 7L / (3.0 * 1.0))))
     assert(all.size == 3)
     // minCount prunes, discount shifts the numerator
-    val pruned = TextAnalysis.collocations(docs, col("doc_id"), col("text"),
+    val pruned = TextAnalysis.collocations(docs, col("text"),
         minCount = 2, discount = 1)
       .as[(String, String, Long, Long, Long, Long, Double)].collect()
     assert(pruned.toSeq == Seq(("a", "b", 2L, 2L, 3L, 7L, (2L - 1L) * 7L / (2.0 * 3.0))))

@@ -201,6 +201,32 @@ class SamplingSpec extends SparkSpec {
       docs, col("id"), col("src"), budget = 0L).count() == 0L)
   }
 
+  test("kfoldAssign: every row assigned, fold sizes within one per stratum") {
+    // strata of 7 and 3 rows, k = 3: sizes {3,2,2} and {1,1,1}
+    val docs = spark.range(0, 10)
+      .selectExpr("id", "CASE WHEN id < 7 THEN 'a' ELSE 'b' END AS g")
+    val got = Sampling.kfoldAssign(docs, col("id"), col("g"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.length == 10 && got.map(_._1).distinct.length == 10,
+      "every row exactly once")
+    assert(got.forall(r => r._3 >= 0 && r._3 < 3))
+    val sizes = got.groupBy(r => (r._2, r._3)).view.mapValues(_.length)
+    assert(sizes.filterKeys(_._1 == "a").values.toSeq.sorted == Seq(2, 2, 3))
+    assert(sizes.filterKeys(_._1 == "b").values.toSeq.sorted == Seq(1, 1, 1))
+    // deterministic at any partitioning; salt redraws the rotation
+    val again = Sampling.kfoldAssign(
+      docs.repartition(7), col("id"), col("g"), k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val salted = Sampling.kfoldAssign(
+      docs, col("id"), col("g"), k = 3, salt = 9L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(salted.sortBy(_._1).toSeq != got.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.kfoldAssign(docs, col("id"), col("g"), k = 1)
+    }
+  }
+
   test("sampling decisions with different salts are decorrelated") {
     val a = Sampling.bernoulli(ids, col("id"), 500, salt = 0).select("id").as[Long].collect().toSet
     val b = Sampling.bernoulli(ids, col("id"), 500, salt = 99).select("id").as[Long].collect().toSet
