@@ -490,4 +490,91 @@ class PropertySpec extends SparkSpec {
       assert(degIn.getOrElse(n, 0) == d && d >= 4, s"node $n deg $d")
     }
   }
+
+  test("pairCooccurrence equals the naive basket self-join on random baskets") {
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 900)
+      val rows = (1 to 600).map { _ =>
+        (rnd.nextInt(80).toLong, s"i${rnd.nextInt(15)}")
+      }
+      val df = rows.toDF("b", "i")
+      val got = graft.ops.Mining.pairCooccurrence(df, col("b"), col("i"),
+          minPairs = 2)
+        .select(col("item_a"), col("item_b"), col("pair_n"), col("n_a"),
+          col("n_b"), col("n_baskets"))
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      // naive reference: distinct (basket, item), self-join, count
+      val sets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val itemN = sets.values.toSeq.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val nb = sets.size.toLong
+      val want = sets.values.toSeq
+        .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= 2)
+        .map { case ((a, b), n) => (a, b, n, itemN(a), itemN(b), nb) }.toSet
+      assert(got == want, s"seed $seed mismatch")
+    }
+  }
+
+  test("eventPatterns equals the JDK regex scan on random symbol streams") {
+    val pat = "v[^vp]*p"
+    for (seed <- 1 to 2) {
+      val rnd = new Random(seed + 950)
+      val syms = "vcpse"
+      val rows = (1 to 400).map { i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong,
+          syms(rnd.nextInt(5)).toString)
+      }
+      val df = rows.toDF("k", "ts", "eid", "sym")
+      val got = graft.ops.Mining.eventPatterns(
+          df, col("k"), col("ts"), col("eid"), col("sym"), pat)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = rows.groupBy(_._1).map { case (k, es) =>
+        val s = es.sortBy(e => (e._2, e._3)).map(_._4).mkString
+        val ms = pat.r.findAllIn(s).toSeq
+        val gap = if (ms.isEmpty) -1L else ms.map(_.length - 2L).max
+        k -> ((es.size.toLong, ms.size.toLong, gap))
+      }
+      assert(got == want, s"seed $seed mismatch")
+    }
+  }
+
+  test("targetEncode: encodings are convex combinations of group mean and prior") {
+    val rnd = new Random(1234)
+    val rows = (1 to 500).map(_ => (s"c${rnd.nextInt(25)}", rnd.nextInt(100).toLong))
+    val df = rows.toDF("c", "y")
+    val prior = rows.map(_._2).sum.toDouble / rows.size
+    val got = graft.ops.Stats.targetEncode(df, col("c"), col("y"), m = 7)
+      .as[(String, Long, Long, Double)].collect()
+    val byCat = rows.groupBy(_._1)
+    assert(got.length == byCat.size)
+    got.foreach { case (c, n, sy, enc) =>
+      val mean = sy.toDouble / n
+      val lo = math.min(mean, prior) - 1e-9
+      val hi = math.max(mean, prior) + 1e-9
+      assert(n == byCat(c).size && sy == byCat(c).map(_._2).sum)
+      assert(enc >= lo && enc <= hi, s"$c enc $enc outside [$lo, $hi]")
+      // exact m-estimate value, fixed-order replay
+      val expect = (sy.toDouble + 7.0 * (rows.map(_._2).sum.toDouble / rows.size)) / (n + 7).toDouble
+      assert(enc == expect, s"$c enc $enc != $expect")
+    }
+  }
+
+  test("kfoldAssign partitions every stratum into near-equal folds at any k") {
+    val rnd = new Random(4321)
+    val rows = (1 to 400).map(i => (i.toLong, s"s${rnd.nextInt(6)}"))
+    val df = rows.toDF("id", "g")
+    for (k <- Seq(2, 3, 7)) {
+      val got = graft.llm.Sampling.kfoldAssign(df, col("id"), col("g"), k)
+        .as[(Long, String, Int)].collect()
+      assert(got.length == 400 && got.map(_._1).distinct.length == 400)
+      got.groupBy(_._2).foreach { case (g, rs) =>
+        val sizes = (0 until k).map(f => rs.count(_._3 == f))
+        assert(sizes.max - sizes.min <= 1,
+          s"k=$k stratum $g sizes $sizes not within one")
+      }
+    }
+  }
 }
