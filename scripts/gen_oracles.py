@@ -563,6 +563,38 @@ JOIN ux nx ON nx.tok = x
 JOIN ux ny ON ny.tok = y
 CROSS JOIN tot"""
 
+    # ---- q_seasonal: engine-exact additive decomposition — integer
+    # RANGE-window sums, seasonal numerator sums the SCALED detrend
+    # 7n - sum7 over full windows only, every double one exact divide
+    # or a fixed-order subtraction of those ----
+    o["q_seasonal"] = """
+WITH daily AS (
+ SELECT CAST(event_type AS VARCHAR) AS key,
+  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS step,
+  CAST(count(*) AS BIGINT) AS n
+ FROM events GROUP BY 1, 2),
+tr AS (
+ SELECT key, step, n,
+  CAST(sum(n) OVER w AS BIGINT) AS sum7,
+  CAST(count(*) OVER w AS BIGINT) AS cnt7,
+  CAST(step % 7 AS INT) AS dow
+ FROM daily
+ WINDOW w AS (PARTITION BY key ORDER BY step
+              RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+se AS (
+ SELECT key, dow, CAST(sum(n * 7 - sum7) AS BIGINT) AS s_num,
+  CAST(count(*) AS BIGINT) AS s_cnt
+ FROM tr WHERE cnt7 = 7 GROUP BY 1, 2)
+SELECT tr.key AS event_type, tr.step, tr.dow, tr.n,
+ CAST(sum7 AS DOUBLE) / CAST(cnt7 AS DOUBLE) AS trend,
+ coalesce(CAST(s_num AS DOUBLE) / CAST(s_cnt * 7 AS DOUBLE), 0.0)
+   AS seasonal,
+ CAST(tr.n AS DOUBLE)
+  - (CAST(sum7 AS DOUBLE) / CAST(cnt7 AS DOUBLE))
+  - coalesce(CAST(s_num AS DOUBLE) / CAST(s_cnt * 7 AS DOUBLE), 0.0)
+   AS residual
+FROM tr LEFT JOIN se ON se.key = tr.key AND se.dow = tr.dow"""
+
     # ---- ds_*: deterministic sampling/splitting/mixing — the
     # per-mille bucket is (splitmix64(id+salt) >>> 1) % mod ----
     def bucket(id_expr, salt, mod):

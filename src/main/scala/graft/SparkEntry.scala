@@ -1636,6 +1636,22 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"), salt = 2026L)
     },
 
+    "q_seasonal" -> { (s, dir) =>
+      // engine-exact additive seasonal decomposition of per-type
+      // daily event counts: integer window sums, single-divide
+      // doubles, fixed-order residual (ops/Timeseries
+      // .seasonalDecompose). The epoch-day via double divide + long
+      // cast equals the oracle's integer floor-div: quotients are
+      // ~2e4, so the 0.5-ulp division error (~2e-12 relative) cannot
+      // cross an integer unless the remainder is within a fraction
+      // of a microsecond of a day boundary — impossible for integer
+      // microseconds except the exact-0 case, which divides exactly
+      val e = t(s, dir, "events")
+      graft.ops.Timeseries.seasonalDecompose(
+        e, col("event_type"), eventUs(e, "ts") / lit(86400000000L))
+        .withColumnRenamed("key", "event_type")
+    },
+
     "q_itemsets" -> { (s, dir) =>
       // pairwise frequent itemsets over order baskets: part pairs
       // co-ordered in >= 2 orders with exact support counts plus

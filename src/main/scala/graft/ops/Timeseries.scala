@@ -146,4 +146,54 @@ object Timeseries {
           / (expr("shiftleft(CAST(1 AS BIGINT), CAST(n_window AS INT))") - lit(1L))
               .cast("double"))
   }
+
+  /** Engine-exact additive seasonal decomposition of a per-key daily
+    * count series: n = trend + seasonal + residual with a centered
+    * 7-step moving-average trend and a cycle-of-7 seasonal index
+    * (dow = step mod 7). The classic STL-lite — but formulated so a
+    * second engine replays it BIT-EXACTLY: every cross-row aggregation
+    * runs on INTEGERS (window sum7/cnt7; the seasonal numerator sums
+    * the scaled detrend 7·n − sum7 over full-window steps only, where
+    * it equals 7·(n − trend) exactly), and every double is either one
+    * exact-integer divide (trend = sum7/cnt7, seasonal =
+    * s_num/(7·s_cnt)) or a fixed-order subtraction of those
+    * (residual) — floating sums never cross rows, so engine
+    * summation order cannot matter.
+    *
+    * Scale shape: one map-combined count to the (key, step) frame —
+    * everything after is calendar-sized, not corpus-sized: one
+    * range-window pass per key and a key×7 seasonal frame joined back
+    * broadcast. Boundary steps (window short of 7) get the shortened
+    * trend and are excluded from the seasonal fit.
+    * Output: (key, step, dow, n, trend, seasonal, residual).
+    */
+  def seasonalDecompose(
+      df: DataFrame, key: Column, step: Column): DataFrame = {
+    val daily = df
+      .select(key.cast("string").as("key"), step.cast("long").as("step"))
+      .groupBy(col("key"), col("step"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("step"))
+      .rangeBetween(-3, 3)
+    val trended = daily
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .withColumn("dow", (col("step") % 7).cast("int"))
+    val seasonal = trended
+      .filter(col("cnt7") === 7)
+      .groupBy(col("key"), col("dow"))
+      .agg(sum(col("n") * 7 - col("sum7")).as("s_num"),
+        count(lit(1)).as("s_cnt"))
+    trended
+      .join(broadcast(seasonal), Seq("key", "dow"), "left")
+      .select(
+        col("key"), col("step"), col("dow"), col("n"),
+        (col("sum7").cast("double") / col("cnt7").cast("double"))
+          .as("trend"),
+        coalesce(
+          col("s_num").cast("double") / (col("s_cnt") * 7).cast("double"),
+          lit(0.0)).as("seasonal"))
+      .withColumn("residual",
+        col("n").cast("double") - col("trend") - col("seasonal"))
+  }
 }

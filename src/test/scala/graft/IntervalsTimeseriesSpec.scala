@@ -91,4 +91,34 @@ class IntervalsTimeseriesSpec extends SparkSpec {
       .filter(col("grp").isNull).select("xor_hash").head().getLong(0)
     assert(total(d) != total(tweaked))
   }
+
+  test("seasonalDecompose: periodic series has zero residual, boundaries shortened") {
+    // steps 0..20, 10 events per step plus 7 extra on every dow-0
+    // step: the perfectly periodic case — for every FULL window the
+    // trend is 11 (each 7-window holds exactly one dow-0), seasonal
+    // is +6 at dow 0 and -1 elsewhere, residual exactly 0
+    val rows = for {
+      s <- 0 to 20
+      c = 10 + (if (s % 7 == 0) 7 else 0)
+      i <- 1 to c
+    } yield ("k", s.toLong, i)
+    val df = rows.toDF("k", "s", "i")
+    val got = graft.ops.Timeseries.seasonalDecompose(df, col("k"), col("s"))
+      .as[(String, Long, Int, Long, Double, Double, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got.size == 21)
+    (3 to 17).foreach { s =>
+      val (_, _, dow, n, trend, seasonal, residual) = got(s.toLong)
+      assert(trend == 11.0, s"step $s trend $trend")
+      assert(seasonal == (if (dow == 0) 6.0 else -1.0), s"step $s")
+      assert(residual == 0.0, s"step $s residual $residual")
+      assert(n == (if (dow == 0) 17L else 10L))
+    }
+    // boundary step 0: window holds steps 0..3 only (cnt 4), trend is
+    // the shortened mean (17+10+10+10)/4, seasonal still the fitted
+    // dow-0 index, residual the exact fixed-order remainder
+    val b = got(0L)
+    assert(b._5 == 47.0 / 4.0 && b._6 == 6.0)
+    assert(b._7 == 17.0 - 47.0 / 4.0 - 6.0)
+  }
 }
