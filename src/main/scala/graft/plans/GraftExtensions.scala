@@ -117,6 +117,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { checkArity("vec_sum_long", args, 1, 1)
         VectorSumLong(args.head).toAggregateExpression() }))
 
+    ext.injectFunction((
+      FunctionIdentifier("splitmix64"),
+      info("splitmix64",
+        "splitmix64(n) - the SplitMix64 mix of a long; the library's deterministic sampling/salting hash"),
+      (args: Seq[Expression]) => { checkArity("splitmix64", args, 1, 1)
+        Splitmix64(args.head) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams_all"),
+      info("word_ngrams_all",
+        "word_ngrams_all(str, n) - ALL word n-grams in token order (duplicates kept, index = position)"),
+      (args: Seq[Expression]) => { checkArity("word_ngrams_all", args, 1, 2)
+        WordNgramsAll(args.head, if (args.length > 1) intArg(args(1), "n") else 3) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("ngram_jaccard_sim"),
+      info("ngram_jaccard_sim",
+        "ngram_jaccard_sim(a, b, n) - exact character-n-gram set Jaccard of two strings, one pass"),
+      (args: Seq[Expression]) => { checkArity("ngram_jaccard_sim", args, 2, 3)
+        NgramJaccardSim(args.head, args(1),
+          if (args.length > 2) intArg(args(2), "n") else 3) }))
+
+    ext.injectFunction((
+      FunctionIdentifier("first_any"),
+      info("first_any",
+        "first_any(col) - arbitrary-but-deterministic-per-group first value; object-hash aggregate that avoids first()'s SortAggregate demotion on string/array buffers (aggregate)"),
+      (args: Seq[Expression]) => { checkArity("first_any", args, 1, 1)
+        graft.functions.FirstAny(args.head).toAggregateExpression() }))
+
     ext.injectCheckRule(spark => new GlobalWindowCheck(spark))
   }
 }

@@ -58,6 +58,21 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getSeq[Long](0)
       assert(vs == Seq(11L, 22L))
 
+      // r12 registrations: the sampling hash, occurrence-level grams,
+      // the one-pass exact Jaccard kernel, and the first_any aggregate
+      val sm = spark.sql("SELECT splitmix64(CAST(7 AS BIGINT))").head().getLong(0)
+      assert(sm == graft.functions.HashOps.splitmix64(7L))
+      val wna = spark.sql("SELECT word_ngrams_all('a b a b', 2)")
+        .head().getSeq[String](0)
+      assert(wna == Seq("a b", "b a", "a b")) // duplicates kept, in order
+      val js = spark.sql("SELECT ngram_jaccard_sim('abcd', 'bcde', 2)")
+        .head().getDouble(0)
+      assert(js == 2.0 / 4.0) // {ab,bc,cd} vs {bc,cd,de}: 2 shared of 4
+      val fa = spark.sql(
+        "SELECT first_any(x) FROM (SELECT explode(array('only')) AS x)")
+        .head().getString(0)
+      assert(fa == "only")
+
       // --- GlobalWindowCheck guardrail ---
       val globalWin =
         "SELECT row_number() OVER (ORDER BY txt) FROM t"
