@@ -324,6 +324,41 @@ class PlanSpec extends SparkSpec {
       s"unexpected extra shuffles:\n$plan")
   }
 
+  test("q_event_pattern is one key shuffle: single hash Exchange, no join") {
+    val plan = physicalPlan("q_event_pattern")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one key shuffle:\n$plan")
+    assert(!plan.contains("Join"), "CEP must not join")
+  }
+
+  test("q_seasonal: corpus-sized work is one count agg; seasonal joins broadcast") {
+    val plan = physicalPlan("q_seasonal")
+    // the (key, step) count + the range window reuse ONE key-side
+    // partitioning lineage; the key x 7 seasonal frame comes back
+    // broadcast — a shuffled join would re-key the calendar frame
+    assert(plan.contains("BroadcastHashJoin"), "seasonal frame must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "calendar frame got shuffled")
+  }
+
+  test("q_target_encode: category frame materialized once, totals broadcast") {
+    val plan = physicalPlan("q_target_encode")
+    // the corpus aggregation happens in the localCheckpoint job; the
+    // final plan must read the materialized category rows, not
+    // re-aggregate lineitem (no FileScan of the corpus, no partial
+    // count/sum pair over it)
+    assert(!plan.contains("FileScan"),
+      "corpus re-scanned — the checkpoint reuse is gone")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "totals must ride a broadcast")
+  }
+
+  test("txt_collocations: vocab joins broadcast onto the bigram stream") {
+    val plan = physicalPlan("txt_collocations")
+    assert(plan.contains("BroadcastHashJoin"), "vocab supports must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "vocab-keyed shuffle join appeared — broadcast lost")
+  }
+
   test("dd_incremental_lsh probes buckets via broadcast, never shuffles the corpus for the probe") {
     val plan = physicalPlan("dd_incremental_lsh")
     assert(plan.contains("BroadcastExchange"),
