@@ -1320,6 +1320,33 @@ SELECT user_id, n_events,
   AS BIGINT) AS max_gap
 FROM s"""
 
+    # ---- q_event_pattern_timed: the same automaton as a pure window
+    # rule — a fire matches iff the LAST arm-or-fire before it is an
+    # arm AND it fired within the tick budget ----
+    o["q_event_pattern_timed"] = """
+WITH e AS (
+ SELECT user_id, epoch_us(ts) AS tus, event_id,
+  CASE event_type WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+   ELSE 'o' END AS sym
+ FROM events),
+i AS (
+ SELECT user_id, tus, event_id, sym,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+   AS BIGINT) AS idx
+ FROM e),
+p AS (
+ SELECT user_id, tus, event_id, sym, idx,
+  last_value(CASE WHEN sym IN ('v', 'p')
+    THEN struct_pack(s := sym, t := tus, i := idx) END IGNORE NULLS)
+   OVER (PARTITION BY user_id ORDER BY tus, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+ FROM i)
+SELECT user_id, event_id AS end_id,
+ idx - (prev).i - 1 AS gap_events,
+ tus - (prev).t AS gap_ticks
+FROM p
+WHERE sym = 'p' AND (prev).s = 'v' AND tus - (prev).t <= 3600000000"""
+
     # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
     # size-ratio prefilter is sound (J <= min/max sizes) ----
     gr = ngrams("text", 5)

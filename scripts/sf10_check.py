@@ -742,8 +742,9 @@ for _name in ["q_adaptive_join", "q_incremental_join", "q_sssp",
               # basket self-join pair counts / per-user string_agg +
               # regex scan / bigram+unigram counts / stratum windows /
               # category aggs — all tractable at 100x
-              "q_itemsets", "q_event_pattern", "txt_collocations",
-              "ds_kfold", "q_target_encode", "q_seasonal"]:
+              "q_itemsets", "q_event_pattern", "q_event_pattern_timed",
+              "txt_collocations", "ds_kfold", "q_target_encode",
+              "q_seasonal"]:
     if selected(_name):
         check_full(_name)
 

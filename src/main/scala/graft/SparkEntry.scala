@@ -1652,6 +1652,20 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     },
 
+    "q_event_pattern_timed" -> { (s, dir) =>
+      // timed CEP as pure windows (no per-key collect): view->purchase
+      // conversions completed within one hour — the time bound a
+      // symbol regex cannot express (ops/Mining.timedMatches; spec
+      // pins windows == regex == streaming automaton when unbounded)
+      val e = t(s, dir, "events")
+      graft.ops.Mining.timedMatches(
+        e, col("user_id"), eventUs(e, "ts"), col("event_id"),
+        expr("CASE event_type WHEN 'view' THEN 'v'" +
+          " WHEN 'purchase' THEN 'p' ELSE 'o' END"),
+        armSym = "v", fireSym = "p", maxGapTicks = 3600000000L)
+        .withColumnRenamed("key", "user_id")
+    },
+
     "q_itemsets" -> { (s, dir) =>
       // pairwise frequent itemsets over order baskets: part pairs
       // co-ordered in >= 2 orders with exact support counts plus

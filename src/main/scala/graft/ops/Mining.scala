@@ -102,6 +102,45 @@ object Mining {
     * (length − 2 under a 2-anchor pattern), −1 when the key has no
     * match.
     */
+  /** Timed arm→fire sequence matching as PURE WINDOWS — the scale
+    * path of the CEP family: the `v[^vp]*p` automaton ([[
+    * eventPatterns]], `EventStreams.patternMatches`) is equivalent to
+    * the relational rule "a fire row matches iff the LAST arm-or-fire
+    * event strictly before it is an arm" (a fire disarms, an arm
+    * re-arms — exactly the regex's non-overlapping scan), so the
+    * whole match set falls out of one `last(ignoreNulls)` running
+    * window: no per-key array materialization, no regex, unbounded
+    * keys welcome — where [[eventPatterns]] collects each key's full
+    * ordered stream, this streams it. The relational form is also
+    * where the TIME predicate lives: a match only counts when
+    * fire.ts − arm.ts ≤ `maxGapTicks` (the "converted within an
+    * hour" business rule a symbol regex cannot express).
+    *
+    * One key shuffle (the window); map-only after. Output: one row
+    * per timed match — (key, end_id, gap_events, gap_ticks).
+    * MiningSpec pins the triple equivalence: windows == collect+regex
+    * == the streaming automaton when maxGapTicks is unbounded.
+    */
+  def timedMatches(
+      df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      symbol: Column, armSym: String, fireSym: String,
+      maxGapTicks: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tb"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+    df.select(key.as("key"), ts.as("ts"), tiebreak.as("tb"),
+        symbol.as("sym"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("vp", when(col("sym").isin(armSym, fireSym),
+        struct(col("sym").as("s"), col("ts").as("t"), col("idx").as("i"))))
+      .withColumn("prev", last(col("vp"), ignoreNulls = true).over(prevW))
+      .filter(col("sym") === fireSym && col("prev.s") === armSym &&
+        col("ts") - col("prev.t") <= maxGapTicks)
+      .select(col("key"), col("tb").as("end_id"),
+        (col("idx") - col("prev.i") - 1).as("gap_events"),
+        (col("ts") - col("prev.t")).as("gap_ticks"))
+  }
+
   def eventPatterns(
       df: DataFrame, key: Column, ts: Column, tiebreak: Column,
       symbol: Column, pattern: String): DataFrame = {

@@ -59,6 +59,57 @@ class MiningSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L, 1L)))
   }
 
+  test("timedMatches: window rule == collect+regex == streaming automaton; time bound bites") {
+    val rnd = new scala.util.Random(77)
+    val syms = "vcpse"
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(9).toLong, rnd.nextInt(60).toLong * 10L, i.toLong,
+        syms(rnd.nextInt(5)).toString)
+    }
+    val df = rows.toDF("k", "ts", "eid", "sym")
+    // unbounded time budget: the pure-window matches must agree with
+    // the regex operator per key on count and max gap
+    val win = Mining.timedMatches(df, col("k"), col("ts"), col("eid"),
+        col("sym"), "v", "p", Long.MaxValue)
+      .as[(Long, Long, Long, Long)].collect()
+    val perKey = win.groupBy(_._1).view
+      .mapValues(ms => (ms.length.toLong, ms.map(_._3).max)).toMap
+    val rx = Mining.eventPatterns(df, col("k"), col("ts"), col("eid"),
+        col("sym"), "v[^vp]*p")
+      .as[(Long, Long, Long, Long)].collect()
+    rx.foreach { case (k, _, nm, mg) =>
+      val (wn, wg) = perKey.getOrElse(k, (0L, -1L))
+      assert(wn == nm, s"key $k window $wn vs regex $nm matches")
+      if (nm > 0) assert(wg == mg, s"key $k window $wg vs regex $mg gap")
+    }
+    // ... and with the streaming automaton's per-match rows
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val typed = rows.map { case (k, ts, id, s) =>
+      EventStreams.Event(id, ts, k, s match {
+        case "v" => "view"; case "p" => "purchase"; case x => x
+      }, 0.0)
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    mem.addData(typed: _*)
+    val q = EventStreams.patternMatches(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tmout").start()
+    q.processAllAvailable(); q.stop()
+    val st = spark.table("tmout").as[EventStreams.PatternOut]
+      .collect().map(r => (r.user_id, r.end_event_id, r.gap)).toSet
+    assert(st == win.map(m => (m._1, m._2, m._3)).toSet,
+      "streaming automaton and window rule disagree")
+    // the time budget excludes slow conversions: v at 0, p at 100
+    // ticks with budget 50 — armed but too late
+    val slow = Seq((1L, 0L, 1L, "v"), (1L, 100L, 2L, "p")).toDF("k", "ts", "eid", "sym")
+    assert(Mining.timedMatches(slow, col("k"), col("ts"), col("eid"),
+      col("sym"), "v", "p", 50L).isEmpty)
+    assert(Mining.timedMatches(slow, col("k"), col("ts"), col("eid"),
+      col("sym"), "v", "p", 100L).count() == 1)
+  }
+
   test("jaccardPairs is exact-recall: equals brute force, finds what banding may miss") {
     // docs built from word 1-grams so set arithmetic is hand-checkable
     def doc(words: String*): String = words.mkString(" ")
