@@ -331,6 +331,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "CEP must not join")
   }
 
+  test("q_event_pattern_timed: one key shuffle, no join, no per-key collect") {
+    val plan = physicalPlan("q_event_pattern_timed")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one key shuffle:\n$plan")
+    assert(!plan.contains("Join"), "window CEP must not join")
+    assert(!plan.contains("collect_list"),
+      "per-key array materialization crept into the windows path")
+  }
+
   test("q_seasonal: corpus-sized work is one count agg; seasonal joins broadcast") {
     val plan = physicalPlan("q_seasonal")
     // the (key, step) count + the range window reuse ONE key-side
