@@ -418,26 +418,37 @@ object EventStreams {
     * `st_attribution` trade, stated). A match straddling micro-
     * batches (v arrives, p arrives batches later) emits from
     * recovered state.
+    *
+    * `maxGapUs` adds the TIME bound of the batch
+    * `Mining.timedMatches` window rule — a fire past the budget
+    * still disarms but does not emit — carrying the arm timestamp
+    * as the third long of state; unbounded by default, where the
+    * automaton equals the untimed regex.
     */
-  def patternMatches(events: Dataset[Event]): Dataset[PatternOut] = {
+  def patternMatches(
+      events: Dataset[Event],
+      maxGapUs: Long = Long.MaxValue): Dataset[PatternOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Boolean, Long), PatternOut](
+      .flatMapGroupsWithState[(Boolean, Long, Long), PatternOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[(Boolean, Long)]) =>
-          var (armed, gap) = state.getOption.getOrElse((false, 0L))
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[(Boolean, Long, Long)]) =>
+          var (armed, gap, armTs) = state.getOption.getOrElse((false, 0L, 0L))
           val out = Seq.newBuilder[PatternOut]
           batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
             e.event_type match {
-              case "view" => armed = true; gap = 0L
+              case "view" => armed = true; gap = 0L; armTs = e.ts_us
               case "purchase" =>
-                if (armed) { out += PatternOut(userId, e.event_id, gap) }
+                if (armed && e.ts_us - armTs <= maxGapUs) {
+                  out += PatternOut(userId, e.event_id, gap)
+                }
                 armed = false
               case _ => if (armed) gap += 1L
             }
           }
-          state.update((armed, gap))
+          state.update((armed, gap, armTs))
           out.result().iterator
       }
   }

@@ -108,6 +108,19 @@ class MiningSpec extends SparkSpec {
       col("sym"), "v", "p", 50L).isEmpty)
     assert(Mining.timedMatches(slow, col("k"), col("ts"), col("eid"),
       col("sym"), "v", "p", 100L).count() == 1)
+    // ... and the streaming automaton honors the same budget (the
+    // fire still DISARMS — a later p cannot pair with the stale v)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    mem2.addData(
+      EventStreams.Event(1, 0L, 1L, "view", 0.0),
+      EventStreams.Event(2, 100L, 1L, "purchase", 0.0),
+      EventStreams.Event(3, 200L, 1L, "purchase", 0.0))
+    val q2 = EventStreams.patternMatches(mem2.toDS(), maxGapUs = 50L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tmout2").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("tmout2").isEmpty)
   }
 
   test("jaccardPairs is exact-recall: equals brute force, finds what banding may miss") {
