@@ -382,6 +382,39 @@ class StreamingSpec extends SparkSpec {
     assert(finalPerUser == twin)
   }
 
+  test("checkpoint RESTART: the CEP automaton's armed state survives the kill") {
+    import graft.streaming.EventStreams.PatternOut
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val us = 1000000L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_cep").toString
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, PatternOut)]
+    def start() = EventStreams.patternMatches(mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[PatternOut], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+      }
+      .start()
+    val q1 = start()
+    // user 1 arms (view, then a click growing the gap) — no emission
+    mem.addData(
+      Event(1, 10L * us, 1L, "view", 0.0),
+      Event(2, 20L * us, 1L, "click", 0.0))
+    q1.processAllAvailable()
+    q1.stop() // kill: the armed (true, gap=1, armTs) lives only on disk
+    // the purchase arrives while the query is DOWN
+    mem.addData(Event(3, 30L * us, 1L, "purchase", 0.0))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val all = buf.synchronized(buf.toSeq)
+    // the match can only exist if the restarted instance recovered
+    // the armed flag AND the accumulated gap from the state store
+    assert(all.map(_._2) == Seq(PatternOut(1L, 3L, 1L)),
+      s"armed state lost across restart: $all")
+  }
+
   test("checkpoint RESTART: watermarked dedup remembers pre-restart ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
