@@ -491,14 +491,20 @@ object Sampling {
       id.cast("long").as("doc_id"),
       F.splitmix64(id + lit(salt)).as("_h"))
     val counts = keyed.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().sortBy(_._1)
-    val total = counts.map(_._2).sum
+      .as[(String, Long)].collect()
+    // a null group would NPE inside Ordering[String] below (r12
+    // advice) — fail with the actual contract violation instead
+    require(counts.forall(_._1 != null),
+      "allocProportional: group column contains NULLs — filter or " +
+        "coalesce them upstream")
+    val sorted = counts.sortBy(_._1)
+    val total = sorted.map(_._2).sum
     require(budget <= total,
       s"budget $budget exceeds the corpus size $total")
     if (total == 0) return keyed.select(col("doc_id"), col("grp")).limit(0)
-    val floors = counts.map { case (g, n) => (g, budget * n / total) }
+    val floors = sorted.map { case (g, n) => (g, budget * n / total) }
     val leftover = budget - floors.map(_._2).sum
-    val bonus = counts
+    val bonus = sorted
       .map { case (g, n) => (g, budget * n % total) }
       .sortBy { case (g, rem) => (-rem, g) }
       .take(leftover.toInt).map(_._1).toSet

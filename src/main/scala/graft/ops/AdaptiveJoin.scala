@@ -127,8 +127,14 @@ object AdaptiveJoin {
     val cond = col(leftKey) === col(rightKey)
     // a deterministic per-ROW salt source (hashing the key would send
     // the hot key to one reducer again — the exact failure salting
-    // exists to break)
-    def rowHash(df: DataFrame) = hash(df.columns.map(col).toSeq: _*)
+    // exists to break). monotonically_increasing_id rides in the mix
+    // because denormalized data carries FULL-ROW duplicates of the hot
+    // key: hashing the columns alone would give every duplicate the
+    // same salt and re-hotspot one reducer (r12 advice); the id varies
+    // per row (partition id << 33 | row position — deterministic for a
+    // given partition layout), so duplicates spread.
+    def rowHash(df: DataFrame) =
+      hash(df.columns.map(col).toSeq :+ monotonically_increasing_id(): _*)
     val joined = strategy match {
       case "broadcast_right" => left.join(broadcast(right), cond)
       case "broadcast_left" => broadcast(left).join(right, cond)

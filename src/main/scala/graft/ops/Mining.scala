@@ -79,29 +79,6 @@ object Mining {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
-  /** Regex sequence matching over per-key ordered event streams —
-    * MATCH_RECOGNIZE-lite: each key's events sort by (ts, then the
-    * id tiebreak), map to single-character symbols, and the pattern
-    * runs as a standard non-overlapping regex scan over the symbol
-    * string. The pattern must be SCAN-DETERMINISTIC — every possible
-    * match from a given start position has a unique end (e.g.
-    * `v[^vp]*p`: the negated class pins the end at the first
-    * terminal symbol) — so leftmost-first (JDK) and
-    * leftmost-longest (RE2-family) engines produce the identical
-    * match set and any SQL oracle replays it bit-for-bit.
-    *
-    * Per key this is one ordered collect (keys are bounded —
-    * sessions, users, devices; an unbounded key stream sessionizes
-    * first, see [[Sessionize]]) and the regex scan is linear in the
-    * symbol string for patterns of this shape. The corpus-sized work
-    * is the single groupBy(key) shuffle; everything after is
-    * key-cardinality sized.
-    *
-    * Output: (key, n_events, n_matches, max_gap) — max_gap is the
-    * largest number of intervening symbols inside any match
-    * (length − 2 under a 2-anchor pattern), −1 when the key has no
-    * match.
-    */
   /** Timed arm→fire sequence matching as PURE WINDOWS — the scale
     * path of the CEP family: the `v[^vp]*p` automaton ([[
     * eventPatterns]], `EventStreams.patternMatches`) is equivalent to
@@ -141,6 +118,29 @@ object Mining {
         (col("ts") - col("prev.t")).as("gap_ticks"))
   }
 
+  /** Regex sequence matching over per-key ordered event streams —
+    * MATCH_RECOGNIZE-lite: each key's events sort by (ts, then the
+    * id tiebreak), map to single-character symbols, and the pattern
+    * runs as a standard non-overlapping regex scan over the symbol
+    * string. The pattern must be SCAN-DETERMINISTIC — every possible
+    * match from a given start position has a unique end (e.g.
+    * `v[^vp]*p`: the negated class pins the end at the first
+    * terminal symbol) — so leftmost-first (JDK) and
+    * leftmost-longest (RE2-family) engines produce the identical
+    * match set and any SQL oracle replays it bit-for-bit.
+    *
+    * Per key this is one ordered collect (keys are bounded —
+    * sessions, users, devices; an unbounded key stream sessionizes
+    * first, see [[Sessionize]]) and the regex scan is linear in the
+    * symbol string for patterns of this shape. The corpus-sized work
+    * is the single groupBy(key) shuffle; everything after is
+    * key-cardinality sized.
+    *
+    * Output: (key, n_events, n_matches, max_gap) — max_gap is the
+    * largest number of intervening symbols inside any match
+    * (length − 2 under a 2-anchor pattern), −1 when the key has no
+    * match.
+    */
   def eventPatterns(
       df: DataFrame, key: Column, ts: Column, tiebreak: Column,
       symbol: Column, pattern: String): DataFrame = {

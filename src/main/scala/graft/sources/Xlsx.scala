@@ -101,8 +101,11 @@ object Xlsx {
     // parts the reader needs plus small metadata), and the entry
     // count by a fixed 4096 (real books carry tens of entries) — both
     // throws land in the same quarantine path as the per-part cap.
+    // saturate, don't multiply: any part cap above Long.MaxValue/4
+    // would overflow 4× to a negative budget and quarantine every
+    // workbook's first entry (r12 advice)
     val maxTotalBytes =
-      if (maxPartBytes == Long.MaxValue) Long.MaxValue else 4L * maxPartBytes
+      if (maxPartBytes > Long.MaxValue / 4) Long.MaxValue else 4L * maxPartBytes
     val maxEntries = 4096
     var totalBytes = 0L
     var entries = 0
