@@ -34,6 +34,68 @@ class PackingSpec extends SparkSpec {
     assert(run(1) == run(11))
   }
 
+  // --- chunk-parallel kernel vs the sequential reference ---
+
+  private def both(rows: Seq[(String, Long, Long)], budget: Long, chunks: Int) = {
+    val df = rows.toDF("g", "id", "sz")
+    val seqK = Packing.nextFitSeq(df, col("g"), col("id"), col("sz"), budget)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val par = Packing.nextFit(df, col("g"), col("id"), col("sz"), budget, chunks)
+      .as[(String, Long, Long, Long)].collect().toSet
+    (seqK, par)
+  }
+
+  test("chunked kernel is bit-equal to the sequential kernel on random data") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 20000).map { i =>
+      (s"src${rnd.nextInt(3)}", i.toLong, rnd.nextInt(200).toLong)
+    }
+    val (a, b) = both(rows, budget = 512, chunks = 17)
+    assert(a == b)
+  }
+
+  test("chunked kernel handles oversized docs, zero sizes and chunk boundaries") {
+    val rnd = new scala.util.Random(7)
+    // one giant group (spans every chunk), sizes include 0 and >budget
+    val rows = (0 until 5000).map { i =>
+      val sz = rnd.nextInt(10) match {
+        case 0 => 0L                       // zero-size: flat prefix dedupe
+        case 1 => 300L + rnd.nextInt(400)  // oversized (> budget 256)
+        case _ => rnd.nextInt(120).toLong
+      }
+      ("big", i.toLong, sz)
+    } ++ Seq(("tiny", 0L, 1L), ("tiny2", 0L, 999L)) // 1-row groups
+    val (a, b) = both(rows, budget = 256, chunks = 23)
+    assert(a == b)
+  }
+
+  test("chunked kernel: chunks=1 and chunk-count > row-count degenerate cleanly") {
+    val rows = (0 until 50).map(i => (s"g${i % 2}", i.toLong, 40L))
+    val (a1, b1) = both(rows, budget = 100, chunks = 1)
+    assert(a1 == b1)
+    val (a2, b2) = both(rows, budget = 100, chunks = 128)
+    assert(a2 == b2)
+  }
+
+  test("chunked kernel: a whole group below one budget stays one sequence") {
+    val rows = (0 until 400).map(i => ("s", i.toLong, 1L))
+    val (a, b) = both(rows, budget = 100000, chunks = 11)
+    assert(a == b)
+    assert(b.forall(_._4 == 0L))
+  }
+
+  test("chunked kernel parallelism: the pack runs at chunk count, not group count") {
+    // one group, many chunks: every pass-2 task carries a slice
+    val rows = (0 until 3000).map(i => ("one", i.toLong, 10L + i % 90))
+    val df = rows.toDF("g", "id", "sz")
+    val packed = Packing.nextFit(df, col("g"), col("id"), col("sz"),
+      budget = 256, chunks = 13)
+    assert(packed.rdd.getNumPartitions == 13)
+    val nonEmpty = packed.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0)).collect().sum
+    assert(nonEmpty > 8, s"only $nonEmpty chunks carried rows for the one group")
+  }
+
   test("every sequence except possibly the last per group respects the budget") {
     val df = (0 until 300).map(i => (s"g${i % 3}", i.toLong, 30L + i % 150)).toDF("g", "id", "sz")
     val fills = Packing.nextFit(df, col("g"), col("id"), col("sz"), budget = 512)
