@@ -2162,6 +2162,9 @@ object SparkEntry {
       val enc = graft.llm.Bpe.encode(
         t(s, dir, "documents"), col("doc_id"), col("text"),
         rounds = 6, batch = 16)
+      // materialize the encoded frame ONCE (the q_itemsets idiom):
+      // both consumers — the pack kernel and the id-stream join-back
+      // — would otherwise each re-execute the whole encode
       val sized = enc
         .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
           "doc_id")
@@ -2169,6 +2172,7 @@ object SparkEntry {
           size(col("token_ids")).cast("long").as("n_tok"),
           array_join(transform(col("token_ids"), x => x.cast("string")), ",")
             .as("doc_ids_str"))
+        .localCheckpoint()
       graft.ops.Packing.nextFit(
           sized, col("source"), col("doc_id"), col("n_tok"), budget = 512)
         .join(sized,

@@ -149,10 +149,15 @@ object Packing {
     val n =
       if (chunks > 0) chunks
       else s.conf.get("spark.sql.shuffle.partitions").toInt
+    // materialize the 24 B/row projection ONCE: the range exchange's
+    // boundary-sampling job plus the two kernel passes would otherwise
+    // each re-execute the upstream plan (for ds_pack_ids that is the
+    // whole BPE encode — measured 1.3× the gate's wall time at sf10)
     val sorted = df.select(
         group.cast("string").as("grp"),
         order.cast("long").as("ord"),
         size.cast("long").as("sz"))
+      .localCheckpoint()
       .repartitionByRange(n, col("grp"), col("ord"))
       .sortWithinPartitions(col("grp"), col("ord"))
       .as[(String, Long, Long)]

@@ -89,6 +89,50 @@ class AdaptiveJoinSpec extends SparkSpec {
     assert(d.decision.estPairs == 0.0)
   }
 
+  test("the two pre-flight side-stat jobs run concurrently (r12 item 6)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    import scala.jdk.CollectionConverters._
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val intervals = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts.put(j.jobId, j.time)
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val s = starts.get(j.jobId)
+        if (s != null) intervals.put(j.jobId, (s.longValue, j.time))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // slow every scan task so each pre-flight job is wide enough
+      // for its [submit, complete] interval to overlap unambiguously
+      // on the driver's event timestamps
+      def slow(df: org.apache.spark.sql.DataFrame, names: Seq[String]) =
+        df.as[(Long, Long)]
+          .mapPartitions { it => Thread.sleep(500); it }
+          .toDF(names: _*)
+      val j = AdaptiveJoin.adaptiveJoin(
+        slow(cleanLeft, Seq("lk", "l_payload")),
+        slow(bigRight, Seq("rk", "r_payload")),
+        "lk", "rk", broadcastMaxRows = 100L, skewMaxMult = 5000000L)
+      // decision unchanged by the concurrency
+      assert(j.decision.strategy == "shuffle", j.decision.toString)
+      // jobs within one side run sequentially (one future each), so
+      // any overlapping pair proves cross-side concurrency
+      val deadline = System.currentTimeMillis() + 15000
+      def overlapping: Boolean = {
+        val iv = intervals.values.asScala.toSeq
+        iv.combinations(2).exists { case Seq((s1, e1), (s2, e2)) =>
+          s1 < e2 && s2 < e1
+        }
+      }
+      while (!overlapping && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(overlapping,
+        s"no overlapping pre-flight jobs among ${intervals.asScala}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("column-name collisions are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       AdaptiveJoin.adaptiveJoin(
