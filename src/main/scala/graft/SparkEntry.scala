@@ -2153,6 +2153,26 @@ object SparkEntry {
             .as("ids"))
     },
 
+    // --- BPE ENCODE, saved-merges / large-vocab arm ---
+    "txt_bpe_encode2" -> { (s, dir) =>
+      // the production split (train once, encode many) and the scale
+      // arm for 32k-merge vocabularies: the merge list rides as
+      // broadcast DATA applied per distinct word in one mapPartitions
+      // (Bpe.encodeWithMerges) instead of chained codegen kernels +
+      // a vocab-sized typedLit. Same pinned config, same oracle as
+      // txt_bpe_encode — the two arms are spec-pinned bit-equal and
+      // oracle-checked independently.
+      val docs = t(s, dir, "documents")
+      val merges = graft.llm.Bpe.train(
+        docs, col("text"), rounds = 6, batch = 16)._1
+      graft.llm.Bpe.encodeWithMerges(
+          docs, col("doc_id"), col("text"), merges)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("token_ids"), x => x.cast("string")), ",")
+            .as("ids"))
+    },
+
     // --- sequence packing of REAL token-id sequences ---
     "ds_pack_ids" -> { (s, dir) =>
       // end-to-end: encode -> next-fit pack into 512-token sequences
@@ -2482,6 +2502,11 @@ object SparkEntry {
     // bit-identical to q_pagerank by the absorbing-fixpoint argument
     // (see the query comment) — deliberately the SAME oracle
     "q_pagerank_conv" -> OracleSqlGen.sql("q_pagerank"),
+
+    // the saved-merges encode arm runs the SAME pinned config as the
+    // chained-kernel arm (spec-pinned bit-equal) — deliberately the
+    // same oracle, checked independently
+    "txt_bpe_encode2" -> OracleSqlGen.sql("txt_bpe_encode"),
 
     // the delta-join identity from the OTHER side: the new rows of
     // (A∪ΔA)⋈(B∪ΔB) are exactly the full-join rows touching either

@@ -215,6 +215,111 @@ object Bpe {
         x => x.getField("ids"))).as("token_ids"))
   }
 
+  /** Apply a learned merge list to one word, executor-side —
+    * bit-equal to chaining one [[graft.functions.F.bpeMerge]] greedy
+    * pass per merge in rank order (the trainer's application), but
+    * O(|word|²·log) per word INDEPENDENT of vocabulary size: instead
+    * of running every rank's pass (no-ops included), repeatedly find
+    * the minimum-rank adjacent pair ABOVE the last applied rank and
+    * run exactly its pass. Equivalence: pass r is a no-op unless
+    * merge r's pair is adjacent when it runs, and the word only
+    * changes at non-no-op passes — so the non-no-op ranks are
+    * exactly "min adjacent rank above the previous one", in order
+    * (pairs a pass creates with SMALLER rank stay unmerged in both
+    * formulations: their pass already ran). Spec-pinned against the
+    * chained-kernel arm and a literal pass-per-rank reference.
+    */
+  private[graft] def applyMergesToWord(
+      word: String,
+      pairs: Array[(String, String)],
+      rank: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.split("").filter(_.nonEmpty)
+    var cur = 0
+    var done = false
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r > cur && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = pairs(best - 1)
+        val ab = a + b
+        // the exact bpeMergeApply greedy left-to-right scan
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += ab; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+        cur = best
+      }
+    }
+    syms
+  }
+
+  /** [[encode]] from a SAVED merge list — the production split
+    * (train once, encode many) and the LARGE-VOCAB arm (r12 verdict
+    * item 2): [[encode]] re-trains and rides `train`'s per-round
+    * chained [[graft.functions.F.bpeMerge]] kernels plus one
+    * `typedLit` id-map literal, which at a production 32k-merge
+    * vocabulary means a 32k-entry codegen literal (64 KB JVM method /
+    * constant-pool territory). This arm instead broadcasts the merge
+    * list as PLAIN DATA and applies it per DISTINCT WORD in one
+    * `mapPartitions` over the vocabulary frame
+    * ([[applyMergesToWord]] — work independent of vocab size), so
+    * the only corpus-sized stages stay the word explode, the
+    * vocab-keyed join and the doc reassembly. Id layout is identical
+    * to [[encode]] (base alphabet sorted = ids 0..C−1, merge rank r
+    * = id C+r−1, min id on string collisions), and the output is
+    * bit-equal (spec-pinned at the gated config; symbol-equal
+    * against the trained vocabulary at a 1.3k-merge config).
+    */
+  def encodeWithMerges(
+      docs: DataFrame, id: Column, text: Column,
+      merges: Seq[Merge]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs
+      .select(id.as("doc_id"),
+        posexplode(split(lower(text), " ")).as(Seq("wpos", "word")))
+      .filter(col("word") =!= "")
+    val vocabWords = words.select(col("word")).distinct()
+    val baseChars = vocabWords
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val idMap: Map[String, Int] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      baseChars.zipWithIndex.foreach { case (c, i) => m(c) = i }
+      merges.foreach { mg =>
+        val tok = mg.lhs + mg.rhs
+        if (!m.contains(tok)) m(tok) = baseChars.length + mg.rank.toInt - 1
+      }
+      m.toMap
+    }
+    val pairArr = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)).toArray
+    val rankMap = pairArr.iterator.zipWithIndex
+      .map { case (p, i) => (p, i + 1) }.toMap
+    val bc = s.sparkContext.broadcast((pairArr, rankMap, idMap))
+    val wordIds = vocabWords.as[String]
+      .mapPartitions { it =>
+        val (pa, rm, im) = bc.value
+        it.map(w => (w, applyMergesToWord(w, pa, rm).map(im)))
+      }
+      .toDF("word", "ids")
+    words.join(wordIds, "word")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        x => x.getField("ids"))).as("token_ids"))
+  }
+
   /** Per-document LEARNED-BPE token counts: train `rounds` merges,
     * then charge each document the sum over its word occurrences of
     * the word's final symbol count. One corpus-sized word explode +

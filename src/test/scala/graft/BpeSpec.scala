@@ -251,6 +251,96 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeWithMerges is bit-equal to the chained-kernel encode (r12 item 2)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = Bpe.encode(docs, col("doc_id"), col("text"),
+        rounds = 6, batch = 16)
+      .as[(Long, Seq[Int])].collect().toMap
+    val merges = Bpe.train(docs, col("text"), rounds = 6, batch = 16)._1
+    val got = Bpe.encodeWithMerges(docs, col("doc_id"), col("text"), merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == want)
+  }
+
+  test("applyMergesToWord equals the literal pass-per-rank fold") {
+    // literal reference: run EVERY rank's greedy pass in order,
+    // no-ops included — the trainer's exact application semantics
+    def literal(word: String, pairs: Array[(String, String)]): Vector[String] = {
+      var syms = word.split("").filter(_.nonEmpty).toVector
+      pairs.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(1234)
+    // random merge chains over a tiny alphabet: later merges reference
+    // earlier concatenations, so min-rank jumps and stale-rank skips
+    // both get exercised (a pass can CREATE a lower-rank pair that
+    // must stay unmerged)
+    for (trial <- 0 until 200) {
+      val alpha = Vector("a", "b", "c")
+      val toks = scala.collection.mutable.ArrayBuffer(alpha: _*)
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val seen = scala.collection.mutable.Set.empty[(String, String)]
+      while (pairs.size < 12) {
+        val p = (toks(rnd.nextInt(toks.size)), toks(rnd.nextInt(toks.size)))
+        if (!seen(p)) { seen += p; pairs += p; toks += (p._1 + p._2) }
+      }
+      val pa = pairs.toArray
+      val rm = pa.iterator.zipWithIndex.map { case (p, i) => (p, i + 1) }.toMap
+      val word = (0 until (3 + rnd.nextInt(15)))
+        .map(_ => alpha(rnd.nextInt(3))).mkString
+      val got = Bpe.applyMergesToWord(word, pa, rm).toVector
+      val want = literal(word, pa)
+      assert(got == want, s"trial $trial word $word: $got != $want")
+    }
+  }
+
+  test("encodeWithMerges at a 1.3k-merge vocabulary (r12 item 2 measurement)") {
+    // the syllable corpus from the 1k-merge training spec — enough
+    // entropy for >=1000 merges, where the chained-kernel encode arm
+    // would build a 1k+-entry codegen literal
+    val syl = Vector("spar", "kle", "ba", "tch", "ing", "col", "umn",
+      "or", "der", "fil", "ter", "win", "dow", "agg", "re", "gate",
+      "shuf", "fle", "par", "ti", "tion", "broad", "cast", "ha", "sh",
+      "jo", "in", "scan", "mer", "ge", "sort", "que", "ry", "plan")
+    val wordsAll = (for { ai <- syl.indices; bi <- syl.indices }
+      yield syl(ai) + syl(bi) + syl((ai + bi) % syl.size)).distinct
+    val texts = (0 until 1500).map { d =>
+      (0 until 16).map { j =>
+        wordsAll((d * 37 + j * j * 11 + 5) % wordsAll.size)
+      }.mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(docs, col("text"), rounds = 60, batch = 64)
+    assert(merges.size >= 1000, s"learned only ${merges.size} merges")
+    val t0 = System.nanoTime()
+    val enc = Bpe.encodeWithMerges(docs, col("doc_id"), col("text"), merges)
+    val nDocs = enc.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(nDocs == 1500L)
+    info(f"encodeWithMerges at ${merges.size} merges: $wall%.2f s for $nDocs docs")
+    // per-word symbol equality against the trainer's own chained-
+    // kernel application: the trie-free arm reproduces the vocabulary
+    // the 60 rounds of bpeMerge kernels produced, at full vocab size
+    val pa = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)).toArray
+    val rm = pa.iterator.zipWithIndex.map { case (p, i) => (p, i + 1) }.toMap
+    val wordSyms = vocab.select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect()
+    wordSyms.foreach { case (w, syms) =>
+      val got = Bpe.applyMergesToWord(w, pa, rm).toSeq
+      assert(got == syms, s"word $w: $got != $syms")
+    }
+  }
+
   test("docTokenCounts charges each doc the learned per-word symbol counts") {
     val docs = corpus.zipWithIndex
       .map { case (t, i) => (i.toLong, t, s"src${i % 2}") }
