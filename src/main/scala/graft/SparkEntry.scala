@@ -1132,6 +1132,26 @@ object SparkEntry {
         .withColumnRenamed("k", "event_type")
     },
 
+    "q_incremental_agg_retract" -> { (s, dir) =>
+      // Z-set incremental maintenance WITH RETRACTIONS (r12 item 3):
+      // base state, minus a delete batch (mult −1: base rows whose
+      // id divides 7), plus an insert batch — merged in an order
+      // that interleaves the delete BEFORE the insert batch, which
+      // signed multiplicities make legal. The oracle recomputes from
+      // the surviving rows.
+      import graft.ops.Incremental
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      Incremental.finishZ(Incremental.mergeZ(
+        Incremental.mergeZ(
+          Incremental.stateZ(base, col("event_type"), col("value"), lit(1)),
+          Incremental.stateZ(del, col("event_type"), col("value"), lit(-1))),
+        Incremental.stateZ(ins, col("event_type"), col("value"), lit(1))))
+        .withColumnRenamed("k", "event_type")
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // next-fit packing of docs into 2048-char training sequences
       // per source; per-sequence fill summary
@@ -1181,6 +1201,40 @@ object SparkEntry {
         c.filter(col("c_custkey") % 7 =!= 0),
         c.filter(col("c_custkey") % 7 === 0),
         col("o_custkey"), col("c_custkey"))
+    },
+
+    "q_incremental_join_retract" -> { (s, dir) =>
+      // delta-join maintenance WITH RETRACTIONS (ops/Incremental.
+      // deltaJoinZ, r12 item 3): deltas carry ±1 multiplicities
+      // (inserts plus deletes of base rows on BOTH sides), the
+      // four-term identity runs over Z-sets (ΔA⋈ΔB multiplies signs,
+      // compensating the double removal), and applying the delta
+      // terms to the materialized base result — Σ mult per row, keep
+      // positive — must equal the full re-join of the corrected
+      // tables, which is exactly what the oracle recomputes.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val baseL = o.filter(col("o_orderkey") % 10 =!= 0)
+      val baseR = c.filter(col("c_custkey") % 7 =!= 0)
+      val dl = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseL.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("mult", lit(-1L)))
+      val dr = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseR.filter(col("c_custkey") % 5 === 0)
+          .withColumn("mult", lit(-1L)))
+      val cols = Seq(col("o_orderkey"), col("o_custkey"),
+        col("c_custkey"), col("c_mktsegment"))
+      val baseJoin = baseL.join(baseR, col("o_custkey") === col("c_custkey"))
+        .select(cols: _*).withColumn("mult", lit(1L))
+      baseJoin
+        .unionByName(graft.ops.Incremental.deltaJoinZ(
+          baseL, dl, baseR, dr, col("o_custkey"), col("c_custkey")))
+        .groupBy(cols: _*)
+        .agg(sum(col("mult")).as("mult"))
+        .filter(col("mult") > 0)
+        .select(cols: _*)
     },
 
     "q_scd2_history" -> { (s, dir) =>
@@ -2755,6 +2809,29 @@ object SparkEntry {
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
         | MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Z-set retraction oracle: recompute from the SURVIVING rows —
+    // base minus the deleted batch, plus the inserts. The engine
+    // never re-scans history; the oracle proves the signed-state
+    // algebra lands on the same answer.
+    "q_incremental_agg_retract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY event_type""".stripMargin,
+
+    // the corrected-tables recompute: surviving orders = (base minus
+    // the %9 deletes) plus the %10 inserts; surviving customers =
+    // (base minus the %5 deletes) plus the %7 inserts
+    "q_incremental_join_retract" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE ((o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
+        |       OR o_orderkey % 10 = 0)
+        |  AND ((c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
+        |       OR c_custkey % 7 = 0)""".stripMargin,
 
     "pack_sequences" ->
       """WITH RECURSIVE d AS (

@@ -57,6 +57,56 @@ object Incremental {
       col("sum_v").cast("double").as("sum_v"),
       col("min_v"), col("max_v"))
 
+  /** Z-SET state (r12 verdict item 3): per-(key, value) SIGNED
+    * multiplicity, the standard generalization that gives the
+    * insert-only [[state]]/[[merge]] a retraction path — real
+    * pipelines get corrections, and without signed state the first
+    * delete forces a full recompute. A batch contributes `mult` per
+    * row (+1 insert, −1 delete); states merge by adding
+    * multiplicities, so merge stays a commutative monoid and
+    * deletes/inserts net out in ANY batch order (a delete may arrive
+    * before its insert; the state carries the −1 until it nets).
+    *
+    * Keeping (k, v) pairs rather than [[state]]'s per-key scalars is
+    * what makes min/max RETRACTABLE: deleting the current minimum
+    * must surface the runner-up, which per-key scalars have already
+    * forgotten. State size is bounded by live distinct (k, v) pairs
+    * — the same order as the input for high-cardinality values, so
+    * pair-level state is the price of correct retractions (DBSP /
+    * differential-dataflow Z-sets; Budiu et al., VLDB 2023 — public
+    * literature).
+    */
+  def stateZ(df: DataFrame, key: Column, value: Column, mult: Column): DataFrame =
+    df.groupBy(key.as("k"), value.as("v"))
+      .agg(sum(mult.cast("long")).as("mult"))
+      .filter(col("mult") =!= 0L)
+
+  /** Merge two Z-states: add multiplicities, drop netted-out pairs.
+    * Union + map-combined re-aggregation (no join); output schema
+    * equals [[stateZ]] output, so merges chain.
+    */
+  def mergeZ(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("k"), col("v"))
+      .agg(sum(col("mult")).as("mult"))
+      .filter(col("mult") =!= 0L)
+
+  /** Surface a Z-state as per-key aggregates over its LIVE (mult>0)
+    * pairs: n = Σ mult, exact decimal sum of v·mult (integer-scaled
+    * decimal addition — engine-exact in any merge order), min/max
+    * over live values. Negative-residue pairs (retractions of rows
+    * not yet inserted) stay in the state but never surface.
+    */
+  def finishZ(state: DataFrame): DataFrame =
+    state.filter(col("mult") > 0L)
+      .groupBy(col("k"))
+      .agg(
+        sum(col("mult")).as("n"),
+        sum(col("v").cast(DecimalType(18, 2)) * col("mult"))
+          .cast("double").as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
   /** Incremental INNER-JOIN maintenance: given a join result already
     * materialized over bases (A, B) and insert-only deltas (ΔA, ΔB),
     * return exactly the NEW join rows — the delta-join identity
@@ -87,5 +137,43 @@ object Incremental {
     deltaLeft.join(baseRight, cond).select(outCols: _*)
       .unionByName(baseLeft.join(deltaRight, cond).select(outCols: _*))
       .unionByName(deltaLeft.join(deltaRight, cond).select(outCols: _*))
+  }
+
+  /** [[deltaJoin]] with RETRACTIONS (r12 verdict item 3): deltas
+    * carry a signed multiplicity column `mult` (+1 insert, −1
+    * delete-of-a-base-row), bases are implicit mult 1, and the same
+    * four-term identity runs over Z-sets — multiplicities MULTIPLY
+    * across a join, so ΔA⋈ΔB = (−1)·(−1) = +1 exactly compensates
+    * the double removal when a deleted left row joined a deleted
+    * right row. Applying the output to the materialized base result
+    * (union, group by row, Σ mult, keep > 0) equals the full re-join
+    * of (A∪ΔA∖deleted) ⋈ (B∪ΔB∖deleted) — the oracle's recompute.
+    *
+    * Same scale shape as [[deltaJoin]]: three joins, every one with
+    * a delta probe side; the materialized base⋈base is never
+    * re-joined. Output: `left ++ right ++ mult`.
+    */
+  def deltaJoinZ(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column,
+      mult: String = "mult"): DataFrame = {
+    require(
+      baseLeft.columns.toSet.intersect(baseRight.columns.toSet).isEmpty,
+      "deltaJoinZ: left/right column names must be disjoint")
+    require(
+      !baseLeft.columns.contains(mult) && !baseRight.columns.contains(mult),
+      s"deltaJoinZ: base columns must not contain the mult column '$mult'")
+    val cond = leftKey === rightKey
+    val outCols = (baseLeft.columns ++ baseRight.columns).map(col).toSeq
+    val dl = deltaLeft.withColumnRenamed(mult, "_ml")
+    val dr = deltaRight.withColumnRenamed(mult, "_mr")
+    dl.join(baseRight, cond)
+      .select(outCols :+ col("_ml").cast("long").as(mult): _*)
+      .unionByName(baseLeft.join(dr, cond)
+        .select(outCols :+ col("_mr").cast("long").as(mult): _*))
+      .unionByName(dl.join(dr, cond)
+        .select(outCols :+
+          (col("_ml") * col("_mr")).cast("long").as(mult): _*))
   }
 }

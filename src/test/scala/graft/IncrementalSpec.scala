@@ -87,6 +87,108 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  // --- Z-set (signed multiplicity) retraction path, r12 item 3 ---
+
+  private def canonZ(df: org.apache.spark.sql.DataFrame) =
+    Incremental.finishZ(df).as[(String, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  test("Z-state with interleaved inserts/deletes equals the recompute, any order") {
+    val rnd = new scala.util.Random(99)
+    // duplicate-keyed data with duplicate VALUES per key so
+    // multiplicities > 1 arise; delete a subset of inserted rows
+    val rows = (0 until 800).map(i => (s"k${i % 5}", (rnd.nextInt(12)).toDouble))
+    val deleted = rows.zipWithIndex.collect { case (r, i) if i % 3 == 0 => r }
+    val survivors = rows.zipWithIndex.collect { case (r, i) if i % 3 != 0 => r }
+    val want = canonZ(Incremental.stateZ(
+      survivors.toDF("k", "v"), col("k"), col("v"), lit(1)))
+    val insA = rows.take(300).toDF("k", "v")
+    val insB = rows.drop(300).toDF("k", "v")
+    val delDf = deleted.toDF("k", "v")
+    val sIA = Incremental.stateZ(insA, col("k"), col("v"), lit(1))
+    val sIB = Incremental.stateZ(insB, col("k"), col("v"), lit(1))
+    val sD = Incremental.stateZ(delDf, col("k"), col("v"), lit(-1))
+    // three merge orders, including the delete arriving FIRST (the
+    // out-of-order case a per-key scalar state cannot represent)
+    assert(canonZ(Incremental.mergeZ(Incremental.mergeZ(sIA, sIB), sD)) == want)
+    assert(canonZ(Incremental.mergeZ(Incremental.mergeZ(sIA, sD), sIB)) == want)
+    assert(canonZ(Incremental.mergeZ(sD, Incremental.mergeZ(sIB, sIA))) == want)
+  }
+
+  test("deleting the current minimum surfaces the runner-up") {
+    val ins = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0)).toDF("k", "v")
+    val del = Seq(("k", 1.0)).toDF("k", "v")
+    val got = canonZ(Incremental.mergeZ(
+      Incremental.stateZ(ins, col("k"), col("v"), lit(1)),
+      Incremental.stateZ(del, col("k"), col("v"), lit(-1))))
+    assert(got == Seq(("k", 2L, 5.0, 2.0, 3.0)))
+  }
+
+  test("netted-out pairs leave the state; negative residue never surfaces") {
+    val ins = Seq(("k", 1.0)).toDF("k", "v")
+    val del = Seq(("k", 1.0), ("k", 9.0)).toDF("k", "v") // 9.0 not yet inserted
+    val st = Incremental.mergeZ(
+      Incremental.stateZ(ins, col("k"), col("v"), lit(1)),
+      Incremental.stateZ(del, col("k"), col("v"), lit(-1)))
+    // (k,1.0) netted to 0 and dropped; (k,9.0) carried at −1
+    assert(st.as[(String, Double, Long)].collect().toSet ==
+      Set(("k", 9.0, -1L)))
+    assert(canonZ(st).isEmpty)
+    // the late insert nets the residue to nothing
+    val late = Incremental.mergeZ(st,
+      Incremental.stateZ(Seq(("k", 9.0)).toDF("k", "v"),
+        col("k"), col("v"), lit(1)))
+    assert(late.isEmpty)
+  }
+
+  test("deltaJoinZ applied to the base result equals the corrected recompute") {
+    val rnd = new scala.util.Random(7)
+    // FULL-ROW duplicates on both sides (tiny key/payload domains),
+    // so join-row multiplicities exceed 1 and retractions must remove
+    // exactly one occurrence — the case set semantics silently break
+    val rowsL = (0 until 120).map(_ => ((rnd.nextInt(6)).toLong, s"l${rnd.nextInt(3)}"))
+    val rowsR = (0 until 90).map(_ => ((rnd.nextInt(6)).toLong, s"r${rnd.nextInt(3)}"))
+    def split[A](rows: Seq[A], insMod: Int, delMod: Int) = {
+      val base = rows.zipWithIndex.collect { case (r, i) if i % insMod != 0 => r }
+      val ins = rows.zipWithIndex.collect { case (r, i) if i % insMod == 0 => r }
+      val del = base.zipWithIndex.collect { case (r, i) if i % delMod == 0 => r }
+      (base, ins, del)
+    }
+    val (bL, iL, xL) = split(rowsL, 3, 5)
+    val (bR, iR, xR) = split(rowsR, 4, 7)
+    val baseL = bL.toDF("lk", "lpay")
+    val baseR = bR.toDF("rk", "rpay")
+    val dl = iL.toDF("lk", "lpay").withColumn("mult", lit(1L))
+      .unionByName(xL.toDF("lk", "lpay").withColumn("mult", lit(-1L)))
+    val dr = iR.toDF("rk", "rpay").withColumn("mult", lit(1L))
+      .unionByName(xR.toDF("rk", "rpay").withColumn("mult", lit(-1L)))
+    val cols = Seq(col("lk"), col("lpay"), col("rk"), col("rpay"))
+    val maintained = baseL.join(baseR, $"lk" === $"rk")
+      .select(cols: _*).withColumn("mult", lit(1L))
+      .unionByName(Incremental.deltaJoinZ(
+        baseL, dl, baseR, dr, col("lk"), col("rk")))
+      .groupBy(cols: _*).agg(sum($"mult").as("mult"))
+      .filter($"mult" > 0)
+    // corrected tables as MULTISETS: Seq.diff removes one occurrence
+    // per deleted row
+    val corrL = (bL.diff(xL) ++ iL).toDF("lk", "lpay")
+    val corrR = (bR.diff(xR) ++ iR).toDF("rk", "rpay")
+    val want = corrL.join(corrR, $"lk" === $"rk").select(cols: _*)
+      .groupBy(cols: _*).agg(count(lit(1)).as("mult"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val got = rows(maintained)
+    assert(got == rows(want))
+    // multiplicities > 1 actually occurred, or the test proves nothing
+    assert(got.exists(_.last.asInstanceOf[Long] > 1L))
+    // mult-column collision rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Incremental.deltaJoinZ(baseL.withColumnRenamed("lpay", "mult"), dl,
+        baseR, dr, col("lk"), col("rk"))
+    }
+    assert(e.getMessage.contains("mult"))
+  }
+
   test("repetition stats on hand-checked docs") {
     val df = Seq(
       (1L, "a a a a"),        // bigrams: aa,aa,aa → dup 2/3; top 4/4
