@@ -1337,15 +1337,86 @@ i AS (
 p AS (
  SELECT user_id, tus, event_id, sym, idx,
   last_value(CASE WHEN sym IN ('v', 'p')
-    THEN struct_pack(s := sym, t := tus, i := idx) END IGNORE NULLS)
+    THEN struct_pack(s := sym, t := tus, i := idx, b := event_id)
+    END IGNORE NULLS)
    OVER (PARTITION BY user_id ORDER BY tus, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
  FROM i)
 SELECT user_id, event_id AS end_id,
  idx - (prev).i - 1 AS gap_events,
- tus - (prev).t AS gap_ticks
+ tus - (prev).t AS gap_ticks,
+ (prev).b AS start_id
 FROM p
 WHERE sym = 'p' AND (prev).s = 'v' AND tus - (prev).t <= 3600000000"""
+
+    # ---- q_event_pattern_rows: PER-MATCH rows for the batch CEP
+    # surface (r12 item 7) — the window formulation of the same
+    # v[^vp]*p automaton over the FULL 5-symbol alphabet, no time
+    # bound, emitting each match's start/end anchors (q_event_pattern
+    # aggregates to n_matches/max_gap; this is its row-level parity,
+    # equal match-for-match to the regex scan) ----
+    o["q_event_pattern_rows"] = """
+WITH e AS (
+ SELECT user_id, epoch_us(ts) AS tus, event_id,
+  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+   WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+   ELSE 'e' END AS sym
+ FROM events),
+i AS (
+ SELECT user_id, tus, event_id, sym,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+   AS BIGINT) AS idx
+ FROM e),
+p AS (
+ SELECT user_id, tus, event_id, sym, idx,
+  last_value(CASE WHEN sym IN ('v', 'p')
+    THEN struct_pack(s := sym, t := tus, i := idx, b := event_id)
+    END IGNORE NULLS)
+   OVER (PARTITION BY user_id ORDER BY tus, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+ FROM i)
+SELECT user_id, event_id AS end_id,
+ idx - (prev).i - 1 AS gap_events,
+ tus - (prev).t AS gap_ticks,
+ (prev).b AS start_id
+FROM p
+WHERE sym = 'p' AND (prev).s = 'v'"""
+
+    # ---- q_event_pattern_steps: K-STEP timed CEP as CHAINED
+    # IGNORE-NULLS windows (r12 item 4) — view -> click within 6 h ->
+    # purchase within 12 h, last-predecessor (funnel last-touch)
+    # semantics: step i completes from the most recent step-(i-1)
+    # completion, which is sufficient as well as necessary because an
+    # older completion only widens the gap ----
+    o["q_event_pattern_steps"] = """
+WITH e AS (
+ SELECT user_id, epoch_us(ts) AS tus, event_id,
+  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+   WHEN 'purchase' THEN 'p' ELSE 'o' END AS sym
+ FROM events),
+s1 AS (
+ SELECT user_id, tus, event_id, sym,
+  CASE WHEN sym = 'v'
+   THEN struct_pack(t := tus, t0 := tus, id0 := event_id) END AS m1
+ FROM e),
+s2 AS (
+ SELECT *, last_value(m1 IGNORE NULLS) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2
+ FROM s1),
+s2m AS (
+ SELECT *, CASE WHEN sym = 'c' AND tus - (p2).t <= 21600000000
+   THEN struct_pack(t := tus, t0 := (p2).t0, id0 := (p2).id0) END AS m2
+ FROM s2),
+s3 AS (
+ SELECT *, last_value(m2 IGNORE NULLS) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p3
+ FROM s2m)
+SELECT user_id, event_id AS end_id, (p3).id0 AS start_id,
+ tus - (p3).t0 AS total_ticks, tus - (p3).t AS last_gap_ticks
+FROM s3
+WHERE sym = 'p' AND tus - (p3).t <= 43200000000"""
 
     # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
     # size-ratio prefilter is sound (J <= min/max sizes) ----

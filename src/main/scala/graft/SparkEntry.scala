@@ -1720,6 +1720,39 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
     },
 
+    "q_event_pattern_rows" -> { (s, dir) =>
+      // PER-MATCH rows for the batch CEP surface (r12 item 7): the
+      // window formulation of the same v[^vp]*p automaton as
+      // q_event_pattern, unbounded time, each match's start/end
+      // anchors — row-level parity the regex aggregate cannot emit,
+      // with no per-key collect (unbounded keys welcome)
+      val e = t(s, dir, "events")
+      graft.ops.Mining.timedMatches(
+        e, col("user_id"), eventUs(e, "ts"), col("event_id"),
+        expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'" +
+          " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'" +
+          " ELSE 'e' END"),
+        armSym = "v", fireSym = "p", maxGapTicks = Long.MaxValue)
+        .withColumnRenamed("key", "user_id")
+    },
+
+    "q_event_pattern_steps" -> { (s, dir) =>
+      // K-STEP timed CEP as chained windows (ops/Mining.timedSteps,
+      // r12 item 4): view -> click within 6 h -> purchase within
+      // 12 h, last-predecessor (funnel last-touch) semantics — one key
+      // shuffle, k-1 chained last(ignoreNulls) windows, no collect,
+      // no regex; retires eventPatterns' bounded-key caveat for
+      // k-step sequential patterns
+      val e = t(s, dir, "events")
+      graft.ops.Mining.timedSteps(
+        e, col("user_id"), eventUs(e, "ts"), col("event_id"),
+        expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'" +
+          " WHEN 'purchase' THEN 'p' ELSE 'o' END"),
+        steps = Seq("v", "c", "p"),
+        budgets = Seq(21600000000L, 43200000000L))
+        .withColumnRenamed("key", "user_id")
+    },
+
     "q_itemsets" -> { (s, dir) =>
       // pairwise frequent itemsets over order baskets: part pairs
       // co-ordered in >= 2 orders with exact support counts plus

@@ -94,7 +94,9 @@ object Mining {
     * hour" business rule a symbol regex cannot express).
     *
     * One key shuffle (the window); map-only after. Output: one row
-    * per timed match — (key, end_id, gap_events, gap_ticks).
+    * per timed match — (key, end_id, gap_events, gap_ticks,
+    * start_id) — the PER-MATCH rows (start/end anchors) the
+    * aggregate surface ([[eventPatterns]]) cannot emit (r12 item 7).
     * MiningSpec pins the triple equivalence: windows == collect+regex
     * == the streaming automaton when maxGapTicks is unbounded.
     */
@@ -109,13 +111,74 @@ object Mining {
         symbol.as("sym"))
       .withColumn("idx", row_number().over(w).cast("long"))
       .withColumn("vp", when(col("sym").isin(armSym, fireSym),
-        struct(col("sym").as("s"), col("ts").as("t"), col("idx").as("i"))))
+        struct(col("sym").as("s"), col("ts").as("t"), col("idx").as("i"),
+          col("tb").as("b"))))
       .withColumn("prev", last(col("vp"), ignoreNulls = true).over(prevW))
       .filter(col("sym") === fireSym && col("prev.s") === armSym &&
         col("ts") - col("prev.t") <= maxGapTicks)
       .select(col("key"), col("tb").as("end_id"),
         (col("idx") - col("prev.i") - 1).as("gap_events"),
-        (col("ts") - col("prev.t")).as("gap_ticks"))
+        (col("ts") - col("prev.t")).as("gap_ticks"),
+        col("prev.b").as("start_id"))
+  }
+
+  /** K-STEP timed sequence matching as chained windows (r12 item 4):
+    * the pattern is an ordered symbol sequence `steps` with a
+    * per-transition time budget `budgets(i)` between step i and step
+    * i+1 ("view → cart within 30 min → purchase within an hour").
+    * Semantics are LAST-PREDECESSOR (the funnel family's last-touch
+    * rule, [[Funnel.stages]]'s machinery): an event completes step
+    * i ≥ 2 iff its symbol is steps(i−1) and the MOST RECENT event
+    * strictly before it that completed step i−1 did so within the
+    * budget — sufficient as well as necessary, because an older
+    * completion only widens the gap (prefix timestamps are
+    * monotone), so "last" loses no match. Completions may share a
+    * prefix (two purchases can ride one view — last-touch, where
+    * [[timedMatches]]' arm/fire family CONSUMES on fire); each
+    * completion reports its own chain anchors.
+    *
+    * This retires [[eventPatterns]]' per-key collect for the k-step
+    * sequential patterns users actually write: ONE key shuffle, then
+    * k−1 chained `last(ignoreNulls)` window projections sharing the
+    * partition/sort (no further exchange), map-only after — no
+    * per-key array, unbounded keys welcome, and every step's state
+    * is one struct column. A SQL oracle replays it as chained
+    * IGNORE-NULLS windows.
+    *
+    * Output: one row per completed match — (key, end_id, start_id,
+    * total_ticks, last_gap_ticks), where start_id/total_ticks anchor
+    * the chain's step-1 event and last_gap_ticks is the final
+    * transition's gap.
+    */
+  def timedSteps(
+      df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      symbol: Column, steps: Seq[String], budgets: Seq[Long]): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(budgets.size == steps.size - 1,
+      s"need ${steps.size - 1} budgets for ${steps.size} steps, got ${budgets.size}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tb"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+    val k = steps.size
+    var cur = df
+      .select(key.as("key"), ts.as("ts"), tiebreak.as("tb"), symbol.as("sym"))
+      .withColumn("_s1", when(col("sym") === steps.head,
+        struct(col("ts").as("t"), col("ts").as("t0"), col("tb").as("id0"))))
+    for (i <- 2 to k) {
+      cur = cur
+        .withColumn(s"_p$i",
+          last(col(s"_s${i - 1}"), ignoreNulls = true).over(prevW))
+        .withColumn(s"_s$i", when(
+          col("sym") === steps(i - 1) &&
+            col("ts") - col(s"_p$i.t") <= budgets(i - 2),
+          struct(col("ts").as("t"), col(s"_p$i.t0").as("t0"),
+            col(s"_p$i.id0").as("id0"))))
+    }
+    cur.filter(col(s"_s$k").isNotNull)
+      .select(col("key"), col("tb").as("end_id"),
+        col(s"_s$k.id0").as("start_id"),
+        (col("ts") - col(s"_s$k.t0")).as("total_ticks"),
+        (col("ts") - col(s"_p$k.t")).as("last_gap_ticks"))
   }
 
   /** Regex sequence matching over per-key ordered event streams —

@@ -59,6 +59,88 @@ class MiningSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L, 1L)))
   }
 
+  test("timedSteps equals a driver reference scan on random streams (r12 item 4)") {
+    // reference: per key in (ts, eid) order, each event's step-i
+    // completion is computed from the PRE-event last completions
+    // (strictly-before), then all of the event's completions commit —
+    // the exact chained-window semantics, replayed imperatively
+    def ref(
+        rows: Seq[(Long, Long, Long, String)],
+        steps: Seq[String], budgets: Seq[Long]): Set[(Long, Long, Long, Long, Long)] = {
+      val k = steps.size
+      rows.groupBy(_._1).flatMap { case (key, rs) =>
+        val lastC = Array.fill[Option[(Long, Long, Long)]](k + 1)(None)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        rs.sortBy(r => (r._2, r._3)).foreach { case (_, ts, eid, sym) =>
+          val comps = (1 to k).flatMap { i =>
+            if (sym != steps(i - 1)) None
+            else if (i == 1) Some(i -> ((ts, ts, eid)))
+            else lastC(i - 1).collect {
+              case (pt, pt0, pid0) if ts - pt <= budgets(i - 2) =>
+                i -> ((ts, pt0, pid0))
+            }
+          }
+          comps.find(_._1 == k).foreach { case (_, (t, t0, id0)) =>
+            out += ((key, eid, id0, ts - t0, ts - lastC(k - 1).get._1))
+          }
+          comps.foreach { case (i, c) => lastC(i) = Some(c) }
+        }
+        out.result()
+      }.toSet
+    }
+    val rnd = new scala.util.Random(31)
+    val syms = "vcpo"
+    for ((steps, budgets) <- Seq(
+        (Seq("v", "c", "p"), Seq(40L, 70L)),
+        (Seq("v", "v", "p"), Seq(50L, 50L)),  // duplicate step symbols
+        (Seq("o", "c", "c", "p"), Seq(30L, 30L, 30L)))) {
+      val rows = (1 to 600).map { i =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(80).toLong * 5L, i.toLong,
+          syms(rnd.nextInt(4)).toString)
+      }
+      val got = Mining.timedSteps(rows.toDF("k", "ts", "eid", "sym"),
+          col("k"), col("ts"), col("eid"), col("sym"), steps, budgets)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = ref(rows, steps, budgets)
+      assert(got == want, s"steps $steps: ${got.size} vs ${want.size}")
+      assert(want.nonEmpty, s"steps $steps: degenerate trial, no matches")
+    }
+  }
+
+  test("timedSteps: last-touch sharing, budget bites per transition") {
+    // v@0, c@10, p@20, p@60: both purchases complete on the SAME
+    // view->click prefix (last-touch — completions share chains)
+    val df = Seq(
+      (1L, 0L, 1L, "v"), (1L, 10L, 2L, "c"), (1L, 20L, 3L, "p"),
+      (1L, 60L, 4L, "p"),
+      // step-1 budget bites: click 100 ticks after the view
+      (2L, 0L, 1L, "v"), (2L, 100L, 2L, "c"), (2L, 110L, 3L, "p"),
+      // step-2 budget bites: purchase 100 ticks after the click
+      (3L, 0L, 1L, "v"), (3L, 10L, 2L, "c"), (3L, 110L, 3L, "p"))
+      .toDF("k", "ts", "eid", "sym")
+    val got = Mining.timedSteps(df, col("k"), col("ts"), col("eid"),
+        col("sym"), Seq("v", "c", "p"), Seq(50L, 50L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 1L, 20L, 10L),
+      (1L, 4L, 1L, 60L, 50L)))
+    // a later click OUTSIDE the view budget does not re-open the
+    // chain, and the purchase's gap measures from the last VALID
+    // step-2 completion (c@10, 100 ticks back) — still no completion
+    val redo = Seq(
+      (3L, 0L, 1L, "v"), (3L, 10L, 2L, "c"), (3L, 80L, 4L, "c"),
+      (3L, 110L, 3L, "p"))
+      .toDF("k", "ts", "eid", "sym")
+    assert(Mining.timedSteps(redo, col("k"), col("ts"), col("eid"),
+      col("sym"), Seq("v", "c", "p"), Seq(50L, 50L)).isEmpty)
+    // parameter contract
+    val e = intercept[IllegalArgumentException] {
+      Mining.timedSteps(df, col("k"), col("ts"), col("eid"),
+        col("sym"), Seq("v"), Seq.empty)
+    }
+    assert(e.getMessage.contains("steps"))
+  }
+
   test("timedMatches: window rule == collect+regex == streaming automaton; time bound bites") {
     val rnd = new scala.util.Random(77)
     val syms = "vcpse"
@@ -71,7 +153,7 @@ class MiningSpec extends SparkSpec {
     // the regex operator per key on count and max gap
     val win = Mining.timedMatches(df, col("k"), col("ts"), col("eid"),
         col("sym"), "v", "p", Long.MaxValue)
-      .as[(Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
     val perKey = win.groupBy(_._1).view
       .mapValues(ms => (ms.length.toLong, ms.map(_._3).max)).toMap
     val rx = Mining.eventPatterns(df, col("k"), col("ts"), col("eid"),
