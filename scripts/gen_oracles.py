@@ -1529,6 +1529,39 @@ SELECT q_id, vec_id, cos, rnk FROM (
   FROM assigned a JOIN probes p ON a.cell = p.cell AND p.q_id != a.vec_id))
 WHERE rnk <= 10"""
 
+    # ---- ann_ivf_delta: incremental IVF — codebook pinned on the
+    # BASE slice, delta assigned under it, per-cell drift report with
+    # the exact integer cross-product flag ----
+    o["ann_ivf_delta"] = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+delta AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8),
+cent AS (
+ SELECT vec_id AS cid, embedding AS cent_vec FROM base
+ ORDER BY {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id LIMIT 16),
+ab AS (
+ SELECT vec_id, cell FROM (
+  SELECT c.vec_id, t.cid AS cell,
+   row_number() OVER (PARTITION BY c.vec_id
+     ORDER BY {cosine("c.embedding", "t.cent_vec")} DESC, t.cid DESC) AS rn
+  FROM base c CROSS JOIN cent t) WHERE rn = 1),
+ad AS (
+ SELECT vec_id, cell FROM (
+  SELECT c.vec_id, t.cid AS cell,
+   row_number() OVER (PARTITION BY c.vec_id
+     ORDER BY {cosine("c.embedding", "t.cent_vec")} DESC, t.cid DESC) AS rn
+  FROM delta c CROSS JOIN cent t) WHERE rn = 1),
+cells AS (
+ SELECT cell,
+  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+ FROM (SELECT cell, 0 AS side FROM ab
+       UNION ALL SELECT cell, 1 AS side FROM ad)
+ GROUP BY cell),
+tot AS (SELECT sum(n_base) AS t_base, sum(n_delta) AS t_delta FROM cells)
+SELECT cell, n_base, n_delta,
+ n_delta * t_base > 2 * n_base * t_delta AS drifted
+FROM cells CROSS JOIN tot"""
+
     # ---- ann_pq_topk: PQ/ADC — codebook = 16 smallest signed
     # splitmix64(id) (same sample as IVF centroids); per subspace j of
     # 8 (8 dims each) the code minimizes squared L2 (double, ascending

@@ -701,6 +701,26 @@ object SparkEntry {
         k = 10)
     },
 
+    "ann_ivf_delta" -> { (s, dir) =>
+      // incremental IVF maintenance (r12 item 5): codebook pinned
+      // from the BASE slice only, the delta encodes map-only under
+      // it (never a corpus re-encode — spec pins delta-ingest ==
+      // full encode), and the gate ships the cell-balance drift
+      // report: exact-integer delta-share flags per cell
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 10 < 8)
+        .select(col("vec_id"), col("embedding").as("c_vec"))
+      val delta = e.filter(col("vec_id") % 10 >= 8)
+        .select(col("vec_id"), col("embedding").as("c_vec"))
+      val cent = base
+        .orderBy(graft.functions.F.splitmix64(col("vec_id")), col("vec_id"))
+        .limit(16)
+        .select(col("vec_id").as("cid"), col("c_vec").as("cent_vec"))
+      Ann.ivfDriftReport(
+        Ann.assignCells(base, cent), Ann.assignCells(delta, cent),
+        factor = 2)
+    },
+
     "ann_pq_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Ann.pqTopK(

@@ -135,6 +135,48 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** INCREMENTAL IVF maintenance (r12 verdict item 5): the
+    * nightly-embedding-ingest pattern. Hold the codebook FIXED,
+    * encode only the delta (the same map-only [[assignCells]]
+    * projection — zero shuffle, zero join), union with the existing
+    * code frame; the corpus is never re-encoded. Under a pinned
+    * codebook this is EXACTLY the full encode of base ∪ delta
+    * (assignment is per-row — spec-pinned), so correctness never
+    * degrades; what CAN degrade is cell balance when the delta's
+    * distribution drifts — [[ivfDriftReport]] makes that an in-band,
+    * oracle-checkable artifact instead of a silent skew (the
+    * no-silent-caps idiom).
+    */
+  def ivfDeltaIngest(
+      baseAssigned: DataFrame, delta: DataFrame, cent: DataFrame): DataFrame =
+    baseAssigned.unionByName(assignCells(delta, cent))
+
+  /** Cell-balance drift report for a delta ingest: per cell, base
+    * and delta member counts plus a `drifted` flag — a cell drifts
+    * when its delta share exceeds `factor`× its base share, tested
+    * as the EXACT integer cross-product
+    * `n_delta·total_base > factor·n_base·total_delta` (no float
+    * shares, so any engine replays every flag; an all-new cell with
+    * zero base members flags automatically). One map-combined cell
+    * aggregation; the two totals ride a broadcast 1-row cross join.
+    */
+  def ivfDriftReport(
+      baseAssigned: DataFrame, deltaAssigned: DataFrame,
+      factor: Int = 2): DataFrame = {
+    val cells = baseAssigned.select(col("cell"), lit(0).as("_side"))
+      .unionByName(deltaAssigned.select(col("cell"), lit(1).as("_side")))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("_side") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("_side") === 1, 1L).otherwise(0L)).as("n_delta"))
+    val tot = cells.agg(
+      sum(col("n_base")).as("t_base"), sum(col("n_delta")).as("t_delta"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_delta"),
+        (col("n_delta") * col("t_base") >
+          lit(factor.toLong) * col("n_base") * col("t_delta")).as("drifted"))
+  }
+
   /** Product-quantization ANN (Jégou et al., IEEE TPAMI 2011): the
     * corpus is compressed map-only to packed 4-bit PQ codes (a 64-dim
     * float vector becomes ONE long — 32× smaller than the raw

@@ -425,4 +425,44 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == brute, s"prefix-filtered ${got.size} vs brute ${brute.size}")
   }
+
+  test("ivfDeltaIngest == full encode under a pinned codebook; drift flags fire") {
+    import graft.llm.Ann
+    val rnd = new scala.util.Random(5)
+    def vec(center: Float) =
+      Array.tabulate(8)(i => center + rnd.nextFloat() * 0.1f - 0.05f)
+    // base: two tight clusters around 1.0 and -1.0
+    val base = (0 until 60).map(i =>
+      (i.toLong, vec(if (i % 2 == 0) 1.0f else -1.0f).toSeq))
+      .toDF("vec_id", "c_vec").withColumn("c_vec", $"c_vec".cast("array<float>"))
+    // delta: skewed hard toward the 1.0 cluster — the drift case
+    val delta = (100 until 140).map(i => (i.toLong, vec(1.0f).toSeq))
+      .toDF("vec_id", "c_vec").withColumn("c_vec", $"c_vec".cast("array<float>"))
+    val cent = base.orderBy(graft.functions.F.splitmix64($"vec_id"), $"vec_id")
+      .limit(4).select($"vec_id".as("cid"), $"c_vec".as("cent_vec"))
+    // equality: ingesting the delta under the pinned codebook equals
+    // encoding base ∪ delta from scratch under the same codebook
+    val ingested = Ann.ivfDeltaIngest(Ann.assignCells(base, cent), delta, cent)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    val full = Ann.assignCells(base.unionByName(delta), cent)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    assert(ingested == full)
+    // drift report: every delta vector lands near the 1.0 cluster, so
+    // the cells serving it must flag and the -1.0 cells must not
+    val rep = Ann.ivfDriftReport(
+        Ann.assignCells(base, cent), Ann.assignCells(delta, cent), factor = 2)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rep.map(_._2).sum == 60L && rep.map(_._3).sum == 40L)
+    val flagged = rep.filter(_._4)
+    assert(flagged.nonEmpty, "skewed delta must flag at least one cell")
+    // flags replay the exact integer rule
+    rep.foreach { case (_, nb, nd, f) =>
+      assert(f == (nd * 60L > 2L * nb * 40L))
+    }
+    // a balanced delta (the base itself) flags nothing at factor 2
+    val balanced = Ann.ivfDriftReport(
+        Ann.assignCells(base, cent), Ann.assignCells(base, cent), factor = 2)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(balanced.forall(!_._4))
+  }
 }
