@@ -163,12 +163,17 @@ object Ann {
   def ivfDriftReport(
       baseAssigned: DataFrame, deltaAssigned: DataFrame,
       factor: Int = 2): DataFrame = {
+    // the cell frame MATERIALIZES ONCE (the q_itemsets idiom — it is
+    // centroid-cardinality sized, so the checkpoint is control-plane
+    // cheap): without it Catalyst re-executes the whole corpus-sized
+    // assignment+count for the totals subtree (plan-spec-pinned)
     val cells = baseAssigned.select(col("cell"), lit(0).as("_side"))
       .unionByName(deltaAssigned.select(col("cell"), lit(1).as("_side")))
       .groupBy(col("cell"))
       .agg(
         sum(when(col("_side") === 0, 1L).otherwise(0L)).as("n_base"),
         sum(when(col("_side") === 1, 1L).otherwise(0L)).as("n_delta"))
+      .localCheckpoint()
     val tot = cells.agg(
       sum(col("n_base")).as("t_base"), sum(col("n_delta")).as("t_delta"))
     cells.crossJoin(broadcast(tot))

@@ -340,6 +340,30 @@ class PlanSpec extends SparkSpec {
       "per-key array materialization crept into the windows path")
   }
 
+  test("q_event_pattern_steps: k-step CEP is one key shuffle, no join, no collect") {
+    val plan = physicalPlan("q_event_pattern_steps")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one key shuffle:\n$plan")
+    assert(!plan.contains("Join"), "chained-window CEP must not join")
+    assert(!plan.contains("collect_list"),
+      "per-key array materialization crept into the k-step path")
+  }
+
+  test("ann_ivf_delta: cell frame materialized once, totals broadcast") {
+    val plan = physicalPlan("ann_ivf_delta")
+    // the corpus-sized assignment+count ran ONCE at the cell-frame
+    // checkpoint (otherwise Catalyst re-executes it for the totals
+    // subtree — the q_itemsets failure); the final plan reads the
+    // materialized cells twice and the 1-row totals broadcast
+    assert(!plan.contains("nearestcentroid"),
+      "corpus assignment re-executed — the cell checkpoint is gone")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"corpus-sized shuffle in the report plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "totals must broadcast, not shuffle")
+    assert(!plan.contains("SortMergeJoin"), "corpus-side join appeared")
+  }
+
   test("q_seasonal: corpus-sized work is one count agg; seasonal joins broadcast") {
     val plan = physicalPlan("q_seasonal")
     // the (key, step) count + the range window reuse ONE key-side
