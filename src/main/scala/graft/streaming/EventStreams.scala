@@ -453,6 +453,80 @@ object EventStreams {
       }
   }
 
+  /** Latest completion of one pattern step: completion time, the
+    * chain's step-1 anchors, and whether the step has completed at
+    * all (`set` — a sentinel-free Option the state encoder likes).
+    */
+  case class StepState(t: Long, t0: Long, id0: Long, set: Boolean)
+
+  /** One completed k-step match: end/start anchors and the chain's
+    * total / final-transition gaps — the batch `timedSteps` row.
+    */
+  case class StepOut(
+      user_id: Long, end_event_id: Long, start_event_id: Long,
+      total_ticks: Long, last_gap_ticks: Long)
+
+  /** Streaming K-STEP timed CEP (twin of the batch
+    * `Mining.timedSteps`, r13): the ordered-symbol-sequence pattern
+    * with per-transition time budgets, run as a per-key automaton
+    * whose ENTIRE state is k−1 latest-step-completion structs —
+    * O(k·4 longs) per user forever, no event history, which is the
+    * last-predecessor semantics' gift to streaming: "the most recent
+    * completion of step i−1" is exactly what a stream can keep.
+    *
+    * Each event first computes every step completion it causes from
+    * the PRE-event state (strictly-before, so an event never chains
+    * to itself even when the pattern repeats a symbol), emits if it
+    * completes step k, then commits — the batch operator's chained-
+    * window rule, replayed. In-batch order is (ts_us, event_id) —
+    * the batch twin's sort; cross-batch is arrival order (the
+    * `st_attribution` trade, stated). A chain straddling micro-
+    * batches completes from recovered state; completions may share
+    * a prefix exactly like batch (last-touch, no consumption).
+    */
+  def stepMatches(
+      events: Dataset[Event],
+      steps: Seq[String], budgetsUs: Seq[Long]): Dataset[StepOut] = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(budgetsUs.size == steps.size - 1,
+      s"need ${steps.size - 1} budgets for ${steps.size} steps")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[StepState], StepOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[Seq[StepState]]) =>
+          val st = state.getOption
+            .getOrElse(Seq.fill(k - 1)(StepState(0L, 0L, 0L, set = false)))
+            .toArray
+          val out = Seq.newBuilder[StepOut]
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            // completions from the PRE-event state, then commit — an
+            // event never feeds its own later steps
+            val comps = (1 to k).flatMap { i =>
+              if (e.event_type != steps(i - 1)) None
+              else if (i == 1)
+                Some(i -> StepState(e.ts_us, e.ts_us, e.event_id, set = true))
+              else {
+                val p = st(i - 2)
+                if (p.set && e.ts_us - p.t <= budgetsUs(i - 2))
+                  Some(i -> StepState(e.ts_us, p.t0, p.id0, set = true))
+                else None
+              }
+            }
+            comps.find(_._1 == k).foreach { case (_, c) =>
+              out += StepOut(userId, e.event_id, c.id0,
+                e.ts_us - c.t0, e.ts_us - st(k - 2).t)
+            }
+            comps.foreach { case (i, c) => if (i < k) st(i - 1) = c }
+          }
+          state.update(st.toSeq)
+          out.result().iterator
+      }
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)

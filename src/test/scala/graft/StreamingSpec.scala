@@ -193,6 +193,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == twin(1L)._1 && got.values.max == twin(1L)._2)
   }
 
+  test("streaming k-step automaton equals batch timedSteps; chains straddle batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val budgets = Seq(25L, 30L)
+    // random prefix equivalence: every completion the batch chained
+    // windows find, the O(k)-state automaton finds, in one batch
+    val rnd = new scala.util.Random(13)
+    val types = Vector("view", "click", "purchase", "error")
+    val evs = (1 to 400).map { i =>
+      Event(i.toLong, rnd.nextInt(50).toLong * 7L, rnd.nextInt(6).toLong,
+        types(rnd.nextInt(4)), 0.0)
+    }
+    val mem = MemoryStream[Event]
+    mem.addData(evs: _*)
+    val q = EventStreams.stepMatches(mem.toDS(), steps, budgets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stepout").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stepout").as[EventStreams.StepOut].collect()
+      .map(r => (r.user_id, r.end_event_id, r.start_event_id,
+        r.total_ticks, r.last_gap_ticks)).toSet
+    val want = graft.ops.Mining.timedSteps(
+        evs.map(e => (e.user_id, e.ts_us, e.event_id, e.event_type))
+          .toDF("k", "ts", "eid", "sym"),
+        col("k"), col("ts"), col("eid"), col("sym"), steps, budgets)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"${got.size} stream vs ${want.size} batch")
+    assert(want.nonEmpty, "degenerate trial — no completions")
+    // a chain straddling micro-batches completes from recovered
+    // state: view+click land in batch 1, the purchase in batch 2
+    val mem2 = MemoryStream[Event]
+    val q2 = EventStreams.stepMatches(mem2.toDS(), steps, budgets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stepout2").start()
+    mem2.addData(
+      Event(1, 0L, 9L, "view", 0.0),
+      Event(2, 10L, 9L, "click", 0.0))
+    q2.processAllAvailable()
+    mem2.addData(
+      Event(3, 35L, 9L, "purchase", 0.0),  // within 30 of the click
+      Event(4, 99L, 9L, "purchase", 0.0))  // past the budget: no emit
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("stepout2").as[EventStreams.StepOut].collect()
+    assert(got2.map(r =>
+      (r.end_event_id, r.start_event_id, r.total_ticks)).toSeq ==
+      Seq((3L, 1L, 35L)))
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
