@@ -747,6 +747,15 @@ for _name in ["q_adaptive_join", "q_incremental_join", "q_sssp",
               "q_seasonal"]:
     if selected(_name):
         check_full(_name)
+# r13 additions whose full oracles stay tractable at 100x: Z-set
+# retraction twins (filtered agg / restricted join), the window-CEP
+# row surfaces (IGNORE-NULLS windows), and the IVF delta report
+# (16-centroid cross join + cell counts)
+for _name in ["q_incremental_agg_retract", "q_incremental_join_retract",
+              "q_event_pattern_rows", "q_event_pattern_steps",
+              "ann_ivf_delta"]:
+    if selected(_name):
+        check_full(_name)
 
 # cumulative artifact: a rerun of a subset merges over prior rows
 if os.path.exists(JSON_OUT):
