@@ -2301,7 +2301,11 @@ object SparkEntry {
             .as("doc_ids_str"))
         .localCheckpoint()
       graft.ops.Packing.nextFit(
-          sized, col("source"), col("doc_id"), col("n_tok"), budget = 512)
+          sized, col("source"), col("doc_id"), col("n_tok"), budget = 512,
+          // sized is checkpointed above — skip the kernel's own
+          // projection cache, re-scanning the materialized frame is
+          // cheaper than a second cache write
+          materializeInput = false)
         .join(sized,
           col("grp") === col("source") && col("ord") === col("doc_id"))
         .groupBy(col("grp").as("source"), col("seq_id"))

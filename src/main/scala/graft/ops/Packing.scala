@@ -136,6 +136,15 @@ object Packing {
     * [[nextFitSeq]]'s output, computed at chunk parallelism.
     *
     * `chunks` = 0 (default) uses spark.sql.shuffle.partitions.
+    *
+    * `materializeInput` = true (default) localCheckpoints the
+    * 24 B/row projection first: the range exchange's boundary-
+    * sampling job plus the two kernel passes would otherwise each
+    * re-execute the upstream plan (for ds_pack_ids that is the whole
+    * BPE encode — measured 1.3× the gate's wall time at sf10). Pass
+    * false when `df` is ALREADY materialized (checkpointed/cached) —
+    * re-scanning a cached frame three times is cheaper than writing
+    * a second projection cache.
     */
   def nextFit(
       df: DataFrame,
@@ -143,21 +152,18 @@ object Packing {
       order: Column,
       size: Column,
       budget: Long,
-      chunks: Int = 0): DataFrame = {
+      chunks: Int = 0,
+      materializeInput: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val n =
       if (chunks > 0) chunks
       else s.conf.get("spark.sql.shuffle.partitions").toInt
-    // materialize the 24 B/row projection ONCE: the range exchange's
-    // boundary-sampling job plus the two kernel passes would otherwise
-    // each re-execute the upstream plan (for ds_pack_ids that is the
-    // whole BPE encode — measured 1.3× the gate's wall time at sf10)
-    val sorted = df.select(
-        group.cast("string").as("grp"),
-        order.cast("long").as("ord"),
-        size.cast("long").as("sz"))
-      .localCheckpoint()
+    val proj = df.select(
+      group.cast("string").as("grp"),
+      order.cast("long").as("ord"),
+      size.cast("long").as("sz"))
+    val sorted = (if (materializeInput) proj.localCheckpoint() else proj)
       .repartitionByRange(n, col("grp"), col("ord"))
       .sortWithinPartitions(col("grp"), col("ord"))
       .as[(String, Long, Long)]
