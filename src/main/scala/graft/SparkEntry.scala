@@ -784,6 +784,15 @@ object SparkEntry {
         t(s, dir, "documents"), col("doc_id"), col("lang"), k = 5)
     },
 
+    "ds_kfold2" -> { (s, dir) =>
+      // the CHUNK-PARALLEL form (r13): range-partitioned two-pass
+      // rank, bit-equal to the window form but a 10 TB stratum
+      // spreads over every chunk instead of sorting in one task —
+      // same pinned config, same oracle, checked independently
+      graft.llm.Sampling.kfoldAssignChunked(
+        t(s, dir, "documents"), col("doc_id"), col("lang"), k = 5)
+    },
+
     "q_target_encode" -> { (s, dir) =>
       // m-estimate smoothed target encoding of l_partkey by mean
       // shipment quantity — rare parts shrink toward the global
@@ -2618,6 +2627,10 @@ object SparkEntry {
     // chained-kernel arm (spec-pinned bit-equal) — deliberately the
     // same oracle, checked independently
     "txt_bpe_encode2" -> OracleSqlGen.sql("txt_bpe_encode"),
+
+    // the chunk-parallel k-fold arm is spec-pinned bit-equal to the
+    // window arm — deliberately the same oracle, checked independently
+    "ds_kfold2" -> OracleSqlGen.sql("ds_kfold"),
 
     // the delta-join identity from the OTHER side: the new rows of
     // (A∪ΔA)⋈(B∪ΔB) are exactly the full-join rows touching either

@@ -533,8 +533,9 @@ object Sampling {
     * sort). The sort is the price of the exact-size contract — a
     * map-only mod-hash assign is [[splitAssign]]; use it when
     * approximate fold sizes are fine. A single 10 TB stratum is one
-    * sorting partition: pre-split giant strata (salt the stratum) if
-    * that ever binds. Output: (doc_id, stratum, fold).
+    * sorting partition here — [[kfoldAssignChunked]] is the
+    * bit-equal chunk-parallel form for that shape. Output:
+    * (doc_id, stratum, fold).
     */
   def kfoldAssign(
       df: DataFrame, id: Column, stratum: Column, k: Int,
@@ -549,5 +550,80 @@ object Sampling {
       .withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
       .select(col("__id").as("doc_id"), col("__st").as("stratum"),
         col("fold"))
+  }
+
+  /** [[kfoldAssign]] at CHUNK parallelism (r13): the window form
+    * sorts each stratum in ONE task, so a single 10 TB stratum is
+    * one sorting partition. This form RANGE-partitions on (stratum,
+    * hash, id) — a giant stratum spreads over every chunk — and
+    * recovers the exact global rank with the two-pass idiom of
+    * [[graft.ops.Packing.nextFit]], simpler here because rank state
+    * composes by ADDITION: pass 1 counts each chunk-run per stratum
+    * (control-plane rows), the driver prefix-sums them in chunk
+    * order, pass 2 emits fold = (offset + local position) mod k.
+    * Bit-equal to [[kfoldAssign]] (spec-pinned, giant strata and
+    * chunk-spanning included); sorts are per-chunk and spill
+    * externally. One shuffle write, two passes sharing its map
+    * output. `chunks` = 0 uses spark.sql.shuffle.partitions;
+    * `materializeInput` as in nextFit (default on — the range
+    * exchange's sampling job would re-execute an expensive upstream).
+    */
+  def kfoldAssignChunked(
+      df: DataFrame, id: Column, stratum: Column, k: Int,
+      salt: Long = 0L, chunks: Int = 0,
+      materializeInput: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val s = df.sparkSession
+    import s.implicits._
+    val n =
+      if (chunks > 0) chunks
+      else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = df.select(
+      stratum.cast("string").as("st"),
+      F.splitmix64(id + lit(salt)).as("h"),
+      id.cast("long").as("id"))
+    val sorted = (if (materializeInput) proj.localCheckpoint() else proj)
+      .repartitionByRange(n, col("st"), col("h"), col("id"))
+      .sortWithinPartitions(col("st"), col("h"), col("id"))
+      .as[(String, Long, Long)]
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val runs = List.newBuilder[(Int, String, Long)]
+      var cur: String = null
+      var c = 0L
+      var seen = false
+      it.foreach { case (st, _, _) =>
+        if (!seen || st != cur) {
+          if (seen) runs += ((pid, cur, c))
+          cur = st; c = 0L; seen = true
+        }
+        c += 1L
+      }
+      if (seen) runs += ((pid, cur, c))
+      runs.result().iterator
+    }.collect()
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    counts.groupBy(_._2).foreach { case (st, runs) =>
+      var acc = 0L
+      runs.sortBy(_._1).foreach { case (pid, _, c) =>
+        offsets((pid, st)) = acc
+        acc += c
+      }
+    }
+    val bc = s.sparkContext.broadcast(offsets.toMap)
+    val kk = k.toLong
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null
+      var pos = 0L
+      var seen = false
+      it.map { case (st, _, id0) =>
+        if (!seen || st != cur) {
+          cur = st; seen = true; pos = bc.value((pid, st))
+        }
+        val f = (pos % kk).toInt
+        pos += 1L
+        (id0, st, f)
+      }
+    }.toDF("doc_id", "stratum", "fold")
   }
 }

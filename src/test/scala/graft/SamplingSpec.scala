@@ -227,6 +227,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("kfoldAssignChunked is bit-equal to the window form; one stratum spans chunks") {
+    // one GIANT stratum (the 10 TB-stratum shape) plus small ones,
+    // random ids — the chunked rank must reproduce the window rank
+    // exactly across chunk boundaries
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 30000).map { i =>
+      (i.toLong * 7 + rnd.nextInt(5), if (i % 50 == 0) s"s${i % 7}" else "giant")
+    }.distinct
+    val docs = rows.toDF("id", "g")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    for (k <- Seq(2, 5); chunks <- Seq(1, 13)) {
+      val want = canon(Sampling.kfoldAssign(docs, col("id"), col("g"), k, salt = 3L))
+      val got = canon(Sampling.kfoldAssignChunked(
+        docs, col("id"), col("g"), k, salt = 3L, chunks = chunks))
+      assert(got == want, s"k=$k chunks=$chunks diverged")
+    }
+    // parallelism: the giant stratum's rows land on most chunks
+    val packed = Sampling.kfoldAssignChunked(
+      docs, col("id"), col("g"), k = 5, chunks = 13)
+    assert(packed.rdd.getNumPartitions == 13)
+    val giantChunks = packed.rdd.mapPartitions { it =>
+      Iterator.single(if (it.exists(_.getString(1) == "giant")) 1 else 0)
+    }.collect().sum
+    assert(giantChunks > 8, s"giant stratum only on $giantChunks chunks")
+    intercept[IllegalArgumentException] {
+      Sampling.kfoldAssignChunked(docs, col("id"), col("g"), k = 1)
+    }
+  }
+
   test("sampling decisions with different salts are decorrelated") {
     val a = Sampling.bernoulli(ids, col("id"), 500, salt = 0).select("id").as[Long].collect().toSet
     val b = Sampling.bernoulli(ids, col("id"), 500, salt = 99).select("id").as[Long].collect().toSet
