@@ -1181,6 +1181,25 @@ object SparkEntry {
         .withColumnRenamed("k", "event_type")
     },
 
+    "q_incremental_sum_retract" -> { (s, dir) =>
+      // the DISTRIBUTIVE retraction shape (Incremental.stateZSum):
+      // count/sum subtract, so state is one signed scalar pair per
+      // key — O(live keys) where the pair-level stateZ (the price of
+      // retractable min/max) is O(live (k,v) pairs. Same splits and
+      // merge order as q_incremental_agg_retract.
+      import graft.ops.Incremental
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      Incremental.finishZSum(Incremental.mergeZSum(
+        Incremental.mergeZSum(
+          Incremental.stateZSum(base, col("event_type"), col("value"), lit(1)),
+          Incremental.stateZSum(del, col("event_type"), col("value"), lit(-1))),
+        Incremental.stateZSum(ins, col("event_type"), col("value"), lit(1))))
+        .withColumnRenamed("k", "event_type")
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // next-fit packing of docs into 2048-char training sequences
       // per source; per-sequence fill summary
@@ -2888,6 +2907,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
         | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY event_type""".stripMargin,
+
+    // the scalar-state twin recomputes only the distributive pair
+    "q_incremental_sum_retract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
         |FROM events
         |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
         |GROUP BY event_type""".stripMargin,

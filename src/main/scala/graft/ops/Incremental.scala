@@ -81,6 +81,45 @@ object Incremental {
       .agg(sum(mult.cast("long")).as("mult"))
       .filter(col("mult") =!= 0L)
 
+  /** Per-KEY scalar Z-state for the DISTRIBUTIVE aggregates (count +
+    * exact decimal sum): count and sum SUBTRACT, so retractions fold
+    * into one signed scalar pair per key and state is O(live KEYS) —
+    * where [[stateZ]]'s pair-level state, the price of retractable
+    * min/max, is O(live (key, value) pairs, the same order as the
+    * input for high-cardinality values. The revenue-dashboard shape
+    * takes this; the percentile/extremum shape needs [[stateZ]].
+    * Identity rows (n = 0 AND sum = 0) drop; a non-identity zero-n
+    * residue (a delete of a row not yet inserted, netted against a
+    * different value) stays until it nets out.
+    */
+  def stateZSum(df: DataFrame, key: Column, value: Column, mult: Column): DataFrame = {
+    val m = mult.cast("long")
+    df.groupBy(key.as("k"))
+      .agg(
+        sum(m).as("n"),
+        sum(value.cast(DecimalType(18, 2)) * m).as("sum_v"))
+      .filter(col("n") =!= 0L ||
+        col("sum_v") =!= lit(0).cast(DecimalType(18, 2)))
+  }
+
+  /** Merge two scalar Z-states: add; drop identities. Union +
+    * map-combined re-aggregation; schema equals [[stateZSum]], so
+    * merges chain.
+    */
+  def mergeZSum(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+      .filter(col("n") =!= 0L ||
+        col("sum_v") =!= lit(0).cast(DecimalType(18, 2)))
+
+  /** Surface a scalar Z-state: keys with live rows (n > 0), exact
+    * decimal sum → double.
+    */
+  def finishZSum(state: DataFrame): DataFrame =
+    state.filter(col("n") > 0L)
+      .select(col("k"), col("n"), col("sum_v").cast("double").as("sum_v"))
+
   /** Merge two Z-states: add multiplicities, drop netted-out pairs.
     * Union + map-combined re-aggregation (no join); output schema
     * equals [[stateZ]] output, so merges chain.

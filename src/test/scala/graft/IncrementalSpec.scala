@@ -141,6 +141,39 @@ class IncrementalSpec extends SparkSpec {
     assert(late.isEmpty)
   }
 
+  test("stateZSum: O(keys) scalar state, recompute equality, out-of-order deletes") {
+    val rnd = new scala.util.Random(17)
+    // HIGH-CARDINALITY values: the pair state would be row-sized,
+    // the scalar state stays at the key count
+    val rows = (0 until 2000).map(i => (s"k${i % 4}", rnd.nextDouble() * 100))
+    val deleted = rows.zipWithIndex.collect { case (r, i) if i % 3 == 0 => r }
+    val survivors = rows.zipWithIndex.collect { case (r, i) if i % 3 != 0 => r }
+    val sIns = Incremental.stateZSum(
+      rows.toDF("k", "v"), col("k"), col("v"), lit(1))
+    val sDel = Incremental.stateZSum(
+      deleted.toDF("k", "v"), col("k"), col("v"), lit(-1))
+    // state is key-sized despite 2000 distinct values
+    assert(sIns.count() == 4L)
+    val got = Incremental.finishZSum(Incremental.mergeZSum(sIns, sDel))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val want = Incremental.finishZSum(Incremental.stateZSum(
+        survivors.toDF("k", "v"), col("k"), col("v"), lit(1)))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // delete-before-insert nets: the identity state drops entirely
+    val d = Incremental.stateZSum(
+      Seq(("x", 5.0)).toDF("k", "v"), col("k"), col("v"), lit(-1))
+    val i = Incremental.stateZSum(
+      Seq(("x", 5.0)).toDF("k", "v"), col("k"), col("v"), lit(1))
+    assert(Incremental.finishZSum(d).isEmpty)       // negative never surfaces
+    assert(Incremental.mergeZSum(d, i).isEmpty)     // identity dropped
+    // n = 0 but sum != 0 residue survives the merge filter
+    val skew = Incremental.mergeZSum(
+      Incremental.stateZSum(Seq(("y", 1.0)).toDF("k", "v"), col("k"), col("v"), lit(1)),
+      Incremental.stateZSum(Seq(("y", 3.0)).toDF("k", "v"), col("k"), col("v"), lit(-1)))
+    assert(skew.count() == 1L && Incremental.finishZSum(skew).isEmpty)
+  }
+
   test("deltaJoinZ applied to the base result equals the corrected recompute") {
     val rnd = new scala.util.Random(7)
     // FULL-ROW duplicates on both sides (tiny key/payload domains),
