@@ -527,6 +527,49 @@ object EventStreams {
       }
   }
 
+  /** One signed input row of [[retractAgg]]: +1 insert, −1 delete. */
+  case class ZRow(key: String, value: Double, mult: Long)
+
+  /** One state emission of [[retractAgg]]: the key's current signed
+    * count and EXACT sum (scaled cents — the batch DECIMAL(18,2)
+    * discipline, so no float drift across arrival orders), stamped
+    * with a per-key monotone `version` so a consumer (and the spec)
+    * can take the latest row per key from an update stream.
+    */
+  case class ZSumOut(key: String, n: Long, sum_cents: Long, version: Long)
+
+  /** Streaming RETRACTION-CAPABLE aggregate maintenance (twin of the
+    * batch `Incremental.stateZSum` scalar Z-state, r13): deletes ride
+    * the same stream as inserts with mult = −1, and each key's state
+    * is ONE signed (count, exact scaled sum) pair — count and sum
+    * subtract, so a correction folds in without re-scanning history,
+    * and a delete may arrive before its insert (the negative residue
+    * nets later, exactly the batch merge rule). The value rounds to
+    * cents with the SAME half-up rule as the batch DECIMAL(18,2)
+    * cast, so stream and batch agree bit-for-bit on any prefix in
+    * any arrival order (spec-pinned, including delete-first).
+    */
+  def retractAgg(rows: Dataset[ZRow]): Dataset[ZSumOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .mapGroupsWithState[(Long, Long, Long), ZSumOut](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[ZRow],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (n, cents, ver) = state.getOption.getOrElse((0L, 0L, 0L))
+          batch.foreach { r =>
+            n += r.mult
+            cents += r.mult * scala.math.BigDecimal(r.value)
+              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .*(scala.math.BigDecimal(100)).toLongExact
+          }
+          ver += 1L
+          state.update((n, cents, ver))
+          ZSumOut(key, n, cents, ver)
+      }
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)

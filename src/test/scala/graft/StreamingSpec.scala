@@ -241,6 +241,47 @@ class StreamingSpec extends SparkSpec {
       Seq((3L, 1L, 35L)))
   }
 
+  test("streaming retractAgg equals batch stateZSum per prefix, any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Incremental
+    import graft.streaming.EventStreams.{ZRow, ZSumOut}
+    val rnd = new scala.util.Random(23)
+    // random signed stream with duplicate values and DELETE-FIRST
+    // arrivals (every 5th row retracts a value inserted later)
+    val all = (0 until 300).map { i =>
+      ZRow(s"k${i % 4}", (rnd.nextInt(40)).toDouble / 2.0,
+        if (i % 3 == 0) -1L else 1L)
+    }
+    val (b1, b2) = all.splitAt(140)
+    val mem = MemoryStream[ZRow]
+    val q = EventStreams.retractAgg(mem.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("zout").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    // prefix check after batch 1
+    def latest(): Map[String, (Long, Long)] =
+      spark.table("zout").as[ZSumOut].collect()
+        .groupBy(_.key).map { case (k, rs) =>
+          val last = rs.maxBy(_.version)
+          k -> ((last.n, last.sum_cents))
+        }
+    def batchState(rows: Seq[ZRow]): Map[String, (Long, Long)] =
+      Incremental.stateZSum(
+          rows.toDF("k", "v", "m"), col("k"), col("v"), col("m"))
+        .select(col("k"), col("n"),
+          (col("sum_v") * 100).cast("long").as("cents"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val p1 = latest().filter { case (_, (n, c)) => n != 0L || c != 0L }
+    assert(p1 == batchState(b1), "prefix 1 diverged")
+    mem.addData(b2: _*)
+    q.processAllAvailable(); q.stop()
+    val p2 = latest().filter { case (_, (n, c)) => n != 0L || c != 0L }
+    assert(p2 == batchState(all), "full stream diverged")
+    assert(p2.nonEmpty)
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
