@@ -69,6 +69,14 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunked kernel: null group keys pack exactly like the sequential kernel") {
+    val rows: Seq[(String, Long, Long)] =
+      (0 until 800).map(i => (if (i % 3 == 0) null else s"g${i % 2}", i.toLong, 30L + i % 80))
+    val (a, b) = both(rows, budget = 128, chunks = 7)
+    assert(a == b)
+    assert(b.exists(_._1 == null), "null group missing from output")
+  }
+
   test("chunked kernel: chunks=1 and chunk-count > row-count degenerate cleanly") {
     val rows = (0 until 50).map(i => (s"g${i % 2}", i.toLong, 40L))
     val (a1, b1) = both(rows, budget = 100, chunks = 1)

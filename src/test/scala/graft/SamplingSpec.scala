@@ -255,6 +255,14 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.kfoldAssignChunked(docs, col("id"), col("g"), k = 1)
     }
+    // null strata fold identically in both forms
+    val withNull = (0 until 200)
+      .map(i => (i.toLong, if (i % 4 == 0) null else s"s${i % 3}"))
+      .toDF("id", "g")
+    val wantN = canon(Sampling.kfoldAssign(withNull, col("id"), col("g"), 3))
+    val gotN = canon(Sampling.kfoldAssignChunked(
+      withNull, col("id"), col("g"), 3, chunks = 5))
+    assert(gotN == wantN)
   }
 
   test("sampling decisions with different salts are decorrelated") {
