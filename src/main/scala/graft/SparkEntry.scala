@@ -1867,6 +1867,17 @@ object SparkEntry {
         toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
     },
 
+    "ds_length_buckets2" -> { (s, dir) =>
+      // the CHUNK-PARALLEL form (r13, Chunked.rangedRank): a
+      // dominating length bucket spreads over every chunk instead of
+      // sorting in one window task — same config, same oracle,
+      // checked independently
+      val toks = TextAnalysis.tokenCounts(
+        t(s, dir, "documents"), col("doc_id"), col("text"))
+      graft.ops.Packing.lengthBucketsChunked(
+        toks, col("doc_id"), col("ws_tokens"), bucketWidth = 32, batchSize = 8)
+    },
+
     // --- reason-coded media curation filter (post-decode keep/drop) ---
     "mm_filter" -> { (s, dir) =>
       Multimodal.curationFilter(
@@ -2637,7 +2648,14 @@ object SparkEntry {
     * oracles from [[OracleSqlGen]] (generated + verified by
     * scripts/gen_oracles.py).
     */
-  def oracleSql: Map[String, String] = OracleSqlGen.sql ++ Map(
+  def oracleSql: Map[String, String] = {
+    val m = OracleSqlGen.sql ++ oracleSqlInline
+    // chunk-parallel arms spec-pinned bit-equal to their window
+    // forms — deliberately the same oracle, checked independently
+    m + ("ds_length_buckets2" -> m("ds_length_buckets"))
+  }
+
+  private def oracleSqlInline: Map[String, String] = Map(
     // bit-identical to q_pagerank by the absorbing-fixpoint argument
     // (see the query comment) — deliberately the SAME oracle
     "q_pagerank_conv" -> OracleSqlGen.sql("q_pagerank"),
@@ -2650,6 +2668,8 @@ object SparkEntry {
     // the chunk-parallel k-fold arm is spec-pinned bit-equal to the
     // window arm — deliberately the same oracle, checked independently
     "ds_kfold2" -> OracleSqlGen.sql("ds_kfold"),
+
+
 
     // the delta-join identity from the OTHER side: the new rows of
     // (A∪ΔA)⋈(B∪ΔB) are exactly the full-join rows touching either

@@ -573,57 +573,13 @@ object Sampling {
       salt: Long = 0L, chunks: Int = 0,
       materializeInput: Boolean = true): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val s = df.sparkSession
-    import s.implicits._
-    val n =
-      if (chunks > 0) chunks
-      else s.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = df.select(
       stratum.cast("string").as("st"),
       F.splitmix64(id + lit(salt)).as("h"),
       id.cast("long").as("id"))
-    val sorted = (if (materializeInput) proj.localCheckpoint() else proj)
-      .repartitionByRange(n, col("st"), col("h"), col("id"))
-      .sortWithinPartitions(col("st"), col("h"), col("id"))
-      .as[(String, Long, Long)]
-    val rdd = sorted.rdd
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val runs = List.newBuilder[(Int, String, Long)]
-      var cur: String = null
-      var c = 0L
-      var seen = false
-      it.foreach { case (st, _, _) =>
-        if (!seen || st != cur) {
-          if (seen) runs += ((pid, cur, c))
-          cur = st; c = 0L; seen = true
-        }
-        c += 1L
-      }
-      if (seen) runs += ((pid, cur, c))
-      runs.result().iterator
-    }.collect()
-    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
-    counts.groupBy(_._2).foreach { case (st, runs) =>
-      var acc = 0L
-      runs.sortBy(_._1).foreach { case (pid, _, c) =>
-        offsets((pid, st)) = acc
-        acc += c
-      }
-    }
-    val bc = s.sparkContext.broadcast(offsets.toMap)
-    val kk = k.toLong
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cur: String = null
-      var pos = 0L
-      var seen = false
-      it.map { case (st, _, id0) =>
-        if (!seen || st != cur) {
-          cur = st; seen = true; pos = bc.value((pid, st))
-        }
-        val f = (pos % kk).toInt
-        pos += 1L
-        (id0, st, f)
-      }
-    }.toDF("doc_id", "stratum", "fold")
+    graft.ops.Chunked.rangedRank(proj, chunks, materializeInput)
+      .select(
+        col("id").as("doc_id"), col("st").as("stratum"),
+        (col("rnk") % k).cast("int").as("fold"))
   }
 }

@@ -271,9 +271,35 @@ object Packing {
     * One shuffle: the per-bucket window. Bucket count is small
     * (maxLen/bucketWidth), but each bucket's rows can be many — the
     * window sorts within the bucket partition; for corpora where one
-    * bucket dominates, widen shuffle partitions or sub-salt the
-    * bucket key upstream.
+    * bucket dominates, [[lengthBucketsChunked]] is the bit-equal
+    * chunk-parallel form.
     */
+  /** [[lengthBuckets]] at CHUNK parallelism (r13): the window form
+    * sorts each bucket in one task — its scaladoc's "one bucket
+    * dominates" caveat. This form rides [[Chunked.rangedRank]]
+    * (range partition on (bucket, sz, id) + two count passes), so a
+    * dominating bucket spreads over every chunk; bit-equal output
+    * (spec-pinned). `id` must be long-castable here (the generic
+    * window form takes any ordered id).
+    */
+  def lengthBucketsChunked(
+      df: DataFrame, id: Column, size: Column,
+      bucketWidth: Long, batchSize: Int, chunks: Int = 0,
+      materializeInput: Boolean = true): DataFrame = {
+    val rows = df
+      .select(id.cast("long").as("id"), size.cast("long").as("sz"))
+      .withColumn("bucket", expr(s"(sz - 1) div $bucketWidth"))
+    Chunked.rangedRank(
+        rows.select(col("bucket"), col("sz"), col("id")),
+        chunks, materializeInput)
+      .select(
+        col("id"), col("sz"),
+        expr(s"(sz - 1) div $bucketWidth").as("bucket"),
+        expr(s"rnk div $batchSize").as("batch_id"),
+        (expr(s"((sz - 1) div $bucketWidth + 1) * $bucketWidth") - col("sz"))
+          .as("pad_waste"))
+  }
+
   def lengthBuckets(
       df: DataFrame, id: Column, size: Column,
       bucketWidth: Long, batchSize: Int): DataFrame = {

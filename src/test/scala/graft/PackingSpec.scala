@@ -104,6 +104,31 @@ class PackingSpec extends SparkSpec {
     assert(nonEmpty > 8, s"only $nonEmpty chunks carried rows for the one group")
   }
 
+  test("lengthBucketsChunked is bit-equal to the window form; one bucket spans chunks") {
+    val rnd = new scala.util.Random(3)
+    // one DOMINATING bucket: 90% of rows share a length band
+    val rows = (0 until 8000).map { i =>
+      (i.toLong, if (i % 10 == 0) (200 + rnd.nextInt(800)).toLong
+                 else (10 + rnd.nextInt(30)).toLong)
+    }
+    val df = rows.toDF("id", "n")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = canon(Packing.lengthBuckets(df, col("id"), col("n"), 32, 8))
+    for (chunks <- Seq(1, 11)) {
+      val got = canon(Packing.lengthBucketsChunked(
+        df, col("id"), col("n"), 32, 8, chunks))
+      assert(got == want, s"chunks=$chunks diverged")
+    }
+    val out = Packing.lengthBucketsChunked(df, col("id"), col("n"), 32, 8, 11)
+    assert(out.rdd.getNumPartitions == 11)
+    val dom = want.groupBy(_._3).maxBy(_._2.size)._1
+    val spread = out.rdd.mapPartitions { it =>
+      Iterator.single(if (it.exists(_.getLong(2) == dom)) 1 else 0)
+    }.collect().sum
+    assert(spread > 7, s"dominating bucket only on $spread chunks")
+  }
+
   test("every sequence except possibly the last per group respects the budget") {
     val df = (0 until 300).map(i => (s"g${i % 3}", i.toLong, 30L + i % 150)).toDF("g", "id", "sz")
     val fills = Packing.nextFit(df, col("g"), col("id"), col("sz"), budget = 512)
