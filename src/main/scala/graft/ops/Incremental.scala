@@ -215,4 +215,73 @@ object Incremental {
         .select(outCols :+
           (col("_ml") * col("_mr")).cast("long").as(mult): _*))
   }
+
+  /** [[deltaJoinZ]] for a LEFT OUTER join (r13): the inner part is
+    * the same four-term Z-set identity; what an outer join adds is
+    * the NULL-EXTENDED rows, and their delta is driven by per-key
+    * right-side match counts TRANSITIONING through zero:
+    *
+    *  - a key whose right count goes 0 → >0 RETRACTS the null rows
+    *    of every base-left row at that key (they are now matched);
+    *  - a key whose right count goes >0 → 0 INSERTS them;
+    *  - a ΔL row contributes its own null row with its sign iff its
+    *    key is unmatched AFTER the delta.
+    *
+    * Transitions can only happen at keys ΔR touches, so the
+    * transition frame is ΔR-key-sized (it joins the base-left scan
+    * as a small probe — Catalyst broadcasts it); the right BASE is
+    * reduced once to per-key counts (key-column scan, the pre-flight
+    * cost class). Deletes must retract rows actually present
+    * (counts never go negative) — the same premise the oracle's
+    * recompute states.
+    *
+    * Output: `left ++ right ++ mult`, right columns NULL on the
+    * null-extension rows. Applying base-outer-result ∪ this delta
+    * (Σ mult per row, keep positive) equals the corrected-tables
+    * LEFT OUTER re-join (spec-pinned on full-row-duplicate data;
+    * gated as q_incremental_outer_retract).
+    */
+  def deltaLeftJoinZ(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column,
+      mult: String = "mult"): DataFrame = {
+    val inner = deltaJoinZ(baseLeft, deltaLeft, baseRight, deltaRight,
+      leftKey, rightKey, mult)
+    val leftCols = baseLeft.columns.map(col).toSeq
+    val nullRight = baseRight.schema.fields.toSeq
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    // per-key right counts: base (mult 1 each) and delta (signed)
+    val c0 = baseRight.groupBy(rightKey.as("_k"))
+      .agg(count(lit(1)).as("_c0"))
+    val dc = deltaRight.groupBy(rightKey.as("_k"))
+      .agg(sum(col(mult).cast("long")).as("_dc"))
+    // transition frame — ΔR-key-sized: only keys with a net right
+    // delta can cross zero
+    val trans = dc.filter(col("_dc") =!= 0L)
+      .join(c0, Seq("_k"), "left")
+      .select(col("_k"),
+        (coalesce(col("_c0"), lit(0L)) === 0L).as("_was0"),
+        (coalesce(col("_c0"), lit(0L)) + col("_dc") === 0L).as("_is0"))
+      .filter(col("_was0") =!= col("_is0"))
+    val becameMatched = baseLeft
+      .join(broadcast(trans.filter(col("_was0"))), leftKey === col("_k"))
+      .select(leftCols ++ nullRight :+ lit(-1L).as(mult): _*)
+    val becameUnmatched = baseLeft
+      .join(broadcast(trans.filter(!col("_was0"))), leftKey === col("_k"))
+      .select(leftCols ++ nullRight :+ lit(1L).as(mult): _*)
+    // ΔL null rows: signed by the POST-delta match count of their key
+    val dl = deltaLeft.withColumnRenamed(mult, "_ml")
+    val dlNulls = dl
+      .join(c0, leftKey === c0("_k"), "left").drop("_k")
+      .join(dc, leftKey === dc("_k"), "left").drop("_k")
+      .withColumn("_cnew",
+        coalesce(col("_c0"), lit(0L)) + coalesce(col("_dc"), lit(0L)))
+      .filter(col("_cnew") === 0L)
+      .select(leftCols ++ nullRight :+ col("_ml").cast("long").as(mult): _*)
+    inner
+      .unionByName(becameMatched)
+      .unionByName(becameUnmatched)
+      .unionByName(dlNulls)
+  }
 }

@@ -222,6 +222,58 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("mult"))
   }
 
+  test("deltaLeftJoinZ: null-extension transitions equal the corrected outer recompute") {
+    val rnd = new scala.util.Random(11)
+    // small key domain with full-row duplicates; deletes can empty a
+    // key's right side (null rows must appear) and inserts can match
+    // a previously-unmatched key (null rows must retract)
+    val rowsL = (0 until 150).map(_ => ((rnd.nextInt(10)).toLong, s"l${rnd.nextInt(3)}"))
+    val rowsR = (0 until 60).map(_ => ((rnd.nextInt(6)).toLong, s"r${rnd.nextInt(3)}"))
+    def split[A](rows: Seq[A], insMod: Int, delMod: Int) = {
+      val base = rows.zipWithIndex.collect { case (r, i) if i % insMod != 0 => r }
+      val ins = rows.zipWithIndex.collect { case (r, i) if i % insMod == 0 => r }
+      val del = base.zipWithIndex.collect { case (r, i) if i % delMod == 0 => r }
+      (base, ins, del)
+    }
+    val (bL0, iL, xL) = split(rowsL, 3, 5)
+    val (bR0, iR0, xR0) = split(rowsR, 4, 2) // delete HALF the right base
+    // crafted transitions: key 99's only right row is DELETED (its
+    // left rows become unmatched); key 98 has no base right row and
+    // GAINS one (its left rows' null extensions must retract)
+    val bL = bL0 ++ Seq((99L, "l9"), (98L, "l8"))
+    val bR = bR0 :+ ((99L, "rX"))
+    val xR = xR0 :+ ((99L, "rX"))
+    val iR = iR0 :+ ((98L, "rY"))
+    val baseL = bL.toDF("lk", "lpay")
+    val baseR = bR.toDF("rk", "rpay")
+    val dl = iL.toDF("lk", "lpay").withColumn("mult", lit(1L))
+      .unionByName(xL.toDF("lk", "lpay").withColumn("mult", lit(-1L)))
+    val dr = iR.toDF("rk", "rpay").withColumn("mult", lit(1L))
+      .unionByName(xR.toDF("rk", "rpay").withColumn("mult", lit(-1L)))
+    val cols = Seq(col("lk"), col("lpay"), col("rk"), col("rpay"))
+    val maintained = baseL.join(baseR, $"lk" === $"rk", "left")
+      .select(cols: _*).withColumn("mult", lit(1L))
+      .unionByName(Incremental.deltaLeftJoinZ(
+        baseL, dl, baseR, dr, col("lk"), col("rk")))
+      .groupBy(cols: _*).agg(sum($"mult").as("mult"))
+      .filter($"mult" > 0)
+    val corrL = (bL.diff(xL) ++ iL).toDF("lk", "lpay")
+    val corrR = (bR.diff(xR) ++ iR).toDF("rk", "rpay")
+    val want = corrL.join(corrR, $"lk" === $"rk", "left").select(cols: _*)
+      .groupBy(cols: _*).agg(count(lit(1)).as("mult"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val got = rows(maintained)
+    assert(got == rows(want))
+    // the interesting rows actually occurred: null-extended output,
+    // and keys transitioning in BOTH directions
+    assert(got.exists(_(2) == null), "no null-extended rows — weak trial")
+    val matchedBefore = bR.map(_._1).toSet
+    val matchedAfter = (bR.diff(xR) ++ iR).map(_._1).toSet
+    assert((matchedBefore -- matchedAfter).nonEmpty, "no key became unmatched")
+    assert((matchedAfter -- matchedBefore).nonEmpty, "no key became matched")
+  }
+
   test("repetition stats on hand-checked docs") {
     val df = Seq(
       (1L, "a a a a"),        // bigrams: aa,aa,aa → dup 2/3; top 4/4
