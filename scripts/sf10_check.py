@@ -755,7 +755,7 @@ for _name in ["q_incremental_agg_retract", "q_incremental_join_retract",
               "q_event_pattern_rows", "q_event_pattern_steps",
               "ann_ivf_delta", "ds_kfold2",
               "q_incremental_sum_retract", "ds_length_buckets2",
-              "q_incremental_outer_retract"]:
+              "q_incremental_outer_retract", "q_incremental_full_retract"]:
     if selected(_name):
         check_full(_name)
 

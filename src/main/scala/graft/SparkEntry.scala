@@ -1319,6 +1319,37 @@ object SparkEntry {
         .select(cols: _*)
     },
 
+    "q_incremental_full_retract" -> { (s, dir) =>
+      // FULL OUTER delta-join maintenance with retractions
+      // (Incremental.deltaFullJoinZ): inner Z-set terms plus BOTH
+      // null-extension sides, each driven by the other side's
+      // per-key count zero transitions
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val baseL = o.filter(col("o_orderkey") % 10 =!= 0)
+      val baseR = c.filter(col("c_custkey") % 7 =!= 0)
+      val dl = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseL.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("mult", lit(-1L)))
+      val dr = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseR.filter(col("c_custkey") % 5 === 0)
+          .withColumn("mult", lit(-1L)))
+      val cols = Seq(col("o_orderkey"), col("o_custkey"),
+        col("c_custkey"), col("c_mktsegment"))
+      val baseOuter = baseL
+        .join(baseR, col("o_custkey") === col("c_custkey"), "full")
+        .select(cols: _*).withColumn("mult", lit(1L))
+      baseOuter
+        .unionByName(graft.ops.Incremental.deltaFullJoinZ(
+          baseL, dl, baseR, dr, col("o_custkey"), col("c_custkey")))
+        .groupBy(cols: _*)
+        .agg(sum(col("mult")).as("mult"))
+        .filter(col("mult") > 0)
+        .select(cols: _*)
+    },
+
     "q_scd2_history" -> { (s, dir) =>
       // slowly-changing-dimension type 2: each user's event stream
       // becomes versioned attribute rows with [valid_from, valid_to)
@@ -2980,6 +3011,17 @@ object SparkEntry {
         |      WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
         |         OR o_orderkey % 10 = 0) o
         |LEFT JOIN (SELECT * FROM customer
+        |           WHERE (c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
+        |              OR c_custkey % 7 = 0) c
+        |ON o_custkey = c_custkey""".stripMargin,
+
+    // the corrected-tables FULL OUTER recompute, same survivor sets
+    "q_incremental_full_retract" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
+        |FROM (SELECT * FROM orders
+        |      WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
+        |         OR o_orderkey % 10 = 0) o
+        |FULL JOIN (SELECT * FROM customer
         |           WHERE (c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
         |              OR c_custkey % 7 = 0) c
         |ON o_custkey = c_custkey""".stripMargin,

@@ -245,43 +245,79 @@ object Incremental {
       baseLeft: DataFrame, deltaLeft: DataFrame,
       baseRight: DataFrame, deltaRight: DataFrame,
       leftKey: Column, rightKey: Column,
-      mult: String = "mult"): DataFrame = {
-    val inner = deltaJoinZ(baseLeft, deltaLeft, baseRight, deltaRight,
-      leftKey, rightKey, mult)
-    val leftCols = baseLeft.columns.map(col).toSeq
-    val nullRight = baseRight.schema.fields.toSeq
+      mult: String = "mult"): DataFrame =
+    deltaJoinZ(baseLeft, deltaLeft, baseRight, deltaRight,
+        leftKey, rightKey, mult)
+      .unionByName(nullSideDeltas(
+        baseLeft, deltaLeft, baseRight, deltaRight,
+        leftKey, rightKey, mult, probeOnLeftOfOutput = true))
+
+  /** [[deltaLeftJoinZ]] for the FULL OUTER join (r13): inner Z-set
+    * terms plus BOTH null-extension sides — left rows' null rows
+    * delta on right-count zero transitions, right rows' on
+    * left-count transitions, each side's machinery the mirror image
+    * of the other ([[nullSideDeltas]]). Output `left ++ right ++
+    * mult`; applying to the materialized base FULL JOIN (Σ mult,
+    * keep positive) equals the corrected-tables re-join.
+    */
+  def deltaFullJoinZ(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column,
+      mult: String = "mult"): DataFrame =
+    deltaLeftJoinZ(baseLeft, deltaLeft, baseRight, deltaRight,
+        leftKey, rightKey, mult)
+      .unionByName(nullSideDeltas(
+        baseRight, deltaRight, baseLeft, deltaLeft,
+        rightKey, leftKey, mult, probeOnLeftOfOutput = false))
+
+  /** The null-extension delta of one outer-join side: `probe` rows'
+    * null-extended rows appear iff their key has NO match in `other`,
+    * so their delta is driven by per-key `other`-count transitions
+    * through zero — a key becoming matched retracts the base probe
+    * rows' nulls, becoming unmatched inserts them, and a Δprobe row
+    * signs its own null row by the POST-delta count. Transitions
+    * only happen at Δother-touched keys (the transition frame is
+    * Δother-key-sized, a broadcast probe onto the base scan); the
+    * `other` base reduces once to per-key counts.
+    * `probeOnLeftOfOutput` places the probe columns first or last so
+    * both outer-join orientations emit `left ++ right ++ mult`.
+    */
+  private def nullSideDeltas(
+      probeBase: DataFrame, probeDelta: DataFrame,
+      otherBase: DataFrame, otherDelta: DataFrame,
+      probeKey: Column, otherKey: Column,
+      mult: String, probeOnLeftOfOutput: Boolean): DataFrame = {
+    val probeCols = probeBase.columns.map(col).toSeq
+    val nullOther = otherBase.schema.fields.toSeq
       .map(f => lit(null).cast(f.dataType).as(f.name))
-    // per-key right counts: base (mult 1 each) and delta (signed)
-    val c0 = baseRight.groupBy(rightKey.as("_k"))
+    def out(tail: Column): Seq[Column] =
+      if (probeOnLeftOfOutput) probeCols ++ nullOther :+ tail
+      else nullOther ++ probeCols :+ tail
+    val c0 = otherBase.groupBy(otherKey.as("_k"))
       .agg(count(lit(1)).as("_c0"))
-    val dc = deltaRight.groupBy(rightKey.as("_k"))
+    val dc = otherDelta.groupBy(otherKey.as("_k"))
       .agg(sum(col(mult).cast("long")).as("_dc"))
-    // transition frame — ΔR-key-sized: only keys with a net right
-    // delta can cross zero
     val trans = dc.filter(col("_dc") =!= 0L)
       .join(c0, Seq("_k"), "left")
       .select(col("_k"),
         (coalesce(col("_c0"), lit(0L)) === 0L).as("_was0"),
         (coalesce(col("_c0"), lit(0L)) + col("_dc") === 0L).as("_is0"))
       .filter(col("_was0") =!= col("_is0"))
-    val becameMatched = baseLeft
-      .join(broadcast(trans.filter(col("_was0"))), leftKey === col("_k"))
-      .select(leftCols ++ nullRight :+ lit(-1L).as(mult): _*)
-    val becameUnmatched = baseLeft
-      .join(broadcast(trans.filter(!col("_was0"))), leftKey === col("_k"))
-      .select(leftCols ++ nullRight :+ lit(1L).as(mult): _*)
-    // ΔL null rows: signed by the POST-delta match count of their key
-    val dl = deltaLeft.withColumnRenamed(mult, "_ml")
-    val dlNulls = dl
-      .join(c0, leftKey === c0("_k"), "left").drop("_k")
-      .join(dc, leftKey === dc("_k"), "left").drop("_k")
+    val becameMatched = probeBase
+      .join(broadcast(trans.filter(col("_was0"))), probeKey === col("_k"))
+      .select(out(lit(-1L).as(mult)): _*)
+    val becameUnmatched = probeBase
+      .join(broadcast(trans.filter(!col("_was0"))), probeKey === col("_k"))
+      .select(out(lit(1L).as(mult)): _*)
+    val dp = probeDelta.withColumnRenamed(mult, "_mp")
+    val dpNulls = dp
+      .join(c0, probeKey === c0("_k"), "left").drop("_k")
+      .join(dc, probeKey === dc("_k"), "left").drop("_k")
       .withColumn("_cnew",
         coalesce(col("_c0"), lit(0L)) + coalesce(col("_dc"), lit(0L)))
       .filter(col("_cnew") === 0L)
-      .select(leftCols ++ nullRight :+ col("_ml").cast("long").as(mult): _*)
-    inner
-      .unionByName(becameMatched)
-      .unionByName(becameUnmatched)
-      .unionByName(dlNulls)
+      .select(out(col("_mp").cast("long").as(mult)): _*)
+    becameMatched.unionByName(becameUnmatched).unionByName(dpNulls)
   }
 }

@@ -274,6 +274,55 @@ class IncrementalSpec extends SparkSpec {
     assert((matchedAfter -- matchedBefore).nonEmpty, "no key became matched")
   }
 
+  test("deltaFullJoinZ equals the corrected FULL OUTER recompute") {
+    val rnd = new scala.util.Random(29)
+    val rowsL = (0 until 120).map(_ => ((rnd.nextInt(9)).toLong, s"l${rnd.nextInt(3)}"))
+    val rowsR = (0 until 100).map(_ => ((3 + rnd.nextInt(9)).toLong, s"r${rnd.nextInt(3)}"))
+    def split[A](rows: Seq[A], insMod: Int, delMod: Int) = {
+      val base = rows.zipWithIndex.collect { case (r, i) if i % insMod != 0 => r }
+      val ins = rows.zipWithIndex.collect { case (r, i) if i % insMod == 0 => r }
+      val del = base.zipWithIndex.collect { case (r, i) if i % delMod == 0 => r }
+      (base, ins, del)
+    }
+    val (bL0, iL0, xL0) = split(rowsL, 3, 4)
+    val (bR0, iR0, xR0) = split(rowsR, 4, 2)
+    // crafted transitions on BOTH sides: key 99's only right row is
+    // deleted (left nulls appear); key 98 gains its first right row
+    // (left nulls retract); key 97's only LEFT row is deleted (right
+    // nulls appear); key 96 gains its first left row (right nulls
+    // retract)
+    val bL = bL0 ++ Seq((99L, "l9"), (98L, "l8"), (97L, "lQ"))
+    val xL = xL0 :+ ((97L, "lQ"))
+    val iL = iL0 :+ ((96L, "lN"))
+    val bR = bR0 ++ Seq((99L, "rX"), (97L, "rQ"), (96L, "rN"))
+    val xR = xR0 :+ ((99L, "rX"))
+    val iR = iR0 :+ ((98L, "rY"))
+    val baseL = bL.toDF("lk", "lpay")
+    val baseR = bR.toDF("rk", "rpay")
+    val dl = iL.toDF("lk", "lpay").withColumn("mult", lit(1L))
+      .unionByName(xL.toDF("lk", "lpay").withColumn("mult", lit(-1L)))
+    val dr = iR.toDF("rk", "rpay").withColumn("mult", lit(1L))
+      .unionByName(xR.toDF("rk", "rpay").withColumn("mult", lit(-1L)))
+    val cols = Seq(col("lk"), col("lpay"), col("rk"), col("rpay"))
+    val maintained = baseL.join(baseR, $"lk" === $"rk", "full")
+      .select(cols: _*).withColumn("mult", lit(1L))
+      .unionByName(Incremental.deltaFullJoinZ(
+        baseL, dl, baseR, dr, col("lk"), col("rk")))
+      .groupBy(cols: _*).agg(sum($"mult").as("mult"))
+      .filter($"mult" > 0)
+    val corrL = (bL.diff(xL) ++ iL).toDF("lk", "lpay")
+    val corrR = (bR.diff(xR) ++ iR).toDF("rk", "rpay")
+    val want = corrL.join(corrR, $"lk" === $"rk", "full").select(cols: _*)
+      .groupBy(cols: _*).agg(count(lit(1)).as("mult"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val got = rows(maintained)
+    assert(got == rows(want))
+    // both null orientations present
+    assert(got.exists(r => r(2) == null), "no left-side null rows")
+    assert(got.exists(r => r(0) == null), "no right-side null rows")
+  }
+
   test("repetition stats on hand-checked docs") {
     val df = Seq(
       (1L, "a a a a"),        // bigrams: aa,aa,aa → dup 2/3; top 4/4
