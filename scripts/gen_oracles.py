@@ -1418,6 +1418,41 @@ SELECT user_id, event_id AS end_id, (p3).id0 AS start_id,
 FROM s3
 WHERE sym = 'p' AND tus - (p3).t <= 43200000000"""
 
+    # ---- q_event_pattern_compiled: the pattern -> window compiler
+    # (r14) — v[^vcps]*c[^vcps]*p with reset 's', per-transition
+    # budgets 6 h / 12 h. The compiled rule: over SIGNIFICANT events
+    # only, step i completes iff the IMMEDIATELY PRECEDING significant
+    # event completed step i-1 within budget (lag, not ignore-nulls
+    # last — the filter makes them equal and shrinks the window input)
+    o["q_event_pattern_compiled"] = """
+WITH e AS (
+ SELECT user_id, epoch_us(ts) AS tus, event_id,
+  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+   WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS sym
+ FROM events),
+sig AS (SELECT * FROM e WHERE sym IN ('v', 'c', 'p', 's')),
+s1 AS (
+ SELECT *, CASE WHEN sym = 'v'
+  THEN struct_pack(t := tus, t0 := tus, id0 := event_id) END AS m1
+ FROM sig),
+s2 AS (
+ SELECT *, lag(m1) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id) AS p2
+ FROM s1),
+s2m AS (
+ SELECT *, CASE WHEN sym = 'c' AND p2 IS NOT NULL
+   AND tus - (p2).t <= 21600000000
+  THEN struct_pack(t := tus, t0 := (p2).t0, id0 := (p2).id0) END AS m2
+ FROM s2),
+s3 AS (
+ SELECT *, lag(m2) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id) AS p3
+ FROM s2m)
+SELECT user_id, event_id AS end_id, (p3).id0 AS start_id,
+ tus - (p3).t0 AS total_ticks
+FROM s3
+WHERE sym = 'p' AND p3 IS NOT NULL AND tus - (p3).t <= 43200000000"""
+
     # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
     # size-ratio prefilter is sound (J <= min/max sizes) ----
     gr = ngrams("text", 5)
@@ -1596,6 +1631,46 @@ SELECT q_id, vec_id, adc, rnk FROM (
   FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN recon r
   WHERE r.vec_id != q.vec_id))
 WHERE rnk <= 10"""
+
+    # ---- ann_pq_delta: incremental PQ (r14) — codebook pinned on the
+    # BASE slice, both sides' subspace codewords computed under it,
+    # drift report per (subspace, codeword) with the exact integer
+    # cross-product flag (totals count nibbles = m x vectors; the
+    # common factor m cancels in the inequality, so the flag equals
+    # the per-vector-share test) ----
+    o["ann_pq_delta"] = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+delta AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8),
+book AS (
+ SELECT row_number() OVER (ORDER BY
+   {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id) - 1 AS b, embedding
+ FROM base
+ ORDER BY {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id LIMIT 16),
+cbase AS (
+ SELECT vec_id, j, b FROM (
+  SELECT c.vec_id, g.j, k.b,
+   row_number() OVER (PARTITION BY c.vec_id, g.j
+     ORDER BY {sq_l2}, k.b) AS rn
+  FROM base c CROSS JOIN range(0, 8) g(j) CROSS JOIN book k)
+ WHERE rn = 1),
+cdelta AS (
+ SELECT vec_id, j, b FROM (
+  SELECT c.vec_id, g.j, k.b,
+   row_number() OVER (PARTITION BY c.vec_id, g.j
+     ORDER BY {sq_l2}, k.b) AS rn
+  FROM delta c CROSS JOIN range(0, 8) g(j) CROSS JOIN book k)
+ WHERE rn = 1),
+cells AS (
+ SELECT sub, cb,
+  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+ FROM (SELECT j AS sub, b AS cb, 0 AS side FROM cbase
+       UNION ALL SELECT j AS sub, b AS cb, 1 AS side FROM cdelta)
+ GROUP BY sub, cb),
+tot AS (SELECT sum(n_base) AS t_base, sum(n_delta) AS t_delta FROM cells)
+SELECT sub, cb, n_base, n_delta,
+ n_delta * t_base > 2 * n_base * t_delta AS drifted
+FROM cells CROSS JOIN tot"""
 
     # ---- ann_refine_topk: the same PQ pipeline shortlists 50 by
     # ADC, then exact double cosine re-ranks to top-10 ----

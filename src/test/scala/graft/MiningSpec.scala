@@ -205,6 +205,129 @@ class MiningSpec extends SparkSpec {
     assert(spark.table("tmout2").isEmpty)
   }
 
+  // --- pattern -> window compiler (r13 judge item 5) ---
+
+  test("compilePattern parses the uniform-gap-class grammar and rejects the rest") {
+    assert(Mining.compilePattern("v[^vp]*p") == ((Seq("v", "p"), Seq())))
+    assert(Mining.compilePattern("a[^asfr]*s[^asfr]*f") ==
+      ((Seq("a", "s", "f"), Seq("r"))))
+    assert(Mining.compilePattern("a[^rafsb]*f[^rafsb]*s[^rafsb]*b") ==
+      ((Seq("a", "f", "s", "b"), Seq("r"))))
+    for (bad <- Seq(
+        "v",                 // one atom
+        "ab",                // missing gap class
+        "v[^vp]*v",          // duplicate atoms
+        "a[^ab]*b[^bc]*c",   // non-uniform classes
+        "a[^x]*b",           // class missing the atoms (no end-pinning)
+        "a[^ab*b",           // unterminated class
+        "a[^ab]b"))          // missing '*'
+      withClue(bad) {
+        intercept[IllegalArgumentException](Mining.compilePattern(bad))
+      }
+  }
+
+  test("compiledMatches == the non-overlapping regex scan on random streams (untimed)") {
+    val rnd = new scala.util.Random(53)
+    for ((pattern, alphabet) <- Seq(
+        ("v[^vp]*p", "vcpo"),             // the q_event_pattern member
+        ("a[^asfr]*s[^asfr]*f", "asfrxy"),// arm/step/fire + reset
+        ("a[^abcdr]*b[^abcdr]*c[^abcdr]*d", "abcdrx"))) {
+      val (steps, resets) = Mining.compilePattern(pattern)
+      val rows = (1 to 700).map { i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(90).toLong * 3L, i.toLong,
+          alphabet(rnd.nextInt(alphabet.length)).toString)
+      }
+      val got = Mining.compiledMatches(rows.toDF("k", "ts", "eid", "sym"),
+          col("k"), col("ts"), col("eid"), col("sym"), steps, resets)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // reference: per-key symbol string in (ts, eid) order, JDK
+      // non-overlapping scan; anchors recovered from match offsets
+      val want = rows.groupBy(_._1).flatMap { case (key, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3))
+        val str = ordered.map(_._4).mkString
+        pattern.r.findAllMatchIn(str).map { m =>
+          val (_, ts0, id0, _) = ordered(m.start)
+          val (_, ts1, id1, _) = ordered(m.end - 1)
+          (key, id1, id0, ts1 - ts0)
+        }
+      }.toSet
+      assert(got == want, s"$pattern: ${got.size} vs ${want.size}")
+      assert(want.nonEmpty, s"$pattern: degenerate trial")
+    }
+  }
+
+  test("compiledMatches with budgets == a driver replay of the lag rule; == timedMatches for arm/fire") {
+    val rnd = new scala.util.Random(71)
+    def ref(rows: Seq[(Long, Long, Long, String)], steps: Seq[String],
+        resets: Seq[String], budgets: Seq[Long]): Set[(Long, Long, Long, Long)] = {
+      val k = steps.size
+      val sig = (steps ++ resets).toSet
+      rows.filter(r => sig(r._4)).groupBy(_._1).flatMap { case (key, rs) =>
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        // completions of the PREVIOUS significant event, by level
+        var prev = Array.fill[Option[(Long, Long, Long)]](k + 1)(None)
+        rs.sortBy(r => (r._2, r._3)).foreach { case (_, ts, eid, sym) =>
+          val cur = Array.fill[Option[(Long, Long, Long)]](k + 1)(None)
+          val i = steps.indexOf(sym) + 1
+          if (i == 1) cur(1) = Some((ts, ts, eid))
+          else if (i >= 2) prev(i - 1).foreach { case (pt, pt0, pid0) =>
+            if (ts - pt <= budgets(i - 2)) cur(i) = Some((ts, pt0, pid0))
+          }
+          cur(k).foreach { case (_, t0, id0) => out += ((key, eid, id0, ts - t0)) }
+          prev = cur
+        }
+        out.result()
+      }.toSet
+    }
+    val (steps, resets) = (Seq("a", "s", "f"), Seq("r"))
+    val budgets = Seq(6L, 9L)
+    val rows = (1 to 800).map { i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong * 3L, i.toLong,
+        "asfrxy" (rnd.nextInt(6)).toString)
+    }
+    val got = Mining.compiledMatches(rows.toDF("k", "ts", "eid", "sym"),
+        col("k"), col("ts"), col("eid"), col("sym"), steps, resets, budgets)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = ref(rows, steps, resets, budgets)
+    assert(got == want && want.nonEmpty)
+    // budget actually bites: the untimed run finds strictly more
+    val untimed = Mining.compiledMatches(rows.toDF("k", "ts", "eid", "sym"),
+        col("k"), col("ts"), col("eid"), col("sym"), steps, resets)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(untimed.size > got.size)
+    // the 2-atom budgeted member degenerates to timedMatches
+    val rows2 = (1 to 500).map { i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(60).toLong * 5L, i.toLong,
+        "vpo" (rnd.nextInt(3)).toString)
+    }
+    val viaCompiler = Mining.compiledMatches(rows2.toDF("k", "ts", "eid", "sym"),
+        col("k"), col("ts"), col("eid"), col("sym"),
+        Seq("v", "p"), Seq(), Seq(55L))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaTimed = Mining.timedMatches(rows2.toDF("k", "ts", "eid", "sym"),
+        col("k"), col("ts"), col("eid"), col("sym"), "v", "p", 55L)
+      .select(col("key"), col("end_id"), col("start_id"), col("gap_ticks"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaCompiler == viaTimed && viaTimed.nonEmpty)
+  }
+
+  test("compiledMatches: consuming semantics, resets kill chains; one Exchange, no collect") {
+    // a s f | a r s f | a s s f — match, reset-killed, stray-step-killed
+    val df = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "x"), (1L, 3L, 3L, "s"), (1L, 4L, 4L, "f"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "r"), (2L, 3L, 7L, "s"), (2L, 4L, 8L, "f"),
+      (3L, 1L, 9L, "a"), (3L, 2L, 10L, "s"), (3L, 3L, 11L, "s"), (3L, 4L, 12L, "f"))
+      .toDF("k", "ts", "eid", "sym")
+    val out = Mining.patternMatches(df, col("k"), col("ts"), col("eid"),
+      col("sym"), "a[^asfr]*s[^asfr]*f")
+    val got = out.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 1L, 3L)))
+    // plan: exactly one shuffle (the key window), no per-key collect
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("collect_list") && !plan.contains("CollectList"))
+  }
+
   test("jaccardPairs is exact-recall: equals brute force, finds what banding may miss") {
     // docs built from word 1-grams so set arithmetic is hand-checkable
     def doc(words: String*): String = words.mkString(" ")

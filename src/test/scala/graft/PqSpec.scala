@@ -76,4 +76,47 @@ class PqSpec extends SparkSpec {
     val plan = codes.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected map-only encode:\n$plan")
   }
+
+  test("pqDeltaIngest under a pinned codebook == the full encode; drift report flags an all-new codeword") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("c_vec"))
+    val base = e.filter(col("vec_id") % 10 < 8)
+    val delta = e.filter(col("vec_id") % 10 >= 8)
+    // codebook pinned from the BASE slice only
+    val book = base.orderBy(F.splitmix64(col("vec_id")), col("vec_id"))
+      .limit(16).select(col("c_vec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val baseCodes = base.select(
+      col("vec_id"), F.pqEncode(col("c_vec"), book, 8).as("code"))
+    val ingested = Ann.pqDeltaIngest(baseCodes, delta, book, 8)
+    val full = base.unionByName(delta).select(
+      col("vec_id"), F.pqEncode(col("c_vec"), book, 8).as("code"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(ingested) == rows(full) && ingested.count() == e.count())
+    // drift ingest is map-only on the delta side too
+    val plan = ingested.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected map-only ingest:\n$plan")
+    // drift flags: a synthetic delta concentrated on one codeword of
+    // one subspace must flag exactly that (sub, cb) cell; balanced
+    // cells stay quiet. Base: one vector per codeword (shares 1/16);
+    // delta: every vector codes to codeword 0 in every subspace.
+    val bookRows = (0 until 16).map(b => (b.toLong, book(b)))
+    val bCodes = bookRows.toDF("vec_id", "c_vec")
+      .select(col("vec_id"),
+        F.pqEncode(col("c_vec").cast("array<float>"), book, 8).as("code"))
+    val dCodes = Seq((100L, book(0)), (101L, book(0)), (102L, book(0)))
+      .toDF("vec_id", "c_vec")
+      .select(col("vec_id"),
+        F.pqEncode(col("c_vec").cast("array<float>"), book, 8).as("code"))
+    val report = Ann.pqDriftReport(bCodes, dCodes, m = 8)
+      .as[(Int, Long, Long, Long, Boolean)].collect()
+    assert(report.length == 8 * 16)
+    report.foreach { case (sub, cb, nb, nd, drifted) =>
+      assert(nb == 1L, s"base is one vector per codeword at ($sub, $cb)")
+      if (cb == 0L) assert(nd == 3L && drifted,
+        s"delta share 100% vs base 1/16 must flag at ($sub, $cb)")
+      else assert(nd == 0L && !drifted, s"quiet cell flagged at ($sub, $cb)")
+    }
+  }
 }
