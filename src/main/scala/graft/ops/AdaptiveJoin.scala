@@ -147,6 +147,19 @@ object AdaptiveJoin {
     // same salt and re-hotspot one reducer (r12 advice); the id varies
     // per row (partition id << 33 | row position — deterministic for a
     // given partition layout), so duplicates spread.
+    // RETRY CAVEAT (r13 advice): "deterministic for a given partition
+    // layout" is the load-bearing clause — when the probe side's
+    // lineage contains a SHUFFLE, within-partition row order is not
+    // guaranteed stable across task retries, so a map-stage retry
+    // after a fetch failure can re-salt rows (the rand()-salting /
+    // SPARK-23207 hazard class): the salt only routes rows to
+    // reducers, and the join OUTPUT is salt-independent per row, but
+    // a retried map task whose earlier output was partially fetched
+    // can double-deliver/drop rows under executor loss. Where
+    // exactly-once output under executor loss matters, feed the
+    // salted arm an input with a stable ordinal column (or a
+    // checkpointed frame, whose partitions replay bit-identically)
+    // and salt on that instead.
     def rowHash(df: DataFrame) =
       hash(df.columns.map(col).toSeq :+ monotonically_increasing_id(): _*)
     val joined = strategy match {

@@ -26,7 +26,20 @@ object Chunked {
     * row_number() − 1 over (partitionBy key, orderBy o1, o2).
     * `chunks` = 0 uses spark.sql.shuffle.partitions;
     * `materializeInput` as in [[Packing.nextFit]] (the range
-    * exchange's sampling job re-executes an expensive upstream).
+    * exchange's sampling job re-executes an expensive upstream;
+    * pass false ONLY over a deterministic, already-materialized
+    * input — the two kernel passes must see identical partition
+    * contents, same contract as nextFit's).
+    *
+    * DRIVER-MEMORY CONTRACT (r13 advice): pass 1 collects one
+    * (chunk, key, count) run per key per chunk — the control plane
+    * is O(distinct keys crossing chunks) on the DRIVER. The intended
+    * callers' keys are low-cardinality by construction (sampling
+    * strata, length buckets); do NOT point this kernel at a
+    * high-cardinality key — use the plain window form there, whose
+    * per-key sort task is exactly what a high-cardinality key makes
+    * cheap. The same note applies to [[Packing.nextFit]]'s
+    * SegSummary collect.
     */
   def rangedRank(
       df: DataFrame, chunks: Int = 0,
@@ -36,6 +49,9 @@ object Chunked {
     val n =
       if (chunks > 0) chunks
       else s.conf.get("spark.sql.shuffle.partitions").toInt
+    require(df.columns.length == 3,
+      s"rangedRank: expected exactly 3 columns (key, o1, o2), got " +
+        s"${df.columns.length} (${df.columns.mkString(", ")})")
     val Seq(kc, c1, c2) = df.columns.toSeq
     val proj = df.select(
       col(kc).cast("string").as("k"),
@@ -76,7 +92,18 @@ object Chunked {
       var seen = false
       it.map { case (k, o1, o2) =>
         if (!seen || k != cur) {
-          cur = k; seen = true; pos = bc.value((pid, k))
+          cur = k; seen = true
+          pos = bc.value.getOrElse((pid, k),
+            // a key present in pass 2 but absent from pass 1's
+            // offsets means the two passes saw different partition
+            // contents — a nondeterministic upstream under
+            // materializeInput = false (r13 advice: fail loudly, not
+            // with a bare NoSuchElementException)
+            throw new IllegalStateException(
+              s"rangedRank: no pass-1 offset for key '$k' in chunk " +
+                s"$pid — the input re-evaluated differently between " +
+                "the two kernel passes; materializeInput=false " +
+                "requires a deterministic, already-materialized input"))
         }
         val r = pos
         pos += 1L

@@ -282,6 +282,71 @@ class StreamingSpec extends SparkSpec {
     assert(p2.nonEmpty)
   }
 
+  test("streaming deltaJoinStream equals the batch Z-join per prefix; deletes straddle batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{ZJoinRow, ZJoinOut}
+    val rnd = new scala.util.Random(37)
+    // random two-sided CDC with duplicate payloads (mult > 1 arises),
+    // deletes of rows inserted in an EARLIER batch, and
+    // delete-BEFORE-insert residues (every 11th row deletes a row
+    // whose insert rides a later batch)
+    val all = (0 until 400).map { i =>
+      ZJoinRow(i % 2, rnd.nextInt(6).toLong, s"p${rnd.nextInt(4)}",
+        if (i % 11 == 0 || (i % 5 == 0 && i > 150)) -1L else 1L)
+    }
+    val batches = Seq(all.slice(0, 120), all.slice(120, 260), all.slice(260, 400))
+    val mem = MemoryStream[ZJoinRow]
+    val q = EventStreams.deltaJoinStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zjout").start()
+    // the batch reference: Z-join of the folded inputs — Σ over
+    // (l, r) pairs of m_l·m_r, grouped by output row
+    def want(rows: Seq[ZJoinRow]): Map[(Long, String, String), Long] = {
+      def fold(side: Int) = rows.filter(_.side == side)
+        .groupBy(r => (r.key, r.payload))
+        .view.mapValues(_.map(_.mult).sum).filter(_._2 != 0L).toMap
+      val (l, r) = (fold(0), fold(1))
+      l.toSeq.flatMap { case ((k, lp), lm) =>
+        r.collect { case ((rk, rp), rm) if rk == k =>
+          (k, lp, rp) -> lm * rm
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .filter(_._2 != 0L).toMap
+    }
+    def got(): Map[(Long, String, String), Long] =
+      spark.table("zjout").as[ZJoinOut].collect()
+        .groupBy(o => (o.key, o.l_payload, o.r_payload))
+        .view.mapValues(_.map(_.mult).sum).filter(_._2 != 0L).toMap
+    var prefix = Seq.empty[ZJoinRow]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      prefix ++= b
+      assert(got() == want(prefix), s"prefix of ${prefix.size} diverged")
+    }
+    q.stop()
+    assert(got().nonEmpty && got().values.exists(_ > 1L),
+      "degenerate trial: no multiplicities above 1")
+    // folding the stream's emissions also equals the batch
+    // deltaJoinZ APPLICATION on the same final tables
+    import graft.ops.Incremental
+    def sideDf(side: Int) = all.filter(_.side == side)
+      .map(r => (r.key, r.payload, r.mult))
+    val l = sideDf(0); val r = sideDf(1)
+    val zl = Incremental.stateZ(l.toDF("k", "v", "m"),
+      col("k"), col("v"), col("m"))
+      .select(col("k").as("lk"), col("v").as("lp"), col("mult").as("_ml"))
+    val zr = Incremental.stateZ(r.toDF("k", "v", "m"),
+      col("k"), col("v"), col("m"))
+      .select(col("k").as("rk"), col("v").as("rp"), col("mult").as("_mr"))
+    val batchJoin = zl.join(zr, col("lk") === col("rk"))
+      .select(col("lk"), col("lp"), col("rp"),
+        (col("_ml") * col("_mr")).as("mult"))
+      .as[(Long, String, String, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    assert(got() == batchJoin, "stream fold != batch Z-join of folded inputs")
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
