@@ -296,8 +296,28 @@ object Bench {
     val noisy = (statsPerRun.collect {
       case (k, ss) if ss.size >= 2 && !quiet(ss.map(_.secs)) => k
     }.toSet ++ loadNoisy).toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    // JVM build + kernel + nominal CPU clock ride every record: the
+    // r13->r14 lesson — an unexplained uniform ~13% sf0.1 drift could
+    // not be adjudicated because no prior record carried the host
+    // software versions. Now a future drift can be split into "same
+    // host software, real regression" vs "the platform moved".
+    val jvm = s"${sys.props.getOrElse("java.version", "?")} " +
+      sys.props.getOrElse("java.vm.version", "?")
+    val kernel =
+      try {
+        val src = scala.io.Source.fromFile("/proc/sys/kernel/osrelease")
+        try src.getLines().next().trim finally src.close()
+      } catch { case _: Throwable => "?" }
+    val mhz =
+      try {
+        val src = scala.io.Source.fromFile("/proc/cpuinfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("cpu MHz") =>
+            l.split(":")(1).trim.toDouble.round.toString
+        }.getOrElse("?") finally src.close()
+      } catch { case _: Throwable => "?" }
     val host =
-      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"quiet_ratio":${BenchNoise.QuietRatio},"min_excess":${BenchNoise.MinExcess},"headroom_frac":${BenchNoise.HeadroomFrac},"excess_median":${r2(loadMedian)},"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"self_load_per_run":${perRun(_.selfLoad)},"noisy":$noisy}"""
+      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"jvm":"$jvm","kernel":"$kernel","cpu_mhz":"$mhz","quiet_ratio":${BenchNoise.QuietRatio},"min_excess":${BenchNoise.MinExcess},"headroom_frac":${BenchNoise.HeadroomFrac},"excess_median":${r2(loadMedian)},"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"self_load_per_run":${perRun(_.selfLoad)},"noisy":$noisy}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     // r8 lesson: the driver's stdout capture truncated BENCH_r08.json

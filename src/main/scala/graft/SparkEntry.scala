@@ -1395,15 +1395,23 @@ object SparkEntry {
         .withColumn("mult", lit(1L))
         .unionByName(baseR.filter(col("c_custkey") % 5 === 0)
           .withColumn("mult", lit(-1L)))
+      // the persisted frames of the API contract (count state, store,
+      // computed delta) materialize ONCE — in production they are
+      // keyed storage; lazily re-deriving them per consumer would
+      // re-execute the whole subplan at every applyDeltaZ probe (the
+      // q_itemsets localCheckpoint idiom)
       val counts = Incremental.countStateZ(baseR, col("c_custkey"), lit(1L))
-      val (delta, _) = Incremental.deltaLeftJoinZStateful(
+        .localCheckpoint()
+      val (delta0, _) = Incremental.deltaLeftJoinZStateful(
         baseL, dl, baseR, dr, col("o_custkey"), col("c_custkey"), counts)
+      val delta = delta0.localCheckpoint()
       val cols = Seq(col("o_orderkey"), col("o_custkey"),
         col("c_custkey"), col("c_mktsegment"))
       val store = baseL
         .join(baseR, col("o_custkey") === col("c_custkey"), "left")
         .select(cols: _*)
         .groupBy(cols: _*).agg(count(lit(1)).as("mult"))
+        .localCheckpoint()
       Incremental.applyDeltaZ(store, delta,
         Seq("o_custkey", "c_custkey"))
     },
@@ -1426,17 +1434,22 @@ object SparkEntry {
         .withColumn("mult", lit(1L))
         .unionByName(baseR.filter(col("c_custkey") % 5 === 0)
           .withColumn("mult", lit(-1L)))
+      // persisted frames materialize once (see q_incremental_outer_state)
       val lCounts = Incremental.countStateZ(baseL, col("o_custkey"), lit(1L))
+        .localCheckpoint()
       val rCounts = Incremental.countStateZ(baseR, col("c_custkey"), lit(1L))
-      val (delta, _, _) = Incremental.deltaFullJoinZStateful(
+        .localCheckpoint()
+      val (delta0, _, _) = Incremental.deltaFullJoinZStateful(
         baseL, dl, baseR, dr, col("o_custkey"), col("c_custkey"),
         lCounts, rCounts)
+      val delta = delta0.localCheckpoint()
       val cols = Seq(col("o_orderkey"), col("o_custkey"),
         col("c_custkey"), col("c_mktsegment"))
       val store = baseL
         .join(baseR, col("o_custkey") === col("c_custkey"), "full")
         .select(cols: _*)
         .groupBy(cols: _*).agg(count(lit(1)).as("mult"))
+        .localCheckpoint()
       Incremental.applyDeltaZ(store, delta,
         Seq("o_custkey", "c_custkey"))
     },
@@ -1462,11 +1475,15 @@ object SparkEntry {
           .withColumn("mult", lit(-1L)))
       val cols = Seq(col("o_orderkey"), col("o_custkey"),
         col("c_custkey"), col("c_mktsegment"))
+      // store + computed delta materialize once (the persisted-frame
+      // contract — see q_incremental_outer_state)
       val store = baseL.join(baseR, col("o_custkey") === col("c_custkey"))
         .select(cols: _*)
         .groupBy(cols: _*).agg(count(lit(1)).as("mult"))
+        .localCheckpoint()
       val delta = Incremental.deltaJoinZ(
-        baseL, dl, baseR, dr, col("o_custkey"), col("c_custkey"))
+          baseL, dl, baseR, dr, col("o_custkey"), col("c_custkey"))
+        .localCheckpoint()
       Incremental.applyDeltaZ(store, delta,
         Seq("o_custkey", "c_custkey"))
     },
