@@ -570,6 +570,79 @@ object EventStreams {
       }
   }
 
+  /** The previous SIGNIFICANT event's completion for
+    * [[compiledMatches]]: `level` 0 = completed nothing (a reset, a
+    * stray atom, a budget-failed step).
+    */
+  case class CompiledState(level: Int, t: Long, t0: Long, id0: Long)
+
+  /** One completed compiled-pattern match (the batch
+    * `Mining.compiledMatches` row).
+    */
+  case class CompiledOut(
+      user_id: Long, end_event_id: Long, start_event_id: Long,
+      total_ticks: Long)
+
+  /** Streaming twin of the pattern→window compiler
+    * (`Mining.compiledMatches`, r14): the uniform-gap-class
+    * consuming automaton per key via `flatMapGroupsWithState` with
+    * O(1) state — just the PREVIOUS significant event's completion,
+    * because the batch rule is "an event completes step i iff the
+    * immediately preceding significant event completed step i−1
+    * (within budget)". Insignificant symbols never reach the state
+    * (filtered map-side, exactly the batch form's pre-filter);
+    * significant non-completions overwrite the state with level 0 —
+    * the reset/consumption semantics. In-batch order is
+    * (ts_us, event_id) — the batch sort; cross-batch is arrival
+    * order (the `st_attribution` trade, stated). A match straddling
+    * micro-batches completes from recovered state.
+    */
+  def compiledMatches(
+      events: Dataset[Event],
+      steps: Seq[String], resets: Seq[String],
+      budgetsUs: Seq[Long] = Seq.empty): Dataset[CompiledOut] = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(resets.toSet.intersect(steps.toSet).isEmpty,
+      "resets must not contain step symbols")
+    require(budgetsUs.isEmpty || budgetsUs.size == steps.size - 1,
+      s"need ${steps.size - 1} budgets (or none), got ${budgetsUs.size}")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    val buds =
+      if (budgetsUs.isEmpty) Seq.fill(k - 1)(Long.MaxValue) else budgetsUs
+    val sig = (steps ++ resets).toSet
+    events
+      .filter(e => sig(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CompiledState, CompiledOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[CompiledState]) =>
+          var prev = state.getOption.getOrElse(CompiledState(0, 0L, 0L, 0L))
+          val out = Seq.newBuilder[CompiledOut]
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val i = steps.indexOf(e.event_type) + 1
+            val comp =
+              if (i == 1) Some((e.ts_us, e.ts_us, e.event_id))
+              else if (i >= 2 && prev.level == i - 1 &&
+                  e.ts_us - prev.t <= buds(i - 2))
+                Some((e.ts_us, prev.t0, prev.id0))
+              else None
+            comp match {
+              case Some((t, t0, id0)) =>
+                if (i == k)
+                  out += CompiledOut(userId, e.event_id, id0, t - t0)
+                prev = CompiledState(i, t, t0, id0)
+              case None =>
+                prev = CompiledState(0, e.ts_us, 0L, 0L)
+            }
+          }
+          state.update(prev)
+          out.result().iterator
+      }
+  }
+
   /** One signed CDC row of [[deltaJoinStream]]: `side` 0 = left
     * relation, 1 = right; `mult` +1 insert, −1 delete. Both sides
     * ride ONE stream so a micro-batch can carry correlated changes.

@@ -282,6 +282,60 @@ class StreamingSpec extends SparkSpec {
     assert(p2.nonEmpty)
   }
 
+  test("streaming compiledMatches equals batch compiler; chains straddle batches; resets kill") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.CompiledOut
+    val us = 1000000L
+    val (steps, resets) = graft.ops.Mining.compilePattern("v[^vcps]*c[^vcps]*p")
+    val budgets = Seq(30L * us, 50L * us)
+    // random in-order streams (the batch (ts, id) order == arrival
+    // order, the stated cross-batch trade), split mid-chain
+    val rnd = new scala.util.Random(83)
+    val syms = Vector("v", "c", "p", "s", "e", "x")
+    val all = (1 to 600).map { i =>
+      graft.streaming.EventStreams.Event(
+        i.toLong, i.toLong * 7L * us, rnd.nextInt(6).toLong,
+        syms(rnd.nextInt(6)), 0.0)
+    }.sortBy(e => (e.ts_us, e.event_id))
+    val (b1, b2) = all.splitAt(280)
+    val mem = MemoryStream[graft.streaming.EventStreams.Event]
+    val q = graft.streaming.EventStreams
+      .compiledMatches(mem.toDS(), steps, resets, budgets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cmout").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("cmout").as[CompiledOut].collect()
+      .map(o => (o.user_id, o.end_event_id, o.start_event_id, o.total_ticks))
+      .toSet
+    val want = graft.ops.Mining.compiledMatches(
+        all.toDF(), col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), steps, resets, budgets)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty, s"${got.size} vs ${want.size}")
+    // a chain straddling micro-batches completed (some match's start
+    // is in batch 1 and end in batch 2)
+    val lastB1 = b1.last.event_id
+    assert(want.exists(m => m._3 <= lastB1 && m._2 > lastB1),
+      "no match straddled the batch split — weak trial")
+    // hand-crafted: reset kills, consumption blocks reuse
+    val mem2 = MemoryStream[graft.streaming.EventStreams.Event]
+    def ev(id: Long, t: Long, u: Long, s: String) =
+      graft.streaming.EventStreams.Event(id, t * us, u, s, 0.0)
+    val q2 = graft.streaming.EventStreams
+      .compiledMatches(mem2.toDS(), steps, resets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cmout2").start()
+    mem2.addData(
+      ev(1, 1, 1, "v"), ev(2, 2, 1, "e"), ev(3, 3, 1, "c"), ev(4, 4, 1, "p"),
+      ev(5, 5, 1, "c"), ev(6, 6, 1, "p"),             // consumed: no reuse
+      ev(7, 1, 2, "v"), ev(8, 2, 2, "s"), ev(9, 3, 2, "c"), ev(10, 4, 2, "p"))
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("cmout2").as[CompiledOut].collect()
+      .map(o => (o.user_id, o.end_event_id, o.start_event_id)).toSet
+    assert(got2 == Set((1L, 4L, 1L)), s"got $got2")
+  }
+
   test("streaming deltaJoinStream equals the batch Z-join per prefix; deletes straddle batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.EventStreams.{ZJoinRow, ZJoinOut}
