@@ -1488,6 +1488,56 @@ object SparkEntry {
         Seq("o_custkey", "c_custkey"))
     },
 
+    "q_incremental_mv" -> { (s, dir) =>
+      // END-TO-END maintained materialized view (r14): the MV is
+      // γ_{c_mktsegment; count, sum(o_totalprice)} (orders ⋈ customer)
+      // and its delta is the agg-state of the join delta — aggregation
+      // is LINEAR over Z-sets, so deltas propagate through BOTH
+      // operators (Incremental.mvJoinAggDelta) and fold into the
+      // persisted agg state through the keyed applyZSum (untouched
+      // segment keys pass through shuffle-free). TWO chained
+      // maintenance runs here (the left batch, then the right batch
+      // against the corrected left base) prove the state carries
+      // forward; the oracle recomputes the corrected-tables MV fresh.
+      import graft.ops.Incremental
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val baseL = o.filter(col("o_orderkey") % 10 =!= 0)
+      val baseR = c.filter(col("c_custkey") % 7 =!= 0)
+      val dl = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseL.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("mult", lit(-1L)))
+      val dr = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseR.filter(col("c_custkey") % 5 === 0)
+          .withColumn("mult", lit(-1L)))
+      // persisted agg state seeded from the base MV — the frames
+      // materialize once (the persisted-frame contract, see
+      // q_incremental_outer_state)
+      val state0 = Incremental.stateZSum(
+          baseL.join(baseR, col("o_custkey") === col("c_custkey")),
+          col("c_mktsegment"), col("o_totalprice"), lit(1L))
+        .localCheckpoint()
+      val noL = baseL.limit(0).withColumn("mult", lit(1L))
+      val noR = baseR.limit(0).withColumn("mult", lit(1L))
+      // run 1: the left batch only
+      val state1 = Incremental.mvJoinAggMaintain(
+          baseL, dl, baseR, noR, col("o_custkey"), col("c_custkey"),
+          col("c_mktsegment"), col("o_totalprice"), state0)
+        .localCheckpoint()
+      // run 2: the right batch, against the CORRECTED left base and
+      // the carried state — no operator revisits run 1's work
+      val baseL2 = o.filter(
+        (col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 9 =!= 0) ||
+          col("o_orderkey") % 10 === 0)
+      val state2 = Incremental.mvJoinAggMaintain(
+        baseL2, noL, baseR, dr, col("o_custkey"), col("c_custkey"),
+        col("c_mktsegment"), col("o_totalprice"), state1)
+      Incremental.finishZSum(state2).withColumnRenamed("k", "c_mktsegment")
+    },
+
     "q_scd2_history" -> { (s, dir) =>
       // slowly-changing-dimension type 2: each user's event stream
       // becomes versioned attribute rows with [valid_from, valid_to)
@@ -3221,6 +3271,20 @@ object SparkEntry {
         |  AND ((c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
         |       OR c_custkey % 7 = 0)
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // the corrected-tables MV recompute (same survivor sets as the
+    // retract gates); decimal-exact sum surfaced as double via the
+    // engine-neutral VARCHAR hop
+    "q_incremental_mv" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_v
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE ((o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
+        |       OR o_orderkey % 10 = 0)
+        |  AND ((c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
+        |       OR c_custkey % 7 = 0)
+        |GROUP BY 1""".stripMargin,
 
     // the corrected-tables recompute: surviving orders = (base minus
     // the %9 deletes) plus the %10 inserts; surviving customers =

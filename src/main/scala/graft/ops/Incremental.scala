@@ -291,6 +291,89 @@ object Incremental {
     untouched.unionByName(compacted)
   }
 
+  /** Keyed compaction apply for the SCALAR agg Z-state (r14 — the
+    * [[applyDeltaZ]] discipline specialized to [[stateZSum]]'s
+    * (k, n, sum_v) schema): [[mergeZSum]] is the algebraically
+    * correct fold but it reshuffles the ENTIRE persisted state every
+    * maintenance run — O(live keys) when the delta touches a handful.
+    * Here untouched keys pass through a broadcast ANTI join with NO
+    * shuffle and no re-aggregation; only the delta-touched key slice
+    * (broadcast SEMI ∪ delta) re-aggregates — a shuffle of
+    * touched-key rows only. Key matching is null-safe (`<=>`).
+    * Identity rows (n = 0 AND sum_v = 0) drop, exactly
+    * [[mergeZSum]]'s contract (IncrementalSpec pins bit-equality with
+    * mergeZSum and the delta-derived-shuffles-only plan).
+    */
+  def applyZSum(state: DataFrame, delta: DataFrame): DataFrame = {
+    val want = Seq("k", "n", "sum_v")
+    require(state.columns.toSeq == want && delta.columns.toSeq == want,
+      s"applyZSum: state/delta must have the stateZSum schema " +
+        s"(${want.mkString(",")}), got ${state.columns.mkString(",")} " +
+        s"vs ${delta.columns.mkString(",")}")
+    val touched = delta.select(col("k").as("_t_k")).distinct()
+    val cond = col("k") <=> col("_t_k")
+    val untouched = state.join(broadcast(touched), cond, "left_anti")
+    val compacted = state.join(broadcast(touched), cond, "left_semi")
+      .unionByName(delta)
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+      .filter(col("n") =!= 0L ||
+        col("sum_v") =!= lit(0).cast(DecimalType(18, 2)))
+    untouched.unionByName(compacted)
+  }
+
+  /** END-TO-END maintained materialized view (r14): the delta of
+    *
+    *   MV = γ_{aggKey; count, sum(value)} (A ⋈ B)
+    *
+    * under signed deltas on BOTH bases — the composition theorem Z-set
+    * IVM exists for (DBSP; Budiu et al., VLDB 2023): the join's delta
+    * is [[deltaJoinZ]]'s four-term identity, aggregation is LINEAR
+    * over Z-sets, so the MV's delta is simply the agg-state
+    * ([[stateZSum]]) of the join delta — multiplicities ride through
+    * both operators and no operator ever revisits the base result.
+    * Output schema = [[stateZSum]]; fold it into the persisted agg
+    * state with [[applyZSum]] (delta-sized) or [[mergeZSum]], surface
+    * with [[finishZSum]].
+    *
+    * Scale shape: the three delta-probed joins scan each base once
+    * (Catalyst broadcasts the delta probes), then ONE delta-sized
+    * aggregation — the 100 TB nightly "re-join then re-aggregate"
+    * becomes work proportional to the delta. The outer-join MVs
+    * compose the same way from [[deltaLeftJoinZStateful]] /
+    * [[deltaFullJoinZStateful]] (their null-extension deltas are
+    * Z-rows like any other); this helper names the inner-join member
+    * the revenue-dashboard shape takes.
+    */
+  def mvJoinAggDelta(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column,
+      aggKey: Column, value: Column,
+      mult: String = "mult"): DataFrame =
+    stateZSum(
+      deltaJoinZ(baseLeft, deltaLeft, baseRight, deltaRight,
+        leftKey, rightKey, mult),
+      aggKey, value, col(mult))
+
+  /** One MAINTENANCE RUN of the join→agg MV: fold the run's
+    * [[mvJoinAggDelta]] into the persisted agg state via the keyed
+    * [[applyZSum]]. Returns the updated state — persist it and feed
+    * it to the next run; chaining runs equals the fresh recompute of
+    * the corrected tables (spec-pinned), and no run touches the
+    * materialized MV or re-aggregates untouched keys.
+    */
+  def mvJoinAggMaintain(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, rightKey: Column,
+      aggKey: Column, value: Column,
+      aggState: DataFrame,
+      mult: String = "mult"): DataFrame =
+    applyZSum(aggState,
+      mvJoinAggDelta(baseLeft, deltaLeft, baseRight, deltaRight,
+        leftKey, rightKey, aggKey, value, mult))
+
   /** Reject user columns colliding with the internal working names a
     * kernel introduces — without this an input that happens to carry
     * e.g. `_k` fails downstream with an ambiguous-reference analysis

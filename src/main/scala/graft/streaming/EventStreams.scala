@@ -710,6 +710,81 @@ object EventStreams {
       }
   }
 
+  /** One signed output row of [[deltaOuterJoinStream]]: a delta of
+    * the maintained FULL OUTER join view. Null `l_payload` marks a
+    * right-side null-extension row (right row with no live left
+    * match), null `r_payload` a left-side one; a LEFT OUTER consumer
+    * simply drops the null-`l_payload` rows — the left-outer view is
+    * a sub-multiset of this one.
+    */
+  case class ZOuterOut(key: Long, l_payload: String, r_payload: String,
+      mult: Long)
+
+  /** Streaming FULL OUTER delta-join maintenance (r14): the
+    * [[deltaJoinStream]] CDC story extended to the outer class, the
+    * streaming twin of `Incremental.deltaFullJoinZ`. Per key the
+    * state is both sides' live Z-sets; the maintained view is
+    *
+    *   inner(L × R)  ∪  {(l, NULL, lm) iff Σ right mult = 0}
+    *                 ∪  {(NULL, r, rm) iff Σ left mult = 0}
+    *
+    * (count semantics — the SAME zero-transition rule the batch
+    * kernel's `nullSideDeltas` applies), and each arrival emits
+    * exactly V(after) − V(before):
+    *
+    *  - its inner deltas against the other side's current Z-set;
+    *  - its OWN null-extension row iff the other side's count is 0;
+    *  - and when its side's count crosses zero, the retraction
+    *    (crossing 0 → ≠0) or insertion (≠0 → 0) of the OTHER side's
+    *    null-extension rows.
+    *
+    * Folding all emissions reproduces the single-run batch
+    * `deltaFullJoinZ` from empty bases on ANY prefix in ANY arrival
+    * order — deletes straddling micro-batches, delete-before-insert
+    * residues, and keys oscillating between matched and unmatched
+    * included (spec-pinned against a referee view AND the batch
+    * kernel). State per key = the two Z-maps, netted eagerly.
+    */
+  def deltaOuterJoinStream(rows: Dataset[ZJoinRow]): Dataset[ZOuterOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[
+          (Map[String, Long], Map[String, Long]), ZOuterOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[ZJoinRow],
+            state: GroupState[(Map[String, Long], Map[String, Long])]) =>
+          var (left, right) = state.getOption
+            .getOrElse((Map.empty[String, Long], Map.empty[String, Long]))
+          val out = Seq.newBuilder[ZOuterOut]
+          batch.foreach { r =>
+            val (own, other) = if (r.side == 0) (left, right) else (right, left)
+            def emit(ownPay: String, otherPay: String, m: Long): Unit =
+              if (r.side == 0) out += ZOuterOut(key, ownPay, otherPay, m)
+              else out += ZOuterOut(key, otherPay, ownPay, m)
+            // inner deltas against the other side's CURRENT Z-set
+            other.foreach { case (op, om) => emit(r.payload, op, r.mult * om) }
+            // own null-extension row iff the other side counts to zero
+            if (other.values.sum == 0L) emit(r.payload, null, r.mult)
+            // own-side count crossing zero flips the OTHER side's
+            // null-extension rows: becoming matched retracts them,
+            // becoming unmatched inserts them
+            val c0 = own.values.sum
+            val c1 = c0 + r.mult
+            if ((c0 == 0L) != (c1 == 0L)) {
+              val sign = if (c0 == 0L) -1L else 1L
+              other.foreach { case (op, om) => emit(null, op, sign * om) }
+            }
+            val m = own.getOrElse(r.payload, 0L) + r.mult
+            val ownNew =
+              if (m == 0L) own - r.payload else own + (r.payload -> m)
+            if (r.side == 0) left = ownNew else right = ownNew
+          }
+          state.update((left, right))
+          out.result().iterator
+      }
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)

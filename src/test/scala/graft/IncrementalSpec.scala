@@ -480,6 +480,106 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("applyZSum == mergeZSum bit-equal; untouched keys never reshuffle") {
+    val rnd = new scala.util.Random(71)
+    // scalar agg state with a null key and multi-sign history
+    val stateRows = (0 until 300).map { i =>
+      (if (i % 23 == 0) null else s"k${rnd.nextInt(15)}",
+        (rnd.nextInt(7) - 2).toDouble, if (rnd.nextBoolean()) 1 else -1)
+    }
+    val state = Incremental.stateZSum(
+        stateRows.toDF("k", "v", "m"), $"k", $"v", $"m")
+      .localCheckpoint()
+    // delta touching few keys: inserts on a live key, a retraction on
+    // the null key, a fresh key, and an exact negation of k2's state
+    // row so one key nets to identity and must vanish
+    val deltaRows = Seq(
+      ("k1", 3.0, 1), ("k1", 3.0, 1), (null, 2.0, -1), ("kF", 9.0, 1))
+    val delta = Incremental.stateZSum(
+        deltaRows.toDF("k", "v", "m"), $"k", $"v", $"m")
+      .unionByName(state.filter($"k" === "k2")
+        .select($"k", (-$"n").as("n"), (-$"sum_v").as("sum_v")))
+      .localCheckpoint()
+    val got = Incremental.applyZSum(state, delta)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    assert(rows(got) == rows(Incremental.mergeZSum(state, delta)))
+    // the netted key is gone; the fresh key is present
+    assert(got.filter($"k" === "k2").isEmpty &&
+      got.filter($"k" === "kF").count() == 1)
+    // PLAN PIN: the state is never reshuffled — only the touched-tuple
+    // distinct and the touched-slice compaction exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      Seq(p) ++ p.children.flatMap(walk) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Seq.empty
+      })
+    got.collect() // finalize AQE
+    val shuffles = walk(got.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"expected <= 2 delta-derived shuffles, got ${shuffles.size}")
+    // schema guard fires loudly
+    assert(intercept[IllegalArgumentException] {
+      Incremental.applyZSum(state, delta.withColumnRenamed("n", "cnt"))
+    }.getMessage.contains("stateZSum schema"))
+  }
+
+  test("mvJoinAgg: chained maintenance runs == fresh recompute of the corrected MV") {
+    val rnd = new scala.util.Random(83)
+    // random bases with duplicate join keys on both sides and a
+    // low-cardinality agg key riding the right side
+    val lRows = (0 until 240).map(i =>
+      (i.toLong, (rnd.nextInt(30)).toLong, (rnd.nextInt(900) / 4.0)))
+    val rRows = (0 until 80).map(i =>
+      (i.toLong, (rnd.nextInt(30)).toLong, s"g${rnd.nextInt(5)}"))
+    def L(rows: Seq[(Long, Long, Double)]) = rows.toDF("lid", "lk", "x")
+    def R(rows: Seq[(Long, Long, String)]) = rows.toDF("rid", "rk", "g")
+    val (bL, iL) = lRows.partition(_._1 % 5 != 0)
+    val (bR, iR) = rRows.partition(_._1 % 4 != 0)
+    val xL = bL.filter(_._1 % 7 == 0) // deletes, run 1
+    val xR = bR.filter(_._1 % 6 == 0) // deletes, run 2
+    def zed(ins: org.apache.spark.sql.DataFrame,
+        dels: org.apache.spark.sql.DataFrame) =
+      ins.withColumn("mult", lit(1L))
+        .unionByName(dels.withColumn("mult", lit(-1L)))
+    val dl1 = zed(L(iL), L(xL)) // run 1: the left batch
+    val dr2 = zed(R(iR), R(xR)) // run 2: the right batch
+    val noL = L(Seq.empty).withColumn("mult", lit(1L))
+    val noR = R(Seq.empty).withColumn("mult", lit(1L))
+    val state0 = Incremental.stateZSum(
+        L(bL).join(R(bR), $"lk" === $"rk"), $"g", $"x", lit(1L))
+      .localCheckpoint()
+    val state1 = Incremental.mvJoinAggMaintain(
+        L(bL), dl1, R(bR), noR, $"lk", $"rk", $"g", $"x", state0)
+      .localCheckpoint()
+    val corrL = bL.diff(xL) ++ iL
+    val state2 = Incremental.mvJoinAggMaintain(
+      L(corrL), noL, R(bR), dr2, $"lk", $"rk", $"g", $"x", state1)
+    val corrR = bR.diff(xR) ++ iR
+    val want = Incremental.stateZSum(
+      L(corrL).join(R(corrR), $"lk" === $"rk"), $"g", $"x", lit(1L))
+    def surf(df: org.apache.spark.sql.DataFrame) =
+      Incremental.finishZSum(df).as[(String, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    assert(surf(state2) == surf(want) && surf(want).nonEmpty)
+    // intermediate state checks out too (run 1 alone)
+    val want1 = Incremental.stateZSum(
+      L(corrL).join(R(bR), $"lk" === $"rk"), $"g", $"x", lit(1L))
+    assert(surf(state1) == surf(want1))
+    // the MV delta is the agg of the join delta — LINEARITY: summing
+    // the raw delta rows per g matches the state movement
+    val d1 = Incremental.mvJoinAggDelta(
+      L(bL), dl1, R(bR), noR, $"lk", $"rk", $"g", $"x")
+    assert(rowsOf(Incremental.mergeZSum(state0, d1)) == rowsOf(state1))
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
   test("repetition stats on hand-checked docs") {
     val df = Seq(
       (1L, "a a a a"),        // bigrams: aa,aa,aa → dup 2/3; top 4/4

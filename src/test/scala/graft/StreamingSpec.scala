@@ -401,6 +401,84 @@ class StreamingSpec extends SparkSpec {
     assert(got() == batchJoin, "stream fold != batch Z-join of folded inputs")
   }
 
+  test("streaming deltaOuterJoinStream equals the batch full-outer Z-join per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{ZJoinRow, ZOuterOut}
+    val rnd = new scala.util.Random(53)
+    // random two-sided CDC where keys OSCILLATE between matched and
+    // unmatched: one-sided keys (6, 7 left-only; 8 right-only),
+    // deletes that net a side to zero and later re-inserts, and
+    // delete-before-insert residues
+    val all = (0 until 420).map { i =>
+      val key =
+        if (i % 13 == 0) 6L + (i / 13) % 3 else rnd.nextInt(6).toLong
+      val side = if (key == 6L || key == 7L) 0 else if (key == 8L) 1 else i % 2
+      ZJoinRow(side, key, s"p${rnd.nextInt(3)}",
+        if (i % 11 == 0 || (i % 5 == 0 && i > 140)) -1L else 1L)
+    }
+    val batches = Seq(all.slice(0, 130), all.slice(130, 270), all.slice(270, 420))
+    val mem = MemoryStream[ZJoinRow]
+    val q = EventStreams.deltaOuterJoinStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zoout").start()
+    // the referee view: inner pairs over both netted Z-sets, plus
+    // each side's null-extension rows exactly when the OTHER side's
+    // net count is zero — the batch kernel's count semantics
+    type K = (Long, Option[String], Option[String])
+    def want(rows: Seq[ZJoinRow]): Map[K, Long] = {
+      def fold(side: Int) = rows.filter(_.side == side)
+        .groupBy(r => (r.key, r.payload))
+        .view.mapValues(_.map(_.mult).sum).filter(_._2 != 0L).toMap
+      val (l, r) = (fold(0), fold(1))
+      val keys = (l.keys.map(_._1) ++ r.keys.map(_._1)).toSet
+      keys.toSeq.flatMap { k =>
+        val lp = l.collect { case ((kk, p), m) if kk == k => p -> m }.toSeq
+        val rp = r.collect { case ((kk, p), m) if kk == k => p -> m }.toSeq
+        val inner = for ((a, ma) <- lp; (b, mb) <- rp)
+          yield ((k, Option(a), Option(b)): K) -> ma * mb
+        val lNull = if (rp.map(_._2).sum == 0L)
+          lp.map { case (a, ma) => ((k, Option(a), None): K) -> ma }
+        else Seq.empty
+        val rNull = if (lp.map(_._2).sum == 0L)
+          rp.map { case (b, mb) => ((k, None, Option(b)): K) -> mb }
+        else Seq.empty
+        inner ++ lNull ++ rNull
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .filter(_._2 != 0L).toMap
+    }
+    def got(): Map[K, Long] =
+      spark.table("zoout").as[ZOuterOut].collect()
+        .groupBy(o => (o.key, Option(o.l_payload), Option(o.r_payload)))
+        .view.mapValues(_.map(_.mult).sum).filter(_._2 != 0L).toMap
+    var prefix = Seq.empty[ZJoinRow]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      prefix ++= b
+      assert(got() == want(prefix), s"prefix of ${prefix.size} diverged")
+    }
+    q.stop()
+    val fin = got()
+    assert(fin.exists(_._1._2.isEmpty) && fin.exists(_._1._3.isEmpty),
+      "degenerate trial: no null-extension rows on one of the sides")
+    // folding the stream's emissions equals folding the single-run
+    // batch deltaFullJoinZ from EMPTY bases over the same raw deltas
+    import graft.ops.Incremental
+    def deltas(side: Int, k: String, p: String) = all.filter(_.side == side)
+      .map(r => (r.key, r.payload, r.mult)).toDF(k, p, "mult")
+    val emptyL = Seq.empty[(Long, String)].toDF("lk", "lp")
+    val emptyR = Seq.empty[(Long, String)].toDF("rk", "rp")
+    val batchFold = Incremental.deltaFullJoinZ(
+        emptyL, deltas(0, "lk", "lp"), emptyR, deltas(1, "rk", "rp"),
+        col("lk"), col("rk"))
+      .select(coalesce(col("lk"), col("rk")).as("k"),
+        col("lp"), col("rp"), col("mult"))
+      .as[(Long, Option[String], Option[String], Long)].collect()
+      .groupBy(t => (t._1, t._2, t._3))
+      .view.mapValues(_.map(_._4).sum).filter(_._2 != 0L).toMap
+    assert(fin == batchFold, "stream fold != batch full-outer Z-join")
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
