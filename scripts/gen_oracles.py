@@ -1453,6 +1453,56 @@ SELECT user_id, event_id AS end_id, (p3).id0 AS start_id,
 FROM s3
 WHERE sym = 'p' AND p3 IS NOT NULL AND tus - (p3).t <= 43200000000"""
 
+    # ---- q_event_pattern_classes: PER-TRANSITION gap classes (r14)
+    # — v[^s]*c[^sv]*p with budgets 6 h / 12 h. Last-predecessor rule
+    # with blockers: step i completes iff the latest step-(i-1)
+    # completion fits the budget AND no class-i symbol lies strictly
+    # between it (completion row index < last blocker index fails) ----
+    o["q_event_pattern_classes"] = """
+WITH e AS (
+ SELECT user_id, epoch_us(ts) AS tus, event_id,
+  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+   WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'o' END AS sym
+ FROM events),
+i AS (
+ SELECT *, CAST(row_number() OVER
+   (PARTITION BY user_id ORDER BY tus, event_id) AS BIGINT) AS idx
+ FROM e),
+s1 AS (
+ SELECT *, CASE WHEN sym = 'v'
+  THEN struct_pack(t := tus, i := idx, t0 := tus, id0 := event_id)
+  END AS m1
+ FROM i),
+s2 AS (
+ SELECT *,
+  last_value(m1 IGNORE NULLS) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2,
+  last_value(CASE WHEN sym = 's' THEN idx END IGNORE NULLS) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b2
+ FROM s1),
+s2m AS (
+ SELECT *, CASE WHEN sym = 'c' AND tus - (p2).t <= 21600000000
+   AND (b2 IS NULL OR b2 <= (p2).i)
+  THEN struct_pack(t := tus, i := idx, t0 := (p2).t0, id0 := (p2).id0)
+  END AS m2
+ FROM s2),
+s3 AS (
+ SELECT *,
+  last_value(m2 IGNORE NULLS) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p3,
+  last_value(CASE WHEN sym IN ('s', 'v') THEN idx END IGNORE NULLS) OVER
+   (PARTITION BY user_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS b3
+ FROM s2m)
+SELECT user_id, event_id AS end_id, (p3).id0 AS start_id,
+ tus - (p3).t0 AS total_ticks, tus - (p3).t AS last_gap_ticks
+FROM s3
+WHERE sym = 'p' AND tus - (p3).t <= 43200000000
+ AND (b3 IS NULL OR b3 <= (p3).i)"""
+
     # ---- dd_ngram_jaccard: brute-force exact 5-gram Jaccard >= 0.7;
     # size-ratio prefilter is sound (J <= min/max sizes) ----
     gr = ngrams("text", 5)

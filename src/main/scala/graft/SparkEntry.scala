@@ -2054,6 +2054,25 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
     },
 
+    "q_event_pattern_classes" -> { (s, dir) =>
+      // PER-TRANSITION gap classes (ops/Mining.classSteps, r14): the
+      // pattern v[^s]*c[^sv]*p — a signup between view and click
+      // kills the chain; between click and purchase a signup OR a
+      // fresh view does — which the uniform-class compilePattern
+      // grammar cannot express. Last-predecessor semantics
+      // (timedSteps with blockers), one key shuffle, per-transition
+      // last-blocker-position windows sharing it, budgets 6 h / 12 h
+      val e = t(s, dir, "events")
+      graft.ops.Mining.classSteps(
+        e, col("user_id"), eventUs(e, "ts"), col("event_id"),
+        expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'" +
+          " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'o' END"),
+        steps = Seq("v", "c", "p"),
+        classes = Seq(Seq("s"), Seq("s", "v")),
+        budgets = Seq(21600000000L, 43200000000L))
+        .withColumnRenamed("key", "user_id")
+    },
+
     "q_event_pattern_compiled" -> { (s, dir) =>
       // the pattern -> window COMPILER (r14, r13 judge item 5): an
       // arm/step/fire pattern WITH a reset symbol — view -> click ->

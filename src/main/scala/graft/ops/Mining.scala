@@ -181,6 +181,76 @@ object Mining {
         (col("ts") - col(s"_p$k.t")).as("last_gap_ticks"))
   }
 
+  /** K-step timed sequence matching with PER-TRANSITION negated gap
+    * classes (r14) — the generalization [[compilePattern]]'s
+    * uniform-class grammar cannot express: each transition i carries
+    * its own blocker set `classes(i-1)`, i.e. the pattern
+    * `s1 [^C1]* s2 [^C2]* … sk` with C1 ≠ C2 ("a signup between view
+    * and click kills the chain; between click and purchase a signup
+    * OR a fresh view does"). Semantics are [[timedSteps]]'
+    * LAST-PREDECESSOR rule extended with blockers: an event completes
+    * step i ≥ 2 iff its symbol is `steps(i-1)`, the MOST RECENT
+    * step-(i−1) completion fits the budget, and no `classes(i-2)`
+    * symbol lies STRICTLY BETWEEN that completion and the event.
+    * "Most recent" stays exact: an older completion has every later
+    * blocker after it too and a wider gap, so if the latest
+    * completion is blocked or over budget, all are (`classes` all
+    * empty degenerates to [[timedSteps]] bit-for-bit).
+    *
+    * Scale shape: ONE key shuffle; per transition, ONE
+    * `last(ignoreNulls)` completion window plus ONE last-blocker-
+    * position window, all sharing the partition/sort (no further
+    * exchange — plan-pinned), map-only after; no per-key collect,
+    * unbounded keys. Blocker position compares by the window's own
+    * row index, so ties and duplicate timestamps resolve exactly as
+    * the sort does. Output = [[timedSteps]]'s.
+    */
+  def classSteps(
+      df: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      symbol: Column, steps: Seq[String], classes: Seq[Seq[String]],
+      budgets: Seq[Long] = Seq.empty): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(classes.size == steps.size - 1,
+      s"need ${steps.size - 1} gap classes for ${steps.size} steps, " +
+        s"got ${classes.size}")
+    require(budgets.isEmpty || budgets.size == steps.size - 1,
+      s"need ${steps.size - 1} budgets (or none), got ${budgets.size}")
+    import org.apache.spark.sql.expressions.Window
+    val k = steps.size
+    val buds =
+      if (budgets.isEmpty) Seq.fill(k - 1)(Long.MaxValue) else budgets
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tb"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+    var cur = df
+      .select(key.as("key"), ts.as("ts"), tiebreak.as("tb"), symbol.as("sym"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("_s1", when(col("sym") === steps.head,
+        struct(col("ts").as("t"), col("idx").as("i"),
+          col("ts").as("t0"), col("tb").as("id0"))))
+    for (i <- 2 to k) {
+      val cls = classes(i - 2)
+      val lastBlocker =
+        if (cls.isEmpty) lit(null).cast("long")
+        else last(when(col("sym").isin(cls: _*), col("idx")),
+          ignoreNulls = true).over(prevW)
+      cur = cur
+        .withColumn(s"_p$i",
+          last(col(s"_s${i - 1}"), ignoreNulls = true).over(prevW))
+        .withColumn(s"_b$i", lastBlocker)
+        .withColumn(s"_s$i", when(
+          col("sym") === steps(i - 1) &&
+            col("ts") - col(s"_p$i.t") <= buds(i - 2) &&
+            (col(s"_b$i").isNull || col(s"_b$i") <= col(s"_p$i.i")),
+          struct(col("ts").as("t"), col("idx").as("i"),
+            col(s"_p$i.t0").as("t0"), col(s"_p$i.id0").as("id0"))))
+    }
+    cur.filter(col(s"_s$k").isNotNull)
+      .select(col("key"), col("tb").as("end_id"),
+        col(s"_s$k.id0").as("start_id"),
+        (col("ts") - col(s"_s$k.t0")).as("total_ticks"),
+        (col("ts") - col(s"_p$k.t")).as("last_gap_ticks"))
+  }
+
   /** COMPILE a scan-deterministic symbol pattern into its
     * chained-window plan (r13 judge item 5) — the generalization that
     * retires [[eventPatterns]]' per-key collect for the WHOLE

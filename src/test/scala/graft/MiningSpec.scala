@@ -141,6 +141,126 @@ class MiningSpec extends SparkSpec {
     assert(e.getMessage.contains("steps"))
   }
 
+  test("classSteps equals a driver reference with per-transition blockers; empty classes == timedSteps") {
+    // reference: the timedSteps scan plus per-transition blocker
+    // tracking — a completion survives iff no blocker index lies
+    // strictly after its predecessor completion's index (the event's
+    // own symbol never blocks itself: blockers commit after)
+    def ref(
+        rows: Seq[(Long, Long, Long, String)], steps: Seq[String],
+        classes: Seq[Seq[String]], budgets: Seq[Long])
+        : Set[(Long, Long, Long, Long, Long)] = {
+      val k = steps.size
+      rows.groupBy(_._1).flatMap { case (key, rs) =>
+        // lastC(i) = (ts, idx, t0, id0) of step i's latest completion
+        val lastC = Array.fill[Option[(Long, Long, Long, Long)]](k + 1)(None)
+        val lastB = Array.fill[Option[Long]](k - 1)(None)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        rs.sortBy(r => (r._2, r._3)).zipWithIndex.foreach {
+          case ((_, ts, eid, sym), i0) =>
+            val idx = i0 + 1L
+            val comps = (1 to k).flatMap { i =>
+              if (sym != steps(i - 1)) None
+              else if (i == 1) Some(i -> ((ts, idx, ts, eid)))
+              else lastC(i - 1).collect {
+                case (pt, pidx, pt0, pid0)
+                    if ts - pt <= budgets(i - 2) &&
+                      lastB(i - 2).forall(_ <= pidx) =>
+                  i -> ((ts, idx, pt0, pid0))
+              }
+            }
+            comps.find(_._1 == k).foreach { case (_, (t, _, t0, id0)) =>
+              out += ((key, eid, id0, ts - t0, ts - lastC(k - 1).get._1))
+            }
+            comps.foreach { case (i, c) => lastC(i) = Some(c) }
+            classes.zipWithIndex.foreach { case (cls, j) =>
+              if (cls.contains(sym)) lastB(j) = Some(idx)
+            }
+        }
+        out.result()
+      }.toSet
+    }
+    val rnd = new scala.util.Random(47)
+    val syms = "vcpsx"
+    for ((steps, classes, budgets) <- Seq(
+        (Seq("v", "c", "p"), Seq(Seq("s"), Seq("s", "v")), Seq(40L, 70L)),
+        (Seq("v", "c", "p"), Seq(Seq.empty[String], Seq.empty[String]),
+          Seq(40L, 70L)), // degenerate: == timedSteps
+        (Seq("v", "v", "p"), Seq(Seq("x"), Seq("c")), Seq(50L, 50L)),
+        (Seq("x", "c", "c", "p"),
+          Seq(Seq("v"), Seq("s", "x"), Seq("v", "s")),
+          Seq(30L, 30L, 30L)))) {
+      val rows = (1 to 700).map { i =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(90).toLong * 5L, i.toLong,
+          syms(rnd.nextInt(5)).toString)
+      }
+      val got = Mining.classSteps(rows.toDF("k", "ts", "eid", "sym"),
+          col("k"), col("ts"), col("eid"), col("sym"),
+          steps, classes, budgets)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = ref(rows, steps, classes, budgets)
+      assert(got == want, s"steps $steps classes $classes: " +
+        s"${got.size} vs ${want.size}")
+      assert(want.nonEmpty, s"steps $steps: degenerate trial, no matches")
+      if (classes.forall(_.isEmpty)) {
+        val ts = Mining.timedSteps(rows.toDF("k", "ts", "eid", "sym"),
+            col("k"), col("ts"), col("eid"), col("sym"), steps, budgets)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(got == ts, "empty classes must degenerate to timedSteps")
+      }
+    }
+  }
+
+  test("classSteps: blockers kill strictly-between only; one Exchange; contract errors") {
+    // key 1: clean v->c->p; key 2: signup BETWEEN v and c kills it;
+    // key 3: signup BEFORE the view is harmless; key 4: a fresh view
+    // between c and p kills transition 2 (class 2 = {s, v}) — but a
+    // signup between v and c only blocks transition 1
+    val df = Seq(
+      (1L, 0L, 1L, "v"), (1L, 10L, 2L, "c"), (1L, 20L, 3L, "p"),
+      (2L, 0L, 1L, "v"), (2L, 5L, 2L, "s"), (2L, 10L, 3L, "c"),
+      (2L, 20L, 4L, "p"),
+      (3L, 0L, 1L, "s"), (3L, 5L, 2L, "v"), (3L, 10L, 3L, "c"),
+      (3L, 20L, 4L, "p"),
+      (4L, 0L, 1L, "v"), (4L, 10L, 2L, "c"), (4L, 15L, 3L, "v"),
+      (4L, 20L, 4L, "p"))
+      .toDF("k", "ts", "eid", "sym")
+    val got = Mining.classSteps(df, col("k"), col("ts"), col("eid"),
+        col("sym"), Seq("v", "c", "p"),
+        Seq(Seq("s"), Seq("s", "v")), Seq(50L, 50L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 1L, 20L, 10L),
+      (3L, 4L, 2L, 15L, 10L)))
+    // the fresh view at key 4 blocks the OLD chain but starts a new
+    // one: a later click+purchase completes from it
+    val resumed = df.union(Seq(
+      (4L, 25L, 5L, "c"), (4L, 30L, 6L, "p")).toDF("k", "ts", "eid", "sym"))
+    val got2 = Mining.classSteps(resumed, col("k"), col("ts"), col("eid"),
+        col("sym"), Seq("v", "c", "p"),
+        Seq(Seq("s"), Seq("s", "v")), Seq(50L, 50L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got2.contains((4L, 6L, 3L, 15L, 5L)))
+    // PLAN PIN: one key shuffle — every completion and blocker window
+    // shares the (key, ts, tb) partition/sort; no per-key collect
+    val q = Mining.classSteps(df, col("k"), col("ts"), col("eid"),
+      col("sym"), Seq("v", "c", "p"),
+      Seq(Seq("s"), Seq("s", "v")), Seq(50L, 50L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("collect_list") && !plan.contains("CollectList"))
+    // contract errors name the offending parameter
+    assert(intercept[IllegalArgumentException] {
+      Mining.classSteps(df, col("k"), col("ts"), col("eid"),
+        col("sym"), Seq("v", "c", "p"), Seq(Seq("s")), Seq(50L, 50L))
+    }.getMessage.contains("gap classes"))
+    assert(intercept[IllegalArgumentException] {
+      Mining.classSteps(df, col("k"), col("ts"), col("eid"),
+        col("sym"), Seq("v", "c", "p"),
+        Seq(Seq("s"), Seq("s", "v")), Seq(50L))
+    }.getMessage.contains("budgets"))
+  }
+
   test("timedMatches: window rule == collect+regex == streaming automaton; time bound bites") {
     val rnd = new scala.util.Random(77)
     val syms = "vcpse"
