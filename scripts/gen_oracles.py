@@ -1760,6 +1760,47 @@ SELECT q_id, vec_id, cos, rnk FROM (
  JOIN embeddings qe ON qe.vec_id = c.q_id)
 WHERE rnk <= 10"""
 
+    # ---- ann_refine_delta: refine served from the MAINTAINED code
+    # frame (r14) — same pipeline as ann_refine_topk but the codebook
+    # is pinned on the BASE slice and the codes cover base ∪ delta
+    # under it (== pqDeltaIngest's maintained frame) ----
+    o["ann_refine_delta"] = f"""
+WITH bse AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+book AS (
+ SELECT row_number() OVER (ORDER BY
+   {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id) - 1 AS b, embedding
+ FROM bse
+ ORDER BY {to_signed(splitmix("CAST(vec_id AS HUGEINT)"))}, vec_id LIMIT 16),
+codes AS (
+ SELECT vec_id, j, b FROM (
+  SELECT c.vec_id, g.j, k.b,
+   row_number() OVER (PARTITION BY c.vec_id, g.j
+     ORDER BY {sq_l2}, k.b) AS rn
+  FROM embeddings c CROSS JOIN range(0, 8) g(j) CROSS JOIN book k)
+ WHERE rn = 1),
+recon AS (
+ SELECT c.vec_id,
+  flatten(list(k.embedding[c.j*8+1:c.j*8+8] ORDER BY c.j)) AS rvec
+ FROM codes c JOIN book k USING (b) GROUP BY c.vec_id),
+cand AS (
+ SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id,
+   row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rnk
+  FROM (
+   SELECT q.vec_id AS q_id, r.vec_id, {dot_d("q.embedding", "r.rvec")} AS adc
+   FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN recon r
+   WHERE r.vec_id != q.vec_id))
+ WHERE rnk <= 50)
+SELECT q_id, vec_id, cos, rnk FROM (
+ SELECT c.q_id, c.vec_id,
+  {cosine("qe.embedding", "ce.embedding")} AS cos,
+  row_number() OVER (PARTITION BY c.q_id
+    ORDER BY {cosine("qe.embedding", "ce.embedding")} DESC, c.vec_id) AS rnk
+ FROM cand c
+ JOIN embeddings ce ON ce.vec_id = c.vec_id
+ JOIN embeddings qe ON qe.vec_id = c.q_id)
+WHERE rnk <= 10"""
+
     # ---- q_hll_distinct: HyperLogLog as a two-level aggregation —
     # register contribution 2^(44-rho) via the low-bit isolate
     # hu ^ (hu & (hu-1)); denominator an exact <= 2^53 integer ----

@@ -743,6 +743,34 @@ object SparkEntry {
       Ann.pqDriftReport(codes(base), codes(delta), m = 8)
     },
 
+    "ann_refine_delta" -> { (s, dir) =>
+      // refine top-k served from MAINTAINED ANN state (r14): the code
+      // frame is the pqDeltaIngest artifact (codebook pinned on the
+      // base slice, delta encoded map-only) and
+      // Ann.pqRefineTopKCodes serves straight from it — no re-sample,
+      // no corpus re-encode; ADC shortlist over the code frame, exact
+      // cosine re-rank broadcast-joined against the corpus scan
+      val e = t(s, dir, "embeddings")
+      val all = e.select(col("vec_id"), col("embedding").as("c_vec"))
+      val base = all.filter(col("vec_id") % 10 < 8)
+      val delta = all.filter(col("vec_id") % 10 >= 8)
+      val book = base
+        .orderBy(graft.functions.F.splitmix64(col("vec_id")), col("vec_id"))
+        .limit(16)
+        .select(col("c_vec").cast("array<float>"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val baseCodes = base.select(
+        col("vec_id"), graft.functions.F.pqEncode(col("c_vec"), book, 8)
+          .as("code"))
+      // the maintained frame materializes once (the persisted-frame
+      // contract — see q_incremental_outer_state)
+      val codes = Ann.pqDeltaIngest(baseCodes, delta, book, 8)
+        .localCheckpoint()
+      Ann.pqRefineTopKCodes(codes, e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        book, k = 10, shortlist = 50, m = 8)
+    },
+
     "ann_pq_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Ann.pqTopK(

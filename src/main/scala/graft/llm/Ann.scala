@@ -308,6 +308,45 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** [[pqRefineTopK]] SERVED FROM MAINTAINED STATE (r14 — the delta
+    * family's missing consumer): the codes arrive as the persisted
+    * frame [[pqDeltaIngest]] maintains and the codebook as the pinned
+    * array, so a serving run never re-samples or re-encodes anything —
+    * the ADC shortlist scans the code frame, the exact re-rank
+    * broadcast-joins the shortlist against the corpus scan, and the
+    * corpus never shuffles in either stage (the [[pqRefineTopK]]
+    * shapes exactly). PqSpec pins: serving from delta-ingested codes
+    * == serving from a fresh full encode under the same book, and ==
+    * the one-shot [[pqRefineTopK]] when the book is the one it would
+    * sample.
+    */
+  def pqRefineTopKCodes(
+      codes: DataFrame,
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      book: Array[Array[Float]],
+      k: Int, shortlist: Int = 50, m: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(queryId.as("q_id"), queryVec.as("q_vec"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(!lit(excludeSelf) || col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.pqAdc(col("code"), col("q_vec"), book, m).as("adc"))
+    val cand = Collect
+      .topKPerKey(scored, col("q_id"), shortlist, col("adc").desc,
+        col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("c_vec"))
+    val exact = c
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.cosineSim(col("q_vec"), col("c_vec")).as("cos"))
+    Collect
+      .topKPerKey(exact, col("q_id"), k, col("cos").desc, col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
   /** Range search: ALL corpus vectors with cosine ≥ `minCos` of each
     * query (vs top-k's fixed count). Same broadcast shape as
     * [[bruteTopK]] — the corpus never shuffles; the filter runs

@@ -77,6 +77,47 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected map-only encode:\n$plan")
   }
 
+  test("pqRefineTopKCodes serves from maintained codes == fresh encode == one-shot refine") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val all = e.select(col("vec_id"), col("embedding").as("c_vec"))
+    val queries = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // (a) with the book pqRefineTopK would sample (full corpus), the
+    // maintained-serving path equals the one-shot path exactly
+    val fullBook = all.orderBy(F.splitmix64(col("vec_id")), col("vec_id"))
+      .limit(16).select(col("c_vec").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val fullCodes = all.select(
+      col("vec_id"), F.pqEncode(col("c_vec"), fullBook, 8).as("code"))
+    val served = Ann.pqRefineTopKCodes(fullCodes,
+      e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"),
+      fullBook, k = 10, shortlist = 50)
+    val oneShot = Ann.pqRefineTopK(
+      e, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 10, shortlist = 50)
+    assert(rows(served) == rows(oneShot) && served.count() == 50)
+    // (b) under a BASE-pinned book, serving from the delta-ingested
+    // frame equals serving from a fresh full encode — the maintained
+    // state is a faithful serving artifact
+    val base = all.filter(col("vec_id") % 10 < 8)
+    val delta = all.filter(col("vec_id") % 10 >= 8)
+    val book = base.orderBy(F.splitmix64(col("vec_id")), col("vec_id"))
+      .limit(16).select(col("c_vec").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val baseCodes = base.select(
+      col("vec_id"), F.pqEncode(col("c_vec"), book, 8).as("code"))
+    val ingested = Ann.pqDeltaIngest(baseCodes, delta, book, 8)
+    val fresh = all.select(
+      col("vec_id"), F.pqEncode(col("c_vec"), book, 8).as("code"))
+    def serve(codes: org.apache.spark.sql.DataFrame) =
+      rows(Ann.pqRefineTopKCodes(codes, e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), book, k = 10,
+        shortlist = 50))
+    assert(serve(ingested) == serve(fresh))
+  }
+
   test("pqDeltaIngest under a pinned codebook == the full encode; drift report flags an all-new codeword") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("c_vec"))
