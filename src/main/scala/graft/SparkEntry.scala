@@ -1566,6 +1566,101 @@ object SparkEntry {
       Incremental.finishZSum(state2).withColumnRenamed("k", "c_mktsegment")
     },
 
+    "q_incremental_mv_outer" -> { (s, dir) =>
+      // the OUTER-join member of the maintained-MV matrix (r14): the
+      // MV aggregates orders LEFT JOIN customer per segment —
+      // unmatched orders land in the NULL-segment bucket — and the
+      // join deltas come from the SELF-SUSTAINING stateful kernel
+      // (persisted right-count frame folded across BOTH runs, no base
+      // count recompute); null-extension deltas are Z-rows like any
+      // other, so the same stateZSum→applyZSum propagation maintains
+      // the agg state (applyZSum's null-safe key matching carries the
+      // NULL segment). Oracle recomputes the corrected LEFT JOIN MV.
+      import graft.ops.Incremental
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val baseL = o.filter(col("o_orderkey") % 10 =!= 0)
+      val baseR = c.filter(col("c_custkey") % 7 =!= 0)
+      val dl = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseL.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("mult", lit(-1L)))
+      val dr = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseR.filter(col("c_custkey") % 5 === 0)
+          .withColumn("mult", lit(-1L)))
+      val noL = baseL.limit(0).withColumn("mult", lit(1L))
+      val noR = baseR.limit(0).withColumn("mult", lit(1L))
+      // persisted frames (agg state, count state) materialize once
+      val state0 = Incremental.stateZSum(
+          baseL.join(baseR, col("o_custkey") === col("c_custkey"), "left"),
+          col("c_mktsegment"), col("o_totalprice"), lit(1L))
+        .localCheckpoint()
+      val counts0 = Incremental
+        .countStateZ(baseR, col("c_custkey"), lit(1L)).localCheckpoint()
+      // run 1: the left batch, against the persisted count frame
+      val (d1, counts1u) = Incremental.deltaLeftJoinZStateful(
+        baseL, dl, baseR, noR, col("o_custkey"), col("c_custkey"), counts0)
+      val state1 = Incremental.applyZSum(state0, Incremental.stateZSum(
+          d1, col("c_mktsegment"), col("o_totalprice"), col("mult")))
+        .localCheckpoint()
+      val counts1 = counts1u.localCheckpoint()
+      // run 2: the right batch, corrected left base, carried frames
+      val baseL2 = o.filter(
+        (col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 9 =!= 0) ||
+          col("o_orderkey") % 10 === 0)
+      val (d2, _) = Incremental.deltaLeftJoinZStateful(
+        baseL2, noL, baseR, dr, col("o_custkey"), col("c_custkey"), counts1)
+      val state2 = Incremental.applyZSum(state1, Incremental.stateZSum(
+        d2, col("c_mktsegment"), col("o_totalprice"), col("mult")))
+      Incremental.finishZSum(state2).withColumnRenamed("k", "c_mktsegment")
+    },
+
+    "q_incremental_mv_minmax" -> { (s, dir) =>
+      // the PAIR-STATE member of the maintained-MV matrix (r14):
+      // min/max need the pair-level stateZ (per-key scalars forget
+      // the runner-up a retraction must surface), and the same
+      // linearity carries it through the join — the MV delta is
+      // stateZ of the join delta, folded by the keyed applyZ (the
+      // Z-STATE apply: residues with mult != 0 carry, unlike the
+      // applied-store applyDeltaZ). Two chained runs; finishZ
+      // surfaces count / exact sum / min / max per segment.
+      import graft.ops.Incremental
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val baseL = o.filter(col("o_orderkey") % 10 =!= 0)
+      val baseR = c.filter(col("c_custkey") % 7 =!= 0)
+      val dl = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseL.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("mult", lit(-1L)))
+      val dr = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("mult", lit(1L))
+        .unionByName(baseR.filter(col("c_custkey") % 5 === 0)
+          .withColumn("mult", lit(-1L)))
+      val noL = baseL.limit(0).withColumn("mult", lit(1L))
+      val noR = baseR.limit(0).withColumn("mult", lit(1L))
+      val state0 = Incremental.stateZ(
+          baseL.join(baseR, col("o_custkey") === col("c_custkey")),
+          col("c_mktsegment"), col("o_totalprice"), lit(1L))
+        .localCheckpoint()
+      val state1 = Incremental.applyZ(state0, Incremental.stateZ(
+          Incremental.deltaJoinZ(baseL, dl, baseR, noR,
+            col("o_custkey"), col("c_custkey")),
+          col("c_mktsegment"), col("o_totalprice"), col("mult")))
+        .localCheckpoint()
+      val baseL2 = o.filter(
+        (col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 9 =!= 0) ||
+          col("o_orderkey") % 10 === 0)
+      val state2 = Incremental.applyZ(state1, Incremental.stateZ(
+        Incremental.deltaJoinZ(baseL2, noL, baseR, dr,
+          col("o_custkey"), col("c_custkey")),
+        col("c_mktsegment"), col("o_totalprice"), col("mult")))
+      Incremental.finishZ(state2).withColumnRenamed("k", "c_mktsegment")
+    },
+
     "q_scd2_history" -> { (s, dir) =>
       // slowly-changing-dimension type 2: each user's event stream
       // becomes versioned attribute rows with [valid_from, valid_to)
@@ -3326,6 +3421,35 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
         |      AS DOUBLE) AS sum_v
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE ((o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
+        |       OR o_orderkey % 10 = 0)
+        |  AND ((c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
+        |       OR c_custkey % 7 = 0)
+        |GROUP BY 1""".stripMargin,
+
+    // the corrected LEFT JOIN MV recompute — unmatched orders land in
+    // the NULL-segment bucket
+    "q_incremental_mv_outer" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_v
+        |FROM (SELECT * FROM orders
+        |      WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
+        |         OR o_orderkey % 10 = 0) o
+        |LEFT JOIN (SELECT * FROM customer
+        |           WHERE (c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
+        |              OR c_custkey % 7 = 0) c
+        |ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // the corrected inner-join MV recompute with min/max — the
+    // pair-state (stateZ) surface
+    "q_incremental_mv_minmax" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_v,
+        | MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE ((o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
         |       OR o_orderkey % 10 = 0)

@@ -322,6 +322,35 @@ object Incremental {
     untouched.unionByName(compacted)
   }
 
+  /** Keyed compaction apply for the PAIR-LEVEL Z-state ([[stateZ]]
+    * schema (k, v, mult)) — the [[applyZSum]] discipline for the
+    * retractable-min/max state. Unlike [[applyDeltaZ]] (the
+    * applied-STORE apply: store mult > 0 in and out, the view a
+    * consumer reads), a persisted Z-STATE must CARRY negative
+    * residues — a delete arriving before its insert sits at mult < 0
+    * until it nets — so this variant keeps every pair with mult ≠ 0,
+    * exactly [[mergeZ]]'s contract (spec-pinned bit-equal, residues
+    * included). Same delta-sized shape: untouched keys pass through
+    * a broadcast ANTI join shuffle-free; only the delta-touched key
+    * slice re-aggregates; null-safe key matching.
+    */
+  def applyZ(state: DataFrame, delta: DataFrame): DataFrame = {
+    val want = Seq("k", "v", "mult")
+    require(state.columns.toSeq == want && delta.columns.toSeq == want,
+      s"applyZ: state/delta must have the stateZ schema " +
+        s"(${want.mkString(",")}), got ${state.columns.mkString(",")} " +
+        s"vs ${delta.columns.mkString(",")}")
+    val touched = delta.select(col("k").as("_t_k")).distinct()
+    val cond = col("k") <=> col("_t_k")
+    val untouched = state.join(broadcast(touched), cond, "left_anti")
+    val compacted = state.join(broadcast(touched), cond, "left_semi")
+      .unionByName(delta)
+      .groupBy(col("k"), col("v"))
+      .agg(sum(col("mult")).as("mult"))
+      .filter(col("mult") =!= 0L)
+    untouched.unionByName(compacted)
+  }
+
   /** END-TO-END maintained materialized view (r14): the delta of
     *
     *   MV = γ_{aggKey; count, sum(value)} (A ⋈ B)

@@ -528,6 +528,34 @@ class IncrementalSpec extends SparkSpec {
     }.getMessage.contains("stateZSum schema"))
   }
 
+  test("applyZ == mergeZ bit-equal; negative residues carry; store apply drops them") {
+    val rnd = new scala.util.Random(97)
+    val stateRows = (0 until 250).map { i =>
+      (if (i % 19 == 0) null else s"k${rnd.nextInt(10)}",
+        (rnd.nextInt(5)).toDouble, if (i % 4 == 0) -1 else 1)
+    }
+    val state = Incremental.stateZ(
+        stateRows.toDF("k", "v", "m"), $"k", $"v", $"m")
+      .localCheckpoint()
+    // a delete-before-insert residue at a FRESH (k, v): the Z-state
+    // apply must carry it at mult < 0; the applied-store apply
+    // (applyDeltaZ) would drop it
+    val delta = Seq(("k1", 99.0, -2L), ("kNew", 1.0, 3L), (null, 0.0, -1L))
+      .toDF("k", "v", "mult").localCheckpoint()
+    val got = Incremental.applyZ(state, delta)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    assert(rows(got) == rows(Incremental.mergeZ(state, delta)))
+    assert(got.filter($"k" === "k1" && $"v" === 99.0 && $"mult" === -2L)
+      .count() == 1, "Z-state apply must carry the negative residue")
+    assert(Incremental.applyDeltaZ(state.filter($"mult" > 0L), delta, Seq("k"))
+      .filter($"mult" < 0L).isEmpty,
+      "the applied-store apply keeps only positive rows")
+    assert(intercept[IllegalArgumentException] {
+      Incremental.applyZ(state, delta.withColumnRenamed("v", "val"))
+    }.getMessage.contains("stateZ schema"))
+  }
+
   test("mvJoinAgg: chained maintenance runs == fresh recompute of the corrected MV") {
     val rnd = new scala.util.Random(83)
     // random bases with duplicate join keys on both sides and a
