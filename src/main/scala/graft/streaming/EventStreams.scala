@@ -785,6 +785,68 @@ object EventStreams {
       }
   }
 
+  /** One signed CDC row of [[mvJoinAggStream]]: `side` 0 carries the
+    * MEASURE relation (`value` rides, `group` ignored), 1 the
+    * DIMENSION relation (`group` rides, `value` ignored); `mult` +1
+    * insert, −1 delete. Both relations ride one stream keyed by the
+    * join key.
+    */
+  case class ZMvRow(side: Int, key: Long, group: String, value: Double,
+      mult: Long)
+
+  /** Streaming maintained MATERIALIZED VIEW, stage 1 (r14): the CDC
+    * twin of the batch `Incremental.mvJoinAggDelta` — per join key
+    * the state is both sides' Z-sets (measure values, dimension
+    * groups) and each arrival emits the JOIN delta already projected
+    * to the aggregation's input ([[ZRow]] (group, value, mult)):
+    * aggregation is linear over Z-sets, so feeding these emissions to
+    * [[retractAgg]] maintains γ_{group; count, sum(value)} (L ⋈ R)
+    * end-to-end at delta cost — the streaming face of the batch
+    * mvJoinAggDelta → applyZSum chain.
+    *
+    * The two stages are SEPARATE queries by construction: Structured
+    * Streaming does not support an aggregation downstream of
+    * `flatMapGroupsWithState` in one query, so the emissions relay
+    * through a sink/source pair (a topic, in production) — and
+    * because [[retractAgg]]'s fold is commutative, the relay needs no
+    * ordering guarantee. StreamingSpec runs the actual two-query
+    * relay and pins the end state against the batch recompute on any
+    * prefix in any arrival order.
+    */
+  def mvJoinAggStream(rows: Dataset[ZMvRow]): Dataset[ZRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[
+          (Map[Double, Long], Map[String, Long]), ZRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[ZMvRow],
+            state: GroupState[(Map[Double, Long], Map[String, Long])]) =>
+          var (left, right) = state.getOption
+            .getOrElse((Map.empty[Double, Long], Map.empty[String, Long]))
+          val out = Seq.newBuilder[ZRow]
+          batch.foreach { r =>
+            if (r.side == 0) {
+              right.foreach { case (g, gm) =>
+                out += ZRow(g, r.value, r.mult * gm)
+              }
+              val m = left.getOrElse(r.value, 0L) + r.mult
+              left =
+                if (m == 0L) left - r.value else left + (r.value -> m)
+            } else {
+              left.foreach { case (v, vm) =>
+                out += ZRow(r.group, v, vm * r.mult)
+              }
+              val m = right.getOrElse(r.group, 0L) + r.mult
+              right =
+                if (m == 0L) right - r.group else right + (r.group -> m)
+            }
+          }
+          state.update((left, right))
+          out.result().iterator
+      }
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)

@@ -479,6 +479,74 @@ class StreamingSpec extends SparkSpec {
     assert(fin == batchFold, "stream fold != batch full-outer Z-join")
   }
 
+  test("streaming CDC -> MV: mvJoinAggStream relayed into retractAgg equals the batch MV") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{ZMvRow, ZRow, ZSumOut}
+    val rnd = new scala.util.Random(59)
+    // two-sided CDC: measure rows (values) and dimension rows
+    // (groups) interleave per join key, deletes straddle batches
+    val all = (0 until 360).map { i =>
+      ZMvRow(i % 2, rnd.nextInt(6).toLong, s"g${rnd.nextInt(4)}",
+        (rnd.nextInt(800) / 4.0),
+        if (i % 9 == 0 || (i % 5 == 0 && i > 150)) -1L else 1L)
+    }
+    val batches = Seq(all.slice(0, 100), all.slice(100, 240), all.slice(240, 360))
+    val mem = MemoryStream[ZMvRow]
+    val q1 = EventStreams.mvJoinAggStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mvstage1").start()
+    // referee: per join key net both Z-maps; every (value, group)
+    // pair contributes vm*gm to group's count and round-half-up
+    // CENTS — the batch DECIMAL(18,2) discipline retractAgg shares
+    def cents(v: Double): Long = scala.math.BigDecimal(v)
+      .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .*(scala.math.BigDecimal(100)).toLongExact
+    def want(rows: Seq[ZMvRow]): Map[String, (Long, Long)] =
+      rows.groupBy(_.key).toSeq.flatMap { case (_, rs) =>
+        def net[A](side: Int, f: ZMvRow => A) = rs.filter(_.side == side)
+          .groupBy(f).view.mapValues(_.map(_.mult).sum)
+          .filter(_._2 != 0L).toSeq
+        for ((v, vm) <- net(0, _.value); (g, gm) <- net(1, _.group))
+          yield g -> ((vm * gm, cents(v) * vm * gm))
+      }.groupBy(_._1)
+        .view.mapValues(ps => (ps.map(_._2._1).sum, ps.map(_._2._2).sum))
+        .filter { case (_, (n, c)) => n != 0L || c != 0L }.toMap
+    // per prefix: folding stage-1 emissions matches the referee MV
+    def stage1Fold(): Map[String, (Long, Long)] =
+      spark.table("mvstage1").as[ZRow].collect()
+        .groupBy(_.key)
+        .view.mapValues(rs =>
+          (rs.map(_.mult).sum, rs.map(r => cents(r.value) * r.mult).sum))
+        .filter { case (_, (n, c)) => n != 0L || c != 0L }.toMap
+    var prefix = Seq.empty[ZMvRow]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q1.processAllAvailable()
+      prefix ++= b
+      assert(stage1Fold() == want(prefix), s"prefix ${prefix.size} diverged")
+    }
+    q1.stop()
+    assert(want(all).nonEmpty, "degenerate trial: empty MV")
+    // end-to-end RELAY: stage-1 emissions feed retractAgg as a second
+    // streaming query (order-free — the fold is commutative); the
+    // latest state row per group is the maintained MV
+    val relayed = spark.table("mvstage1").as[ZRow].collect().toSeq
+    val mem2 = MemoryStream[ZRow]
+    val q2 = EventStreams.retractAgg(mem2.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mvstage2").start()
+    mem2.addData(rnd.shuffle(relayed): _*)
+    q2.processAllAvailable()
+    val got = spark.table("mvstage2").as[ZSumOut].collect()
+      .groupBy(_.key).map { case (k, rows) =>
+        val last = rows.maxBy(_.version)
+        k -> ((last.n, last.sum_cents))
+      }
+      .filter { case (_, (n, c)) => n != 0L || c != 0L }
+    q2.stop()
+    assert(got == want(all), "relayed MV state != batch recompute")
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
