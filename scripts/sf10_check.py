@@ -759,6 +759,20 @@ for _name in ["q_incremental_agg_retract", "q_incremental_join_retract",
     if selected(_name):
         check_full(_name)
 
+# r14 additions whose full oracles stay tractable at 100x: the
+# stateful IVM gates and the MV matrix (restricted join + group
+# recomputes), the compiled/classed window CEP (chained windows over
+# the event stream), and the PQ maintenance/serving paths
+# (16-row codebook cross joins)
+for _name in ["q_incremental_outer_state", "q_incremental_full_state",
+              "q_incremental_apply", "q_event_pattern_compiled",
+              "ann_pq_delta",
+              "q_incremental_mv", "q_incremental_mv_outer",
+              "q_incremental_mv_minmax", "q_event_pattern_classes",
+              "ann_refine_delta"]:
+    if selected(_name):
+        check_full(_name)
+
 # cumulative artifact: a rerun of a subset merges over prior rows
 if os.path.exists(JSON_OUT):
     try:
