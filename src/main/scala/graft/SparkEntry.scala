@@ -1550,19 +1550,25 @@ object SparkEntry {
         .localCheckpoint()
       val noL = baseL.limit(0).withColumn("mult", lit(1L))
       val noR = baseR.limit(0).withColumn("mult", lit(1L))
-      // run 1: the left batch only
-      val state1 = Incremental.mvJoinAggMaintain(
+      // run 1: the left batch only. Each run's delta MATERIALIZES
+      // once — the apply consumes it twice (touched frame +
+      // compaction), and lazy it would re-execute the delta-join
+      // subtree per consumer (12 base scans vs 6, measured 2×)
+      val d1 = Incremental.mvJoinAggDelta(
           baseL, dl, baseR, noR, col("o_custkey"), col("c_custkey"),
-          col("c_mktsegment"), col("o_totalprice"), state0)
+          col("c_mktsegment"), col("o_totalprice"))
         .localCheckpoint()
+      val state1 = Incremental.applyZSum(state0, d1).localCheckpoint()
       // run 2: the right batch, against the CORRECTED left base and
       // the carried state — no operator revisits run 1's work
       val baseL2 = o.filter(
         (col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 9 =!= 0) ||
           col("o_orderkey") % 10 === 0)
-      val state2 = Incremental.mvJoinAggMaintain(
-        baseL2, noL, baseR, dr, col("o_custkey"), col("c_custkey"),
-        col("c_mktsegment"), col("o_totalprice"), state1)
+      val d2 = Incremental.mvJoinAggDelta(
+          baseL2, noL, baseR, dr, col("o_custkey"), col("c_custkey"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .localCheckpoint()
+      val state2 = Incremental.applyZSum(state1, d2)
       Incremental.finishZSum(state2).withColumnRenamed("k", "c_mktsegment")
     },
 
@@ -1602,9 +1608,12 @@ object SparkEntry {
       // run 1: the left batch, against the persisted count frame
       val (d1, counts1u) = Incremental.deltaLeftJoinZStateful(
         baseL, dl, baseR, noR, col("o_custkey"), col("c_custkey"), counts0)
-      val state1 = Incremental.applyZSum(state0, Incremental.stateZSum(
-          d1, col("c_mktsegment"), col("o_totalprice"), col("mult")))
+      // each run's agg delta materializes once (the apply consumes it
+      // twice — see q_incremental_mv)
+      val agg1 = Incremental.stateZSum(
+          d1, col("c_mktsegment"), col("o_totalprice"), col("mult"))
         .localCheckpoint()
+      val state1 = Incremental.applyZSum(state0, agg1).localCheckpoint()
       val counts1 = counts1u.localCheckpoint()
       // run 2: the right batch, corrected left base, carried frames
       val baseL2 = o.filter(
@@ -1612,8 +1621,10 @@ object SparkEntry {
           col("o_orderkey") % 10 === 0)
       val (d2, _) = Incremental.deltaLeftJoinZStateful(
         baseL2, noL, baseR, dr, col("o_custkey"), col("c_custkey"), counts1)
-      val state2 = Incremental.applyZSum(state1, Incremental.stateZSum(
-        d2, col("c_mktsegment"), col("o_totalprice"), col("mult")))
+      val agg2 = Incremental.stateZSum(
+          d2, col("c_mktsegment"), col("o_totalprice"), col("mult"))
+        .localCheckpoint()
+      val state2 = Incremental.applyZSum(state1, agg2)
       Incremental.finishZSum(state2).withColumnRenamed("k", "c_mktsegment")
     },
 
@@ -1646,18 +1657,23 @@ object SparkEntry {
           baseL.join(baseR, col("o_custkey") === col("c_custkey")),
           col("c_mktsegment"), col("o_totalprice"), lit(1L))
         .localCheckpoint()
-      val state1 = Incremental.applyZ(state0, Incremental.stateZ(
+      // each run's pair-state delta materializes once (the apply
+      // consumes it twice — see q_incremental_mv)
+      val d1 = Incremental.stateZ(
           Incremental.deltaJoinZ(baseL, dl, baseR, noR,
             col("o_custkey"), col("c_custkey")),
-          col("c_mktsegment"), col("o_totalprice"), col("mult")))
+          col("c_mktsegment"), col("o_totalprice"), col("mult"))
         .localCheckpoint()
+      val state1 = Incremental.applyZ(state0, d1).localCheckpoint()
       val baseL2 = o.filter(
         (col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 9 =!= 0) ||
           col("o_orderkey") % 10 === 0)
-      val state2 = Incremental.applyZ(state1, Incremental.stateZ(
-        Incremental.deltaJoinZ(baseL2, noL, baseR, dr,
-          col("o_custkey"), col("c_custkey")),
-        col("c_mktsegment"), col("o_totalprice"), col("mult")))
+      val d2 = Incremental.stateZ(
+          Incremental.deltaJoinZ(baseL2, noL, baseR, dr,
+            col("o_custkey"), col("c_custkey")),
+          col("c_mktsegment"), col("o_totalprice"), col("mult"))
+        .localCheckpoint()
+      val state2 = Incremental.applyZ(state1, d2)
       Incremental.finishZ(state2).withColumnRenamed("k", "c_mktsegment")
     },
 

@@ -391,6 +391,15 @@ object Incremental {
     * it to the next run; chaining runs equals the fresh recompute of
     * the corrected tables (spec-pinned), and no run touches the
     * materialized MV or re-aggregates untouched keys.
+    *
+    * COST NOTE: the apply consumes its delta TWICE (the touched-key
+    * frame and the compaction union), and this convenience leaves the
+    * delta lazy — Catalyst re-executes the whole delta-join subtree
+    * (base scans included) for each consumer. Production callers
+    * should compute [[mvJoinAggDelta]] once, MATERIALIZE it (it is
+    * delta-sized; localCheckpoint or the pipeline's delta storage)
+    * and call [[applyZSum]] themselves — the gates do exactly that
+    * (measured 2× on the gate shape).
     */
   def mvJoinAggMaintain(
       baseLeft: DataFrame, deltaLeft: DataFrame,
