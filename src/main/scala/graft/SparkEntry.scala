@@ -578,6 +578,22 @@ object SparkEntry {
       comps
     },
 
+    "dd_components_delta" -> { (s, dir) =>
+      // INCREMENTAL component maintenance (r14, Dedup.
+      // incrementalComponents): the rep-pair edges split into base +
+      // delta batches; the base solves once, the delta folds in via a
+      // driver union-find over the QUOTIENT graph (super-nodes = the
+      // existing labels, delta-sized by contract) and a broadcast
+      // map-only relabel — no propagation revisits the base graph,
+      // insert-only by construction (deletions can split components,
+      // which no label frame answers). Oracle: identical to
+      // dd_components — edge-set union is what connectivity depends
+      // on, not arrival order.
+      Dedup.nearDupComponentsDelta(
+        docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+        deltaEdge = (a, b) => (a + b) % 3 === 0)
+    },
+
     "dd_minhash_classes" -> { (s, dir) =>
       // the representative-COMPRESSED near-dup output (r10): one row
       // per distinct-content pair with class multiplicities — linear
@@ -3091,6 +3107,11 @@ object SparkEntry {
     // bit-identical to q_pagerank by the absorbing-fixpoint argument
     // (see the query comment) — deliberately the SAME oracle
     "q_pagerank_conv" -> OracleSqlGen.sql("q_pagerank"),
+
+    // incremental maintenance must land on the same components the
+    // one-shot pipeline computes — edge-set union is what
+    // connectivity depends on, not arrival order
+    "dd_components_delta" -> OracleSqlGen.sql("dd_components"),
 
     // the saved-merges encode arm runs the SAME pinned config as the
     // chained-kernel arm (spec-pinned bit-equal) — deliberately the

@@ -333,6 +333,17 @@ object Dedup {
     // classes appear only if the rep graph labeled them — the
     // anti-join excludes dup-class reps already emitted by the first
     // branch. Both branches are duplicate-mass / component-sized.
+    inheritMembers(cc, repComp)
+  }
+
+  /** Members inherit their rep's component; reps of singleton
+    * classes appear only if the rep graph labeled them (the anti-join
+    * excludes dup-class reps already emitted by the first branch).
+    * Both branches are duplicate-mass / component-sized. Shared by
+    * [[nearDupComponents]] and [[nearDupComponentsDelta]].
+    */
+  private def inheritMembers(
+      cc: ContentClasses, repComp: DataFrame): DataFrame = {
     val dupPart = cc.dupMembers
       .join(repComp, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("rep")).as("comp"))
@@ -736,6 +747,146 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("comp"))
+  }
+
+  /** INCREMENTAL connected components under INSERT-ONLY edge batches
+    * (r14): given the MAINTAINED (doc_id, comp) min-label frame and a
+    * delta-sized batch of new edges, return the updated frame —
+    * without re-running propagation over the old graph. New edges can
+    * only MERGE components (connectivity is monotone under inserts),
+    * and every merge is visible in the QUOTIENT graph whose
+    * super-nodes are the existing component labels:
+    *
+    *  1. the delta endpoints look up their current comp via ONE
+    *     broadcast-semi probe of the label frame (delta-sized
+    *     output; an endpoint absent from the frame is a NEW node and
+    *     enters as its own singleton);
+    *  2. the quotient edges (comp(x), comp(y)) union-find on the
+    *     DRIVER — at most 2·|Δ| super-nodes, control-plane by the
+    *     `maxDeltaEdges` contract (require, loud error) — and each
+    *     merged set relabels to the MIN member label, which is the
+    *     true min member id because every existing label IS its
+    *     component's minimum;
+    *  3. the apply is a broadcast-join relabel of the label frame
+    *     (map-only: NO shuffle, no iteration — plan-spec-pinned) plus
+    *     the new nodes appended. Merges CASCADING through several
+    *     delta edges resolve inside the driver union-find, so one
+    *     pass suffices.
+    *
+    * At 100 TB: full recompute is O(log n) shuffle rounds over every
+    * edge; this is one broadcast probe + one map-only relabel scan,
+    * and with keyed label storage only rows whose comp actually
+    * changed need rewriting. DELETIONS are out of scope — removing an
+    * edge can split a component, which no label frame can answer
+    * without re-running connectivity on the residual graph (state it,
+    * don't fake it).
+    */
+  def incrementalComponents(
+      labels: DataFrame, newEdges: DataFrame, a: Column, b: Column,
+      maxDeltaEdges: Long = 1000000L): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val ep = newEdges.select(a.cast("long").as("x"), b.cast("long").as("y"))
+      .persist()
+    try {
+      val n = ep.count()
+      require(n <= maxDeltaEdges,
+        s"incrementalComponents: delta batch has $n edges, over the " +
+          s"driver contract maxDeltaEdges=$maxDeltaEdges — run " +
+          "connectedComponents over the full graph or raise the bound")
+      val endpoints = ep.select(col("x").as("id"))
+        .union(ep.select(col("y").as("id"))).distinct()
+      val known: Map[Long, Long] = labels
+        .join(broadcast(endpoints), labels("doc_id") === endpoints("id"),
+          "left_semi")
+        .select(col("doc_id"), col("comp")).as[(Long, Long)].collect().toMap
+      val edges = ep.as[(Long, Long)].collect()
+      // driver union-find over super-nodes (existing comp labels +
+      // new node ids), path halving + union by rank
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      val rank = mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      def union(u: Long, v: Long): Unit = {
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          val (ku, kv) = (rank.getOrElse(ru, 0L), rank.getOrElse(rv, 0L))
+          if (ku < kv) parent(ru) = rv
+          else if (ku > kv) parent(rv) = ru
+          else { parent(rv) = ru; rank(ru) = ku + 1 }
+        }
+      }
+      def superOf(node: Long): Long = known.getOrElse(node, node)
+      edges.foreach { case (x, y) => union(superOf(x), superOf(y)) }
+      // min member label per merged set
+      val keys = parent.keys.toSeq
+      val minOfRoot = mutable.LongMap.empty[Long]
+      keys.foreach { k =>
+        val r = find(k)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), k)
+      }
+      val relabel = keys.flatMap { k =>
+        val m = minOfRoot(find(k))
+        if (m != k) Some((k, m)) else None
+      }
+      val newNodes = endpoints.as[Long].collect()
+        .filterNot(known.contains)
+        .map { id =>
+          val s = superOf(id)
+          (id, if (parent.contains(s)) minOfRoot(find(s)) else s)
+        }
+      val relabelDf = relabel.toDF("_old", "_new")
+      val applied = labels
+        .join(broadcast(relabelDf), labels("comp") === col("_old"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_new"), col("comp")).as("comp"))
+      if (newNodes.isEmpty) applied
+      else applied.unionByName(newNodes.toSeq.toDF("doc_id", "comp"))
+    } finally ep.unpersist()
+  }
+
+  /** [[nearDupComponents]] maintained INCREMENTALLY: the rep-pair
+    * edges split into a base batch and a delta batch (`deltaEdge`
+    * picks the delta), the base solves with [[connectedComponents]]
+    * once (the initial materialization), and the delta folds in
+    * through [[incrementalComponents]] — no propagation revisits the
+    * base graph. Provably equal to [[nearDupComponents]] over the
+    * same corpus (the gate's oracle is literally dd_components'):
+    * edge-set union is what connectivity depends on, not arrival
+    * order. The rep-pair frame materializes once (both batches
+    * filter it).
+    */
+  def nearDupComponentsDelta(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      deltaEdge: (Column, Column) => Column,
+      shingle: Int = 5,
+      perms: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val cc = sigClasses(df, id, text, shingle, perms)
+    val repPairs = minhashLshRepsFromSigs(
+        cc.classes.select(col("rep").as("doc_id"), col("sig")),
+        perms, bands, minJaccard, maxBucket)
+      .localCheckpoint()
+    val isDelta = deltaEdge(col("id_a"), col("id_b"))
+    val labels0 = connectedComponents(
+      repPairs.filter(!isDelta), col("id_a"), col("id_b"))
+    val repComp = incrementalComponents(
+        labels0, repPairs.filter(isDelta), col("id_a"), col("id_b"))
+      .select(col("doc_id").as("rep"), col("comp"))
+    inheritMembers(cc, repComp)
   }
 
   /** The small-graph regime of [[connectedComponents]]: collect the

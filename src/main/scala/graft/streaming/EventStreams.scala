@@ -527,6 +527,88 @@ object EventStreams {
       }
   }
 
+  /** Latest completion of one [[classStepMatches]] step: completion
+    * time, its POSITION in the key's event order (what blocker
+    * positions compare against), the chain's step-1 anchors, `set`.
+    */
+  case class ClassStepState(t: Long, i: Long, t0: Long, id0: Long,
+      set: Boolean)
+
+  /** Streaming twin of the per-transition gap-class CEP
+    * (`Mining.classSteps`, r14): [[stepMatches]]' k−1
+    * latest-completion automaton extended with ONE last-blocker
+    * POSITION per transition — O(k) longs per user forever, because
+    * the blocker rule only ever asks "did a C_i symbol land strictly
+    * after the step-(i−1) completion?", and the latest blocker
+    * position answers it for every older completion too (the batch
+    * kernel's blocked-latest ⇒ blocked-all argument). Positions come
+    * from a per-key monotone event counter carried in the state, so
+    * they survive micro-batch boundaries and restarts. An event's
+    * own symbol never blocks its own completions (blockers commit
+    * AFTER completions — the batch strictly-between rule); in-batch
+    * order is (ts_us, event_id), cross-batch arrival order (the
+    * `st_steps` trade). Empty classes degenerate to [[stepMatches]]
+    * exactly (spec-pinned).
+    */
+  def classStepMatches(
+      events: Dataset[Event],
+      steps: Seq[String], classes: Seq[Seq[String]],
+      budgetsUs: Seq[Long]): Dataset[StepOut] = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(classes.size == steps.size - 1,
+      s"need ${steps.size - 1} gap classes for ${steps.size} steps")
+    require(budgetsUs.size == steps.size - 1,
+      s"need ${steps.size - 1} budgets for ${steps.size} steps")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[
+          (Long, Seq[ClassStepState], Seq[Long]), StepOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[(Long, Seq[ClassStepState], Seq[Long])]) =>
+          var (idx, st0, lb0) = state.getOption.getOrElse(
+            (0L,
+              Seq.fill(k - 1)(ClassStepState(0L, 0L, 0L, 0L, set = false)),
+              Seq.fill(k - 1)(0L)))
+          val st = st0.toArray
+          val lastB = lb0.toArray
+          val out = Seq.newBuilder[StepOut]
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            idx += 1L
+            val comps = (1 to k).flatMap { i =>
+              if (e.event_type != steps(i - 1)) None
+              else if (i == 1)
+                Some(i -> ClassStepState(e.ts_us, idx, e.ts_us, e.event_id,
+                  set = true))
+              else {
+                val p = st(i - 2)
+                if (p.set && e.ts_us - p.t <= budgetsUs(i - 2) &&
+                    (lastB(i - 2) == 0L || lastB(i - 2) <= p.i))
+                  Some(i -> ClassStepState(e.ts_us, idx, p.t0, p.id0,
+                    set = true))
+                else None
+              }
+            }
+            comps.find(_._1 == k).foreach { case (_, c) =>
+              out += StepOut(userId, e.event_id, c.id0,
+                e.ts_us - c.t0, e.ts_us - st(k - 2).t)
+            }
+            comps.foreach { case (i, c) => if (i < k) st(i - 1) = c }
+            // blockers commit AFTER completions: an event's own symbol
+            // never blocks its own chain (strictly-between)
+            var j = 0
+            while (j < k - 1) {
+              if (classes(j).contains(e.event_type)) lastB(j) = idx
+              j += 1
+            }
+          }
+          state.update((idx, st.toSeq, lastB.toSeq))
+          out.result().iterator
+      }
+  }
+
   /** One signed input row of [[retractAgg]]: +1 insert, −1 delete. */
   case class ZRow(key: String, value: Double, mult: Long)
 

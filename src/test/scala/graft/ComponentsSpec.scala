@@ -49,6 +49,63 @@ class ComponentsSpec extends SparkSpec {
       s"regimes diverge: ${driver.diff(dist)} / ${dist.diff(driver)}")
   }
 
+  test("incrementalComponents == full recompute; cascades, relabels, new nodes") {
+    // random base/delta split: incremental maintenance must equal the
+    // full recompute of base ∪ delta — merges cascading through
+    // several delta edges and new nodes with SMALLER ids (forcing a
+    // relabel of old components) included
+    val rnd = new scala.util.Random(67)
+    val all = (0 until 300).map(_ =>
+      (rnd.nextInt(80).toLong + 10L, rnd.nextInt(80).toLong + 10L)) ++
+      Seq((1L, 50L), (2L, 95L)) // new small ids arriving in the delta
+    val (base0, delta0) = all.partition { case (x, y) => (x + y) % 3 != 0 }
+    // keep the small-id edges in the delta regardless of the split
+    val base = base0.filterNot(e => e._1 <= 2L)
+    val delta = delta0 ++ base0.filter(e => e._1 <= 2L)
+    def comps(edges: Seq[(Long, Long)]) =
+      Dedup.connectedComponents(edges.toDF("a", "b"), col("a"), col("b"))
+    val labels0 = comps(base)
+    val got = Dedup.incrementalComponents(
+        labels0, delta.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    val want = comps(base ++ delta).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // the small new ids must have relabeled their components
+    assert(got.contains((50L, want.find(_._1 == 50L).get._2)) &&
+      want.exists(p => p._1 == 50L && p._2 == 1L))
+    // a delta that merges nothing leaves the frame bit-identical
+    val noop = Seq(base.head).toDF("a", "b")
+    val same = Dedup.incrementalComponents(labels0, noop, col("a"), col("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(same == labels0.as[(Long, Long)].collect().toSet)
+    // PLAN PIN: the apply is a broadcast relabel — NO shuffle of the
+    // label frame, no iteration
+    val applied = Dedup.incrementalComponents(
+      labels0, delta.toDF("a", "b"), col("a"), col("b"))
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected a shuffle-free broadcast relabel:\n$plan")
+    // the driver contract fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalComponents(labels0, delta.toDF("a", "b"),
+        col("a"), col("b"), maxDeltaEdges = 1L)
+    }.getMessage.contains("maxDeltaEdges"))
+  }
+
+  test("nearDupComponentsDelta == nearDupComponents on the planted corpus") {
+    val docs = (0 until 80).map { i =>
+      val body = s"the quick brown fox ${i % 9} jumps over the lazy dog " * 4
+      (i.toLong, if (i % 4 == 0) body else body + s" tail$i unique")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val full = rows(Dedup.nearDupComponents(docs, col("doc_id"), col("text")))
+    val inc = rows(Dedup.nearDupComponentsDelta(
+      docs, col("doc_id"), col("text"),
+      deltaEdge = (a, b) => (a + b) % 3 === 0))
+    assert(inc == full && full.nonEmpty)
+  }
+
   test("connectedComponents result is partitioning-independent") {
     val pairs = (0 until 60).map(i => ((i % 20).toLong, (20 + i % 7).toLong)).toDF("a", "b")
     def run(parts: Int) =

@@ -241,6 +241,77 @@ class StreamingSpec extends SparkSpec {
       Seq((3L, 1L, 35L)))
   }
 
+  test("streaming classStepMatches equals batch classSteps; blockers straddle batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val classes = Seq(Seq("signup"), Seq("signup", "view"))
+    val budgets = Seq(25L, 30L)
+    // random equivalence in one micro-batch, blockers included
+    val rnd = new scala.util.Random(29)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    val evs = (1 to 500).map { i =>
+      Event(i.toLong, rnd.nextInt(60).toLong * 7L, rnd.nextInt(6).toLong,
+        types(rnd.nextInt(5)), 0.0)
+    }
+    val mem = MemoryStream[Event]
+    mem.addData(evs: _*)
+    val q = EventStreams.classStepMatches(mem.toDS(), steps, classes, budgets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("csout").start()
+    q.processAllAvailable(); q.stop()
+    def rows(name: String) = spark.table(name).as[EventStreams.StepOut]
+      .collect()
+      .map(r => (r.user_id, r.end_event_id, r.start_event_id,
+        r.total_ticks, r.last_gap_ticks)).toSet
+    val got = rows("csout")
+    val want = graft.ops.Mining.classSteps(
+        evs.map(e => (e.user_id, e.ts_us, e.event_id, e.event_type))
+          .toDF("k", "ts", "eid", "sym"),
+        col("k"), col("ts"), col("eid"), col("sym"), steps, classes, budgets)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"${got.size} stream vs ${want.size} batch")
+    assert(want.nonEmpty, "degenerate trial — no completions")
+    // empty classes degenerate to stepMatches exactly
+    val mem0 = MemoryStream[Event]
+    mem0.addData(evs: _*)
+    val q0 = EventStreams.classStepMatches(
+        mem0.toDS(), steps, Seq(Seq.empty, Seq.empty), budgets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("csout0").start()
+    q0.processAllAvailable(); q0.stop()
+    val memS = MemoryStream[Event]
+    memS.addData(evs: _*)
+    val qS = EventStreams.stepMatches(memS.toDS(), steps, budgets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("csoutS").start()
+    qS.processAllAvailable(); qS.stop()
+    assert(rows("csout0") == rows("csoutS"))
+    // a blocker in batch 1 kills a chain whose completion arrives in
+    // batch 2 — the blocker POSITION survives the micro-batch
+    // boundary; a fresh view in batch 2 then restarts the chain
+    val mem2 = MemoryStream[Event]
+    val q2 = EventStreams.classStepMatches(mem2.toDS(), steps, classes, budgets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("csout2").start()
+    mem2.addData(
+      Event(1, 0L, 9L, "view", 0.0),
+      Event(2, 5L, 9L, "signup", 0.0))   // blocks view->click
+    q2.processAllAvailable()
+    mem2.addData(
+      Event(3, 10L, 9L, "click", 0.0),   // blocked by the signup
+      Event(4, 20L, 9L, "purchase", 0.0)) // no chain to complete
+    q2.processAllAvailable()
+    mem2.addData(
+      Event(5, 30L, 9L, "view", 0.0),
+      Event(6, 40L, 9L, "click", 0.0),
+      Event(7, 60L, 9L, "purchase", 0.0)) // clean chain completes
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("csout2").as[EventStreams.StepOut].collect()
+    assert(got2.map(r =>
+      (r.end_event_id, r.start_event_id, r.total_ticks)).toSeq ==
+      Seq((7L, 5L, 30L)))
+  }
+
   test("streaming retractAgg equals batch stateZSum per prefix, any arrival order") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Incremental
