@@ -228,11 +228,12 @@ def check_minhash_and_components():
              "jaccard_est": allp[:, 2]})
     else:
         want = pd.DataFrame(columns=["id_a", "id_b", "jaccard_est"])
-    compare("dd_minhash_lsh", load_dump("dd_minhash_lsh"), want,
-            "python_exact",
-            note=f"{len(sig_cache)} distinct-text sigs (collapse pre-pass), "
-                 f"{capped} rep buckets over the 64 cap, {len(rep_pairs)} "
-                 f"rep pairs -> {len(want)} expanded, {time.time()-t0:.0f}s")
+    if selected("dd_minhash_lsh"):
+        compare("dd_minhash_lsh", load_dump("dd_minhash_lsh"), want,
+                "python_exact",
+                note=f"{len(sig_cache)} distinct-text sigs (collapse pre-pass), "
+                     f"{capped} rep buckets over the 64 cap, {len(rep_pairs)} "
+                     f"rep pairs -> {len(want)} expanded, {time.time()-t0:.0f}s")
     # dd_minhash_classes: the compressed rep-pair form with class sizes
     want_k = pd.DataFrame(
         [(rep[ta], rep[tb], est, len(text_ids[ta]), len(text_ids[tb]))
@@ -381,10 +382,18 @@ def check_minhash_and_components():
             c = find(r) if r in parent else r
             rows_c.extend((i, c) for i in ids)
     want_c = pd.DataFrame(sorted(rows_c), columns=["doc_id", "comp"])
-    compare("dd_components", load_dump("dd_components"), want_c,
-            "python_exact",
-            note=f"union-find over {len(rep_pairs)} rep pairs + membership "
-                 f"expansion -> {len(want_c)} rows, {time.time()-t0:.0f}s")
+    if selected("dd_components"):
+        compare("dd_components", load_dump("dd_components"), want_c,
+                "python_exact",
+                note=f"union-find over {len(rep_pairs)} rep pairs + membership "
+                     f"expansion -> {len(want_c)} rows, {time.time()-t0:.0f}s")
+    # the incremental base+delta maintenance must land on the IDENTICAL
+    # frame (edge-set union is what connectivity depends on)
+    if selected("dd_components_delta"):
+        compare("dd_components_delta", load_dump("dd_components_delta"),
+                want_c, "python_exact",
+                note=f"same union-find referee as dd_components over "
+                     f"{len(rep_pairs)} rep pairs")
 
 
 def banded_hamming_pairs(sig_of_id, max_ham=3, max_bucket=256):
@@ -627,7 +636,7 @@ if selected("mm_phash_dedup"):
 if selected("dd_simhash"):
     check_simhash()
 if (selected("dd_minhash_lsh") or selected("dd_components")
-        or selected("dd_ngram_jaccard")):
+        or selected("dd_ngram_jaccard") or selected("dd_components_delta")):
     check_minhash_and_components()
 if selected("q_fuzzy_join2"):
     check_fuzzy2()
