@@ -283,6 +283,31 @@ enc AS MATERIALIZED (
     o["txt_bpe_encode"] = f"""WITH {encode_ctes}
 SELECT doc_id, n_tokens, ids FROM enc"""
 
+    # ---- txt_bpe_drift: fertility (tokens per whitespace word) of a
+    # base/delta split under the SAME frozen vocab, drift flagged as
+    # the exact integer cross-product (delta > 9/8 x base) ----
+    o["txt_bpe_drift"] = f"""WITH {encode_ctes},
+w AS (SELECT doc_id, source,
+  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       AS BIGINT) AS n_words,
+  doc_id % 4 = 0 AS side
+ FROM documents)
+SELECT w.source AS grp,
+ CAST(sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS BIGINT) AS docs_base,
+ CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS docs_delta,
+ CAST(sum(CASE WHEN NOT side THEN n_words ELSE 0 END) AS BIGINT) AS words_base,
+ CAST(sum(CASE WHEN side THEN n_words ELSE 0 END) AS BIGINT) AS words_delta,
+ CAST(sum(CASE WHEN NOT side THEN e.n_tokens ELSE 0 END) AS BIGINT)
+   AS tokens_base,
+ CAST(sum(CASE WHEN side THEN e.n_tokens ELSE 0 END) AS BIGINT)
+   AS tokens_delta,
+ 8 * sum(CASE WHEN side THEN e.n_tokens ELSE 0 END)
+   * sum(CASE WHEN NOT side THEN n_words ELSE 0 END)
+  > 9 * sum(CASE WHEN NOT side THEN e.n_tokens ELSE 0 END)
+   * sum(CASE WHEN side THEN n_words ELSE 0 END) AS drifted
+FROM enc e JOIN w ON w.doc_id = e.doc_id
+GROUP BY 1"""
+
     o["ds_pack_ids"] = f"""WITH RECURSIVE {encode_ctes},
 d AS (SELECT source, doc_id, n_tokens, ids,
  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM enc),

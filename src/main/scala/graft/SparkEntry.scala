@@ -1184,6 +1184,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    "ds_sample_delta" -> { (s, dir) =>
+      // MAINTAINED sampling quota (r14, Sampling.fixedKState/
+      // fixedKDelta): the fixed k-per-stratum sample is the design
+      // whose membership must RE-RANK under appends (a new smaller
+      // hash evicts a member) — the state is the ≤ k-per-stratum
+      // quota frame, and each append batch folds in at delta cost
+      // (top-k is foldable: topk(A∪B) = topk(topk(A)∪topk(B));
+      // untouched strata pass through a broadcast anti join,
+      // shuffle-free). TWO chained batches; oracle = the one-shot
+      // quota over the unioned corpus (ds_sample_fixed_k's).
+      import graft.llm.Sampling
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 4 =!= 0)
+      val d1 = docs.filter(col("doc_id") % 8 === 0)
+      val d2 = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0)
+      // persisted state materializes once per run (the apply consumes
+      // it twice — anti + semi)
+      val state0 = Sampling.fixedKState(base, col("doc_id"), col("lang"), 20)
+        .localCheckpoint()
+      val state1 = Sampling
+        .fixedKDelta(state0, d1, col("doc_id"), col("lang"), 20)
+        .localCheckpoint()
+      val state2 = Sampling
+        .fixedKDelta(state1, d2, col("doc_id"), col("lang"), 20)
+      state2.select(col("id").as("doc_id"), col("stratum").as("lang"))
+    },
+
     "ds_correlated_sample" -> { (s, dir) =>
       // correlated sampling: the SAME splitmix decision on the
       // shared key samples every table, so a 10% dev slice keeps
@@ -2731,6 +2758,24 @@ object SparkEntry {
     },
 
     // --- BPE ENCODE: learned token-id sequences per document ---
+    "txt_bpe_drift" -> { (s, dir) =>
+      // tokenizer drift monitoring (r14, Bpe.fertilityDrift): the
+      // frozen-vocab encode's per-doc token counts split base/delta,
+      // fertility (tokens per whitespace word) compared per source
+      // with the exact integer cross-product flag (delta fertility >
+      // 9/8 x base) — the no-silent-caps idiom for the tokenizer
+      // family: distribution shift surfaces in-band, not as silently
+      // wasted context window
+      val docs = t(s, dir, "documents")
+      val enc = graft.llm.Bpe.encode(
+          docs, col("doc_id"), col("text"), rounds = 6, batch = 16)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+      graft.llm.Bpe.fertilityDrift(
+        enc, docs, col("doc_id"), col("text"), col("source"),
+        col("doc_id") % 4 === 0)
+    },
+
     "txt_bpe_encode" -> { (s, dir) =>
       // the tokenizer output a training loader consumes (r11 verdict
       // item 2): train at the pinned config, then emit each doc's
@@ -3112,6 +3157,10 @@ object SparkEntry {
     // one-shot pipeline computes — edge-set union is what
     // connectivity depends on, not arrival order
     "dd_components_delta" -> OracleSqlGen.sql("dd_components"),
+
+    // the maintained quota must equal the one-shot quota over the
+    // unioned corpus — top-k per stratum is fold-invariant
+    "ds_sample_delta" -> OracleSqlGen.sql("ds_sample_fixed_k"),
 
     // the saved-merges encode arm runs the SAME pinned config as the
     // chained-kernel arm (spec-pinned bit-equal) — deliberately the

@@ -340,4 +340,49 @@ object Bpe {
       .groupBy(keys: _*)
       .agg(sum(col("toklen")).as("bpe_tokens"))
   }
+
+  /** TOKENIZER DRIFT monitoring (r14): a production tokenizer is
+    * trained once and frozen; what degrades silently is its FIT to
+    * new data — a delta slice whose text tokenizes at materially
+    * higher FERTILITY (tokens per whitespace word) wastes context
+    * window and signals distribution shift (Rust et al., ACL 2021
+    * study fertility as the tokenizer-quality metric — public
+    * literature). Given the per-doc token counts of an encode under
+    * the frozen vocab, report per group and side: doc/word/token
+    * totals plus a `drifted` flag tested as the EXACT integer
+    * cross-product
+    *
+    *   den · tokens_delta · words_base > num · tokens_base · words_delta
+    *
+    * (delta fertility > num/den × base fertility — no float shares,
+    * any engine replays every flag; a group with no delta rows stays
+    * quiet). One doc-keyed join + one map-combined aggregation; the
+    * no-silent-caps idiom of [[graft.llm.Ann.ivfDriftReport]] applied
+    * to the tokenizer family.
+    */
+  def fertilityDrift(
+      encoded: DataFrame, docs: DataFrame,
+      id: Column, text: Column, group: Column, isDelta: Column,
+      num: Int = 9, den: Int = 8): DataFrame = {
+    val words = size(filter(split(lower(text), " "), w => w =!= ""))
+      .cast("long")
+    val d = docs.select(id.as("doc_id"), group.as("grp"),
+      isDelta.as("_side"), words.as("n_words"))
+    encoded.join(d, Seq("doc_id"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(!col("_side"), 1L).otherwise(0L)).as("docs_base"),
+        sum(when(col("_side"), 1L).otherwise(0L)).as("docs_delta"),
+        sum(when(!col("_side"), col("n_words")).otherwise(0L))
+          .as("words_base"),
+        sum(when(col("_side"), col("n_words")).otherwise(0L))
+          .as("words_delta"),
+        sum(when(!col("_side"), col("n_tokens")).otherwise(0L))
+          .as("tokens_base"),
+        sum(when(col("_side"), col("n_tokens")).otherwise(0L))
+          .as("tokens_delta"))
+      .withColumn("drifted",
+        lit(den.toLong) * col("tokens_delta") * col("words_base") >
+          lit(num.toLong) * col("tokens_base") * col("words_delta"))
+  }
 }

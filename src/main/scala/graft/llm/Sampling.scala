@@ -258,6 +258,25 @@ object Sampling {
       salt: Long = 0L,
       strataCount: Option[Long] = None,
       maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
+    val keep = quotaFrame(df, id, stratum, k, salt).select(col("__id"))
+    val keepSide = strataCount match {
+      case Some(n) =>
+        if (n * k <= maxBroadcastRows) broadcast(keep) else keep
+      case None =>
+        val cached = keep.persist()
+        if (cached.count() <= maxBroadcastRows) broadcast(cached) else cached
+    }
+    df.join(keepSide, id.cast("long") === keepSide("__id"), "left_semi")
+  }
+
+  /** The exact-quota frame behind [[fixedKPerStratum]]: the k rows
+    * with the smallest (hash, id) per stratum, as (__st, __id, __h).
+    * Map-side bounded selection (strata × k heap entries per task)
+    * then ONE window rank over the sliver.
+    */
+  private def quotaFrame(
+      df: DataFrame, id: Column, stratum: Column, k: Int,
+      salt: Long): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val keyed = df.select(
@@ -281,18 +300,65 @@ object Sampling {
     }.toDF("__st", "__id", "__h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__st")).orderBy(col("__h"), col("__id"))
-    val keep = localTop
+    localTop
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-      .select(col("__id"))
-    val keepSide = strataCount match {
-      case Some(n) =>
-        if (n * k <= maxBroadcastRows) broadcast(keep) else keep
-      case None =>
-        val cached = keep.persist()
-        if (cached.count() <= maxBroadcastRows) broadcast(cached) else cached
-    }
-    df.join(keepSide, id.cast("long") === keepSide("__id"), "left_semi")
+      .select(col("__st"), col("__id"), col("__h"))
+  }
+
+  /** The MAINTAINED quota state of [[fixedKPerStratum]] (r14):
+    * (stratum, id, h), at most k rows per stratum. Persist it and
+    * fold append batches in with [[fixedKDelta]] — a fixed quota is
+    * the sampling design whose membership must RE-RANK under appends
+    * (a new smaller hash evicts a member), so unlike rate-based
+    * sampling it genuinely needs maintained state.
+    */
+  def fixedKState(
+      df: DataFrame, id: Column, stratum: Column, k: Int,
+      salt: Long = 0L): DataFrame =
+    quotaFrame(df, id, stratum, k, salt).select(
+      col("__st").as("stratum"), col("__id").as("id"), col("__h").as("h"))
+
+  /** Fold an APPEND batch into the maintained quota state at
+    * delta cost (r14): top-k selection is foldable —
+    * topk(A ∪ B) = topk(topk(A) ∪ topk(B)) per stratum — so only the
+    * delta-touched strata re-rank: the delta reduces to its own quota
+    * sliver (map-side bounded), untouched strata pass through a
+    * broadcast ANTI join with NO shuffle, and the touched slice
+    * (broadcast SEMI ∪ delta sliver) re-ranks — a window over
+    * ≤ 2k rows per touched stratum. Ids must be unique across
+    * base ∪ all deltas (the sampler's key contract); deletions are
+    * out of scope (an evicted row is forgotten — quota membership
+    * under deletes needs the runner-up history this state drops).
+    * Returns the updated state; spec pins equality with
+    * [[fixedKState]] over the unioned input and the untouched-strata
+    * passthrough.
+    */
+  def fixedKDelta(
+      state: DataFrame, delta: DataFrame, id: Column, stratum: Column,
+      k: Int, salt: Long = 0L): DataFrame = {
+    val want = Seq("stratum", "id", "h")
+    require(state.columns.toSeq == want,
+      s"fixedKDelta: state must have the fixedKState schema " +
+        s"(${want.mkString(",")}), got ${state.columns.mkString(",")}")
+    // the delta sliver materializes once (≤ touched-strata × k rows,
+    // control-plane sized): it feeds BOTH the touched frame and the
+    // re-rank union, and lazy it would re-execute the delta scan per
+    // consumer (the q_itemsets idiom)
+    val dq = quotaFrame(delta, id, stratum, k, salt).select(
+        col("__st").as("stratum"), col("__id").as("id"), col("__h").as("h"))
+      .localCheckpoint()
+    val touched = dq.select(col("stratum").as("_t_st")).distinct()
+    val cond = col("stratum") === col("_t_st")
+    val untouched = state.join(broadcast(touched), cond, "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("h"), col("id"))
+    val kept = state.join(broadcast(touched), cond, "left_semi")
+      .unionByName(dq)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+    untouched.unionByName(kept)
   }
 
   /** Curriculum phase assignment: global rank by (score, id) → phase

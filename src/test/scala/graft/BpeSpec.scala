@@ -355,4 +355,37 @@ class BpeSpec extends SparkSpec {
       assert(counts(i.toLong) == want, s"doc $i: ${counts(i.toLong)} != $want")
     }
   }
+  test("fertilityDrift: exact integer flag, boundary not drifted, zero-delta quiet") {
+    // s1: base 3 words / 3 tokens (fert 1.0), delta 2 words / 4 tokens
+    // (fert 2.0) -> 8*4*3 = 96 > 9*3*2 = 54 -> drifted
+    // s2: both sides fert 2.0 -> 64 > 72 false -> quiet
+    // s3: base only -> 0 > 0 false -> quiet
+    // s4: delta fert exactly 9/8 x base -> 576 > 576 false (strict)
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "x y", "s1"),
+      (3L, "p q", "s2"), (4L, "r s", "s2"),
+      (5L, "m n", "s3"),
+      (9L, "a b c d e f g h", "s4"), (6L, "a b c d e f g h", "s4"))
+      .toDF("doc_id", "text", "source")
+    val enc = Seq((1L, 3L), (2L, 4L), (3L, 4L), (4L, 4L), (5L, 9L),
+      (9L, 8L), (6L, 9L)).toDF("doc_id", "n_tokens")
+    val got = Bpe.fertilityDrift(enc, docs, col("doc_id"), col("text"),
+        col("source"), col("doc_id") % 2 === 0)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 1L, 1L, 3L, 2L, 3L, 4L, true)))
+    assert(got("s2") == (("s2", 1L, 1L, 2L, 2L, 4L, 4L, false)))
+    assert(got("s3") == (("s3", 1L, 0L, 2L, 0L, 9L, 0L, false)))
+    assert(got("s4") == (("s4", 1L, 1L, 8L, 8L, 8L, 9L, false)))
+    // one token past the boundary flips the flag
+    val enc2 = enc.withColumn("n_tokens",
+      org.apache.spark.sql.functions.when(col("doc_id") === 6L, 10L)
+        .otherwise(col("n_tokens")))
+    val got2 = Bpe.fertilityDrift(enc2, docs, col("doc_id"), col("text"),
+        col("source"), col("doc_id") % 2 === 0)
+      .filter(col("grp") === "s4")
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    assert(got2._8)
+  }
 }

@@ -134,6 +134,50 @@ class SamplingSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("fixedKDelta: chained append batches == the one-shot quota; untouched strata pass through") {
+    val df = ids.withColumn("g", (col("id") % 7).cast("string"))
+    // base misses stratum "6" entirely; batch 1 introduces it and
+    // displaces members of "0"; batch 2 displaces again — membership
+    // must RE-RANK, not append
+    val base = df.filter(col("id") % 3 =!= 0 && col("g") =!= "6")
+    val d1 = df.filter(col("id") % 3 === 0 && col("id") % 2 === 0 ||
+      (col("g") === "6" && col("id") % 2 === 0))
+    val d2 = df.filter(col("id") % 3 === 0 && col("id") % 2 =!= 0 ||
+      (col("g") === "6" && col("id") % 2 =!= 0))
+    // the splits overlap on (g=6, id%3==0) rows — dedup so ids stay
+    // unique across batches (the sampler's key contract)
+    val d2x = d2.exceptAll(d1)
+    val state0 = Sampling.fixedKState(base, col("id"), col("g"), 5)
+      .localCheckpoint()
+    val state1 = Sampling.fixedKDelta(state0, d1, col("id"), col("g"), 5)
+      .localCheckpoint()
+    val state2 = Sampling.fixedKDelta(state1, d2x, col("id"), col("g"), 5)
+    def rows(s: org.apache.spark.sql.DataFrame) =
+      s.as[(String, Long, Long)].collect().toSet
+    val want = Sampling.fixedKState(
+      base.unionByName(d1).unionByName(d2x), col("id"), col("g"), 5)
+    assert(rows(state2) == rows(want) && rows(want).nonEmpty)
+    // a delta touching only stratum "1" leaves every other stratum's
+    // state rows bit-identical
+    val only1 = df.filter(col("g") === "1").limit(3)
+      .withColumn("id", col("id") + 100000L)
+    val s3 = Sampling.fixedKDelta(state2.localCheckpoint(), only1,
+      col("id"), col("g"), 5)
+    assert(rows(s3).filter(_._1 != "1") == rows(state2).filter(_._1 != "1"))
+    // PLAN PIN: every exchange is delta-derived (the touched-frame
+    // distinct and the touched-slice re-rank window) — the state scan
+    // itself feeds only broadcast joins (anti passthrough, semi probe)
+    val plan = s3.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan)
+    // the untouched branch is literally state-scan -> broadcast anti:
+    // the anti join's streamed child is the raw state scan
+    assert(plan.linesIterator.exists(_.contains("LeftAnti")), plan)
+    // schema guard fires loudly
+    assert(intercept[IllegalArgumentException] {
+      Sampling.fixedKDelta(state2.drop("h"), only1, col("id"), col("g"), 5)
+    }.getMessage.contains("fixedKState schema"))
+  }
+
   test("fixedKPerStratum broadcast guard: shuffle fallback selects the identical sample") {
     // with size-based auto-broadcast off, the only broadcast left is
     // the one the guard controls (at test SF the planner's own size
