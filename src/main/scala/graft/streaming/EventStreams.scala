@@ -929,6 +929,60 @@ object EventStreams {
       }
   }
 
+  /** One input row of [[quotaStream]]: an appended (stratum, id). */
+  case class QuotaRow(stratum: String, id: Long)
+
+  /** One signed output row of [[quotaStream]]: +1 admits (id, h) into
+    * the stratum's quota, −1 evicts it — folding Σ mult per
+    * (stratum, id, h) and keeping positive IS the current quota.
+    */
+  case class QuotaOut(stratum: String, id: Long, h: Long, mult: Long)
+
+  /** Streaming twin of the maintained sampling quota
+    * (`Sampling.fixedKState`/`fixedKDelta`, r14): per stratum the
+    * state is the k smallest (splitmix64(id+salt), id) pairs —
+    * O(k) longs forever — and each arrival emits the quota's CDC:
+    * its own admission (+1) and the displaced member's eviction (−1)
+    * when it enters below the current maximum; arrivals hashing
+    * above a full quota emit nothing. Folding all emissions equals
+    * the batch `fixedKState` of the folded input on ANY prefix
+    * (spec-pinned), so a downstream consumer maintains the live
+    * sample with the same Z-fold discipline as the delta-join twins.
+    * Ids unique per stratum by the sampler's key contract.
+    */
+  def quotaStream(
+      rows: Dataset[QuotaRow], k: Int,
+      salt: Long = 0L): Dataset[QuotaOut] = {
+    import rows.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    rows
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState[Seq[(Long, Long)], QuotaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stratum: String, batch: Iterator[QuotaRow],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          // the quota as a sorted vector of (h, id), size <= k — k is
+          // sample-sized, so per-arrival O(k) insertion is fine
+          var quota = state.getOption.getOrElse(Seq.empty).toVector
+          val out = Seq.newBuilder[QuotaOut]
+          batch.foreach { r =>
+            val h = graft.functions.HashOps.splitmix64(r.id + salt)
+            val cand = (h, r.id)
+            if (quota.size < k) {
+              quota = (quota :+ cand).sorted
+              out += QuotaOut(stratum, r.id, h, 1L)
+            } else if (Ordering[(Long, Long)].lt(cand, quota.last)) {
+              val (eh, eid) = quota.last
+              out += QuotaOut(stratum, eid, eh, -1L)
+              out += QuotaOut(stratum, r.id, h, 1L)
+              quota = (quota.init :+ cand).sorted
+            }
+          }
+          state.update(quota)
+          out.result().iterator
+      }
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   case class LshCandidate(id_a: Long, id_b: Long, jaccard_est: Double)

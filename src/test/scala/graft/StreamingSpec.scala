@@ -618,6 +618,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == want(all), "relayed MV state != batch recompute")
   }
 
+  test("streaming quotaStream CDC folds to the batch fixedKState per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{QuotaRow, QuotaOut}
+    val rnd = new scala.util.Random(41)
+    // unique ids across strata; enough volume that evictions happen
+    val all = rnd.shuffle((0 until 600).toVector).map { i =>
+      QuotaRow(s"g${i % 5}", i.toLong)
+    }
+    val batches = Seq(all.slice(0, 150), all.slice(150, 400), all.slice(400, 600))
+    val mem = MemoryStream[QuotaRow]
+    val q = EventStreams.quotaStream(mem.toDS(), k = 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quotaout").start()
+    def got(): Set[(String, Long, Long)] =
+      spark.table("quotaout").as[QuotaOut].collect()
+        .groupBy(o => (o.stratum, o.id, o.h))
+        .view.mapValues(_.map(_.mult).sum).filter(_._2 > 0L)
+        .keys.toSet
+    var prefix = Seq.empty[QuotaRow]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      prefix ++= b
+      val want = graft.llm.Sampling.fixedKState(
+          prefix.map(r => (r.stratum, r.id)).toDF("g", "id"),
+          col("id"), col("g"), k = 8)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got() == want, s"prefix ${prefix.size} diverged")
+    }
+    q.stop()
+    // evictions actually happened (not an append-only trial)
+    assert(spark.table("quotaout").as[QuotaOut].collect()
+      .exists(_.mult == -1L), "degenerate trial: no evictions")
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
