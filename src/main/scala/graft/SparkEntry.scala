@@ -375,6 +375,42 @@ object SparkEntry {
         rightTie = col("c_eid"))
     },
 
+    "q_incremental_asof" -> { (s, dir) =>
+      // TEMPORAL IVM (ops/AsOf.deltaJoin, r14): the as-of join
+      // maintained under insert-only deltas where a LATE-arriving
+      // quote re-matches existing trades — each new click claims
+      // exactly the base errors in [its ts, the next click ts) and
+      // emits (+1 new match, −1 old match); new errors as-of the
+      // corrected clicks directly. The delta applies through the
+      // keyed applyDeltaZ; the oracle recomputes the corrected as-of
+      // fresh. Clicks dedup to one per (user, ts) — the claim
+      // contract (click_ts = max preceding ts is dedup-invariant).
+      import graft.ops.{AsOf, Incremental}
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), us.as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_uid"), us.as("c_ts"))
+        .agg(max(col("event_id")).as("c_eid"))
+      val baseT = errors.filter(col("event_id") % 3 =!= 0)
+      val dT = errors.filter(col("event_id") % 3 === 0)
+      val baseQ = clicks.filter((col("c_ts") / 1000000L) % 7 =!= 0)
+      val dQ = clicks.filter((col("c_ts") / 1000000L) % 7 === 0)
+      val payload = Seq("click_ts" -> col("c_ts"))
+      // persisted frames materialize once (the gate contract)
+      val store = AsOf.join(baseT, col("user_id"), col("ts_us"),
+          baseQ, col("c_uid"), col("c_ts"), payload)
+        .withColumn("mult", lit(1L))
+        .localCheckpoint()
+      val delta = AsOf.deltaJoin(baseT, dT, baseQ, dQ,
+          col("user_id"), col("ts_us"), col("c_uid"), col("c_ts"), payload)
+        .localCheckpoint()
+      Incremental.applyDeltaZ(store, delta, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_ts"))
+    },
+
     "q_asof_tolerance" -> { (s, dir) =>
       // as-of join with a staleness bound (pandas merge_asof
       // tolerance / kdb wj): clicks older than 1h don't match.
@@ -3833,6 +3869,15 @@ object SparkEntry {
         |WHERE event_type = 'error'""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        | (SELECT max(epoch_us(c.ts)) FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |    AND epoch_us(c.ts) <= epoch_us(e.ts)) AS click_ts
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+
+    // the corrected as-of recompute: max preceding click ts is
+    // invariant to the (user, ts) dedup and to arrival order
+    "q_incremental_asof" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         | (SELECT max(epoch_us(c.ts)) FROM events c
         |  WHERE c.event_type = 'click' AND c.user_id = e.user_id

@@ -74,4 +74,83 @@ object AsOf {
     bounded.select(leftCols.map(col) ++
       rightPayload.map { case (n, _) => col(s"_match.$n").as(n) }: _*)
   }
+
+  /** INCREMENTAL as-of join maintenance (r14 — temporal IVM): given
+    * the materialized `asof(T, Q)` and INSERT-ONLY deltas ΔT (new
+    * left rows) and ΔQ (new right rows, including LATE ones that
+    * re-match existing left rows), emit signed delta rows such that
+    * folding them into the base result (Σ mult per row, keep > 0)
+    * equals `asof(T∪ΔT, Q∪ΔQ)` — without re-running the as-of over
+    * the old data.
+    *
+    * The temporal twist vs [[graft.ops.Incremental.deltaJoin]]: a new
+    * RIGHT row can change EXISTING matches. Each new quote q at
+    * (k, tq) CLAIMS exactly the base-left rows with ts ∈ [tq, next),
+    * where next = the first (Q∪ΔQ) timestamp after tq at k — claims
+    * of several new quotes in one gap partition it correctly because
+    * `next` is computed over the UNION. Affected rows emit (+1) with
+    * the claiming quote's payload and (−1) with their OLD match
+    * (the as-of against Q alone — a null-payload row when nothing
+    * preceded, which is exactly the base-result row being retracted).
+    * ΔT rows as-of against Q∪ΔQ directly (+1).
+    *
+    * Scale shape: the claim frame is ΔQ-sized and BROADCASTS onto one
+    * base-left scan; the next/old-match passes run over the quote
+    * rows at ΔQ-TOUCHED KEYS only (broadcast-semi slice); nothing
+    * iterates and the materialized result is never re-joined.
+    * CONTRACTS (loud in the doc, assumed by the algebra): deltas are
+    * insert-only (deletions need the full retraction machinery);
+    * right (key, ts) pairs are UNIQUE across Q∪ΔQ (at a duplicate
+    * timestamp "the" claim is ill-defined); left rows are unique.
+    * Output: left columns ++ payload ++ `mult`.
+    */
+  def deltaJoin(
+      baseLeft: DataFrame, deltaLeft: DataFrame,
+      baseRight: DataFrame, deltaRight: DataFrame,
+      leftKey: Column, leftTs: Column,
+      rightKey: Column, rightTs: Column,
+      rightPayload: Seq[(String, Column)],
+      mult: String = "mult"): DataFrame = {
+    require(baseRight.columns.toSeq == deltaRight.columns.toSeq,
+      "deltaJoin: base/delta right schemas must match")
+    require(baseLeft.columns.toSeq == deltaLeft.columns.toSeq,
+      "deltaJoin: base/delta left schemas must match")
+    val leftCols = baseLeft.columns.toSeq
+    val payloadNames = rightPayload.map(_._1)
+    def out(df: DataFrame, m: Int): DataFrame =
+      df.select(leftCols.map(col) ++ payloadNames.map(col) :+
+        lit(m.toLong).as(mult): _*)
+    // the quote slice at delta-touched keys, base and delta unioned,
+    // with the claim payload riding along
+    val dKeys = deltaRight.select(rightKey.as("_k")).distinct()
+    def rSide(df: DataFrame, isNew: Int) = df.select(
+      rightKey.as("_k"), rightTs.as("_ts"), lit(isNew).as("_new"),
+      struct(rightPayload.map { case (n, c) => c.as(n) }: _*).as("_rp"))
+    val touchedR = rSide(baseRight, 0).unionByName(rSide(deltaRight, 1))
+      .join(broadcast(dKeys), Seq("_k"), "left_semi")
+    val wLead = Window.partitionBy(col("_k")).orderBy(col("_ts"))
+    // each NEW quote's claim window [tq, next) over the UNION order;
+    // ΔQ-sized — it broadcasts onto the base-left scan
+    val claims = touchedR
+      .withColumn("_next", lead(col("_ts"), 1).over(wLead))
+      .filter(col("_new") === 1)
+      .select(col("_k"), col("_ts").as("_tq"), col("_next"), col("_rp"))
+    val affected = baseLeft.join(broadcast(claims),
+        leftKey === col("_k") && leftTs >= col("_tq") &&
+          (col("_next").isNull || leftTs < col("_next")))
+    val plusNew = out(affected.select(leftCols.map(col) ++
+      payloadNames.map(n => col(s"_rp.$n").as(n)): _*), 1)
+    // the OLD matches being retracted: as-of of the affected rows
+    // against the BASE quotes at the touched keys only
+    val affLeft = affected.select(leftCols.map(col): _*)
+    val oldQ = baseRight.join(
+      broadcast(dKeys), rightKey === col("_k"), "left_semi")
+    val minusOld = out(join(affLeft, leftKey, leftTs,
+      oldQ, rightKey, rightTs, rightPayload), -1)
+    // new left rows match the full corrected right side
+    val plusLeft = out(join(deltaLeft, leftKey, leftTs,
+      baseRight.unionByName(deltaRight), rightKey, rightTs,
+      rightPayload), 1)
+    plusNew.unionByName(minusOld).unionByName(plusLeft)
+  }
 }

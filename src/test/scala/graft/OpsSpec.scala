@@ -165,6 +165,67 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == None)       // B's only quote is later
   }
 
+  test("AsOf.deltaJoin: late quotes re-match; fold == corrected as-of recompute") {
+    // hand-crafted first: base quote A@100/px 11; base trades A@150
+    // (matched 11) and A@50 (matched NULL). Delta quotes: A@120
+    // (claims the @150 trade), A@10 (claims the previously-NULL @50
+    // trade), B@5 (fresh key). Delta trade B@7 matches the delta
+    // quote directly.
+    val baseT = Seq((1L, "A", 150L), (2L, "A", 50L))
+      .toDF("trade_id", "sym", "t_ts")
+    val dT = Seq((3L, "B", 7L)).toDF("trade_id", "sym", "t_ts")
+    val baseQ = Seq(("A", 100L, 11.0)).toDF("q_sym", "q_ts", "px")
+    val dQ = Seq(("A", 120L, 12.0), ("A", 10L, 9.0), ("B", 5L, 1.0))
+      .toDF("q_sym", "q_ts", "px")
+    val delta = AsOf.deltaJoin(baseT, dT, baseQ, dQ,
+        col("sym"), col("t_ts"), col("q_sym"), col("q_ts"),
+        rightPayload = Seq("px" -> col("px")))
+      .as[(Long, String, Long, Option[Double], Long)].collect().toSet
+    assert(delta == Set(
+      (1L, "A", 150L, Some(12.0), 1L), (1L, "A", 150L, Some(11.0), -1L),
+      (2L, "A", 50L, Some(9.0), 1L), (2L, "A", 50L, None, -1L),
+      (3L, "B", 7L, Some(1.0), 1L)))
+    // random fold equivalence: base result ∪ delta, Σ mult, keep > 0
+    // == the full as-of over the corrected tables — multiple delta
+    // quotes inside one gap, ties at trade timestamps, fresh keys,
+    // and delta trades matching delta quotes all land in the trial
+    val rnd = new scala.util.Random(73)
+    val allQ = rnd.shuffle(
+      (for (k <- 0 to 4; t <- 0 to 60) yield (k, t))
+        .filter(_ => rnd.nextBoolean()).toVector)
+      .map { case (k, t) => (s"k$k", t * 10L, rnd.nextInt(100).toDouble) }
+    val allT = (0 until 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(650).toLong))
+    val (bQ, deltaQ) = allQ.partition(q => (q._2 / 10) % 3 != 0)
+    val (bT, deltaT) = allT.partition(t => t._1 % 4 != 0)
+    def Q(rows: Seq[(String, Long, Double)]) = rows.toDF("q_sym", "q_ts", "px")
+    def T(rows: Seq[(Long, String, Long)]) = rows.toDF("trade_id", "sym", "t_ts")
+    val base = AsOf.join(T(bT), col("sym"), col("t_ts"),
+        Q(bQ), col("q_sym"), col("q_ts"),
+        rightPayload = Seq("px" -> col("px")))
+      .withColumn("mult", lit(1L))
+    val d = AsOf.deltaJoin(T(bT), T(deltaT), Q(bQ), Q(deltaQ),
+      col("sym"), col("t_ts"), col("q_sym"), col("q_ts"),
+      rightPayload = Seq("px" -> col("px")))
+    val cols = Seq(col("trade_id"), col("sym"), col("t_ts"), col("px"))
+    val folded = base.unionByName(d)
+      .groupBy(cols: _*).agg(sum(col("mult")).as("mult"))
+      .filter(col("mult") > 0L).select(cols: _*)
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    val want = AsOf.join(T(allT), col("sym"), col("t_ts"),
+        Q(allQ), col("q_sym"), col("q_ts"),
+        rightPayload = Seq("px" -> col("px")))
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    assert(folded == want && want.nonEmpty)
+    assert(d.filter(col("mult") === -1L).count() > 0,
+      "degenerate trial: no re-matches")
+    // the claim frame broadcasts — the base-left scan is probed, not
+    // shuffled
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("AsOf.join tolerance nulls matches staler than the bound") {
     val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "A", 500L))
       .toDF("trade_id", "sym", "t_ts")
