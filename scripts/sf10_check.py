@@ -778,14 +778,14 @@ for _name in ["q_incremental_outer_state", "q_incremental_full_state",
               "ann_pq_delta",
               "q_incremental_mv", "q_incremental_mv_outer",
               "q_incremental_mv_minmax", "q_event_pattern_classes",
-              "ann_refine_delta", "ds_sample_delta"]:
+              "ann_refine_delta", "ds_sample_delta",
+              "q_incremental_scd2", "q_incremental_asof"]:
+    if selected(_name):
+        check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full
 # encode CTEs, which OOM DuckDB over the 500k-doc sf10 corpus (the
 # same reason txt_bpe_encode itself is sf1-checked, not sf10) — the
 # drift gate is full-checked at sf0.01 and sf1.
-for _name in []:
-    if selected(_name):
-        check_full(_name)
 
 # cumulative artifact: a rerun of a subset merges over prior rows
 if os.path.exists(JSON_OUT):

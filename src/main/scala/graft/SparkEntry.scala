@@ -1756,6 +1756,30 @@ object SparkEntry {
       Incremental.finishZ(state2).withColumnRenamed("k", "c_mktsegment")
     },
 
+    "q_incremental_scd2" -> { (s, dir) =>
+      // SCD2 maintenance under LATE events (ops/Scd2.deltaMaintain,
+      // r14): a late event splits its covering validity interval,
+      // closes the open row when it lands last, and renumbers every
+      // later version of its key — per-row deltas can't express that,
+      // so the honest granularity is the touched-KEY slice: untouched
+      // users pass through a broadcast anti join, touched users'
+      // store rows project back to their defining events (the store
+      // carries event_id exactly for this), union the delta, rebuild
+      // through ONE window over the slice. Oracle: SCD2 over the full
+      // corrected log.
+      import graft.ops.Scd2
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val late = ev.filter(col("event_id") % 5 === 0)
+      val store = Scd2.build(base, col("user_id"), col("event_id"),
+          col("event_type"), eventUs(base, "ts"))
+        .localCheckpoint() // the persisted store materializes once
+      Scd2.deltaMaintain(store, late, col("user_id"), col("event_id"),
+          col("event_type"), eventUs(late, "ts"))
+        .withColumnRenamed("key", "user_id")
+    },
+
     "q_scd2_history" -> { (s, dir) =>
       // slowly-changing-dimension type 2: each user's event stream
       // becomes versioned attribute rows with [valid_from, valid_to)
@@ -3645,6 +3669,18 @@ object SparkEntry {
         |             event_id DESC) AS rn
         | FROM events) _u
         |WHERE rn = 1""".stripMargin,
+
+    // SCD2 over the full corrected log — maintenance must land on the
+    // same history arrival order would have produced
+    "q_incremental_scd2" ->
+      """SELECT user_id, event_id,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | event_type AS attr,
+        | epoch_us(ts) AS valid_from,
+        | lead(epoch_us(ts)) OVER w AS valid_to,
+        | (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
 
     "q_scd2_history" ->
       """SELECT user_id,

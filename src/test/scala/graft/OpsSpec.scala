@@ -226,6 +226,58 @@ class OpsSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("Scd2.deltaMaintain: late events split, close, renumber; == rebuild of the full log") {
+    import graft.ops.Scd2
+    // user 1: versions at 10 (a), 30 (b); a LATE event at 20 (c) must
+    // split [10,30) into [10,20)+[20,30) and renumber b to version 3;
+    // a late event at 40 (d) closes the open row. user 2 untouched.
+    val base = Seq(
+      (1L, 101L, "a", 10L), (1L, 102L, "b", 30L),
+      (2L, 201L, "x", 5L))
+      .toDF("uid", "eid", "at", "ets")
+    val late = Seq((1L, 103L, "c", 20L), (1L, 104L, "d", 40L))
+      .toDF("uid", "eid", "at", "ets")
+    val store = Scd2.build(base, col("uid"), col("eid"), col("at"),
+      col("ets")).localCheckpoint()
+    val got = Scd2.deltaMaintain(store, late, col("uid"), col("eid"),
+        col("at"), col("ets"))
+      .as[(Long, Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 101L, 1L, "a", 10L, Some(20L), false),
+      (1L, 103L, 2L, "c", 20L, Some(30L), false),
+      (1L, 102L, 3L, "b", 30L, Some(40L), false),
+      (1L, 104L, 4L, "d", 40L, None, true),
+      (2L, 201L, 1L, "x", 5L, None, true)))
+    // untouched user 2's row is the STORE row bit-for-bit
+    assert(got.filter(_._1 == 2L) ==
+      store.as[(Long, Long, Long, String, Long, Option[Long], Boolean)]
+        .collect().toSet.filter(_._1 == 2L))
+    // random fold equivalence: maintenance == rebuild of the full log
+    // (same-ts ties resolved by event_id on both paths)
+    val rnd = new scala.util.Random(79)
+    val all = (0 until 400).map(i =>
+      (rnd.nextInt(8).toLong, i.toLong, s"a${rnd.nextInt(4)}",
+        rnd.nextInt(50).toLong * 3L))
+    val (b2, l2) = all.partition(_._2 % 4 != 0)
+    def D(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("uid", "eid", "at", "ets")
+    val store2 = Scd2.build(D(b2), col("uid"), col("eid"), col("at"),
+      col("ets")).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val maintained = Scd2.deltaMaintain(store2, D(l2), col("uid"),
+      col("eid"), col("at"), col("ets"))
+    val rebuilt = Scd2.build(D(all), col("uid"), col("eid"), col("at"),
+      col("ets"))
+    assert(rows(maintained) == rows(rebuilt) && all.nonEmpty)
+    // schema guard fires loudly
+    assert(intercept[IllegalArgumentException] {
+      Scd2.deltaMaintain(store2.drop("event_id"), D(l2), col("uid"),
+        col("eid"), col("at"), col("ets"))
+    }.getMessage.contains("build() schema"))
+  }
+
   test("AsOf.join tolerance nulls matches staler than the bound") {
     val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "A", 500L))
       .toDF("trade_id", "sym", "t_ts")
