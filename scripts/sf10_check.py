@@ -779,7 +779,8 @@ for _name in ["q_incremental_outer_state", "q_incremental_full_state",
               "q_incremental_mv", "q_incremental_mv_outer",
               "q_incremental_mv_minmax", "q_event_pattern_classes",
               "ann_refine_delta", "ds_sample_delta",
-              "q_incremental_scd2", "q_incremental_asof"]:
+              "q_incremental_scd2", "q_incremental_asof",
+              "curate_delta"]:
     if selected(_name):
         check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full

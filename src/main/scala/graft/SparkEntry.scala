@@ -1935,6 +1935,27 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    "curate_delta" -> { (s, dir) =>
+      // INCREMENTAL curation (r14, Curation.curateDelta): the planted
+      // near-dup batch IS the append (ids ride at +1000000 — the
+      // append-only contract by construction), folded in at delta
+      // cost: quality per-row, exact-dup membership via a broadcast
+      // hash probe, near-dup candidates from delta-touched LSH
+      // buckets only (batch-identical caps, in-band cap-crossing
+      // guard). Base survivors never change under the contract, so
+      // the curated corpus = curate(base) ∪ the new survivors — and
+      // the oracle is literally curate_pipeline's full recompute.
+      import graft.llm.Curation
+      val all = docsWithPlantedDups(s, dir)
+      val base = all.filter(col("doc_id") < 1000000L)
+      val delta = all.filter(col("doc_id") >= 1000000L)
+      Curation.curate(base, col("doc_id"), col("text"))
+        .select(col("doc_id"))
+        .unionByName(
+          Curation.curateDelta(base, delta, col("doc_id"), col("text"))
+            .select(col("doc_id")))
+    },
+
     // --- source: nested children connection + per-node pagination ---
     "src_graphql_nested" -> { (s, dir) =>
       import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -3221,6 +3242,10 @@ object SparkEntry {
     // the maintained quota must equal the one-shot quota over the
     // unioned corpus — top-k per stratum is fold-invariant
     "ds_sample_delta" -> OracleSqlGen.sql("ds_sample_fixed_k"),
+
+    // incremental curation under the append-only id contract must
+    // land on the full pipeline's survivors exactly
+    "curate_delta" -> OracleSqlGen.sql("curate_pipeline"),
 
     // the saved-merges encode arm runs the SAME pinned config as the
     // chained-kernel arm (spec-pinned bit-equal) — deliberately the

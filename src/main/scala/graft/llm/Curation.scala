@@ -81,4 +81,142 @@ object Curation {
       minQuality: Double = 0.4,
       minJaccard: Double = 0.8): DataFrame =
     curateReleasable(docs, id, text, minQuality, minJaccard).df
+
+  /** INCREMENTAL curation (r14): fold an APPEND batch into a curated
+    * corpus at delta cost, emitting exactly the NEW survivor rows —
+    * the nightly 0.1 % ingest probes the corpus instead of
+    * re-curating it. Rests on the APPEND-ONLY ID CONTRACT (checked
+    * loudly unless `checkContract = false`): every delta id exceeds
+    * every base id — the production reality of monotone ids — which
+    * makes the whole pipeline MONOTONE for existing survivors: a new
+    * pair's higher id is always the new doc, so base survivors never
+    * change and the maintenance is purely additive.
+    *
+    * Per stage:
+    *  1. quality scores the delta only (per-row);
+    *  2. exact dedup: delta texts already present among the QUALIFIED
+    *     base are duplicates of a smaller id and drop; the membership
+    *     test collapses the delta to distinct hashes, broadcast-SEMI
+    *     probes the base class frame (one scan — the pre-flight cost
+    *     class; production persists the class frame), and the matched
+    *     hash sliver (delta-bounded) broadcast-ANTI filters the delta;
+    *  3. near-dup: base + fresh-delta rep signatures band as in the
+    *     batch path, but only buckets a FRESH rep lands in aggregate
+    *     (no recall loss — every pair involving a fresh rep shares
+    *     each of its buckets with it), the bucket cap evaluates on the
+    *     FULL probed membership exactly like the batch run, candidate
+    *     pairs keep only fresh-rep losers-to-be, and the exact 5-gram
+    *     Jaccard decides; a fresh rep survives iff no verified pair
+    *     names it as the higher id.
+    *
+    * CAP-CROSSING GUARD (in-band, the no-silent-caps idiom): a delta
+    * that pushes a previously-under-cap bucket OVER the cap would
+    * RETRACT base-base candidate pairs — base survivors could change,
+    * which additive maintenance cannot express. The kernel detects
+    * every such bucket (a delta-touched-bucket-sized aggregation) and
+    * FAILS LOUDLY naming one, directing the caller to a full
+    * [[curate]] run. Spec-pinned: survivors(base) ∪ this == the batch
+    * [[curate]] over base ∪ delta.
+    */
+  def curateDelta(
+      baseDocs: DataFrame,
+      deltaDocs: DataFrame,
+      id: Column,
+      text: Column,
+      minQuality: Double = 0.4,
+      minJaccard: Double = 0.8,
+      candidateMinEst: Double = 0.5,
+      maxBucket: Int = 64,
+      checkContract: Boolean = true,
+      baseClasses: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.F
+    val base = baseDocs.select(id.as("doc_id"), text.as("text"))
+    val delta = deltaDocs.select(id.as("doc_id"), text.as("text"))
+    if (checkContract) {
+      val bounds = base.agg(max(col("doc_id"))).collect().head
+      val dmin = delta.agg(min(col("doc_id"))).collect().head
+      if (!bounds.isNullAt(0) && !dmin.isNullAt(0))
+        require(bounds.getLong(0) < dmin.getLong(0),
+          s"curateDelta: append-only id contract violated — " +
+            s"max base id ${bounds.getLong(0)} >= min delta id " +
+            s"${dmin.getLong(0)}; run the full curate")
+    }
+    def qualified(d: DataFrame) = d.join(
+      TextAnalysis.qualityScore(d, col("doc_id"), col("text"))
+        .filter(col("quality") >= minQuality).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // `baseClasses` is the SELF-SUSTAINING path: pass the persisted
+    // qualified-base class frame ((rep, n, _t) — the frame [[curate]]
+    // already builds) and a maintenance run touches NO base document:
+    // every base access below reads this frame. Absent, it recomputes
+    // from `baseDocs` — one quality + collapse pass per run, the
+    // pre-flight cost class the persisted frame removes.
+    val bClasses = baseClasses.getOrElse(Dedup
+      .contentClasses(qualified(base), col("doc_id"), col("text"))
+      .classes.localCheckpoint())
+    val dClasses = Dedup
+      .contentClasses(qualified(delta), col("doc_id"), col("text"))
+      .classes
+    // stage 2: the delta's FRESH-content classes
+    val dHashes = dClasses.select(xxhash64(col("_t")).as("_dh")).distinct()
+    val present = bClasses.select(xxhash64(col("_t")).as("_bh"))
+      .join(broadcast(dHashes), col("_bh") === col("_dh"), "left_semi")
+    val fresh = dClasses
+      .join(broadcast(present), xxhash64(col("_t")) === col("_bh"),
+        "left_anti")
+      .localCheckpoint()
+    // stage 3: delta-scoped banding, batch-identical caps
+    val bands = 16
+    val rows = 64 / bands
+    def banded(classes: DataFrame, isNew: Boolean) = classes
+      .select(col("rep"), lit(isNew).as("_new"),
+        F.minhashSig(col("_t"), 5, 64).as("sig"))
+      .select(col("rep"), col("_new"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", hash(col("band"),
+        slice(col("sig"), col("band") * rows + 1, lit(rows))))
+    val touched = banded(fresh, isNew = true)
+      .select(col("band"), col("bucket")).distinct()
+    val probed = banded(bClasses, isNew = false)
+      .unionByName(banded(fresh, isNew = true))
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val buckets = probed.groupBy(col("band"), col("bucket"))
+      .agg(
+        collect_list(struct(col("rep").as("doc_id"), col("sig")))
+          .as("items"),
+        sum(when(col("_new"), 0L).otherwise(1L)).as("n_base"),
+        count(lit(1)).as("n_all"))
+      .localCheckpoint()
+    val crossing = buckets
+      .filter(col("n_base").between(2, maxBucket) &&
+        col("n_all") > maxBucket)
+      .select(col("band"), col("bucket"), col("n_base"), col("n_all"))
+      .limit(1).collect()
+    require(crossing.isEmpty, {
+      val c = crossing.head
+      s"curateDelta: delta pushes bucket (band=${c.get(0)}, " +
+        s"bucket=${c.get(1)}) over the LSH cap " +
+        s"(${c.get(2)} base -> ${c.get(3)} members > $maxBucket) — " +
+        "base candidate pairs would retract; run the full curate"
+    })
+    val candidates = buckets
+      .filter(col("n_all").between(2, maxBucket))
+      .select(explode(F.minhashBucketPairs(col("items"),
+        candidateMinEst)).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+      // only pairs whose HIGHER id is a fresh rep can drop one
+      .join(broadcast(fresh.select(col("rep").as("id_b"))),
+        Seq("id_b"), "left_semi")
+    val texts = bClasses.select(col("rep"), col("_t"))
+      .unionByName(fresh.select(col("rep"), col("_t")))
+    val losers = candidates
+      .join(texts.select(col("rep").as("id_a"), col("_t").as("_ta")),
+        Seq("id_a"))
+      .join(texts.select(col("rep").as("id_b"), col("_t").as("_tb")),
+        Seq("id_b"))
+      .filter(F.ngramJaccardSim(col("_ta"), col("_tb"), 5) >= minJaccard)
+      .select(col("id_b").as("rep")).distinct()
+    fresh.join(losers, Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("_t").as("text"))
+  }
 }

@@ -35,6 +35,55 @@ class CurationSpec extends SparkSpec {
     assert(surviving.nonEmpty)
   }
 
+  test("curateDelta: survivors(base) ∪ delta-survivors == full curate; guards fire") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // delta (all ids above the base): planted near-dups of base docs
+    // (must drop), exact dups of base texts (must drop), fresh texts
+    // (survive iff quality passes), and a near-dup PAIR inside the
+    // delta itself (higher id drops)
+    val base = docs
+    val freshA = "the freshest of documents, words many and varied " * 8
+    val delta = docs.filter($"doc_id" % 50 === 0).select(
+        ($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" near duplicate suffix")).as("text"))
+      .unionByName(docs.filter($"doc_id" === 7L).select(
+        ($"doc_id" + 2000000L).as("doc_id"), $"text"))  // exact dup
+      .unionByName(Seq(
+        (3000000L, freshA),
+        (3000001L, freshA + " tail"), // near-dup of 3000000 -> drops
+        (3000002L, "x")               // too short: quality-dropped
+      ).toDF("doc_id", "text"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").as[Long].collect().toSet
+    val baseSurv = ids(Curation.curate(base, col("doc_id"), col("text"),
+      minJaccard = 0.6))
+    val newSurv = ids(Curation.curateDelta(base, delta, col("doc_id"),
+      col("text"), minJaccard = 0.6))
+    val want = ids(Curation.curate(base.unionByName(delta),
+      col("doc_id"), col("text"), minJaccard = 0.6))
+    assert(baseSurv.union(newSurv) == want)
+    assert(newSurv.contains(3000000L) && !newSurv.contains(3000001L) &&
+      !newSurv.contains(3000002L) && !newSurv.contains(2000007L))
+    // the SELF-SUSTAINING path: passing the persisted qualified-base
+    // class frame yields the identical result with no base-doc access
+    import graft.llm.{Dedup, TextAnalysis}
+    val bQual = base.join(
+      TextAnalysis.qualityScore(base, col("doc_id"), col("text"))
+        .filter($"quality" >= 0.4).select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val frame = Dedup.contentClasses(bQual, col("doc_id"), col("text"))
+      .classes.localCheckpoint()
+    val newSurv2 = ids(Curation.curateDelta(base, delta, col("doc_id"),
+      col("text"), minJaccard = 0.6, baseClasses = Some(frame)))
+    assert(newSurv2 == newSurv)
+    // append-only contract violated -> loud error
+    assert(intercept[IllegalArgumentException] {
+      Curation.curateDelta(base, delta.withColumn("doc_id",
+        $"doc_id" - 3000000L), col("doc_id"), col("text"))
+    }.getMessage.contains("append-only"))
+  }
+
   test("curate is lazy: zero jobs at plan build, release() drops the caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
