@@ -929,6 +929,78 @@ object EventStreams {
       }
   }
 
+  /** One input row of [[asofStream]]: `side` 0 = a LEFT row (trade;
+    * `id` rides), 1 = a RIGHT row (quote; `id` ignored). Both
+    * relations ride one stream keyed by the join key.
+    */
+  case class AsOfRow(side: Int, key: Long, ts: Long, id: Long)
+
+  /** One signed output row of [[asofStream]]: a delta of the
+    * maintained as-of view — `match_ts` is the matched quote's
+    * timestamp (null when no quote precedes). Folding Σ mult per
+    * (key, trade_id, ts, match_ts) and keeping positive IS the
+    * current as-of result.
+    */
+  case class AsOfOut(key: Long, trade_id: Long, ts: Long,
+      match_ts: Option[Long], mult: Long)
+
+  /** Streaming AS-OF maintenance (r14): the CDC twin of
+    * `AsOf.deltaJoin` — trades and quotes arrive interleaved and LATE
+    * on one stream, and each arrival emits the view's delta: a trade
+    * emits its match against the current quote book (+1); a quote at
+    * tq claims exactly the held trades with ts ∈ [tq, next-quote) —
+    * no held quote lies in (tq, ts] for those trades, so their old
+    * match is uniformly pred(tq) — emitting (−1 old, +1 tq) per
+    * claimed trade. Fold == the batch `AsOf.join` of the folded
+    * inputs on ANY prefix in any arrival order (spec-pinned).
+    *
+    * State per key = both books (trades as (ts, id), quotes as
+    * sorted ts) — the `deltaJoinStream` price: the view's inputs ARE
+    * the state, bounded by live rows at the key. Right (key, ts)
+    * unique by the as-of claim contract; inclusive ties (a quote AT a
+    * trade's ts matches it) follow the batch operator.
+    */
+  def asofStream(rows: Dataset[AsOfRow]): Dataset[AsOfOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Seq[Long]), AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[AsOfRow],
+            state: GroupState[(Seq[(Long, Long)], Seq[Long])]) =>
+          var (trades, quotes0) = state.getOption
+            .getOrElse((Seq.empty[(Long, Long)], Seq.empty[Long]))
+          var quotes = quotes0.toVector // kept sorted
+          val out = Seq.newBuilder[AsOfOut]
+          def predOf(ts: Long): Option[Long] = {
+            // largest quote <= ts
+            val i = quotes.search(ts)(Ordering.Long) match {
+              case scala.collection.Searching.Found(j) => j
+              case scala.collection.Searching.InsertionPoint(j) => j - 1
+            }
+            if (i >= 0) Some(quotes(i)) else None
+          }
+          batch.foreach { r =>
+            if (r.side == 0) {
+              out += AsOfOut(key, r.id, r.ts, predOf(r.ts), 1L)
+              trades = trades :+ ((r.ts, r.id))
+            } else {
+              val next = quotes.find(_ > r.ts)
+              val old = predOf(r.ts) // pred of tq: tq not yet inserted
+              trades.foreach { case (tts, tid) =>
+                if (tts >= r.ts && next.forall(tts < _)) {
+                  out += AsOfOut(key, tid, tts, old, -1L)
+                  out += AsOfOut(key, tid, tts, Some(r.ts), 1L)
+                }
+              }
+              quotes = (quotes :+ r.ts).sorted
+            }
+          }
+          state.update((trades, quotes))
+          out.result().iterator
+      }
+  }
+
   /** One input row of [[quotaStream]]: an appended (stratum, id). */
   case class QuotaRow(stratum: String, id: Long)
 

@@ -653,6 +653,52 @@ class StreamingSpec extends SparkSpec {
       .exists(_.mult == -1L), "degenerate trial: no evictions")
   }
 
+  test("streaming asofStream CDC folds to the batch as-of join per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{AsOfRow, AsOfOut}
+    val rnd = new scala.util.Random(89)
+    // interleaved late trades AND late quotes per key; quote (key, ts)
+    // unique by construction (ts drawn without replacement per key)
+    val all = (0 until 5).flatMap { k =>
+      val qTs = rnd.shuffle((0 until 80).toVector).take(30)
+        .map(t => AsOfRow(1, k.toLong, t * 10L, 0L))
+      val tr = (0 until 60).map(i =>
+        AsOfRow(0, k.toLong, rnd.nextInt(820).toLong,
+          k * 1000L + i))
+      rnd.shuffle(qTs ++ tr)
+    }
+    val shuffled = rnd.shuffle(all.toVector)
+    val batches = Seq(shuffled.slice(0, 150), shuffled.slice(150, 300),
+      shuffled.slice(300, shuffled.size))
+    val mem = MemoryStream[AsOfRow]
+    val q = EventStreams.asofStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asofout").start()
+    def got(): Set[(Long, Long, Long, Option[Long])] =
+      spark.table("asofout").as[AsOfOut].collect()
+        .groupBy(o => (o.key, o.trade_id, o.ts, o.match_ts))
+        .view.mapValues(_.map(_.mult).sum).filter(_._2 > 0L)
+        .keys.toSet
+    var prefix = Seq.empty[AsOfRow]
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      prefix ++= b
+      val trades = prefix.filter(_.side == 0)
+        .map(r => (r.key, r.id, r.ts)).toDF("k", "trade_id", "ts")
+      val quotes = prefix.filter(_.side == 1)
+        .map(r => (r.key, r.ts)).toDF("qk", "q_ts")
+      val want = graft.ops.AsOf.join(
+          trades, col("k"), col("ts"), quotes, col("qk"), col("q_ts"),
+          rightPayload = Seq("match_ts" -> col("q_ts")))
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+      assert(got() == want, s"prefix ${prefix.size} diverged")
+    }
+    q.stop()
+    assert(spark.table("asofout").as[AsOfOut].collect()
+      .exists(_.mult == -1L), "degenerate trial: no late-quote re-matches")
+  }
+
   test("streaming attribution carries first/last click across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
