@@ -364,6 +364,14 @@ object Bpe {
       encoded: DataFrame, docs: DataFrame,
       id: Column, text: Column, group: Column, isDelta: Column,
       num: Int = 9, den: Int = 8): DataFrame = {
+    // loud schema contract (r15, r14 advice — the applyZSum
+    // discipline): `encoded` is docTokenCounts' (doc_id, n_tokens)
+    // frame; a differently-named count column would otherwise surface
+    // as an opaque analysis error or a wrong join
+    require(encoded.columns.contains("doc_id") &&
+        encoded.columns.contains("n_tokens"),
+      s"fertilityDrift: encoded must carry doc_id and n_tokens (the " +
+        s"docTokenCounts schema), got ${encoded.columns.mkString(",")}")
     val words = size(filter(split(lower(text), " "), w => w =!= ""))
       .cast("long")
     val d = docs.select(id.as("doc_id"), group.as("grp"),

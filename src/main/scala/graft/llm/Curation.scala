@@ -131,7 +131,12 @@ object Curation {
       baseClasses: Option[DataFrame] = None): DataFrame = {
     import graft.functions.F
     val base = baseDocs.select(id.as("doc_id"), text.as("text"))
-    val delta = deltaDocs.select(id.as("doc_id"), text.as("text"))
+    val delta = graft.ops.Maintenance.insertOnly(
+        deltaDocs, "Curation.curateDelta",
+        "removing a document can resurrect the survivors it displaced " +
+          "(exact-dup reps and near-dup losers), which additive " +
+          "maintenance cannot express — run the full curate")
+      .select(id.as("doc_id"), text.as("text"))
     if (checkContract) {
       val bounds = base.agg(max(col("doc_id"))).collect().head
       val dmin = delta.agg(min(col("doc_id"))).collect().head
@@ -157,12 +162,19 @@ object Curation {
     val dClasses = Dedup
       .contentClasses(qualified(delta), col("doc_id"), col("text"))
       .classes
-    // stage 2: the delta's FRESH-content classes
+    // stage 2: the delta's FRESH-content classes. The hash is a
+    // PREFILTER only (r15, r14 advice): the anti-join decides on the
+    // TEXT of the delta-bounded matched base sliver, so a 64-bit
+    // collision between a fresh delta text and an unrelated base text
+    // can no longer drop a survivor — membership stays text-exact,
+    // the batch contentClasses contract.
     val dHashes = dClasses.select(xxhash64(col("_t")).as("_dh")).distinct()
-    val present = bClasses.select(xxhash64(col("_t")).as("_bh"))
-      .join(broadcast(dHashes), col("_bh") === col("_dh"), "left_semi")
+    val presentTexts = bClasses
+      .join(broadcast(dHashes), xxhash64(col("_t")) === col("_dh"),
+        "left_semi")
+      .select(col("_t").as("_bt")).distinct()
     val fresh = dClasses
-      .join(broadcast(present), xxhash64(col("_t")) === col("_bh"),
+      .join(broadcast(presentTexts), col("_t") === col("_bt"),
         "left_anti")
       .localCheckpoint()
     // stage 3: delta-scoped banding, batch-identical caps

@@ -786,7 +786,12 @@ object Dedup {
       maxDeltaEdges: Long = 1000000L): DataFrame = {
     val spark = labels.sparkSession
     import spark.implicits._
-    val ep = newEdges.select(a.cast("long").as("x"), b.cast("long").as("y"))
+    val ep = graft.ops.Maintenance.insertOnly(
+        newEdges, "Dedup.incrementalComponents",
+        "removing an edge can split a component, which no label frame " +
+          "can answer without re-running connectivity on the residual " +
+          "graph — run connectedComponents over the corrected edge set")
+      .select(a.cast("long").as("x"), b.cast("long").as("y"))
       .persist()
     try {
       val n = ep.count()

@@ -341,11 +341,16 @@ object Sampling {
     require(state.columns.toSeq == want,
       s"fixedKDelta: state must have the fixedKState schema " +
         s"(${want.mkString(",")}), got ${state.columns.mkString(",")}")
+    val deltaGuarded = graft.ops.Maintenance.insertOnly(
+      delta, "Sampling.fixedKDelta",
+      "an evicted row is forgotten, so quota membership under deletes " +
+        "needs the runner-up history this state drops — run " +
+        "fixedKState over the corrected input")
     // the delta sliver materializes once (≤ touched-strata × k rows,
     // control-plane sized): it feeds BOTH the touched frame and the
     // re-rank union, and lazy it would re-execute the delta scan per
     // consumer (the q_itemsets idiom)
-    val dq = quotaFrame(delta, id, stratum, k, salt).select(
+    val dq = quotaFrame(deltaGuarded, id, stratum, k, salt).select(
         col("__st").as("stratum"), col("__id").as("id"), col("__h").as("h"))
       .localCheckpoint()
     val touched = dq.select(col("stratum").as("_t_st")).distinct()

@@ -96,8 +96,11 @@ object AsOf {
     *
     * Scale shape: the claim frame is ΔQ-sized and BROADCASTS onto one
     * base-left scan; the next/old-match passes run over the quote
-    * rows at ΔQ-TOUCHED KEYS only (broadcast-semi slice); nothing
-    * iterates and the materialized result is never re-joined.
+    * rows at ΔQ-TOUCHED KEYS only (broadcast-semi slice); the ΔT arm
+    * as-ofs against the corrected right side sliced to ΔT-touched
+    * keys the same way (r15 — no full-right shuffle per maintenance
+    * run); nothing iterates and the materialized result is never
+    * re-joined.
     * CONTRACTS (loud in the doc, assumed by the algebra): deltas are
     * insert-only (deletions need the full retraction machinery);
     * right (key, ts) pairs are UNIQUE across Q∪ΔQ (at a duplicate
@@ -105,16 +108,33 @@ object AsOf {
     * Output: left columns ++ payload ++ `mult`.
     */
   def deltaJoin(
-      baseLeft: DataFrame, deltaLeft: DataFrame,
-      baseRight: DataFrame, deltaRight: DataFrame,
+      baseLeft: DataFrame, deltaLeft0: DataFrame,
+      baseRight: DataFrame, deltaRight0: DataFrame,
       leftKey: Column, leftTs: Column,
       rightKey: Column, rightTs: Column,
       rightPayload: Seq[(String, Column)],
       mult: String = "mult"): DataFrame = {
-    require(baseRight.columns.toSeq == deltaRight.columns.toSeq,
+    require(baseRight.columns.toSeq == deltaRight0.columns.toSeq,
       "deltaJoin: base/delta right schemas must match")
-    require(baseLeft.columns.toSeq == deltaLeft.columns.toSeq,
+    require(baseLeft.columns.toSeq == deltaLeft0.columns.toSeq,
       "deltaJoin: base/delta left schemas must match")
+    // working-name guard (r15, r14 advice — the same contract join()
+    // enforces at :42): an input carrying one of these collides with
+    // the claim/slice machinery below
+    val djReserved = Set("_k", "_ts", "_new", "_rp", "_tq", "_next")
+    val djClash =
+      (baseLeft.columns ++ baseRight.columns).filter(djReserved).distinct
+    require(djClash.isEmpty, s"deltaJoin: column name(s) " +
+      s"${djClash.mkString(", ")} are reserved internal working names")
+    // insert-only contract, ENFORCED in-band (r15, r14 verdict item
+    // 5): a delete needs the full retraction machinery
+    val asofReason = "a deleted trade/quote retracts and re-derives " +
+      "matches the claim algebra cannot express — re-run the as-of " +
+      "over the corrected inputs"
+    val deltaLeft = Maintenance.insertOnly(
+      deltaLeft0, "AsOf.deltaJoin", asofReason)
+    val deltaRight = Maintenance.insertOnly(
+      deltaRight0, "AsOf.deltaJoin", asofReason)
     val leftCols = baseLeft.columns.toSeq
     val payloadNames = rightPayload.map(_._1)
     def out(df: DataFrame, m: Int): DataFrame =
@@ -147,10 +167,17 @@ object AsOf {
       broadcast(dKeys), rightKey === col("_k"), "left_semi")
     val minusOld = out(join(affLeft, leftKey, leftTs,
       oldQ, rightKey, rightTs, rightPayload), -1)
-    // new left rows match the full corrected right side
+    // new left rows as-of the corrected right side SLICED to
+    // ΔT-touched keys (r15, r14 verdict item 2 — the minusOld idiom
+    // at the same discipline): the slice is the broadcast-semi probe,
+    // so a key-sparse ΔT never shuffles the full right side into the
+    // as-of window; null-safe (<=>) so a null-key ΔT row still sees
+    // the null-key quote group exactly as the unsliced form did
+    val tKeys = deltaLeft.select(leftKey.as("_k")).distinct()
+    val newQ = baseRight.unionByName(deltaRight)
+      .join(broadcast(tKeys), rightKey <=> col("_k"), "left_semi")
     val plusLeft = out(join(deltaLeft, leftKey, leftTs,
-      baseRight.unionByName(deltaRight), rightKey, rightTs,
-      rightPayload), 1)
+      newQ, rightKey, rightTs, rightPayload), 1)
     plusNew.unionByName(minusOld).unionByName(plusLeft)
   }
 }

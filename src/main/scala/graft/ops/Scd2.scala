@@ -71,12 +71,22 @@ object Scd2 {
     require(store.columns.toSeq == want,
       s"deltaMaintain: store must have the build() schema " +
         s"(${want.mkString(",")}), got ${store.columns.mkString(",")}")
-    val touched = deltaEvents.select(key.as("_t_k")).distinct()
-    val cond = col("key") === col("_t_k")
+    val delta = Maintenance.insertOnly(deltaEvents, "Scd2.deltaMaintain",
+      "deleting an event re-opens or merges validity intervals, which " +
+        "a touched-key rebuild of the remaining store rows cannot " +
+        "express — run build() over the corrected log")
+    val touched = delta.select(key.as("_t_k")).distinct()
+    // NULL-SAFE key match (r15, r14 advice): build()'s window groups
+    // null keys together, so a null-key late event must pull the
+    // null-key store slice into the rebuild — === would leave old
+    // null-key rows in the passthrough and renumber the delta's rows
+    // in isolation, silently breaking the build() equality. Same
+    // discipline as applyDeltaZ/applyZSum.
+    val cond = col("key") <=> col("_t_k")
     val untouched = store.join(broadcast(touched), cond, "left_anti")
     val oldDefining = store.join(broadcast(touched), cond, "left_semi")
       .select(col("key"), col("event_id"), col("attr"), col("valid_from"))
-    val newDefining = deltaEvents.select(
+    val newDefining = delta.select(
       key.as("key"), id.as("event_id"), attr.as("attr"),
       ts.as("valid_from"))
     untouched.unionByName(
