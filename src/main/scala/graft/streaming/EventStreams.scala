@@ -757,7 +757,12 @@ object EventStreams {
     *
     * State per key = the key's live (payload, mult) pairs on each
     * side — the [[graft.ops.Incremental.stateZ]] price, bounded by
-    * live distinct rows at that key; netted pairs drop eagerly.
+    * live distinct rows at that key; netted pairs drop eagerly. That
+    * is the honest floor for a PURE key-equi join (an old live row
+    * matches every future arrival at its key, so nothing can ever
+    * leave); when the join carries a time band, use
+    * [[bandedJoinStream]] (r15) — its watermark contract gives every
+    * row a frozen horizon and state a hard eviction path.
     */
   def deltaJoinStream(rows: Dataset[ZJoinRow]): Dataset[ZJoinOut] = {
     import rows.sparkSession.implicits._
@@ -958,7 +963,10 @@ object EventStreams {
     * sorted ts) — the `deltaJoinStream` price: the view's inputs ARE
     * the state, bounded by live rows at the key. Right (key, ts)
     * unique by the as-of claim contract; inclusive ties (a quote AT a
-    * trade's ts matches it) follow the batch operator.
+    * trade's ts matches it) follow the batch operator. This form
+    * accepts arbitrarily late rows; under a watermark contract use
+    * [[asofStreamBounded]] (r15), whose state evicts at the frozen
+    * horizon with emissions unchanged.
     */
   def asofStream(rows: Dataset[AsOfRow]): Dataset[AsOfOut] = {
     import rows.sparkSession.implicits._
@@ -997,6 +1005,333 @@ object EventStreams {
             }
           }
           state.update((trades, quotes))
+          out.result().iterator
+      }
+  }
+
+  /** WATERMARK-BOUNDED [[asofStream]] (r15, the r14 verdict's top
+    * item): the same CDC emissions, but state EVICTS at the frozen
+    * horizon instead of holding both books forever. `ts` is event
+    * time in epoch milliseconds; the stream carries an event-time
+    * watermark of `latenessMs`, and the caller's contract is the
+    * watermark contract itself — no row at-or-below the horizon
+    * arrives. One that does is DROPPED before the function, by
+    * Spark's own stateful-operator late-row rule (ts <= watermark is
+    * late — the == boundary belongs to the frozen side, exactly as
+    * in the built-in aggregation operators; spec-pinned on both
+    * sides of the boundary). Under that contract, per key and
+    * horizon W:
+    *
+    *  - a TRADE with ts < W is FROZEN: a re-match needs a quote at
+    *    tq ≤ ts < W, which can no longer arrive — its last emission
+    *    is final and it leaves state;
+    *  - of the QUOTES below W only the LATEST can still be the
+    *    as-of match of a future trade (every future ts ≥ W), so the
+    *    book compacts to that one row plus the quotes at-or-above W.
+    *
+    * Emissions are bit-identical to [[asofStream]] on any stream the
+    * contract admits (spec-pinned), so fold == batch `AsOf.join` per
+    * prefix still holds; state per key is bounded by rows INSIDE the
+    * lateness window + 1, not by the stream (spec-pinned via the
+    * probe under a long in-order stream). Idle keys shrink too:
+    * an event-time timeout fires once the watermark passes the
+    * key's newest held row and runs the same eviction.
+    *
+    * `probe = true` additionally emits one mult = 0 row per
+    * invocation carrying the post-eviction state size
+    * (trade_id = trades held, ts = quotes held) — mult 0 contributes
+    * nothing to any Σ-mult fold, so consumers are unaffected; specs
+    * read the bound in-band instead of reflecting on the state store.
+    */
+  def asofStreamBounded(
+      rows: Dataset[AsOfRow], latenessMs: Long,
+      probe: Boolean = false): Dataset[AsOfOut] = {
+    import rows.sparkSession.implicits._
+    require(latenessMs >= 0, s"latenessMs must be >= 0, got $latenessMs")
+    rows
+      .withColumn("_et", timestamp_millis(col("ts")))
+      .withWatermark("_et", s"$latenessMs milliseconds")
+      .as[AsOfRow] // _et stays in the plan: event-time timeouts need it
+
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Seq[Long]), AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, batch: Iterator[AsOfRow],
+            state: GroupState[(Seq[(Long, Long)], Seq[Long])]) =>
+          val horizon = state.getCurrentWatermarkMs()
+          var (trades, quotes0) = state.getOption
+            .getOrElse((Seq.empty[(Long, Long)], Seq.empty[Long]))
+          var quotes = quotes0.toVector // kept sorted
+          val out = Seq.newBuilder[AsOfOut]
+          def predOf(ts: Long): Option[Long] = {
+            val i = quotes.search(ts)(Ordering.Long) match {
+              case scala.collection.Searching.Found(j) => j
+              case scala.collection.Searching.InsertionPoint(j) => j - 1
+            }
+            if (i >= 0) Some(quotes(i)) else None
+          }
+          batch.foreach { r =>
+            if (r.ts >= horizon) { // at-horizon rows ARE processed
+              if (r.side == 0) {
+                out += AsOfOut(key, r.id, r.ts, predOf(r.ts), 1L)
+                trades = trades :+ ((r.ts, r.id))
+              } else {
+                val next = quotes.find(_ > r.ts)
+                val old = predOf(r.ts)
+                trades.foreach { case (tts, tid) =>
+                  if (tts >= r.ts && next.forall(tts < _)) {
+                    out += AsOfOut(key, tid, tts, old, -1L)
+                    out += AsOfOut(key, tid, tts, Some(r.ts), 1L)
+                  }
+                }
+                quotes = (quotes :+ r.ts).sorted
+              }
+            }
+          }
+          // the frozen-horizon eviction
+          trades = trades.filter(_._1 >= horizon)
+          val (below, above) = quotes.partition(_ < horizon)
+          quotes = below.lastOption.toVector ++ above
+          if (probe)
+            out += AsOfOut(key, trades.size.toLong, quotes.size.toLong,
+              None, 0L)
+          if (trades.isEmpty && quotes.isEmpty) state.remove()
+          else {
+            state.update((trades, quotes))
+            // idle keys evict when the watermark passes their newest
+            // held row; past-eviction maxima are >= horizon, so the
+            // timestamp is legal (strictly ahead of the watermark)
+            if (trades.nonEmpty || quotes.size > 1)
+              state.setTimeoutTimestamp(
+                (trades.map(_._1) ++ quotes).max + 1L)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** One signed CDC row of [[bandedJoinStream]]: [[ZJoinRow]] plus
+    * the row's event time `ts` (epoch ms) — the join is TIME-BANDED,
+    * so every row carries when it happened. A delete (mult −1) names
+    * the row it retracts by the SAME (ts, payload).
+    */
+  case class ZBandRow(side: Int, key: Long, ts: Long, payload: String,
+      mult: Long)
+
+  /** One signed output row of [[bandedJoinStream]]: a delta of the
+    * maintained banded-join view. Folding Σ mult per
+    * (key, l_ts, l_payload, r_ts, r_payload) and keeping positive IS
+    * the current view.
+    */
+  case class ZBandOut(key: Long, l_ts: Long, l_payload: String,
+      r_ts: Long, r_payload: String, mult: Long)
+
+  /** WATERMARK-BOUNDED delta-join maintenance (r15): the
+    * [[deltaJoinStream]] CDC story for the TIME-BANDED join
+    *
+    *   L ⋈ R  on  key ∧ |l.ts − r.ts| ≤ bandMs
+    *
+    * — the join class whose state CAN evict. A pure key-equi Z-join
+    * must hold every live row forever (an old row still matches
+    * every future arrival at its key — [[deltaJoinStream]]'s honest,
+    * documented price); the band is what makes a frozen horizon
+    * exist: under watermark W every future arrival has ts ≥ W, so a
+    * held row with ts < W − bandMs can never match again, and a
+    * delete naming it (same ts, below W) can no longer arrive — the
+    * row is FROZEN, its emitted matches are final, and it leaves
+    * state. This is the same reasoning Structured Streaming's own
+    * stream-stream join applies to its buffers, here for the
+    * Z-set/CDC semantics the built-in join does not speak (it has no
+    * retraction rows).
+    *
+    * Emissions: each arrival emits its matches against the other
+    * side's live in-band Z-set, exactly the [[deltaJoinStream]]
+    * identity restricted to the band; folding all emissions equals
+    * the batch banded Z-join of the folded inputs on any prefix the
+    * watermark contract admits (spec-pinned; deletes straddling
+    * micro-batches included — a delete is admissible while its
+    * row's ts is strictly above the horizon). Rows at-or-below the
+    * horizon are dropped BEFORE the function by Spark's stateful
+    * late-row rule (ts <= watermark is late; spec-pinned on both
+    * sides of the boundary). State per key ∝ rows with
+    * ts ≥ W − bandMs (the band + lateness window, spec-pinned via
+    * the probe); idle keys drain to EMPTY through an event-time
+    * timeout — unlike the as-of twin there is no "latest quote"
+    * floor, a fully-frozen key removes its state outright.
+    *
+    * `probe = true` emits one mult = 0 row per invocation with the
+    * post-eviction state sizes (l_ts = left rows held, r_ts = right
+    * rows held, payloads null); mult 0 is fold-invisible.
+    */
+  def bandedJoinStream(
+      rows: Dataset[ZBandRow], bandMs: Long, latenessMs: Long,
+      probe: Boolean = false): Dataset[ZBandOut] = {
+    import rows.sparkSession.implicits._
+    require(bandMs >= 0, s"bandMs must be >= 0, got $bandMs")
+    require(latenessMs >= 0, s"latenessMs must be >= 0, got $latenessMs")
+    rows
+      .withColumn("_et", timestamp_millis(col("ts")))
+      .withWatermark("_et", s"$latenessMs milliseconds")
+      .as[ZBandRow] // _et stays in the plan: event-time timeouts need it
+
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[
+          (Map[(Long, String), Long], Map[(Long, String), Long]),
+          ZBandOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, batch: Iterator[ZBandRow],
+            state: GroupState[
+              (Map[(Long, String), Long], Map[(Long, String), Long])]) =>
+          val horizon = state.getCurrentWatermarkMs()
+          var (left, right) = state.getOption.getOrElse(
+            (Map.empty[(Long, String), Long],
+              Map.empty[(Long, String), Long]))
+          val out = Seq.newBuilder[ZBandOut]
+          batch.foreach { r =>
+            if (r.ts >= horizon) {
+              if (r.side == 0) {
+                right.foreach { case ((rts, rp), rm) =>
+                  if (math.abs(r.ts - rts) <= bandMs)
+                    out += ZBandOut(key, r.ts, r.payload, rts, rp,
+                      r.mult * rm)
+                }
+                val k = (r.ts, r.payload)
+                val m = left.getOrElse(k, 0L) + r.mult
+                left = if (m == 0L) left - k else left + (k -> m)
+              } else {
+                left.foreach { case ((lts, lp), lm) =>
+                  if (math.abs(r.ts - lts) <= bandMs)
+                    out += ZBandOut(key, lts, lp, r.ts, r.payload,
+                      lm * r.mult)
+                }
+                val k = (r.ts, r.payload)
+                val m = right.getOrElse(k, 0L) + r.mult
+                right = if (m == 0L) right - k else right + (k -> m)
+              }
+            }
+          }
+          // frozen-horizon eviction: below W − band nothing can match
+          // or retract again
+          val floor = horizon - bandMs
+          left = left.filter(_._1._1 >= floor)
+          right = right.filter(_._1._1 >= floor)
+          if (probe)
+            out += ZBandOut(key, left.size.toLong, null,
+              right.size.toLong, null, 0L)
+          if (left.isEmpty && right.isEmpty) state.remove()
+          else {
+            state.update((left, right))
+            // kept rows have ts >= W − band, so ts + band + 1 > W:
+            // a legal timeout that fires once everything is frozen
+            state.setTimeoutTimestamp(
+              (left.keys ++ right.keys).map(_._1).max + bandMs + 1L)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** One input row of [[scd2Stream]]: an SCD2 defining event —
+    * `ts` is the version's `valid_from`, epoch milliseconds.
+    * Insert-only, the batch `Scd2.deltaMaintain` contract.
+    */
+  case class Scd2Event(key: Long, event_id: Long, attr: String, ts: Long)
+
+  /** One signed output row of [[scd2Stream]]: a Z-delta of the
+    * maintained SCD2 store (the batch `Scd2.build` row + mult).
+    * Folding Σ mult per full row and keeping positive IS the store.
+    */
+  case class Scd2Out(key: Long, event_id: Long, version: Long,
+      attr: String, valid_from: Long, valid_to: Option[Long],
+      is_current: Boolean, mult: Long)
+
+  /** Streaming SCD2 maintenance (r15, r14 verdict item 6 — the one
+    * r14 batch family that had no streaming face): late-arriving
+    * defining events fold into the maintained version history as CDC.
+    * A late event does more than append — it SPLITS the covering
+    * validity interval, closes the open row when it lands last, and
+    * RENUMBERS every later version of its key — so each arrival
+    * rebuilds the key's chain and emits exactly the store's Z-delta:
+    * (−1) for every store row the event invalidates, (+1) for every
+    * row it creates. Fold == batch `Scd2.build` of the folded events
+    * on ANY prefix in any arrival order (spec-pinned, late events
+    * straddling micro-batches included). (ts, event_id) ties follow
+    * the batch sort; (key, ts, event_id) unique by its contract.
+    *
+    * State per key is NOT the event history — it is the chain of
+    * versions still OPEN to change, bounded by the watermark
+    * (`latenessMs`, same contract discipline as
+    * [[asofStreamBounded]]): under horizon W an arrival has
+    * ts ≥ W, and a version whose `valid_to` < W can never be split,
+    * renumbered, or closed again (anything sorting at-or-before it
+    * is below W; its version number counts only frozen predecessors)
+    * — so the FROZEN PREFIX of each chain is emitted as final and
+    * leaves state, surviving only as a count (version numbering
+    * continues from it). State per key = versions inside the
+    * lateness window + the open row; idle keys drain to that floor
+    * through an event-time timeout.
+    *
+    * `probe = true` emits one mult = 0 row per invocation with the
+    * post-eviction state size (event_id = versions held,
+    * version = frozen count); mult 0 is fold-invisible.
+    */
+  def scd2Stream(
+      events: Dataset[Scd2Event], latenessMs: Long,
+      probe: Boolean = false): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    require(latenessMs >= 0, s"latenessMs must be >= 0, got $latenessMs")
+    // state: (frozen version count, held defining events)
+    type Held = Seq[(Long, Long, String)] // (ts, event_id, attr)
+    def chain(offset: Long, evts: Held): Seq[Scd2Out] = {
+      val s = evts.sortBy(e => (e._1, e._2))
+      s.zipWithIndex.map { case ((ts, eid, attr), i) =>
+        val next = if (i + 1 < s.size) Some(s(i + 1)._1) else None
+        Scd2Out(0L, eid, offset + i + 1L, attr, ts, next, next.isEmpty, 1L)
+      }
+    }
+    events
+      .withColumn("_et", timestamp_millis(col("ts")))
+      .withWatermark("_et", s"$latenessMs milliseconds")
+      .as[Scd2Event] // _et stays in the plan: event-time timeouts need it
+
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long, String)]), Scd2Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, batch: Iterator[Scd2Event],
+            state: GroupState[(Long, Seq[(Long, Long, String)])]) =>
+          val horizon = state.getCurrentWatermarkMs()
+          val (frozen0, held0) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, String)]))
+          val incoming = batch.filter(_.ts >= horizon)
+            .map(e => (e.ts, e.event_id, e.attr)).toSeq
+          val oldRows = chain(frozen0, held0).map(_.copy(key = key))
+          val newAll = chain(frozen0, held0 ++ incoming)
+            .map(_.copy(key = key))
+          val out = Seq.newBuilder[Scd2Out]
+          if (incoming.nonEmpty) {
+            val oldSet = oldRows.toSet
+            val newSet = newAll.toSet
+            (oldSet -- newSet).foreach(r => out += r.copy(mult = -1L))
+            (newSet -- oldSet).foreach(r => out += r)
+          }
+          // frozen-prefix eviction: a version with valid_to < W can
+          // never change again (STRICT — an at-horizon tie can still
+          // reorder an at-horizon successor, so valid_to == W stays)
+          val sorted = (held0 ++ incoming).sortBy(e => (e._1, e._2))
+          val freeze = sorted.indices.count(i =>
+            i + 1 < sorted.size && sorted(i + 1)._1 < horizon)
+          val frozen = frozen0 + freeze
+          val held = sorted.drop(freeze)
+          if (probe)
+            out += Scd2Out(key, held.size.toLong, frozen, null, 0L,
+              None, false, 0L)
+          if (held.isEmpty && frozen == 0L) state.remove()
+          else {
+            state.update((frozen, held))
+            // held rows 2..n have ts >= horizon (their predecessor
+            // survived the strict freeze), so the timeout is legal;
+            // with one held row nothing is evictable — no timeout
+            if (held.size > 1)
+              state.setTimeoutTimestamp(held.map(_._1).max + 1L)
+          }
           out.result().iterator
       }
   }
