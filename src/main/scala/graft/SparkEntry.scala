@@ -1329,6 +1329,34 @@ object SparkEntry {
         .withColumnRenamed("k", "event_type")
     },
 
+    "q_incremental_durable" -> { (s, dir) =>
+      // the DURABLE maintained-state round-trip (r15): the base
+      // stateZSum persists as a shard-partitioned external TABLE,
+      // and the maintenance run folds the signed delta in through
+      // DurableState.maintainZSum — only delta-touched shards are
+      // read (partition-pruned) or rewritten (dynamic overwrite;
+      // untouched files byte-identical, DurableStateSpec pins both
+      // legs). Same splits as q_incremental_sum_retract, keyed by
+      // user_id; the oracle recomputes from the surviving rows.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_zsum", wh + "/state", shards = 64)
+      val delta = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"), lit(-1)),
+          Incremental.stateZSum(ins, col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      Incremental.finishZSum(
+          DurableState.maintainZSum(s, "graft_durable_zsum", delta))
+        .withColumnRenamed("k", "user_id")
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // next-fit packing of docs into 2048-char training sequences
       // per source; per-sequence fill summary
@@ -3525,6 +3553,15 @@ object SparkEntry {
         |FROM events
         |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
         |GROUP BY event_type""".stripMargin,
+
+    // the durable round-trip lands on the same survivors, keyed by
+    // user_id (the table/partition machinery must not change a bit)
+    "q_incremental_durable" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
 
     // the corrected-tables LEFT OUTER recompute, same survivor sets
     "q_incremental_outer_retract" ->

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DurableState, Incremental}
+
+/** The durable maintained-state round-trip (r15, r14 verdict item 3):
+  * the persisted stateZSum frame lives as a shard-partitioned
+  * external table, and a maintenance run reads ONLY touched shards
+  * (partition-pruned scan, pinned in the plan), rewrites ONLY touched
+  * shard directories (dynamic overwrite — untouched files
+  * byte-identical on disk, pinned via the listing), and lands on the
+  * same state as the in-memory mergeZSum/applyZSum folds.
+  */
+class DurableStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ds_$tag").toString
+
+  private def stateOf(rows: Seq[(String, Double)], m: Long = 1L) =
+    Incremental.stateZSum(rows.toDF("g", "v"), col("g"), col("v"), lit(m))
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("n"), col("sum_v").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+
+  private def listing(path: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator()
+      .asScala.filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        ((java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+  }
+
+  test("durable round-trip == mergeZSum/applyZSum; untouched shards neither read nor rewritten") {
+    val base = (0 until 400).map(i => (s"k${i % 40}", (i % 13).toDouble))
+    val baseState = stateOf(base).localCheckpoint()
+    val path = freshDir("rt")
+    DurableState.writeZSum(baseState, "graft_ds_rt", path, shards = 16)
+    // key-sparse delta: appends + a retraction on TWO keys only
+    val delta = Incremental.mergeZSum(
+        stateOf(Seq(("k3", 2.5), ("k3", 4.0), ("k7", 1.0))),
+        stateOf(Seq(("k7", 3.0)), m = -1L))
+      .localCheckpoint()
+    val touched = DurableState.touchedShards(delta, 16)
+    assert(touched.size <= 2, s"two keys must touch <= 2 shards: $touched")
+    // (1) the pruned READ: the touched slice's scan carries the
+    // literal IN partition filter — the untouched passthrough is
+    // not-reading, file-level
+    val slice = DurableState.shardSlice(spark, "graft_ds_rt", touched)
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_shard"),
+      plan)
+    val scanned = slice.select(col("_shard")).distinct()
+      .as[Int].collect().toSet
+    assert(scanned == touched.toSet, s"read shards $scanned != $touched")
+    val before = listing(path)
+    // (2) the maintenance run
+    val got = DurableState.maintainZSum(spark, "graft_ds_rt", delta)
+    assert(rowsOf(got) == rowsOf(Incremental.mergeZSum(baseState, delta)))
+    assert(rowsOf(got) == rowsOf(Incremental.applyZSum(baseState, delta)))
+    // (3) the pruned WRITE: untouched shard directories byte-identical
+    val after = listing(path)
+    val untouchedBefore = before.filterNot(f =>
+      touched.exists(sh => f._1.contains(s"_shard=$sh/")))
+    val untouchedAfter = after.filterNot(f =>
+      touched.exists(sh => f._1.contains(s"_shard=$sh/")))
+    assert(untouchedBefore == untouchedAfter,
+      "untouched shard files changed on disk")
+    assert(before.keySet.exists(f =>
+      touched.exists(sh => f.contains(s"_shard=$sh/"))),
+      "degenerate: no touched-shard file existed before")
+    // (4) the table IS the state: a fresh read equals the return
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_rt")) ==
+      rowsOf(got))
+    // (5) chaining: a second run folds on top of the first
+    val delta2 = stateOf(Seq(("k3", 1.0), ("k11", 9.0))).localCheckpoint()
+    val got2 = DurableState.maintainZSum(spark, "graft_ds_rt", delta2)
+    val want2 = Incremental.mergeZSum(
+      Incremental.mergeZSum(baseState, delta), delta2)
+    assert(rowsOf(got2) == rowsOf(want2))
+  }
+
+  test("a shard emptied by retractions drops its partition instead of resurrecting stale files") {
+    // one key per shard-ish: retract key kX completely
+    val base = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+    val baseState = stateOf(base).localCheckpoint()
+    val path = freshDir("empty")
+    DurableState.writeZSum(baseState, "graft_ds_empty", path, shards = 8)
+    val aShard = DurableState.touchedShards(
+      stateOf(Seq(("a", 1.0))), 8).head
+    // full retraction of key a (n and sum both net to the identity)
+    val delta = stateOf(Seq(("a", 1.0)), m = -1L).localCheckpoint()
+    val got = DurableState.maintainZSum(spark, "graft_ds_empty", delta)
+    assert(rowsOf(got) == rowsOf(Incremental.mergeZSum(baseState, delta)))
+    assert(!rowsOf(got).exists(_._1 == "a"))
+    // the emptied shard's directory holds no live partition
+    val parts = spark.sql("SHOW PARTITIONS graft_ds_empty")
+      .as[String].collect().toSet
+    assert(!parts.contains(s"_shard=$aShard"), parts)
+  }
+
+  test("maintainZSum is loud on schema drift and foreign tables") {
+    val e1 = intercept[IllegalArgumentException] {
+      DurableState.maintainZSum(spark, "graft_ds_rt",
+        Seq(("x", 1L)).toDF("k", "n"))
+    }
+    assert(e1.getMessage.contains("stateZSum schema"))
+    spark.sql("DROP TABLE IF EXISTS graft_ds_foreign")
+    Seq(("x", 1L, "0.0")).toDF("k", "n", "sum_v")
+      .write.mode("overwrite").saveAsTable("graft_ds_foreign")
+    val e2 = intercept[IllegalArgumentException] {
+      DurableState.maintainZSum(spark, "graft_ds_foreign",
+        stateOf(Seq(("x", 1.0))))
+    }
+    assert(e2.getMessage.contains("graft.zsum.shards"))
+  }
+}
