@@ -130,6 +130,56 @@ object Curation {
       checkContract: Boolean = true,
       baseClasses: Option[DataFrame] = None): DataFrame = {
     import graft.functions.F
+    val (bClasses, fresh, buckets) = deltaBucketFrames(
+      baseDocs, deltaDocs, id, text, minQuality, checkContract,
+      baseClasses)
+    val crossing = buckets
+      .filter(col("n_base").between(2, maxBucket) &&
+        col("n_all") > maxBucket)
+      .select(col("band"), col("bucket"), col("n_base"), col("n_all"))
+      .limit(1).collect()
+    require(crossing.isEmpty, {
+      val c = crossing.head
+      s"curateDelta: delta pushes bucket (band=${c.get(0)}, " +
+        s"bucket=${c.get(1)}) over the LSH cap " +
+        s"(${c.get(2)} base -> ${c.get(3)} members > $maxBucket) — " +
+        "base candidate pairs would retract; run the full curate"
+    })
+    val candidates = buckets
+      .filter(col("n_all").between(2, maxBucket))
+      .select(explode(F.minhashBucketPairs(col("items"),
+        candidateMinEst)).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+      // only pairs whose HIGHER id is a fresh rep can drop one
+      .join(broadcast(fresh.select(col("rep").as("id_b"))),
+        Seq("id_b"), "left_semi")
+    val texts = bClasses.select(col("rep"), col("_t"))
+      .unionByName(fresh.select(col("rep"), col("_t")))
+    val losers = candidates
+      .join(texts.select(col("rep").as("id_a"), col("_t").as("_ta")),
+        Seq("id_a"))
+      .join(texts.select(col("rep").as("id_b"), col("_t").as("_tb")),
+        Seq("id_b"))
+      .filter(F.ngramJaccardSim(col("_ta"), col("_tb"), 5) >= minJaccard)
+      .select(col("id_b").as("rep")).distinct()
+    fresh.join(losers, Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("_t").as("text"))
+  }
+
+  /** Stages 1–3 of [[curateDelta]] up to the touched-bucket frame,
+    * shared with [[curateDeltaSaturation]]: (base class frame, fresh
+    * delta classes, touched buckets (band, bucket, items, n_base,
+    * n_all)). Semantics documented on [[curateDelta]].
+    */
+  private def deltaBucketFrames(
+      baseDocs: DataFrame,
+      deltaDocs: DataFrame,
+      id: Column,
+      text: Column,
+      minQuality: Double,
+      checkContract: Boolean,
+      baseClasses: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.F
     val base = baseDocs.select(id.as("doc_id"), text.as("text"))
     val delta = graft.ops.Maintenance.insertOnly(
         deltaDocs, "Curation.curateDelta",
@@ -199,36 +249,50 @@ object Curation {
         sum(when(col("_new"), 0L).otherwise(1L)).as("n_base"),
         count(lit(1)).as("n_all"))
       .localCheckpoint()
-    val crossing = buckets
-      .filter(col("n_base").between(2, maxBucket) &&
-        col("n_all") > maxBucket)
-      .select(col("band"), col("bucket"), col("n_base"), col("n_all"))
-      .limit(1).collect()
-    require(crossing.isEmpty, {
-      val c = crossing.head
-      s"curateDelta: delta pushes bucket (band=${c.get(0)}, " +
-        s"bucket=${c.get(1)}) over the LSH cap " +
-        s"(${c.get(2)} base -> ${c.get(3)} members > $maxBucket) — " +
-        "base candidate pairs would retract; run the full curate"
-    })
-    val candidates = buckets
-      .filter(col("n_all").between(2, maxBucket))
-      .select(explode(F.minhashBucketPairs(col("items"),
-        candidateMinEst)).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
-      // only pairs whose HIGHER id is a fresh rep can drop one
-      .join(broadcast(fresh.select(col("rep").as("id_b"))),
-        Seq("id_b"), "left_semi")
-    val texts = bClasses.select(col("rep"), col("_t"))
-      .unionByName(fresh.select(col("rep"), col("_t")))
-    val losers = candidates
-      .join(texts.select(col("rep").as("id_a"), col("_t").as("_ta")),
-        Seq("id_a"))
-      .join(texts.select(col("rep").as("id_b"), col("_t").as("_tb")),
-        Seq("id_b"))
-      .filter(F.ngramJaccardSim(col("_ta"), col("_tb"), 5) >= minJaccard)
-      .select(col("id_b").as("rep")).distinct()
-    fresh.join(losers, Seq("rep"), "left_anti")
-      .select(col("rep").as("doc_id"), col("_t").as("text"))
+    (bClasses, fresh, buckets)
+  }
+
+  /** CAP-PROXIMITY report for [[curateDelta]] (r15, r14 verdict item
+    * 7 — the `dd_lsh_stats` idiom applied to the maintenance path):
+    * the in-band cap-crossing require is the hard stop; a pipeline
+    * wants to see saturation COMING, so this report aggregates the
+    * delta-touched buckets per band — max members, max base members,
+    * `saturation_permille` = max(n_all)·1000 / maxBucket (integer,
+    * engine-exact), plus the counts an operator alarms on:
+    * `near_cap` (within 25 % of the cap, still under it) and
+    * `would_cross` (exactly [[curateDelta]]'s rejection condition —
+    * a previously-under-cap bucket the delta pushes over). Unlike
+    * [[curateDelta]] it never throws: the report IS the warning
+    * surface, runnable before the fold commits. Same delta-scoped
+    * cost shape (touched buckets only).
+    */
+  def curateDeltaSaturation(
+      baseDocs: DataFrame,
+      deltaDocs: DataFrame,
+      id: Column,
+      text: Column,
+      minQuality: Double = 0.4,
+      maxBucket: Int = 64,
+      checkContract: Boolean = true,
+      baseClasses: Option[DataFrame] = None): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val (_, _, buckets) = deltaBucketFrames(
+      baseDocs, deltaDocs, id, text, minQuality, checkContract,
+      baseClasses)
+    buckets
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("touched_buckets"),
+        max(col("n_all")).as("max_members"),
+        max(col("n_base")).as("max_base"),
+        sum(when(col("n_all") <= maxBucket &&
+            col("n_all") * 4L >= maxBucket.toLong * 3L, 1L)
+          .otherwise(0L)).as("near_cap"),
+        sum(when(col("n_base").between(2, maxBucket) &&
+            col("n_all") > maxBucket, 1L)
+          .otherwise(0L)).as("would_cross"))
+      // integer DIV — no float share anywhere in the report
+      .withColumn("saturation_permille",
+        expr(s"CAST((max_members * 1000L) DIV ${maxBucket}L AS BIGINT)"))
   }
 }

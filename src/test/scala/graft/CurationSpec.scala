@@ -84,6 +84,49 @@ class CurationSpec extends SparkSpec {
     }.getMessage.contains("append-only"))
   }
 
+  test("curateDeltaSaturation: cap proximity in-band; would_cross == the hard-stop condition") {
+    // two base near-dups and one fresh delta near-dup share (most of)
+    // their 16 band buckets — under cap 2 those buckets go 2 base →
+    // 3 members, exactly curateDelta's rejection condition
+    val baseTxt = ("a perfectly ordinary document with plenty of " +
+      "distinct interesting words that go on and on for a while ") * 3
+    val base = Seq(
+      (1L, baseTxt + "alpha"),
+      (2L, baseTxt + "beta"),
+      (3L, "completely different content about other topics entirely " +
+        "sharing nothing with the first cluster of documents at all"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, baseTxt + "gamma")).toDF("doc_id", "text")
+    def report(cap: Int) = Curation.curateDeltaSaturation(
+        base, delta, col("doc_id"), col("text"), maxBucket = cap)
+      .select($"band", $"touched_buckets", $"max_members", $"max_base",
+        $"near_cap", $"would_cross", $"saturation_permille")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val tight = report(cap = 2)
+    val crossing = tight.filter(_._6 > 0L)
+    assert(crossing.nonEmpty, s"no crossing band reported: $tight")
+    // the crossing bands carry the full proximity picture: 3 members
+    // over a cap of 2 (1500 permille), 2 of them base
+    assert(crossing.forall(b => b._3 == 3L && b._4 == 2L && b._7 == 1500L),
+      crossing.toString)
+    // the report is the WARNING surface (never throws); the fold
+    // itself rejects the identical condition loudly
+    assert(intercept[IllegalArgumentException] {
+      Curation.curateDelta(base, delta, col("doc_id"), col("text"),
+        maxBucket = 2).collect()
+    }.getMessage.contains("over the LSH cap"))
+    // under a roomier cap nothing crosses — the same buckets surface
+    // as near-cap (3 of 4 = 750 permille): saturation seen COMING
+    val roomy = report(cap = 4)
+    assert(roomy.forall(_._6 == 0L), roomy.toString)
+    assert(roomy.exists(_._5 > 0L) && roomy.map(_._7).max == 750L,
+      roomy.toString)
+    // and curateDelta folds CLEAN at that cap — gamma is correctly
+    // decided a near-dup loser of alpha (no survivors, no throw)
+    assert(Curation.curateDelta(base, delta, col("doc_id"), col("text"),
+      maxBucket = 4).collect().isEmpty)
+  }
+
   test("curate is lazy: zero jobs at plan build, release() drops the caches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
