@@ -1247,6 +1247,34 @@ object SparkEntry {
       state2.select(col("id").as("doc_id"), col("stratum").as("lang"))
     },
 
+    "ds_quota_durable" -> { (s, dir) =>
+      // the durable leg of the maintained sampling quota (r15): the
+      // quota frame lives as a stratum-sharded table; each append
+      // batch folds in through Sampling.fixedKDelta over the pruned
+      // touched slice, rewriting only touched shard directories —
+      // TWO chained durable runs, same splits and oracle as
+      // ds_sample_delta.
+      import graft.llm.Sampling
+      import graft.ops.DurableState
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 4 =!= 0)
+      val d1 = docs.filter(col("doc_id") % 8 === 0)
+      val d2 = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_quota").toString
+      DurableState.writeKeyed(
+        Sampling.fixedKState(base, col("doc_id"), col("lang"), 20),
+        "graft_durable_quota", wh + "/state", shards = 16,
+        keyCol = "stratum")
+      def fold(d: DataFrame): DataFrame =
+        DurableState.maintainKeyed(s, "graft_durable_quota", d,
+          col("lang"),
+          (slice, dd) => Sampling.fixedKDelta(slice, dd,
+            col("doc_id"), col("lang"), 20))
+      fold(d1)
+      fold(d2).select(col("id").as("doc_id"), col("stratum").as("lang"))
+    },
+
     "ds_correlated_sample" -> { (s, dir) =>
       // correlated sampling: the SAME splitmix decision on the
       // shared key samples every table, so a 10% dev slice keeps
@@ -1354,6 +1382,32 @@ object SparkEntry {
         .localCheckpoint()
       Incremental.finishZSum(
           DurableState.maintainZSum(s, "graft_durable_zsum", delta))
+        .withColumnRenamed("k", "user_id")
+    },
+
+    "q_incremental_durable_z" -> { (s, dir) =>
+      // the durable leg for the PAIR-LEVEL Z-state (r15) — the
+      // retractable-min/max family through the sharded table: the
+      // rebuild is mergeZ over the pruned touched slice (negative
+      // residues carried, netted pairs dropped), surfaced with
+      // finishZ. Same splits as q_incremental_durable.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_z").toString
+      DurableState.writeKeyed(
+        Incremental.stateZ(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_z", wh + "/state", shards = 64, keyCol = "k")
+      val delta = Incremental.mergeZ(
+          Incremental.stateZ(del, col("user_id"), col("value"), lit(-1)),
+          Incremental.stateZ(ins, col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      Incremental.finishZ(
+          DurableState.maintainKeyed(s, "graft_durable_z", delta,
+            col("k"), (slice, d) => Incremental.mergeZ(slice, d)))
         .withColumnRenamed("k", "user_id")
     },
 
@@ -1805,6 +1859,31 @@ object SparkEntry {
         .localCheckpoint() // the persisted store materializes once
       Scd2.deltaMaintain(store, late, col("user_id"), col("event_id"),
           col("event_type"), eventUs(late, "ts"))
+        .withColumnRenamed("key", "user_id")
+    },
+
+    "q_scd2_durable" -> { (s, dir) =>
+      // the durable leg of the temporal-IVM family (r15): the SCD2
+      // store lives as a key-sharded table; the late batch rebuilds
+      // ONLY its touched shards through Scd2.deltaMaintain over the
+      // partition-pruned slice, and only those shard directories
+      // rewrite (DurableStateSpec pins both legs on this exact
+      // composition). Same splits and oracle as q_incremental_scd2.
+      import graft.ops.{DurableState, Scd2}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val late = ev.filter(col("event_id") % 5 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_scd2").toString
+      DurableState.writeKeyed(
+        Scd2.build(base, col("user_id"), col("event_id"),
+          col("event_type"), eventUs(base, "ts")),
+        "graft_durable_scd2", wh + "/state", shards = 64,
+        keyCol = "key")
+      DurableState.maintainKeyed(s, "graft_durable_scd2", late,
+          col("user_id"),
+          (slice, d) => Scd2.deltaMaintain(slice, d, col("user_id"),
+            col("event_id"), col("event_type"), eventUs(d, "ts")))
         .withColumnRenamed("key", "user_id")
     },
 
@@ -3270,6 +3349,7 @@ object SparkEntry {
     // the maintained quota must equal the one-shot quota over the
     // unioned corpus — top-k per stratum is fold-invariant
     "ds_sample_delta" -> OracleSqlGen.sql("ds_sample_fixed_k"),
+    "ds_quota_durable" -> OracleSqlGen.sql("ds_sample_fixed_k"),
 
     // incremental curation under the append-only id contract must
     // land on the full pipeline's survivors exactly
@@ -3563,6 +3643,15 @@ object SparkEntry {
         |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
         |GROUP BY user_id""".stripMargin,
 
+    // the pair-level durable member surfaces the full finishZ tuple
+    "q_incremental_durable_z" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
+
     // the corrected-tables LEFT OUTER recompute, same survivor sets
     "q_incremental_outer_retract" ->
       """SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
@@ -3735,6 +3824,17 @@ object SparkEntry {
     // SCD2 over the full corrected log — maintenance must land on the
     // same history arrival order would have produced
     "q_incremental_scd2" ->
+      """SELECT user_id, event_id,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | event_type AS attr,
+        | epoch_us(ts) AS valid_from,
+        | lead(epoch_us(ts)) OVER w AS valid_to,
+        | (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    // the durable SCD2 leg lands on the identical corrected-log build
+    "q_scd2_durable" ->
       """SELECT user_id, event_id,
         | CAST(row_number() OVER w AS BIGINT) AS version,
         | event_type AS attr,

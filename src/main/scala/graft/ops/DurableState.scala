@@ -2,23 +2,28 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** DURABLE maintained state (r15, r14 verdict item 3): the last leg
   * between "gates localCheckpoint their frames" and "a deployment's
-  * nightly job". The persisted scalar agg Z-state
-  * ([[Incremental.stateZSum]] schema `(k, n, sum_v)`) lives as a
-  * SHARD-PARTITIONED external table, and a maintenance run
+  * nightly job". A maintained KEYED state frame (scalar agg Z-state,
+  * pair-level Z-state, SCD2 store, sampling quota — any frame whose
+  * maintenance rebuilds per key) lives as a SHARD-PARTITIONED
+  * external table, and a maintenance run
   *
   *  1. reads ONLY the delta-touched shards — a PARTITION-PRUNED scan
   *     (the untouched passthrough becomes not-reading: file-level,
   *     stronger than the in-memory applies' broadcast-anti, which
   *     still scans every store row);
-  *  2. re-aggregates the touched slice ∪ delta — the one shuffle is
-  *     touched-shard-sized, delta-derived;
-  *  3. writes back with DYNAMIC PARTITION OVERWRITE — only touched
+  *  2. rebuilds the touched slice against the delta with the
+  *     family's OWN maintenance kernel (`mergeZSum`, `mergeZ`,
+  *     `Scd2.deltaMaintain`, `Sampling.fixedKDelta` — the durable
+  *     layer composes, it does not re-derive semantics);
+  *  3. writes back under DYNAMIC PARTITION OVERWRITE — only touched
   *     shard directories are rewritten; untouched files are
-  *     byte-identical on disk (spec-pinned via the file listing).
+  *     byte-identical on disk (spec-pinned via the file listing);
+  *     shards emptied by retractions are dropped explicitly (dynamic
+  *     overwrite only replaces partitions PRESENT in the write —
+  *     stale files would resurrect dead keys).
   *
   * Shard grain, not bucket grain, on purpose: [[Layout.bucketWrite]]
   * gives zero-Exchange JOINS against the store, but `bucketBy` +
@@ -28,15 +33,23 @@ import org.apache.spark.sql.types.DecimalType
   * derived from the key hash supports both legs: literal `IN`
   * filters prune the read (the touched set collects to the driver —
   * at most `shards` ints, control-plane), and dynamic overwrite
-  * prunes the write. The shard count is recorded as a table property
-  * at write time so a maintenance run can never mis-shard a probe
-  * (a mismatched modulus would silently drop untouched keys of a
-  * rewritten partition).
+  * prunes the write. The shard count AND key column ride table
+  * properties written at [[writeKeyed]] time, so a maintenance run
+  * can never mis-shard a probe (a mismatched modulus or key would
+  * silently drop untouched keys of a rewritten partition).
+  *
+  * The REBUILD CONTRACT `rebuild(slice, delta)` must satisfy: for a
+  * slice holding every store row of the delta-touched shards, the
+  * result is the maintained state of exactly those shards' keys
+  * (keys outside the slice must not appear — they were not read and
+  * will not be rewritten). Every per-key maintenance kernel in this
+  * repo satisfies it: untouched keys INSIDE a touched shard ride the
+  * kernel's own passthrough and rewrite unchanged.
   */
 object DurableState {
 
-  private val want = Seq("k", "n", "sum_v")
-  private val propKey = "graft.zsum.shards"
+  private val shardsProp = "graft.durable.shards"
+  private val keyProp = "graft.durable.key"
 
   /** The shard of a key — xxhash64 so skewless for any key type;
     * deterministic across sessions (seed-free), which the durable
@@ -45,100 +58,100 @@ object DurableState {
   def shardOf(k: Column, shards: Int): Column =
     pmod(xxhash64(k), lit(shards.toLong)).cast("int")
 
-  private def requireZSum(df: DataFrame, who: String): Unit =
-    require(df.columns.toSeq == want,
-      s"$who: frame must have the stateZSum schema " +
-        s"(${want.mkString(",")}), got ${df.columns.mkString(",")}")
-
-  /** Materialize a scalar agg Z-state as the shard-partitioned
+  /** Materialize a keyed state frame as the shard-partitioned
     * external table `table` at `path`. One write-time shuffle
-    * (partitionBy groups shard directories); the shard count rides a
-    * table property for [[maintainZSum]].
+    * (partitionBy groups shard directories); `keyCol` must name a
+    * column of `state` (null keys land in shard 0 — xxhash64(null)
+    * is null, pmod carries it, and `coalesce` pins them a home so a
+    * null-key store row is maintainable like any other).
     */
-  def writeZSum(
+  def writeKeyed(
       state: DataFrame, table: String, path: String,
-      shards: Int): Unit = {
-    requireZSum(state, "DurableState.writeZSum")
+      shards: Int, keyCol: String): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(state.columns.contains(keyCol),
+      s"DurableState.writeKeyed: key column $keyCol not in " +
+        s"${state.columns.mkString(",")}")
+    require(!state.columns.contains("_shard"),
+      "DurableState.writeKeyed: _shard is the reserved partition column")
     val s = state.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$table`")
-    state.withColumn("_shard", shardOf(col("k"), shards))
+    state.withColumn("_shard",
+        coalesce(shardOf(col(keyCol), shards), lit(0)))
       .write
       .option("path", path)
       .partitionBy("_shard")
       .mode("overwrite")
       .saveAsTable(table)
     s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-      s"('$propKey' = '$shards')")
+      s"('$shardsProp' = '$shards', '$keyProp' = '$keyCol')")
   }
 
-  /** The write-time shard count, from the table property — loud when
-    * the table was not written by [[writeZSum]].
+  /** The write-time (shards, key column), from the table properties —
+    * loud when the table was not written by [[writeKeyed]].
     */
-  def shardsOf(spark: SparkSession, table: String): Int = {
-    val prop = spark.sql(s"SHOW TBLPROPERTIES `$table`")
-      .collect().find(_.getString(0) == propKey).map(_.getString(1))
-    require(prop.isDefined,
-      s"DurableState: table $table has no $propKey property — " +
-        "not a DurableState.writeZSum table")
-    prop.get.toInt
+  def propsOf(spark: SparkSession, table: String): (Int, String) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    require(props.contains(shardsProp) && props.contains(keyProp),
+      s"DurableState: table $table has no $shardsProp/$keyProp " +
+        "properties — not a DurableState.writeKeyed table")
+    (props(shardsProp).toInt, props(keyProp))
   }
 
   /** The state as a consumer reads it (partition column dropped). */
-  def readZSum(spark: SparkSession, table: String): DataFrame =
-    spark.table(table).select(col("k"), col("n"), col("sum_v"))
+  def readKeyed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).drop("_shard")
 
   /** The delta's touched shards — collected to the driver (≤ shards
     * ints; the control-plane cost that buys literal partition
     * pruning on both the read and the write).
     */
-  def touchedShards(delta: DataFrame, shards: Int): Seq[Int] =
-    delta.select(shardOf(col("k"), shards).as("_s")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+  def touchedShards(delta: DataFrame, key: Column, shards: Int): Seq[Int] =
+    delta.select(coalesce(shardOf(key, shards), lit(0)).as("_s"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
 
   /** The partition-pruned touched slice: a literal `IN` filter on the
     * partition column, so the scan reads ONLY the named shard
     * directories (spec-pinned: PartitionFilters carries the IN, and
-    * the scan's partition count equals the touched count).
+    * the scan's shards equal the touched set).
     */
   def shardSlice(
       spark: SparkSession, table: String, shardIds: Seq[Int]): DataFrame =
     spark.table(table)
       .filter(col("_shard").isin(shardIds.map(Integer.valueOf): _*))
 
-  /** One durable maintenance run: fold a [[Incremental.stateZSum]]
-    * delta into the table at touched-shard cost and return the
-    * updated state (reading the table back). Untouched shards are
-    * neither read nor written; a shard whose every key drops to the
-    * identity is removed outright (dynamic overwrite only replaces
-    * partitions PRESENT in the written data, so emptied shards need
-    * the explicit drop — silently keeping their stale files would
-    * resurrect dead keys). Equality with [[Incremental.mergeZSum]] /
-    * [[Incremental.applyZSum]] over the same inputs is spec-pinned.
+  /** One durable maintenance run: read the delta-touched shards,
+    * rebuild them against the delta with the family's kernel, write
+    * back only those shards, and return the updated state (reading
+    * the table back). `deltaKey` evaluates the key on `delta` (the
+    * delta need not share the store schema — SCD2 deltas are EVENTS,
+    * quota deltas are corpus rows). See the rebuild contract above.
     */
-  def maintainZSum(
-      spark: SparkSession, table: String, delta: DataFrame): DataFrame = {
-    requireZSum(delta, "DurableState.maintainZSum")
-    val shards = shardsOf(spark, table)
-    val touched = touchedShards(delta, shards)
-    if (touched.isEmpty) return readZSum(spark, table)
-    // touched-slice compaction; materialized once (it feeds the
-    // emptied-shard check AND the write — lazy, the slice scan and
-    // delta would re-execute per consumer)
-    val compacted = shardSlice(spark, table, touched)
-      .select(col("k"), col("n"), col("sum_v"))
-      .unionByName(delta)
-      .groupBy(col("k"))
-      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
-      .filter(col("n") =!= 0L ||
-        col("sum_v") =!= lit(0).cast(DecimalType(18, 2)))
-      // re-align to the TABLE's exact column types (the agg widened
-      // the decimal), so the positional insertInto cast is identity
-      .select(col("k"),
-        col("n").cast(spark.table(table).schema("n").dataType).as("n"),
-        col("sum_v").cast(spark.table(table).schema("sum_v").dataType)
-          .as("sum_v"))
-      .withColumn("_shard", shardOf(col("k"), shards))
+  def maintainKeyed(
+      spark: SparkSession, table: String, delta: DataFrame,
+      deltaKey: Column,
+      rebuild: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val (shards, keyCol) = propsOf(spark, table)
+    val touched = touchedShards(delta, deltaKey, shards)
+    if (touched.isEmpty) return readKeyed(spark, table)
+    val dataSchema = spark.table(table).drop("_shard").schema
+    val out = rebuild(
+      shardSlice(spark, table, touched).drop("_shard"), delta)
+    require(out.columns.toSeq == dataSchema.map(_.name),
+      s"DurableState.maintainKeyed: rebuild must return the table's " +
+        s"data columns (${dataSchema.map(_.name).mkString(",")}), got " +
+        s"${out.columns.mkString(",")}")
+    // re-align to the TABLE's exact column types (a rebuild agg may
+    // widen a decimal), so the positional insertInto cast is identity;
+    // materialized once — it feeds the emptied-shard check AND the
+    // write (lazy, the slice scan and delta would re-execute per
+    // consumer)
+    val compacted = out
+      .select(dataSchema.map(f => col(f.name).cast(f.dataType)
+        .as(f.name)): _*)
+      .withColumn("_shard",
+        coalesce(shardOf(col(keyCol), shards), lit(0)))
       .localCheckpoint()
     val present = compacted.select(col("_shard")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -158,6 +171,47 @@ object DurableState {
       spark.sql(
         s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (_shard=$sh)")
     }
-    readZSum(spark, table)
+    readKeyed(spark, table)
+  }
+
+  // ------------------------------------------------------------------
+  // The scalar agg Z-state member, named (the r14 verdict's concrete
+  // ask); the other families compose [[writeKeyed]]/[[maintainKeyed]]
+  // with their kernels directly — see q_scd2_durable (Scd2
+  // .deltaMaintain as the rebuild), ds_quota_durable
+  // (Sampling.fixedKDelta), q_incremental_durable_z (mergeZ).
+  // ------------------------------------------------------------------
+
+  private val zsumCols = Seq("k", "n", "sum_v")
+
+  private def requireZSum(df: DataFrame, who: String): Unit =
+    require(df.columns.toSeq == zsumCols,
+      s"$who: frame must have the stateZSum schema " +
+        s"(${zsumCols.mkString(",")}), got ${df.columns.mkString(",")}")
+
+  /** [[writeKeyed]] for the [[Incremental.stateZSum]] frame. */
+  def writeZSum(
+      state: DataFrame, table: String, path: String,
+      shards: Int): Unit = {
+    requireZSum(state, "DurableState.writeZSum")
+    writeKeyed(state, table, path, shards, "k")
+  }
+
+  /** [[readKeyed]] with the stateZSum column order pinned. */
+  def readZSum(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select(col("k"), col("n"), col("sum_v"))
+
+  /** One durable maintenance run of the scalar agg Z-state: the
+    * rebuild is [[Incremental.mergeZSum]] over the touched slice —
+    * identity rows drop, so shards retracted to nothing are removed.
+    * Equality with mergeZSum/applyZSum over the same inputs is
+    * spec-pinned.
+    */
+  def maintainZSum(
+      spark: SparkSession, table: String, delta: DataFrame): DataFrame = {
+    requireZSum(delta, "DurableState.maintainZSum")
+    maintainKeyed(spark, table, delta, col("k"),
+      (slice, d) => Incremental.mergeZSum(slice, d))
+      .select(col("k"), col("n"), col("sum_v"))
   }
 }

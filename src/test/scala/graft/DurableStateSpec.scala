@@ -45,7 +45,7 @@ class DurableStateSpec extends SparkSpec {
         stateOf(Seq(("k3", 2.5), ("k3", 4.0), ("k7", 1.0))),
         stateOf(Seq(("k7", 3.0)), m = -1L))
       .localCheckpoint()
-    val touched = DurableState.touchedShards(delta, 16)
+    val touched = DurableState.touchedShards(delta, col("k"), 16)
     assert(touched.size <= 2, s"two keys must touch <= 2 shards: $touched")
     // (1) the pruned READ: the touched slice's scan carries the
     // literal IN partition filter — the untouched passthrough is
@@ -91,7 +91,7 @@ class DurableStateSpec extends SparkSpec {
     val path = freshDir("empty")
     DurableState.writeZSum(baseState, "graft_ds_empty", path, shards = 8)
     val aShard = DurableState.touchedShards(
-      stateOf(Seq(("a", 1.0))), 8).head
+      stateOf(Seq(("a", 1.0))), col("k"), 8).head
     // full retraction of key a (n and sum both net to the identity)
     val delta = stateOf(Seq(("a", 1.0)), m = -1L).localCheckpoint()
     val got = DurableState.maintainZSum(spark, "graft_ds_empty", delta)
@@ -101,6 +101,49 @@ class DurableStateSpec extends SparkSpec {
     val parts = spark.sql("SHOW PARTITIONS graft_ds_empty")
       .as[String].collect().toSet
     assert(!parts.contains(s"_shard=$aShard"), parts)
+  }
+
+  test("maintainKeyed composes with the SCD2 kernel: durable touched-shard rebuild == full rebuild") {
+    import graft.ops.Scd2
+    // 12 keys over 8 shards: late events touch TWO keys; their shards
+    // rebuild through Scd2.deltaMaintain over the pruned slice, every
+    // other shard's files stay byte-identical
+    val base = (0 until 120).map(i =>
+      (i % 12L, i.toLong, s"a${i % 3}", (i / 12L) * 100L + 10L))
+      .toDF("uid", "eid", "at", "ets")
+    val late = Seq((3L, 900L, "zz", 150L), (7L, 901L, "zz", 5L))
+      .toDF("uid", "eid", "at", "ets")
+    val store = Scd2.build(base, col("uid"), col("eid"), col("at"),
+      col("ets")).localCheckpoint()
+    val path = freshDir("scd2")
+    DurableState.writeKeyed(store, "graft_ds_scd2", path,
+      shards = 8, keyCol = "key")
+    val before = listing(path)
+    val touched = DurableState.touchedShards(late, col("uid"), 8)
+    val got = DurableState.maintainKeyed(spark, "graft_ds_scd2", late,
+      col("uid"),
+      (slice, d) => Scd2.deltaMaintain(slice, d, col("uid"), col("eid"),
+        col("at"), col("ets")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val want = Scd2.build(base.unionByName(late), col("uid"),
+      col("eid"), col("at"), col("ets"))
+    assert(rows(got) == rows(want))
+    assert(rows(DurableState.readKeyed(spark, "graft_ds_scd2")) ==
+      rows(want))
+    // untouched shard files unchanged on disk
+    val after = listing(path)
+    def untouchedOf(m: Map[String, (Long, Long)]) = m.filterNot(f =>
+      touched.exists(sh => f._1.contains(s"_shard=$sh/")))
+    assert(untouchedOf(before) == untouchedOf(after),
+      "untouched shard files changed on disk")
+    assert(touched.size < 8, s"degenerate: all shards touched $touched")
+    // the rebuild-contract guard is loud: wrong output columns
+    val e = intercept[IllegalArgumentException] {
+      DurableState.maintainKeyed(spark, "graft_ds_scd2", late,
+        col("uid"), (slice, _) => slice.drop("version"))
+    }
+    assert(e.getMessage.contains("data columns"))
   }
 
   test("maintainZSum is loud on schema drift and foreign tables") {
@@ -116,6 +159,6 @@ class DurableStateSpec extends SparkSpec {
       DurableState.maintainZSum(spark, "graft_ds_foreign",
         stateOf(Seq(("x", 1.0))))
     }
-    assert(e2.getMessage.contains("graft.zsum.shards"))
+    assert(e2.getMessage.contains("graft.durable"))
   }
 }
