@@ -214,4 +214,43 @@ object DurableState {
       (slice, d) => Incremental.mergeZSum(slice, d))
       .select(col("k"), col("n"), col("sum_v"))
   }
+
+  private val batchProp = "graft.durable.batch"
+
+  /** The last micro-batch id folded by [[maintainZSumBatch]] (−1 when
+    * none) — read from the table property.
+    */
+  def lastAppliedBatch(spark: SparkSession, table: String): Long =
+    spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().find(_.getString(0) == batchProp)
+      .map(_.getString(1).toLong).getOrElse(-1L)
+
+  /** The STREAMING→DURABLE bridge (r15): fold one micro-batch of
+    * Z-deltas (a CDC twin's emissions — `deltaJoinStream`,
+    * `mvJoinAggStream` → `retractAgg` inputs, any (k, n, sum_v)
+    * delta) into the sharded store from inside `foreachBatch`,
+    * REPLAY-SAFE: Structured Streaming re-delivers a micro-batch
+    * after a sink failure (at-least-once), and Z-deltas are not
+    * idempotent — a double-applied batch double-counts. The applied
+    * batch id rides a table property checked first, so a replayed
+    * batch is a no-op.
+    *
+    * Stated honestly: the property commits AFTER the data write, so a
+    * crash in between re-applies that one batch on recovery — the
+    * classic non-atomic-commit window. A table format with
+    * transactional metadata (Delta/Iceberg) closes it by writing data
+    * and marker in one commit; plain parquet + catalog properties
+    * cannot, and this kernel says so rather than pretending. Batch
+    * ids must be monotone (Structured Streaming's are).
+    */
+  def maintainZSumBatch(
+      spark: SparkSession, table: String, delta: DataFrame,
+      batchId: Long): DataFrame = {
+    if (batchId <= lastAppliedBatch(spark, table))
+      return readZSum(spark, table)
+    val out = maintainZSum(spark, table, delta)
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('$batchProp' = '$batchId')")
+    out
+  }
 }

@@ -146,6 +146,45 @@ class DurableStateSpec extends SparkSpec {
     assert(e.getMessage.contains("data columns"))
   }
 
+  test("streaming→durable bridge: CDC micro-batches fold into the sharded store; replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.ZRow
+    val base = stateOf(Seq(("a", 1.0), ("b", 2.0))).localCheckpoint()
+    val path = freshDir("bridge")
+    DurableState.writeZSum(base, "graft_ds_bridge", path, shards = 8)
+    val mem = MemoryStream[ZRow]
+    val q = mem.toDS().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[ZRow], id: Long) =>
+        val delta = Incremental.stateZSum(df.toDF(),
+          col("key"), col("value"), col("mult")).localCheckpoint()
+        DurableState.maintainZSumBatch(spark, "graft_ds_bridge",
+          delta, id)
+        ()
+      }.start()
+    mem.addData(ZRow("a", 5.0, 1L), ZRow("c", 7.0, 1L))
+    q.processAllAvailable()
+    mem.addData(ZRow("a", 1.0, -1L), ZRow("b", 3.5, 1L))
+    q.processAllAvailable()
+    q.stop()
+    // the durable table == the batch recompute over surviving rows
+    val want = stateOf(
+      Seq(("a", 5.0), ("b", 2.0), ("b", 3.5), ("c", 7.0)))
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_bridge")) ==
+      rowsOf(want))
+    assert(DurableState.lastAppliedBatch(spark, "graft_ds_bridge") == 1L)
+    // a REPLAYED micro-batch (sink retry after failure) is a no-op —
+    // Z-deltas are not idempotent, the batch-id property gates them
+    val replay = stateOf(Seq(("a", 100.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_ds_bridge", replay, 1L)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_bridge")) ==
+      rowsOf(want), "replayed batch was double-applied")
+    // the NEXT id applies
+    DurableState.maintainZSumBatch(spark, "graft_ds_bridge", replay, 2L)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_bridge")) ==
+      rowsOf(Incremental.mergeZSum(want, replay)))
+  }
+
   test("maintainZSum is loud on schema drift and foreign tables") {
     val e1 = intercept[IllegalArgumentException] {
       DurableState.maintainZSum(spark, "graft_ds_rt",
