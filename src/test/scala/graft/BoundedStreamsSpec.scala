@@ -226,6 +226,53 @@ class BoundedStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("bounded CDC composes through aggregation: bandedJoinStream → retractAgg == batch banded MV") {
+    // the BOUNDED stage-1 feeding the MV fold — the st_mv relay with
+    // evicting state: left payload carries the measure, right the
+    // group; the relay needs no ordering (the fold is commutative)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{ZRow, ZSumOut}
+    val rnd = new scala.util.Random(59)
+    val B = 1000000L
+    val BAND = 400L
+    val rows = (0 until 200).map { s =>
+      if (s % 2 == 0)
+        ZBandRow(0, (s % 3).toLong, B + s * 20L, s"${(s % 5) + 1}.0", 1L)
+      else
+        ZBandRow(1, (s % 3).toLong, B + s * 20L, s"g${s % 4}", 1L)
+    }
+    val batches = rows.grouped(50).map(b => rnd.shuffle(b.toVector)).toSeq
+    val mem = MemoryStream[ZBandRow]
+    val q1 = EventStreams.bandedJoinStream(mem.toDS(), BAND, 300L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mvb1").start()
+    batches.foreach { b => mem.addData(b: _*); q1.processAllAvailable() }
+    q1.stop()
+    val stage1 = spark.table("mvb1").as[ZBandOut].collect().toSeq
+      .map(o => ZRow(o.r_payload, o.l_payload.toDouble, o.mult))
+    val mem2 = MemoryStream[ZRow]
+    val q2 = EventStreams.retractAgg(mem2.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mvb2").start()
+    mem2.addData(rnd.shuffle(stage1.toVector): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("mvb2").as[ZSumOut].collect()
+      .groupBy(_.key).map { case (k, rs) =>
+        val last = rs.maxBy(_.version); k -> ((last.n, last.sum_cents))
+      }.filter { case (_, (n, c)) => n != 0L || c != 0L }
+    // batch recompute: the banded join of the folded sides, aggregated
+    val want = (for {
+      l <- rows if l.side == 0
+      r <- rows if r.side == 1 && r.key == l.key &&
+        math.abs(l.ts - r.ts) <= BAND
+    } yield (r.payload, l.payload.toDouble))
+      .groupBy(_._1).map { case (g, vs) =>
+        g -> ((vs.size.toLong, vs.map(v => (v._2 * 100).toLong).sum))
+      }
+    assert(got == want && want.nonEmpty)
+  }
+
   // ------------------------------------------------------------ scd2
 
   test("scd2Stream: fold == batch Scd2.build per prefix; late events straddle batches; frozen prefix evicts") {
