@@ -783,6 +783,13 @@ for _name in ["q_incremental_outer_state", "q_incremental_full_state",
               "curate_delta"]:
     if selected(_name):
         check_full(_name)
+# r15 additions whose full oracles stay tractable at 100x: the
+# durable-state family (group/min-max recomputes from survivors, the
+# SCD2 window over the corrected log, the one-shot quota)
+for _name in ["q_incremental_durable", "q_incremental_durable_z",
+              "q_scd2_durable", "ds_quota_durable"]:
+    if selected(_name):
+        check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full
 # encode CTEs, which OOM DuckDB over the 500k-doc sf10 corpus (the
 # same reason txt_bpe_encode itself is sf1-checked, not sf10) — the
