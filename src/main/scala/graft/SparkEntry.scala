@@ -1270,7 +1270,8 @@ object SparkEntry {
         DurableState.maintainKeyed(s, "graft_durable_quota", d,
           col("lang"),
           (slice, dd) => Sampling.fixedKDelta(slice, dd,
-            col("doc_id"), col("lang"), 20))
+            col("doc_id"), col("lang"), 20),
+          canEmpty = false)
       fold(d1)
       fold(d2).select(col("id").as("doc_id"), col("stratum").as("lang"))
     },
@@ -1883,7 +1884,8 @@ object SparkEntry {
       DurableState.maintainKeyed(s, "graft_durable_scd2", late,
           col("user_id"),
           (slice, d) => Scd2.deltaMaintain(slice, d, col("user_id"),
-            col("event_id"), col("event_type"), eventUs(d, "ts")))
+            col("event_id"), col("event_type"), eventUs(d, "ts")),
+          canEmpty = false)
         .withColumnRenamed("key", "user_id")
     },
 

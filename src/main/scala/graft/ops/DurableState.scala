@@ -127,11 +127,32 @@ object DurableState {
     * the table back). `deltaKey` evaluates the key on `delta` (the
     * delta need not share the store schema — SCD2 deltas are EVENTS,
     * quota deltas are corpus rows). See the rebuild contract above.
+    *
+    * `canEmpty`: whether the rebuild can retract a shard to ZERO rows
+    * (Z-states under deletes can; insert-only families — SCD2,
+    * quota — structurally cannot). When true, the rebuilt frame
+    * materializes once (localCheckpoint) because the emptied-shard
+    * check consumes it besides the write; when false both the check
+    * and the materialization are skipped — ONE pass. This is not a
+    * micro-knob: the checkpoint materializes every touched-shard row,
+    * and a DENSE delta (touching most shards) paid 30 s of it at sf10
+    * where the single-pass form pays none (measured on the SCD2
+    * store; for such deltas also see the note below).
+    *
+    * COST NOTE, stated honestly: touched-shard maintenance wins in
+    * proportion to the delta's KEY-SPARSITY (the nightly reality this
+    * layer exists for — at sf10, a 20-key SCD2 fold runs 5-7 s where
+    * the full store rebuild+rewrite is 12 s and a dense fold 20-39 s).
+    * A delta touching most shards degenerates to rebuild-and-rewrite
+    * WITH maintenance overhead on top — run the full build +
+    * [[writeKeyed]] instead; the crossover is the fraction of shards
+    * touched.
     */
   def maintainKeyed(
       spark: SparkSession, table: String, delta: DataFrame,
       deltaKey: Column,
-      rebuild: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      rebuild: (DataFrame, DataFrame) => DataFrame,
+      canEmpty: Boolean = true): DataFrame = {
     val (shards, keyCol) = propsOf(spark, table)
     val touched = touchedShards(delta, deltaKey, shards)
     if (touched.isEmpty) return readKeyed(spark, table)
@@ -147,14 +168,17 @@ object DurableState {
     // materialized once — it feeds the emptied-shard check AND the
     // write (lazy, the slice scan and delta would re-execute per
     // consumer)
-    val compacted = out
+    val aligned = out
       .select(dataSchema.map(f => col(f.name).cast(f.dataType)
         .as(f.name)): _*)
       .withColumn("_shard",
         coalesce(shardOf(col(keyCol), shards), lit(0)))
-      .localCheckpoint()
-    val present = compacted.select(col("_shard")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val compacted = if (canEmpty) aligned.localCheckpoint() else aligned
+    val present =
+      if (canEmpty)
+        compacted.select(col("_shard")).distinct()
+          .collect().map(_.getInt(0)).toSet
+      else touched.toSet
     // dynamic overwrite MUST ride the session conf: insertInto does
     // not honor the writer-level option, and static overwrite would
     // truncate the whole table (measured — the untouched shards

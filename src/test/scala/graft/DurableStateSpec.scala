@@ -123,7 +123,7 @@ class DurableStateSpec extends SparkSpec {
     val got = DurableState.maintainKeyed(spark, "graft_ds_scd2", late,
       col("uid"),
       (slice, d) => Scd2.deltaMaintain(slice, d, col("uid"), col("eid"),
-        col("at"), col("ets")))
+        col("at"), col("ets")), canEmpty = false)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
     val want = Scd2.build(base.unionByName(late), col("uid"),
