@@ -76,8 +76,14 @@ object DurableState {
       "DurableState.writeKeyed: _shard is the reserved partition column")
     val s = state.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // repartition on the shard first (the bucketWrite discipline):
+    // partitionBy writes one file per (task × shard), so a 10k-task
+    // frame would spray 10k small files into EVERY shard directory —
+    // the classic maintenance-degradation mode at 100 TB. One shuffle
+    // at write time keeps each shard at one file per write.
     state.withColumn("_shard",
         coalesce(shardOf(col(keyCol), shards), lit(0)))
+      .repartition(col("_shard"))
       .write
       .option("path", path)
       .partitionBy("_shard")
@@ -173,6 +179,10 @@ object DurableState {
         .as(f.name)): _*)
       .withColumn("_shard",
         coalesce(shardOf(col(keyCol), shards), lit(0)))
+      // one file per touched shard per run (see writeKeyed) — without
+      // this every maintenance run adds task-count files to each
+      // touched directory; the shuffle is touched-slice-sized
+      .repartition(col("_shard"))
     val compacted = if (canEmpty) aligned.localCheckpoint() else aligned
     val present =
       if (canEmpty)

@@ -76,6 +76,12 @@ class DurableStateSpec extends SparkSpec {
     // (4) the table IS the state: a fresh read equals the return
     assert(rowsOf(DurableState.readZSum(spark, "graft_ds_rt")) ==
       rowsOf(got))
+    // (4b) one file per shard directory — the write repartitions on
+    // the shard, so maintenance never sprays task-count small files
+    val perDir = after.keys.groupBy(f =>
+      f.replaceAll("/[^/]*$", "")).view.mapValues(_.size)
+    assert(perDir.values.forall(_ == 1),
+      s"small-files: ${perDir.filter(_._2 > 1)}")
     // (5) chaining: a second run folds on top of the first
     val delta2 = stateOf(Seq(("k3", 1.0), ("k11", 9.0))).localCheckpoint()
     val got2 = DurableState.maintainZSum(spark, "graft_ds_rt", delta2)
