@@ -830,7 +830,9 @@ object EventStreams {
     * order — deletes straddling micro-batches, delete-before-insert
     * residues, and keys oscillating between matched and unmatched
     * included (spec-pinned against a referee view AND the batch
-    * kernel). State per key = the two Z-maps, netted eagerly.
+    * kernel). State per key = the two Z-maps, netted eagerly — the
+    * key-equi floor; see [[bandedJoinStream]] (r15) for the
+    * watermark-bounded member when the join carries a time band.
     */
   def deltaOuterJoinStream(rows: Dataset[ZJoinRow]): Dataset[ZOuterOut] = {
     import rows.sparkSession.implicits._
@@ -898,7 +900,11 @@ object EventStreams {
     * because [[retractAgg]]'s fold is commutative, the relay needs no
     * ordering guarantee. StreamingSpec runs the actual two-query
     * relay and pins the end state against the batch recompute on any
-    * prefix in any arrival order.
+    * prefix in any arrival order. Stage-1 state is the key-equi
+    * Z-set floor (see [[deltaJoinStream]]); a time-banded MV runs
+    * [[bandedJoinStream]] as stage 1 instead — BoundedStreamsSpec
+    * pins that composition — and the relay's durable landing is
+    * `DurableState.maintainZSumBatch` (r15).
     */
   def mvJoinAggStream(rows: Dataset[ZMvRow]): Dataset[ZRow] = {
     import rows.sparkSession.implicits._
