@@ -160,6 +160,18 @@ object DurableState {
       rebuild: (DataFrame, DataFrame) => DataFrame,
       canEmpty: Boolean = true): DataFrame = {
     val (shards, keyCol) = propsOf(spark, table)
+    // the key TYPE must match the store's: xxhash64 is type-sensitive,
+    // so a mis-typed delta key (int vs long, string vs varchar-cast)
+    // mis-shards the probe — the pruned read would miss the delta's
+    // true shards and the dynamic overwrite would then REPLACE those
+    // shards with delta-derived rows only, silently dropping their
+    // untouched keys. Loud, not silent.
+    val dkType = delta.select(deltaKey.as("_k")).schema.head.dataType
+    val skType = spark.table(table).schema(keyCol).dataType
+    require(dkType == skType,
+      s"DurableState.maintainKeyed: delta key type $dkType != store " +
+        s"key '$keyCol' type $skType — a mis-typed key mis-shards the " +
+        "probe and the overwrite would drop untouched rows")
     val touched = touchedShards(delta, deltaKey, shards)
     if (touched.isEmpty) return readKeyed(spark, table)
     val dataSchema = spark.table(table).drop("_shard").schema
@@ -189,6 +201,13 @@ object DurableState {
         compacted.select(col("_shard")).distinct()
           .collect().map(_.getInt(0)).toSet
       else touched.toSet
+    // rebuild-contract enforcement where it is already paid for: keys
+    // outside the touched shards were never read, so writing them
+    // would replace their shard with a partial rebuild
+    require(present.subsetOf(touched.toSet),
+      s"DurableState.maintainKeyed: rebuild emitted keys in un-read " +
+        s"shards ${(present -- touched.toSet).toSeq.sorted.mkString(",")}" +
+        " — the rebuild contract allows touched-shard keys only")
     // dynamic overwrite MUST ride the session conf: insertInto does
     // not honor the writer-level option, and static overwrite would
     // truncate the whole table (measured — the untouched shards

@@ -191,6 +191,20 @@ class DurableStateSpec extends SparkSpec {
       rowsOf(Incremental.mergeZSum(want, replay)))
   }
 
+  test("maintainKeyed is loud on a mis-typed delta key (xxhash64 is type-sensitive)") {
+    val base = stateOf(Seq(("a", 1.0), ("b", 2.0))).localCheckpoint()
+    val path = freshDir("ktype")
+    DurableState.writeZSum(base, "graft_ds_ktype", path, shards = 8)
+    // an int-typed key would hash differently than the store's string
+    val badDelta = Seq((1, 1L, java.math.BigDecimal.ONE))
+      .toDF("k", "n", "sum_v")
+    val e = intercept[IllegalArgumentException] {
+      DurableState.maintainKeyed(spark, "graft_ds_ktype", badDelta,
+        col("k"), (slice, d) => slice)
+    }
+    assert(e.getMessage.contains("mis-shards"), e.getMessage)
+  }
+
   test("maintainZSum is loud on schema drift and foreign tables") {
     val e1 = intercept[IllegalArgumentException] {
       DurableState.maintainZSum(spark, "graft_ds_rt",
