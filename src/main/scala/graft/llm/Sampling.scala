@@ -354,7 +354,12 @@ object Sampling {
         col("__st").as("stratum"), col("__id").as("id"), col("__h").as("h"))
       .localCheckpoint()
     val touched = dq.select(col("stratum").as("_t_st")).distinct()
-    val cond = col("stratum") === col("_t_st")
+    // NULL-SAFE (r15 review): quotaFrame windows a null stratum as
+    // one real stratum, so a null-stratum delta must pull the old
+    // null-stratum rows into the re-rank — === would pass them
+    // through untouched AND append the fresh sliver (up to 2k rows,
+    // evicted members surviving)
+    val cond = col("stratum") <=> col("_t_st")
     val untouched = state.join(broadcast(touched), cond, "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stratum")).orderBy(col("h"), col("id"))

@@ -121,7 +121,7 @@ object AsOf {
     // working-name guard (r15, r14 advice — the same contract join()
     // enforces at :42): an input carrying one of these collides with
     // the claim/slice machinery below
-    val djReserved = Set("_k", "_ts", "_new", "_rp", "_tq", "_next")
+    val djReserved = Set("_k", "_dk", "_ts", "_new", "_rp", "_tq", "_next")
     val djClash =
       (baseLeft.columns ++ baseRight.columns).filter(djReserved).distinct
     require(djClash.isEmpty, s"deltaJoin: column name(s) " +
@@ -141,13 +141,17 @@ object AsOf {
       df.select(leftCols.map(col) ++ payloadNames.map(col) :+
         lit(m.toLong).as(mult): _*)
     // the quote slice at delta-touched keys, base and delta unioned,
-    // with the claim payload riding along
-    val dKeys = deltaRight.select(rightKey.as("_k")).distinct()
+    // with the claim payload riding along. Every key pass is
+    // NULL-SAFE (<=>, r15 review): the as-of window groups null keys
+    // as one real key, so a null-key late quote must claim null-key
+    // trades exactly like the batch recompute does — === would make
+    // it silently emit nothing.
+    val dKeys = deltaRight.select(rightKey.as("_dk")).distinct()
     def rSide(df: DataFrame, isNew: Int) = df.select(
       rightKey.as("_k"), rightTs.as("_ts"), lit(isNew).as("_new"),
       struct(rightPayload.map { case (n, c) => c.as(n) }: _*).as("_rp"))
     val touchedR = rSide(baseRight, 0).unionByName(rSide(deltaRight, 1))
-      .join(broadcast(dKeys), Seq("_k"), "left_semi")
+      .join(broadcast(dKeys), col("_k") <=> col("_dk"), "left_semi")
     val wLead = Window.partitionBy(col("_k")).orderBy(col("_ts"))
     // each NEW quote's claim window [tq, next) over the UNION order;
     // ΔQ-sized — it broadcasts onto the base-left scan
@@ -156,7 +160,7 @@ object AsOf {
       .filter(col("_new") === 1)
       .select(col("_k"), col("_ts").as("_tq"), col("_next"), col("_rp"))
     val affected = baseLeft.join(broadcast(claims),
-        leftKey === col("_k") && leftTs >= col("_tq") &&
+        (leftKey <=> col("_k")) && leftTs >= col("_tq") &&
           (col("_next").isNull || leftTs < col("_next")))
     val plusNew = out(affected.select(leftCols.map(col) ++
       payloadNames.map(n => col(s"_rp.$n").as(n)): _*), 1)
@@ -164,7 +168,7 @@ object AsOf {
     // against the BASE quotes at the touched keys only
     val affLeft = affected.select(leftCols.map(col): _*)
     val oldQ = baseRight.join(
-      broadcast(dKeys), rightKey === col("_k"), "left_semi")
+      broadcast(dKeys), rightKey <=> col("_dk"), "left_semi")
     val minusOld = out(join(affLeft, leftKey, leftTs,
       oldQ, rightKey, rightTs, rightPayload), -1)
     // new left rows as-of the corrected right side SLICED to

@@ -160,23 +160,30 @@ object DurableState {
       rebuild: (DataFrame, DataFrame) => DataFrame,
       canEmpty: Boolean = true): DataFrame = {
     val (shards, keyCol) = propsOf(spark, table)
+    // the delta executes MORE THAN ONCE (the touched-shard probe, the
+    // rebuild, present-shard check when canEmpty): materialize it here
+    // so a nondeterministic plan (sample(), changing files) cannot
+    // make the touched set diverge from the rows actually written —
+    // at that point the overwrite would replace an un-read shard with
+    // partial rows (r15 review). Delta-sized by definition.
+    val delta1 = delta.localCheckpoint()
     // the key TYPE must match the store's: xxhash64 is type-sensitive,
     // so a mis-typed delta key (int vs long, string vs varchar-cast)
     // mis-shards the probe — the pruned read would miss the delta's
     // true shards and the dynamic overwrite would then REPLACE those
     // shards with delta-derived rows only, silently dropping their
     // untouched keys. Loud, not silent.
-    val dkType = delta.select(deltaKey.as("_k")).schema.head.dataType
+    val dkType = delta1.select(deltaKey.as("_k")).schema.head.dataType
     val skType = spark.table(table).schema(keyCol).dataType
     require(dkType == skType,
       s"DurableState.maintainKeyed: delta key type $dkType != store " +
         s"key '$keyCol' type $skType — a mis-typed key mis-shards the " +
         "probe and the overwrite would drop untouched rows")
-    val touched = touchedShards(delta, deltaKey, shards)
+    val touched = touchedShards(delta1, deltaKey, shards)
     if (touched.isEmpty) return readKeyed(spark, table)
     val dataSchema = spark.table(table).drop("_shard").schema
     val out = rebuild(
-      shardSlice(spark, table, touched).drop("_shard"), delta)
+      shardSlice(spark, table, touched).drop("_shard"), delta1)
     require(out.columns.toSeq == dataSchema.map(_.name),
       s"DurableState.maintainKeyed: rebuild must return the table's " +
         s"data columns (${dataSchema.map(_.name).mkString(",")}), got " +
@@ -195,15 +202,27 @@ object DurableState {
       // this every maintenance run adds task-count files to each
       // touched directory; the shuffle is touched-slice-sized
       .repartition(col("_shard"))
-    val compacted = if (canEmpty) aligned.localCheckpoint() else aligned
+    // rebuild-contract enforcement on BOTH paths (r15 review): keys
+    // outside the touched shards were never read, so writing them
+    // would replace their shard with a partial rebuild. canEmpty=true
+    // pays an exact driver-side subset check on the present-shard set
+    // it collects anyway; the one-pass canEmpty=false path gets an
+    // IN-BAND guard (the Maintenance.insertOnly filter idiom — zero
+    // extra jobs) that kills the write the moment a stray row executes.
+    val guarded =
+      if (canEmpty) aligned
+      else aligned.filter(assert_true(
+        col("_shard").isin(touched.map(Integer.valueOf): _*),
+        concat(lit("DurableState.maintainKeyed: rebuild emitted a key " +
+          "in un-read shard "), col("_shard").cast("string"),
+          lit(" — the rebuild contract allows touched-shard keys only")))
+        .isNull)
+    val compacted = if (canEmpty) guarded.localCheckpoint() else guarded
     val present =
       if (canEmpty)
         compacted.select(col("_shard")).distinct()
           .collect().map(_.getInt(0)).toSet
       else touched.toSet
-    // rebuild-contract enforcement where it is already paid for: keys
-    // outside the touched shards were never read, so writing them
-    // would replace their shard with a partial rebuild
     require(present.subsetOf(touched.toSet),
       s"DurableState.maintainKeyed: rebuild emitted keys in un-read " +
         s"shards ${(present -- touched.toSet).toSeq.sorted.mkString(",")}" +
@@ -211,14 +230,19 @@ object DurableState {
     // dynamic overwrite MUST ride the session conf: insertInto does
     // not honor the writer-level option, and static overwrite would
     // truncate the whole table (measured — the untouched shards
-    // vanished under the option-only form)
+    // vanished under the option-only form). The set/restore is
+    // session-GLOBAL, so writes serialize on a JVM-wide lock; a writer
+    // in a DIFFERENT process (or one not using this API) is outside
+    // the lock's reach — stated, not hidden.
     val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try compacted.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    DurableState.writeLock.synchronized {
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try compacted.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     }
     touched.filterNot(present).foreach { sh =>
       spark.sql(
@@ -226,6 +250,12 @@ object DurableState {
     }
     readKeyed(spark, table)
   }
+
+  /** Serializes the conf-set → insertInto → restore window across
+    * concurrent [[maintainKeyed]] calls in this JVM (the session conf
+    * is global).
+    */
+  private val writeLock = new Object
 
   // ------------------------------------------------------------------
   // The scalar agg Z-state member, named (the r14 verdict's concrete

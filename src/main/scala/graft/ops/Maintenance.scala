@@ -39,6 +39,5 @@ object Maintenance {
     else delta.filter(assert_true(
       col(mult).isNull || col(mult) >= 0,
       concat(lit(s"$member: delete batches are out of scope — $reason" +
-        s"; run the full recompute over the corrected input (saw " +
-        s"$mult="), col(mult).cast("string"), lit(")"))).isNull)
+        s" (saw $mult="), col(mult).cast("string"), lit(")"))).isNull)
 }

@@ -191,6 +191,37 @@ class DurableStateSpec extends SparkSpec {
       rowsOf(Incremental.mergeZSum(want, replay)))
   }
 
+  test("maintainKeyed one-pass path (canEmpty=false) kills a stray-shard write in-band") {
+    val base = stateOf((0 until 40).map(i => (s"k$i", 1.0)))
+      .localCheckpoint()
+    val path = freshDir("stray")
+    DurableState.writeZSum(base, "graft_ds_stray", path, shards = 16)
+    val delta = stateOf(Seq(("k3", 1.0))).localCheckpoint()
+    val strayKey = (0 until 40).map(i => s"k$i").find { k =>
+      DurableState.touchedShards(stateOf(Seq((k, 1.0))), col("k"), 16) !=
+        DurableState.touchedShards(delta, col("k"), 16)
+    }.get
+    // a contract-violating rebuild emits a key from an UN-READ shard:
+    // the in-band guard must fail the write, not let dynamic overwrite
+    // replace that shard with the stray row
+    val e = intercept[Throwable] {
+      DurableState.maintainKeyed(spark, "graft_ds_stray", delta,
+        col("k"),
+        (slice, d) => slice.unionByName(
+          stateOf(Seq((strayKey, 9.0))).select(
+            col("k"), col("n"), col("sum_v"))),
+        canEmpty = false)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("un-read shard")),
+      msgs(e).mkString("\n"))
+    // and the table is intact: the stray shard's row count unchanged
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_stray")) ==
+      rowsOf(base))
+  }
+
   test("maintainKeyed is loud on a mis-typed delta key (xxhash64 is type-sensitive)") {
     val base = stateOf(Seq(("a", 1.0), ("b", 2.0))).localCheckpoint()
     val path = freshDir("ktype")

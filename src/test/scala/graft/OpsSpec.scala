@@ -239,6 +239,24 @@ class OpsSpec extends SparkSpec {
     }
     assert(clash.getMessage.contains("_tq") &&
       clash.getMessage.contains("reserved"))
+    // NULL-KEY trial (r15 review): the as-of window groups null keys
+    // as one real key, so a late null-key quote must claim null-key
+    // base trades — every key pass is null-safe
+    val nT = Seq((1L, Option("A"), 150L), (2L, Option.empty[String], 150L))
+      .toDF("trade_id", "sym", "t_ts")
+    val nQ0 = Seq((Option.empty[String], 100L, 7.0))
+      .toDF("q_sym", "q_ts", "px")
+    val ndQ = Seq((Option.empty[String], 120L, 8.0))
+      .toDF("q_sym", "q_ts", "px")
+    val nGot = AsOf.deltaJoin(nT, nT.limit(0), nQ0, ndQ,
+        col("sym"), col("t_ts"), col("q_sym"), col("q_ts"),
+        rightPayload = Seq("px" -> col("px")))
+      .as[(Long, Option[String], Long, Option[Double], Long)]
+      .collect().toSet
+    assert(nGot == Set(
+      (2L, None, 150L, Some(8.0), 1L),
+      (2L, None, 150L, Some(7.0), -1L)),
+      s"null-key late quote must re-match the null-key trade: $nGot")
   }
 
   test("Scd2.deltaMaintain: late events split, close, renumber; == rebuild of the full log") {

@@ -176,6 +176,23 @@ class SamplingSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Sampling.fixedKDelta(state2.drop("h"), only1, col("id"), col("g"), 5)
     }.getMessage.contains("fixedKState schema"))
+    // NULL-STRATUM trial (r15 review): quotaFrame windows a null
+    // stratum as one real stratum, so the touched probe must be
+    // null-safe — === would pass old null-stratum rows through
+    // untouched AND append the fresh sliver (evicted members survive)
+    val nullBase = Seq((Option.empty[String], 10L), (None, 11L),
+        (Option("g"), 12L)).toDF("g", "id")
+    val nullDelta = Seq((Option.empty[String], 13L), (None, 14L))
+      .toDF("g", "id")
+    val ns0 = Sampling.fixedKState(nullBase, col("id"), col("g"), 2)
+      .localCheckpoint()
+    val ns1 = Sampling.fixedKDelta(ns0, nullDelta, col("id"), col("g"), 2)
+    def nrows(s: org.apache.spark.sql.DataFrame) =
+      s.as[(Option[String], Long, Long)].collect().toSet
+    assert(nrows(ns1) == nrows(Sampling.fixedKState(
+      nullBase.unionByName(nullDelta), col("id"), col("g"), 2)))
+    assert(nrows(ns1).count(_._1.isEmpty) == 2,
+      s"null stratum must re-rank to k=2 rows: ${nrows(ns1)}")
   }
 
   test("fixedKPerStratum broadcast guard: shuffle fallback selects the identical sample") {
