@@ -336,4 +336,25 @@ object DurableState {
       s"('$batchProp' = '$batchId')")
     out
   }
+
+  /** [[maintainZSumBatch]] for ANY keyed family: the same
+    * applied-batch-id gate around [[maintainKeyed]], so every CDC
+    * twin (the SCD2 stream, the quota stream, banded-join deltas
+    * folded to a view) can land durably from `foreachBatch` with
+    * replays as no-ops. Same stated non-atomic window.
+    */
+  def maintainKeyedBatch(
+      spark: SparkSession, table: String, delta: DataFrame,
+      deltaKey: Column,
+      rebuild: (DataFrame, DataFrame) => DataFrame,
+      batchId: Long,
+      canEmpty: Boolean = true): DataFrame = {
+    if (batchId <= lastAppliedBatch(spark, table))
+      return readKeyed(spark, table)
+    val out = maintainKeyed(spark, table, delta, deltaKey, rebuild,
+      canEmpty)
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('$batchProp' = '$batchId')")
+    out
+  }
 }

@@ -191,6 +191,53 @@ class DurableStateSpec extends SparkSpec {
       rowsOf(Incremental.mergeZSum(want, replay)))
   }
 
+  test("streaming SCD2 lands durably: event micro-batches fold via maintainKeyedBatch; replays are no-ops") {
+    import graft.ops.Scd2
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.Scd2Event
+    val base = Seq((1L, 10L, "a", 100L), (2L, 20L, "x", 100L))
+      .toDF("uid", "eid", "at", "ets")
+    val path = freshDir("scd2b")
+    DurableState.writeKeyed(
+      Scd2.build(base, col("uid"), col("eid"), col("at"), col("ets")),
+      "graft_ds_scd2b", path, shards = 8, keyCol = "key")
+    val mem = MemoryStream[Scd2Event]
+    val q = mem.toDS().writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[Scd2Event], id: Long) =>
+          DurableState.maintainKeyedBatch(spark, "graft_ds_scd2b",
+            df.toDF(), col("key"),
+            (slice, d) => Scd2.deltaMaintain(slice, d, col("key"),
+              col("event_id"), col("attr"), col("ts")),
+            id, canEmpty = false)
+          ()
+      }.start()
+    mem.addData(Scd2Event(1L, 11L, "b", 300L))
+    q.processAllAvailable()
+    mem.addData(Scd2Event(1L, 12L, "c", 200L)) // the late split
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val allEvents = base.unionByName(Seq(
+      (1L, 11L, "b", 300L), (1L, 12L, "c", 200L))
+      .toDF("uid", "eid", "at", "ets"))
+    val want = Scd2.build(allEvents, col("uid"), col("eid"),
+      col("at"), col("ets"))
+    assert(rows(DurableState.readKeyed(spark, "graft_ds_scd2b")) ==
+      rows(want))
+    // replaying batch 1 changes nothing
+    DurableState.maintainKeyedBatch(spark, "graft_ds_scd2b",
+      Seq((1L, 13L, "zz", 400L))
+        .toDF("key", "event_id", "attr", "ts"), col("key"),
+      (slice, d) => Scd2.deltaMaintain(slice, d, col("key"),
+        col("event_id"), col("attr"), col("ts")),
+      batchId = 1L, canEmpty = false)
+    assert(rows(DurableState.readKeyed(spark, "graft_ds_scd2b")) ==
+      rows(want), "replayed batch was re-applied")
+  }
+
   test("maintainKeyed one-pass path (canEmpty=false) kills a stray-shard write in-band") {
     val base = stateOf((0 until 40).map(i => (s"k$i", 1.0)))
       .localCheckpoint()
