@@ -158,8 +158,29 @@ object DurableState {
       spark: SparkSession, table: String, delta: DataFrame,
       deltaKey: Column,
       rebuild: (DataFrame, DataFrame) => DataFrame,
-      canEmpty: Boolean = true): DataFrame = {
+      canEmpty: Boolean = true): DataFrame =
+    // SAME-TABLE maintenance is read-modify-write: two concurrent
+    // folds would both read the pre-write slice and the later write
+    // would silently discard the earlier fold (r15 review). The whole
+    // run therefore serializes per table within this JVM; different
+    // tables proceed in parallel. A concurrent maintainer in ANOTHER
+    // process is outside any lock's reach — that scheduling is the
+    // deployment's job, stated here.
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
     val (shards, keyCol) = propsOf(spark, table)
+    // the key TYPE must match the store's: xxhash64 is type-sensitive,
+    // so a mis-typed delta key (int vs long, string vs varchar-cast)
+    // mis-shards the probe — the pruned read would miss the delta's
+    // true shards and the dynamic overwrite would then REPLACE those
+    // shards with delta-derived rows only, silently dropping their
+    // untouched keys. Loud, not silent — and checked on the SCHEMA
+    // alone, before any job runs.
+    val dkType = delta.select(deltaKey.as("_k")).schema.head.dataType
+    val skType = spark.table(table).schema(keyCol).dataType
+    require(dkType == skType,
+      s"DurableState.maintainKeyed: delta key type $dkType != store " +
+        s"key '$keyCol' type $skType — a mis-typed key mis-shards the " +
+        "probe and the overwrite would drop untouched rows")
     // the delta executes MORE THAN ONCE (the touched-shard probe, the
     // rebuild, present-shard check when canEmpty): materialize it here
     // so a nondeterministic plan (sample(), changing files) cannot
@@ -167,18 +188,6 @@ object DurableState {
     // at that point the overwrite would replace an un-read shard with
     // partial rows (r15 review). Delta-sized by definition.
     val delta1 = delta.localCheckpoint()
-    // the key TYPE must match the store's: xxhash64 is type-sensitive,
-    // so a mis-typed delta key (int vs long, string vs varchar-cast)
-    // mis-shards the probe — the pruned read would miss the delta's
-    // true shards and the dynamic overwrite would then REPLACE those
-    // shards with delta-derived rows only, silently dropping their
-    // untouched keys. Loud, not silent.
-    val dkType = delta1.select(deltaKey.as("_k")).schema.head.dataType
-    val skType = spark.table(table).schema(keyCol).dataType
-    require(dkType == skType,
-      s"DurableState.maintainKeyed: delta key type $dkType != store " +
-        s"key '$keyCol' type $skType — a mis-typed key mis-shards the " +
-        "probe and the overwrite would drop untouched rows")
     val touched = touchedShards(delta1, deltaKey, shards)
     if (touched.isEmpty) return readKeyed(spark, table)
     val dataSchema = spark.table(table).drop("_shard").schema
@@ -249,11 +258,18 @@ object DurableState {
         s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (_shard=$sh)")
     }
     readKeyed(spark, table)
-  }
+    }
+
+  /** Per-table serialization of whole maintenance runs (see
+    * [[maintainKeyed]]) — lost-update prevention within this JVM.
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Serializes the conf-set → insertInto → restore window across
     * concurrent [[maintainKeyed]] calls in this JVM (the session conf
-    * is global).
+    * is global — two DIFFERENT-table maintenance runs may overlap and
+    * must not race the mode flag).
     */
   private val writeLock = new Object
 
@@ -329,12 +345,10 @@ object DurableState {
   def maintainZSumBatch(
       spark: SparkSession, table: String, delta: DataFrame,
       batchId: Long): DataFrame = {
-    if (batchId <= lastAppliedBatch(spark, table))
-      return readZSum(spark, table)
-    val out = maintainZSum(spark, table, delta)
-    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-      s"('$batchProp' = '$batchId')")
-    out
+    requireZSum(delta, "DurableState.maintainZSumBatch")
+    maintainKeyedBatch(spark, table, delta, col("k"),
+      (slice, d) => Incremental.mergeZSum(slice, d), batchId)
+      .select(col("k"), col("n"), col("sum_v"))
   }
 
   /** [[maintainZSumBatch]] for ANY keyed family: the same
