@@ -283,6 +283,28 @@ class DurableStateSpec extends SparkSpec {
     assert(e.getMessage.contains("mis-shards"), e.getMessage)
   }
 
+  test("concurrent same-table folds both land (per-table run serialization)") {
+    val base = stateOf((0 until 20).map(i => (s"k$i", 1.0)))
+      .localCheckpoint()
+    val path = freshDir("conc")
+    DurableState.writeZSum(base, "graft_ds_conc", path, shards = 8)
+    val d1 = stateOf(Seq(("k1", 10.0))).localCheckpoint()
+    val d2 = stateOf(Seq(("k2", 20.0))).localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // without the per-table lock this is a read-modify-write race:
+    // both folds read the pre-write slice and the later write
+    // discards the earlier fold
+    val fs = Seq(d1, d2).map(d => Future {
+      DurableState.maintainZSum(spark, "graft_ds_conc", d).count()
+    })
+    Await.result(Future.sequence(fs), 120.seconds)
+    val want = Incremental.mergeZSum(Incremental.mergeZSum(base, d1), d2)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_conc")) ==
+      rowsOf(want), "a concurrent fold was lost")
+  }
+
   test("maintainZSum is loud on schema drift and foreign tables") {
     val e1 = intercept[IllegalArgumentException] {
       DurableState.maintainZSum(spark, "graft_ds_rt",
