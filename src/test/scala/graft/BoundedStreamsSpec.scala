@@ -273,6 +273,59 @@ class BoundedStreamsSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("bandedJoinStream survives kill/restart: state, watermark, and a straddling delete recover") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("band_chk").toString
+    val mem = MemoryStream[ZBandRow]
+    val buf = new scala.collection.mutable.ArrayBuffer[ZBandOut]
+    def start() = EventStreams.bandedJoinStream(mem.toDS(), 1000L, 500L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", dir)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[ZBandOut], _: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(buf += _) }
+      }
+      .start()
+    val B = 1000000L
+    val q1 = start()
+    mem.addData(ZBandRow(0, 1L, B + 1000L, "a", 1L),
+      ZBandRow(1, 1L, B + 1200L, "x", 1L))
+    q1.processAllAvailable()
+    q1.stop() // the kill: state + watermark only in the checkpoint
+    val q2 = start()
+    // post-restart: a right row joins the RECOVERED left row, a
+    // delete straddles the kill (retracting the pre-kill join), and a
+    // fresh live left row 'b' arrives
+    mem.addData(ZBandRow(1, 1L, B + 1500L, "y", 1L),
+      ZBandRow(0, 1L, B + 1000L, "a", -1L),
+      ZBandRow(0, 1L, B + 1400L, "b", 1L))
+    q2.processAllAvailable()
+    // the recovered WATERMARK (B+1500−500 = B+1000 after this batch)
+    // still gates late rows: one below it must be dropped — it would
+    // otherwise join the live 'b' row (|1400−900| ≤ band)
+    mem.addData(ZBandRow(1, 1L, B + 900L, "late", 1L))
+    q2.processAllAvailable()
+    q2.stop()
+    val all = buf.synchronized(buf.toSeq)
+    def fold(rows: Seq[ZBandOut]) = rows.filter(_.mult != 0L)
+      .groupBy(o => (o.key, o.l_ts, o.l_payload, o.r_ts, o.r_payload))
+      .view.mapValues(_.map(_.mult).sum).filter(_._2 != 0L).toMap
+    // a's joins net to zero through the straddling delete; b's two
+    // joins are live; the late row joined nothing
+    assert(fold(all) == Map(
+      (1L, B + 1400L, "b", B + 1200L, "x") -> 1L,
+      (1L, B + 1400L, "b", B + 1500L, "y") -> 1L), fold(all).toString)
+    assert(all.exists(o =>
+        o.l_payload == "a" && o.r_payload == "x" && o.mult == 1L),
+      "pre-kill join missing")
+    assert(all.exists(o =>
+        o.l_payload == "a" && o.r_payload == "x" && o.mult == -1L),
+      "straddling delete did not retract the pre-kill join from recovered state")
+    assert(!all.exists(o => o.r_payload == "late"),
+      "recovered watermark did not gate the late row")
+  }
+
   // ------------------------------------------------------------ scd2
 
   test("scd2Stream: fold == batch Scd2.build per prefix; late events straddle batches; frozen prefix evicts") {
