@@ -132,6 +132,39 @@ class BoundedStreamsSpec extends SparkSpec {
     assert(multiset(run(bounded = true)) == multiset(run(bounded = false)))
   }
 
+  test("asofStreamBounded survives kill/restart: books, watermark, and a straddling re-match recover") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("asof_chk").toString
+    val mem = MemoryStream[AsOfRow]
+    val buf = new scala.collection.mutable.ArrayBuffer[AsOfOut]
+    def start() = EventStreams.asofStreamBounded(mem.toDS(), 500L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", dir)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AsOfOut], _: Long) =>
+        val rows = df.collect()
+        buf.synchronized { rows.foreach(buf += _) }
+      }
+      .start()
+    val B = 1000000L
+    val q1 = start()
+    // trade at B+1000 matched to the quote at B+800
+    mem.addData(AsOfRow(1, 1L, B + 800L, 0L),
+      AsOfRow(0, 1L, B + 1000L, 42L))
+    q1.processAllAvailable()
+    q1.stop() // the kill
+    val q2 = start()
+    // a late quote straddling the kill re-matches the RECOVERED trade
+    mem.addData(AsOfRow(1, 1L, B + 900L, 0L))
+    q2.processAllAvailable()
+    q2.stop()
+    val folded = buf.synchronized(buf.toSeq).filter(_.mult != 0L)
+      .groupBy(o => (o.key, o.trade_id, o.ts, o.match_ts))
+      .view.mapValues(_.map(_.mult).sum).filter(_._2 > 0L).keys.toSet
+    assert(folded == Set((1L, 42L, B + 1000L, Some(B + 900L))),
+      s"recovered trade not re-matched: $folded")
+  }
+
   // ---------------------------------------------- banded delta join
 
   test("bandedJoinStream: fold == batch banded Z-join per prefix; deletes straddle batches; state drains") {
