@@ -105,7 +105,12 @@ object AsOf {
     * insert-only (deletions need the full retraction machinery);
     * right (key, ts) pairs are UNIQUE across Q∪ΔQ (at a duplicate
     * timestamp "the" claim is ill-defined); left rows are unique.
-    * Output: left columns ++ payload ++ `mult`.
+    * An input column literally named "mult" is RESERVED as the
+    * signed-multiplicity flag (the Z-set convention): negative rows
+    * fail the insert-only guard regardless of the output `mult`
+    * name, and the flag is dropped from the output (r15 advice —
+    * see the guard comment in the body).
+    * Output: left columns (minus a "mult" flag) ++ payload ++ `mult`.
     */
   def deltaJoin(
       baseLeft: DataFrame, deltaLeft0: DataFrame,
@@ -127,16 +132,33 @@ object AsOf {
     require(djClash.isEmpty, s"deltaJoin: column name(s) " +
       s"${djClash.mkString(", ")} are reserved internal working names")
     // insert-only contract, ENFORCED in-band (r15, r14 verdict item
-    // 5): a delete needs the full retraction machinery
+    // 5): a delete needs the full retraction machinery. The input
+    // signed-multiplicity convention is the LITERAL column "mult"
+    // (the repo-wide Z-set convention), INDEPENDENT of the output
+    // `mult` name (r15 advice): threading the output name into the
+    // guard would make left-side enforcement structurally dead — an
+    // input column named like the output Z column collides with it
+    // at analysis (COLUMN_ALREADY_EXISTS) before any row executes —
+    // so "mult" on inputs is a RESERVED flag name instead (like the
+    // working names above): guarded for negatives on the deltas,
+    // then DROPPED everywhere (it is a flag, not payload), which
+    // also keeps the default-named output collision-free. An
+    // unrelated DATA column must not be called mult; renaming the
+    // output does not weaken delete enforcement.
     val asofReason = "a deleted trade/quote retracts and re-derives " +
       "matches the claim algebra cannot express — re-run the as-of " +
       "over the corrected inputs"
     val deltaLeft = Maintenance.insertOnly(
-      deltaLeft0, "AsOf.deltaJoin", asofReason)
+      deltaLeft0, "AsOf.deltaJoin", asofReason).drop("mult")
     val deltaRight = Maintenance.insertOnly(
-      deltaRight0, "AsOf.deltaJoin", asofReason)
-    val leftCols = baseLeft.columns.toSeq
+      deltaRight0, "AsOf.deltaJoin", asofReason).drop("mult")
+    val baseL = baseLeft.drop("mult")
+    val baseR = baseRight.drop("mult")
+    val leftCols = baseL.columns.toSeq
     val payloadNames = rightPayload.map(_._1)
+    require(!(leftCols ++ payloadNames).contains(mult),
+      s"deltaJoin: output mult name '$mult' collides with a data/" +
+        "payload column — rename one of them")
     def out(df: DataFrame, m: Int): DataFrame =
       df.select(leftCols.map(col) ++ payloadNames.map(col) :+
         lit(m.toLong).as(mult): _*)
@@ -150,7 +172,7 @@ object AsOf {
     def rSide(df: DataFrame, isNew: Int) = df.select(
       rightKey.as("_k"), rightTs.as("_ts"), lit(isNew).as("_new"),
       struct(rightPayload.map { case (n, c) => c.as(n) }: _*).as("_rp"))
-    val touchedR = rSide(baseRight, 0).unionByName(rSide(deltaRight, 1))
+    val touchedR = rSide(baseR, 0).unionByName(rSide(deltaRight, 1))
       .join(broadcast(dKeys), col("_k") <=> col("_dk"), "left_semi")
     val wLead = Window.partitionBy(col("_k")).orderBy(col("_ts"))
     // each NEW quote's claim window [tq, next) over the UNION order;
@@ -159,7 +181,7 @@ object AsOf {
       .withColumn("_next", lead(col("_ts"), 1).over(wLead))
       .filter(col("_new") === 1)
       .select(col("_k"), col("_ts").as("_tq"), col("_next"), col("_rp"))
-    val affected = baseLeft.join(broadcast(claims),
+    val affected = baseL.join(broadcast(claims),
         (leftKey <=> col("_k")) && leftTs >= col("_tq") &&
           (col("_next").isNull || leftTs < col("_next")))
     val plusNew = out(affected.select(leftCols.map(col) ++
@@ -167,7 +189,7 @@ object AsOf {
     // the OLD matches being retracted: as-of of the affected rows
     // against the BASE quotes at the touched keys only
     val affLeft = affected.select(leftCols.map(col): _*)
-    val oldQ = baseRight.join(
+    val oldQ = baseR.join(
       broadcast(dKeys), rightKey <=> col("_dk"), "left_semi")
     val minusOld = out(join(affLeft, leftKey, leftTs,
       oldQ, rightKey, rightTs, rightPayload), -1)
@@ -178,7 +200,7 @@ object AsOf {
     // as-of window; null-safe (<=>) so a null-key ΔT row still sees
     // the null-key quote group exactly as the unsliced form did
     val tKeys = deltaLeft.select(leftKey.as("_k")).distinct()
-    val newQ = baseRight.unionByName(deltaRight)
+    val newQ = baseR.unionByName(deltaRight)
       .join(broadcast(tKeys), rightKey <=> col("_k"), "left_semi")
     val plusLeft = out(join(deltaLeft, leftKey, leftTs,
       newQ, rightKey, rightTs, rightPayload), 1)

@@ -1278,6 +1278,17 @@ object EventStreams {
     * `probe = true` emits one mult = 0 row per invocation with the
     * post-eviction state size (event_id = versions held,
     * version = frozen count); mult 0 is fold-invisible.
+    *
+    * PER-ARRIVAL COST, named (r15 verdict): the held suffix stores
+    * defining EVENTS, and each arrival re-sorts and re-chains its
+    * key's held slice — O(h log h) per event for h in-window
+    * versions, so a key receiving n events inside one lateness
+    * window pays O(n² log n) total rebuild work. That is the price
+    * of exact split/renumber CDC under arbitrary arrival order; the
+    * bound a deployment sizes is the SAME watermark contract that
+    * bounds state — both axes (state rows AND rebuild work) shrink
+    * with `latenessMs`. The probe's `event_id` field (versions held)
+    * is the live h to watch when sizing it.
     */
   def scd2Stream(
       events: Dataset[Scd2Event], latenessMs: Long,

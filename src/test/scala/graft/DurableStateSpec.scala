@@ -305,6 +305,309 @@ class DurableStateSpec extends SparkSpec {
       rowsOf(want), "a concurrent fold was lost")
   }
 
+  test("null keys land deterministically in the xxhash64-seed shard and maintain like any other") {
+    // r15 advice: xxhash64 is NON-nullable — a null input leaves the
+    // hash at its seed (42), so null keys land in pmod(42, shards),
+    // not shard 0 as the old comment claimed. Pin the shard and the
+    // maintenance round-trip through it.
+    val base = stateOf(Seq(("a", 1.0), (null, 2.0), ("b", 4.0)))
+      .localCheckpoint()
+    val path = freshDir("null")
+    DurableState.writeZSum(base, "graft_ds_null", path, shards = 16)
+    val fromExpr = spark.range(1)
+      .select(DurableState.shardOf(lit(null).cast("string"), 16))
+      .head.getInt(0)
+    assert(fromExpr == 42 % 16, s"xxhash64(null) is the seed 42, so " +
+      s"the null shard is pmod(42,16)=${42 % 16}; expression gave " +
+      s"$fromExpr")
+    val gotShard = spark.table("graft_ds_null")
+      .filter(col("k").isNull).select(col("_shard"))
+      .as[Int].collect().toSeq
+    assert(gotShard == Seq(fromExpr), s"null key in $gotShard")
+    // a null-key delta touches exactly that shard and folds correctly
+    val delta = stateOf(Seq((null, 3.0))).localCheckpoint()
+    assert(DurableState.touchedShards(delta, col("k"), 16) ==
+      Seq(fromExpr))
+    val got = DurableState.maintainZSum(spark, "graft_ds_null", delta)
+    assert(rowsOf(got) == rowsOf(Incremental.mergeZSum(base, delta)))
+  }
+
+  test("atomic bridge: after the commit point the STAGED bytes roll forward — the fold never re-executes") {
+    val base = stateOf((0 until 40).map(i => (s"k$i", 1.0)))
+      .localCheckpoint()
+    val path = freshDir("crash1")
+    DurableState.writeZSum(base, "graft_ds_crash1", path, shards = 8)
+    val d0 = stateOf(Seq(("k1", 5.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_ds_crash1", d0, 0L)
+    val want0 = Incremental.mergeZSum(base, d0).localCheckpoint()
+    // simulate a batch-1 run that crashed immediately AFTER the
+    // commit point: stage the fold output and the marker BY HAND
+    // (this is the on-disk protocol contract), live table untouched
+    val d1 = stateOf(Seq(("k2", 7.0), ("k2", 1.0))).localCheckpoint()
+    val touched = DurableState.touchedShards(d1, col("k"), 8)
+    val slice = DurableState
+      .shardSlice(spark, "graft_ds_crash1", touched).drop("_shard")
+    Incremental.mergeZSum(slice, d1)
+      .withColumn("_shard", DurableState.shardOf(col("k"), 8))
+      .repartition(col("_shard"))
+      .write.partitionBy("_shard").parquet(s"$path/_staging_b1")
+    val present = new java.io.File(s"$path/_staging_b1").listFiles()
+      .map(_.getName).filter(_.startsWith("_shard="))
+      .map(_.stripPrefix("_shard=").toInt).toSeq.sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_commit_b1.txt"),
+      s"batch=1\npresent=${present.mkString(",")}\ndrops=\n"
+        .getBytes("UTF-8"))
+    val want1 = Incremental.mergeZSum(want0, d1).localCheckpoint()
+    // the REDELIVERED batch 1 arrives with a POISON delta: if the
+    // implementation re-ran the fold instead of rolling the staged
+    // bytes forward, the poison would land and double-apply
+    val poison = stateOf(Seq(("k2", 999.0))).localCheckpoint()
+    val got = DurableState.maintainZSumBatch(
+      spark, "graft_ds_crash1", poison, 1L)
+    assert(rowsOf(got) == rowsOf(want1),
+      "recovery re-executed the fold instead of rolling forward")
+    assert(DurableState.lastAppliedBatch(spark, "graft_ds_crash1") == 1L)
+    // marker + staging cleaned; the NEXT id applies normally
+    assert(!new java.io.File(s"$path/_commit_b1.txt").exists())
+    assert(!new java.io.File(s"$path/_staging_b1").exists())
+    val d2 = stateOf(Seq(("k3", 2.0))).localCheckpoint()
+    val got2 = DurableState.maintainZSumBatch(
+      spark, "graft_ds_crash1", d2, 2L)
+    assert(rowsOf(got2) == rowsOf(Incremental.mergeZSum(want1, d2)))
+  }
+
+  test("atomic bridge: a crash BEFORE the commit point leaves garbage staging that is swept, and the batch restages") {
+    val base = stateOf(Seq(("a", 1.0), ("b", 2.0))).localCheckpoint()
+    val path = freshDir("crash2")
+    DurableState.writeZSum(base, "graft_ds_crash2", path, shards = 8)
+    // a torn staging write with NO marker: garbage rows that must
+    // never reach the live table
+    stateOf(Seq(("a", 12345.0)))
+      .withColumn("_shard", DurableState.shardOf(col("k"), 8))
+      .write.partitionBy("_shard").parquet(s"$path/_staging_b0")
+    val d0 = stateOf(Seq(("a", 5.0))).localCheckpoint()
+    val got = DurableState.maintainZSumBatch(
+      spark, "graft_ds_crash2", d0, 0L)
+    val want = Incremental.mergeZSum(base, d0)
+    assert(rowsOf(got) == rowsOf(want),
+      "pre-commit staging garbage leaked into the fold")
+    assert(!new java.io.File(s"$path/_staging_b0").exists())
+  }
+
+  test("atomic bridge: the r15 window (data applied, property unset) recovers WITHOUT double-applying") {
+    val base = stateOf(Seq(("a", 1.0), ("b", 2.0))).localCheckpoint()
+    val path = freshDir("crash3")
+    DurableState.writeZSum(base, "graft_ds_crash3", path, shards = 8)
+    val d0 = stateOf(Seq(("a", 5.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_ds_crash3", d0, 0L)
+    val d1 = stateOf(Seq(("b", 7.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_ds_crash3", d1, 1L)
+    val want = Incremental.mergeZSum(
+      Incremental.mergeZSum(base, d0), d1).localCheckpoint()
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_crash3")) ==
+      rowsOf(want))
+    // simulate the crash between APPLY and the property/cleanup: the
+    // marker reappears (staging already consumed) and the property
+    // regresses to the pre-batch value — exactly the r15 hole where
+    // recovery re-applied the batch
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_commit_b1.txt"),
+      "batch=1\npresent=\ndrops=\n".getBytes("UTF-8"))
+    spark.sql("ALTER TABLE graft_ds_crash3 SET TBLPROPERTIES " +
+      "('graft.durable.batch' = '0')")
+    // the redelivered batch 1 (poison payload again) must heal the
+    // marker, advance the property, and apply NOTHING
+    val poison = stateOf(Seq(("b", 999.0))).localCheckpoint()
+    val got = DurableState.maintainZSumBatch(
+      spark, "graft_ds_crash3", poison, 1L)
+    assert(rowsOf(got) == rowsOf(want), "batch 1 was double-applied")
+    assert(DurableState.lastAppliedBatch(spark, "graft_ds_crash3") == 1L)
+    assert(!new java.io.File(s"$path/_commit_b1.txt").exists())
+    // and batch 2 proceeds normally on top
+    val d2 = stateOf(Seq(("c", 3.0))).localCheckpoint()
+    val got2 = DurableState.maintainZSumBatch(
+      spark, "graft_ds_crash3", poison, 2L)
+    assert(rowsOf(got2) == rowsOf(Incremental.mergeZSum(want, poison)))
+  }
+
+  test("maintainAuto: sparse deltas fold, dense deltas rebuild, arms bit-equal, evidence carried") {
+    val base = stateOf((0 until 40).map(i => (s"k$i", (i % 7).toDouble)))
+      .localCheckpoint()
+    val path = freshDir("auto")
+    DurableState.writeZSum(base, "graft_ds_auto", path, shards = 16)
+    val kernel = (sl: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) => Incremental.mergeZSum(sl, d)
+    // sparse: one key → fold arm
+    val sparse = stateOf(Seq(("k1", 5.0))).localCheckpoint()
+    val r1 = DurableState.maintainAuto(spark, "graft_ds_auto", sparse,
+      col("k"), kernel)
+    assert(r1.decision.strategy == "fold", r1.decision.toString)
+    assert(r1.decision.touchedShards <= 1 &&
+      r1.decision.totalShards == 16 &&
+      r1.decision.touchedFraction < 0.5)
+    val want1 = Incremental.mergeZSum(base, sparse).localCheckpoint()
+    assert(rowsOf(r1.df) == rowsOf(want1))
+    // dense: most keys → rebuild arm, same state
+    val dense = stateOf((0 until 40).map(i => (s"k$i", 1.5)))
+      .localCheckpoint()
+    val r2 = DurableState.maintainAuto(spark, "graft_ds_auto", dense,
+      col("k"), kernel)
+    assert(r2.decision.strategy == "rebuild", r2.decision.toString)
+    assert(r2.decision.touchedFraction >= 0.5)
+    val want2 = Incremental.mergeZSum(want1, dense).localCheckpoint()
+    assert(rowsOf(r2.df) == rowsOf(want2))
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_auto")) ==
+      rowsOf(want2))
+    // the rebuilt table is still a maintainable DurableState table
+    val again = stateOf(Seq(("k2", 1.0))).localCheckpoint()
+    assert(rowsOf(DurableState.maintainZSum(spark, "graft_ds_auto",
+      again)) == rowsOf(Incremental.mergeZSum(want2, again)))
+    // empty delta → noop
+    val r3 = DurableState.maintainAuto(spark, "graft_ds_auto",
+      stateOf(Seq.empty[(String, Double)]).localCheckpoint(),
+      col("k"), kernel)
+    assert(r3.decision.strategy == "noop")
+    // ARMS BIT-EQUAL: force each arm over the identical start state
+    val pathA = freshDir("autoA"); val pathB = freshDir("autoB")
+    val d = stateOf(Seq(("k3", 2.0), ("k4", 3.0), ("k4", 1.0)))
+      .localCheckpoint()
+    DurableState.writeZSum(base, "graft_ds_autoA", pathA, shards = 16)
+    val armFold = DurableState.maintainAuto(spark, "graft_ds_autoA", d,
+      col("k"), kernel, rebuildThreshold = 1.01)
+    assert(armFold.decision.strategy == "fold")
+    DurableState.writeZSum(base, "graft_ds_autoB", pathB, shards = 16)
+    val armRebuild = DurableState.maintainAuto(spark, "graft_ds_autoB",
+      d, col("k"), kernel, rebuildThreshold = 0.0)
+    assert(armRebuild.decision.strategy == "rebuild")
+    assert(rowsOf(armFold.df) == rowsOf(armRebuild.df),
+      "fold and rebuild arms diverged")
+    // the rebuild arm preserves the applied-batch lineage property
+    DurableState.maintainZSumBatch(spark, "graft_ds_autoB",
+      stateOf(Seq(("k5", 1.0))).localCheckpoint(), 7L)
+    DurableState.maintainAuto(spark, "graft_ds_autoB", dense,
+      col("k"), kernel, rebuildThreshold = 0.0)
+    assert(DurableState.lastAppliedBatch(spark, "graft_ds_autoB") == 7L,
+      "rebuild arm lost the applied-batch property")
+  }
+
+  test("cross-process lease: live lease blocks, stale lease steals, a stolen fence aborts before the write") {
+    val base = stateOf(Seq(("a", 1.0), ("b", 2.0))).localCheckpoint()
+    val path = freshDir("lease")
+    DurableState.writeZSum(base, "graft_ds_lease", path, shards = 8)
+    val l1 = DurableState.acquireLease(spark, "graft_ds_lease")
+    // a second acquirer fails loudly, naming the holder
+    val e1 = intercept[IllegalArgumentException] {
+      DurableState.acquireLease(spark, "graft_ds_lease")
+    }
+    assert(e1.getMessage.contains("under maintenance"), e1.getMessage)
+    // fenced write under the valid lease works
+    val d0 = stateOf(Seq(("a", 3.0))).localCheckpoint()
+    val got0 = DurableState.maintainKeyed(spark, "graft_ds_lease", d0,
+      col("k"), (sl, d) => Incremental.mergeZSum(sl, d),
+      fence = Some(l1))
+    val want0 = Incremental.mergeZSum(base, d0).localCheckpoint()
+    assert(rowsOf(got0.select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(want0))
+    // age the lease file (the holder "crashed"): a second maintainer
+    // STEALS it and the fencing token bumps
+    // (delete the Hadoop LocalFileSystem checksum sibling first — the
+    // hand-edit below would otherwise trip the CRC on the next read)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/._lease.txt.crc"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_lease.txt"),
+      s"holder=dead@host/t0\nsinceMs=${System.currentTimeMillis() - 100000}\n"
+        .getBytes("UTF-8"))
+    val l2 = DurableState.acquireLease(spark, "graft_ds_lease",
+      ttlMs = 1000L)
+    assert(l2.token == l1.token + 1, s"${l1.token} -> ${l2.token}")
+    // the zombie holder aborts LOUDLY before mutating anything
+    val before = rowsOf(DurableState.readZSum(spark, "graft_ds_lease"))
+    val e2 = intercept[IllegalArgumentException] {
+      DurableState.maintainKeyed(spark, "graft_ds_lease",
+        stateOf(Seq(("b", 50.0))).localCheckpoint(), col("k"),
+        (sl, d) => Incremental.mergeZSum(sl, d), fence = Some(l1))
+    }
+    assert(e2.getMessage.contains("STOLEN"), e2.getMessage)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_lease")) ==
+      before, "a fenced-out writer mutated the table")
+    // the current holder still writes; release frees the lease
+    val d1 = stateOf(Seq(("b", 4.0))).localCheckpoint()
+    DurableState.maintainKeyed(spark, "graft_ds_lease", d1, col("k"),
+      (sl, d) => Incremental.mergeZSum(sl, d), fence = Some(l2))
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_lease")) ==
+      rowsOf(Incremental.mergeZSum(want0, d1)))
+    DurableState.releaseLease(spark, l2)
+    val l3 = DurableState.acquireLease(spark, "graft_ds_lease")
+    DurableState.releaseLease(spark, l3)
+    // a lease on table A cannot fence table B
+    val e3 = intercept[IllegalArgumentException] {
+      DurableState.maintainKeyed(spark, "graft_ds_lease", d1, col("k"),
+        (sl, d) => Incremental.mergeZSum(sl, d),
+        fence = Some(l3.copy(table = "other_table")))
+    }
+    assert(e3.getMessage.contains("lease for table"), e3.getMessage)
+  }
+
+  test("serving projection: bucketed zero-Exchange join, staleness tracked by batch id") {
+    val base = stateOf((0 until 60).map(i => (s"u$i", (i % 9).toDouble)))
+      .localCheckpoint()
+    val path = freshDir("serve")
+    DurableState.writeZSum(base, "graft_ds_serve", path, shards = 16)
+    val d0 = stateOf(Seq(("u1", 5.0), ("u2", 1.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_ds_serve", d0, 0L)
+    val b = DurableState.refreshServing(spark, "graft_ds_serve",
+      "graft_ds_serve_sv", freshDir("sv"), buckets = 8)
+    assert(b == 0L)
+    assert(DurableState.servedBatch(spark, "graft_ds_serve_sv") == 0L)
+    assert(DurableState.servingStaleness(spark, "graft_ds_serve",
+      "graft_ds_serve_sv") == 0L)
+    // projection rows == the durable state
+    assert(rowsOf(spark.table("graft_ds_serve_sv")
+      .select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(DurableState.readZSum(spark, "graft_ds_serve")))
+    // consumer join: serving table ⋈ an equally-bucketed probe table
+    // runs with ZERO shuffle Exchange (the whole point of the
+    // projection — the shard-grain table cannot offer this)
+    graft.ops.Layout.bucketWrite(
+      base.select(col("k"), col("n").as("base_n")),
+      "graft_ds_probe_sv", freshDir("pb"), buckets = 8, key = "k")
+    val prevThresh =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_ds_serve_sv")
+        .join(spark.table("graft_ds_probe_sv"), Seq("k"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+        s"bucketed serving join shuffled:\n$plan")
+      // the CONTRAST: the same join through the shard-grain table
+      // pays the shuffle the projection exists to remove
+      val j2 = DurableState.readKeyed(spark, "graft_ds_serve")
+        .join(spark.table("graft_ds_probe_sv"), Seq("k"))
+      j2.collect()
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan2).nonEmpty,
+        s"expected the shard-grain join to shuffle:\n$plan2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    // staleness: a new applied batch opens the gap; refresh closes it
+    val d1 = stateOf(Seq(("u3", 9.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_ds_serve", d1, 1L)
+    assert(DurableState.servingStaleness(spark, "graft_ds_serve",
+      "graft_ds_serve_sv") == 1L)
+    DurableState.refreshServing(spark, "graft_ds_serve",
+      "graft_ds_serve_sv", freshDir("sv2"), buckets = 8)
+    assert(DurableState.servingStaleness(spark, "graft_ds_serve",
+      "graft_ds_serve_sv") == 0L)
+    assert(rowsOf(spark.table("graft_ds_serve_sv")
+      .select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(DurableState.readZSum(spark, "graft_ds_serve")))
+  }
+
   test("maintainZSum is loud on schema drift and foreign tables") {
     val e1 = intercept[IllegalArgumentException] {
       DurableState.maintainZSum(spark, "graft_ds_rt",
