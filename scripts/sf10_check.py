@@ -790,6 +790,12 @@ for _name in ["q_incremental_durable", "q_incremental_durable_z",
               "q_scd2_durable", "ds_quota_durable"]:
     if selected(_name):
         check_full(_name)
+# r16 additions, same family (router/atomic-bridge/serving land on
+# the same survivor aggregates; recompute is the corrected-log SCD2)
+for _name in ["q_durable_auto", "q_durable_atomic",
+              "q_durable_serving", "q_durable_recompute"]:
+    if selected(_name):
+        check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full
 # encode CTEs, which OOM DuckDB over the 500k-doc sf10 corpus (the
 # same reason txt_bpe_encode itself is sf1-checked, not sf10) — the

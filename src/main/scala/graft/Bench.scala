@@ -316,8 +316,39 @@ object Bench {
             l.split(":")(1).trim.toDouble.round.toString
         }.getOrElse("?") finally src.close()
       } catch { case _: Throwable => "?" }
+    // memory-throughput stamp (r16, r15 verdict item 7): cpu_mhz
+    // adjudicated the r12→r14 clock drift, but q_pagerank's 23↔35 s
+    // swing tracks the host's MEMORY bandwidth, which no clock stamp
+    // captures — the one 32-core bandwidth-bound iterative query in
+    // the set moves with it while compute-bound queries stay put. A
+    // fixed 256 MiB single-thread read sweep (~100 ms, best of 3 so
+    // a scheduler hiccup cannot understate it) gives GB/s; future
+    // pagerank wobbles split into "memory platform moved" (stamp
+    // moved too) vs "plan regressed" (stamp flat).
+    val memGbps = {
+      val n = 32 << 20 // 32M longs = 256 MiB
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = i.toLong; i += 1 }
+      var sink = 0L
+      var best = Double.MaxValue
+      var r = 0
+      while (r < 3) {
+        val t0 = System.nanoTime()
+        var s = 0L
+        var j = 0
+        while (j < n) { s += a(j); j += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        sink ^= s
+        if (dt < best) best = dt
+        r += 1
+      }
+      // the xor-sink keeps the sweep from being dead-code-eliminated
+      if (sink == 42L) System.err.print("")
+      r2(n.toLong * 8L / best / 1e9)
+    }
     val host =
-      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"jvm":"$jvm","kernel":"$kernel","cpu_mhz":"$mhz","quiet_ratio":${BenchNoise.QuietRatio},"min_excess":${BenchNoise.MinExcess},"headroom_frac":${BenchNoise.HeadroomFrac},"excess_median":${r2(loadMedian)},"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"self_load_per_run":${perRun(_.selfLoad)},"noisy":$noisy}"""
+      s"""{"steal_pct":${r2(benchSteal)},"idle_pct":${r2(benchIdle)},"ncpus":$ncpus,"jvm":"$jvm","kernel":"$kernel","cpu_mhz":"$mhz","mem_gbps":$memGbps,"quiet_ratio":${BenchNoise.QuietRatio},"min_excess":${BenchNoise.MinExcess},"headroom_frac":${BenchNoise.HeadroomFrac},"excess_median":${r2(loadMedian)},"steal_per_run":${perRun(_.steal)},"other_cores_per_run":${perRun(_.otherCores)},"load_per_run":${perRun(_.load)},"self_load_per_run":${perRun(_.selfLoad)},"noisy":$noisy}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"host":$host,"sf":"$sfDir"}"""
     // r8 lesson: the driver's stdout capture truncated BENCH_r08.json

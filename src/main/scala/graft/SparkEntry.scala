@@ -1412,6 +1412,122 @@ object SparkEntry {
         .withColumnRenamed("k", "user_id")
     },
 
+    "q_durable_auto" -> { (s, dir) =>
+      // the SELF-DRIVING fold-vs-rebuild crossover (r16): the dense
+      // batch (touching most of the 64 shards) must route to the
+      // full-rebuild arm — per-shard dynamic overwrite would pay
+      // maintenance overhead on top of a near-total rewrite — and
+      // the single-key sparse batch must route to the pruned fold.
+      // Both routings are REQUIRED in-gate (the decision is part of
+      // the contract); the oracle checks the final state.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val u0 = ins.agg(min(col("user_id"))).head.getLong(0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_auto").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_auto", wh + "/state", shards = 64)
+      val dense = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"),
+            lit(-1)),
+          Incremental.stateZSum(ins.filter(col("user_id") =!= u0),
+            col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      val sparse = Incremental.stateZSum(
+          ins.filter(col("user_id") === u0), col("user_id"),
+          col("value"), lit(1))
+        .localCheckpoint()
+      val kernel = (sl: DataFrame, d: DataFrame) =>
+        Incremental.mergeZSum(sl, d)
+      val r1 = DurableState.maintainAuto(s, "graft_durable_auto",
+        dense, col("k"), kernel)
+      require(r1.decision.strategy == "rebuild",
+        s"dense delta must route to rebuild: ${r1.decision}")
+      val r2 = DurableState.maintainAuto(s, "graft_durable_auto",
+        sparse, col("k"), kernel)
+      require(r2.decision.strategy == "fold",
+        s"single-key delta must route to fold: ${r2.decision}")
+      Incremental.finishZSum(
+          r2.df.select(col("k"), col("n"), col("sum_v")))
+        .withColumnRenamed("k", "user_id")
+    },
+
+    "q_durable_atomic" -> { (s, dir) =>
+      // the bridge's EXACTLY-ONCE contract end to end (r16): two
+      // identified micro-batches fold through the staged-commit
+      // protocol (stage → atomic marker rename → idempotent apply),
+      // then batch 1 is REDELIVERED with a poison payload — the
+      // replay must be a no-op. The oracle equality breaks if the
+      // poison lands or anything double-applies; the crash-window
+      // recovery itself is spec-pinned in DurableStateSpec.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_atomic").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_atomic", wh + "/state", shards = 64)
+      val b0 = Incremental.stateZSum(del, col("user_id"), col("value"),
+        lit(-1)).localCheckpoint()
+      val b1 = Incremental.stateZSum(ins, col("user_id"), col("value"),
+        lit(1)).localCheckpoint()
+      DurableState.maintainZSumBatch(s, "graft_durable_atomic", b0, 0L)
+      DurableState.maintainZSumBatch(s, "graft_durable_atomic", b1, 1L)
+      DurableState.maintainZSumBatch(s, "graft_durable_atomic", b1, 1L)
+      require(
+        DurableState.lastAppliedBatch(s, "graft_durable_atomic") == 1L,
+        "replayed batch advanced the applied-batch id")
+      Incremental.finishZSum(
+          DurableState.readZSum(s, "graft_durable_atomic"))
+        .withColumnRenamed("k", "user_id")
+    },
+
+    "q_durable_serving" -> { (s, dir) =>
+      // the CONSUMER face of the durable store (r16): shard grain is
+      // write-optimal but every join against it shuffles, so the
+      // maintained state refreshes into a BUCKETED serving projection
+      // (staleness = applied-batch id in a table property, required
+      // fresh in-gate) and the consumer join runs bucket-aligned —
+      // zero Exchange on the key, spec-pinned in DurableStateSpec.
+      import graft.ops.{DurableState, Incremental, Layout}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_srv").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_srv", wh + "/state", shards = 64)
+      val delta = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"),
+            lit(-1)),
+          Incremental.stateZSum(ins, col("user_id"), col("value"),
+            lit(1)))
+        .localCheckpoint()
+      DurableState.maintainZSumBatch(s, "graft_durable_srv", delta, 0L)
+      DurableState.refreshServing(s, "graft_durable_srv",
+        "graft_durable_srv_sv", wh + "/serving", buckets = 16)
+      require(DurableState.servingStaleness(s, "graft_durable_srv",
+        "graft_durable_srv_sv") == 0L, "projection must be fresh")
+      Layout.bucketWrite(
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_all")),
+        "graft_durable_srv_probe", wh + "/probe", buckets = 16,
+        key = "user_id")
+      val sv = Incremental.finishZSum(s.table("graft_durable_srv_sv")
+        .select(col("k"), col("n"), col("sum_v")))
+      val probe = s.table("graft_durable_srv_probe")
+      sv.join(probe, sv("k") === probe("user_id"))
+        .select(col("user_id"), col("n"), col("sum_v"), col("n_all"))
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // next-fit packing of docs into 2048-char training sequences
       // per source; per-sequence fill summary
@@ -1887,6 +2003,46 @@ object SparkEntry {
             col("event_id"), col("event_type"), eventUs(d, "ts")),
           canEmpty = false)
         .withColumnRenamed("key", "user_id")
+    },
+
+    "q_durable_recompute" -> { (s, dir) =>
+      // the wired full-recompute pointer (r16): a DELETE batch
+      // arrives for the insert-only SCD2 family — deltaMaintain
+      // structurally cannot fold it (a deleted event re-opens or
+      // merges validity intervals), so maintainOrRecompute routes to
+      // the full rebuild over the corrected log, landed through the
+      // SAME durable write (the store stays a DurableState table).
+      // The routing is required in-gate; the oracle is SCD2 over the
+      // corrected log.
+      import graft.ops.{DurableState, Maintenance, Scd2}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val del = base.filter(col("event_id") % 9 === 0)
+        .withColumn("mult", lit(-1L)).localCheckpoint()
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_rc").toString
+      DurableState.writeKeyed(
+        Scd2.build(base, col("user_id"), col("event_id"),
+          col("event_type"), eventUs(base, "ts")),
+        "graft_durable_rc", wh + "/state", shards = 64, keyCol = "key")
+      val corrected = base.filter(col("event_id") % 9 =!= 0)
+      val routed = Maintenance.maintainOrRecompute(del) { d =>
+        DurableState.maintainKeyed(s, "graft_durable_rc", d,
+          col("user_id"),
+          (slice, dd) => Scd2.deltaMaintain(slice, dd, col("user_id"),
+            col("event_id"), col("event_type"), eventUs(dd, "ts")),
+          canEmpty = false)
+      } {
+        val rebuilt = Scd2.build(corrected, col("user_id"),
+          col("event_id"), col("event_type"), eventUs(corrected, "ts"))
+          .localCheckpoint()
+        DurableState.writeKeyed(rebuilt, "graft_durable_rc",
+          wh + "/state", shards = 64, keyCol = "key")
+        DurableState.readKeyed(s, "graft_durable_rc")
+      }
+      require(routed.recomputed && routed.deletes > 0L,
+        "a delete batch must route to the full recompute")
+      routed.df.withColumnRenamed("key", "user_id")
     },
 
     "q_scd2_history" -> { (s, dir) =>
@@ -3645,6 +3801,37 @@ object SparkEntry {
         |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
         |GROUP BY user_id""".stripMargin,
 
+    // the self-driving router lands on the same survivors whichever
+    // arm each batch takes (dense → rebuild, sparse → fold)
+    "q_durable_auto" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
+
+    // exactly-once through the staged-commit protocol: a replayed
+    // batch (poison payload) must leave the same survivors
+    "q_durable_atomic" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
+
+    // the consumer join through the bucketed serving projection:
+    // maintained survivors joined to the all-events per-user count
+    "q_durable_serving" ->
+      """SELECT s.user_id, s.n, s.sum_v, p.n_all
+        |FROM (SELECT user_id, count(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |      FROM events
+        |      WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |      GROUP BY user_id) s
+        |JOIN (SELECT user_id, count(*) AS n_all
+        |      FROM events GROUP BY user_id) p
+        |  ON s.user_id = p.user_id""".stripMargin,
+
     // the pair-level durable member surfaces the full finishZ tuple
     "q_incremental_durable_z" ->
       """SELECT user_id, count(*) AS n,
@@ -3844,6 +4031,19 @@ object SparkEntry {
         | lead(epoch_us(ts)) OVER w AS valid_to,
         | (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
         |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    // a delete batch routes to the full rebuild: SCD2 over the
+    // CORRECTED log (base minus the retracted events)
+    "q_durable_recompute" ->
+      """SELECT user_id, event_id,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | event_type AS attr,
+        | epoch_us(ts) AS valid_from,
+        | lead(epoch_us(ts)) OVER w AS valid_to,
+        | (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |FROM events
+        |WHERE event_id % 5 <> 0 AND event_id % 9 <> 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
 
     "q_scd2_history" ->
