@@ -238,6 +238,60 @@ class DurableStateSpec extends SparkSpec {
       rows(want), "replayed batch was re-applied")
   }
 
+  test("checkpoint RESTART + sink crash: the durable bridge applies each micro-batch exactly once end to end") {
+    // the REAL at-least-once redelivery, not a simulated one: the
+    // sink crashes AFTER the durable fold of batch 1 (so the batch
+    // never commits to the checkpoint), the query dies, and the
+    // restarted query REDELIVERS batch 1 — Structured Streaming's
+    // actual replay machinery driving the marker/property gate. A
+    // double-apply would show as a: n=2/sum=10 style drift.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.ZRow
+    val base = stateOf(Seq(("a", 1.0))).localCheckpoint()
+    val path = freshDir("bridge_rs")
+    DurableState.writeZSum(base, "graft_ds_bridge_rs", path, shards = 8)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_bridge").toString
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val mem = MemoryStream[ZRow]
+    def start() = mem.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[ZRow], id: Long) =>
+        val delta = Incremental.stateZSum(df.toDF(),
+          col("key"), col("value"), col("mult")).localCheckpoint()
+        DurableState.maintainZSumBatch(spark, "graft_ds_bridge_rs",
+          delta, id)
+        if (crashOnce.getAndSet(false))
+          sys.error("injected sink crash AFTER the durable fold")
+        ()
+      }.start()
+    val q1 = start()
+    mem.addData(ZRow("a", 5.0, 1L), ZRow("b", 2.0, 1L))
+    q1.processAllAvailable()
+    q1.stop() // the kill: state only in the checkpoint + the table
+    // down-time data; its FIRST delivery will fold durably and then
+    // die before acknowledging
+    mem.addData(ZRow("a", 1.0, -1L), ZRow("c", 7.0, 1L))
+    crashOnce.set(true)
+    val q2 = start()
+    intercept[Throwable] { q2.processAllAvailable() }
+    scala.util.Try(q2.stop())
+    // restart: batch 1 is REDELIVERED (never committed); the gate
+    // must make the re-fold a no-op
+    val q3 = start()
+    q3.processAllAvailable(); q3.stop()
+    val want = Incremental.mergeZSum(
+      Incremental.mergeZSum(base,
+        stateOf(Seq(("a", 5.0), ("b", 2.0)))),
+      stateOf(Seq(("a", 1.0)), m = -1L)
+        .unionByName(stateOf(Seq(("c", 7.0)))))
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_bridge_rs")) ==
+      rowsOf(want), "redelivered batch was double-applied")
+    assert(
+      DurableState.lastAppliedBatch(spark, "graft_ds_bridge_rs") == 1L)
+  }
+
   test("maintainKeyed one-pass path (canEmpty=false) kills a stray-shard write in-band") {
     val base = stateOf((0 until 40).map(i => (s"k$i", 1.0)))
       .localCheckpoint()
