@@ -1489,6 +1489,88 @@ object SparkEntry {
         .withColumnRenamed("k", "user_id")
     },
 
+    "q_durable_auto_batch" -> { (s, dir) =>
+      // the router INSIDE the atomic protocol (r16): a dense CDC
+      // batch takes the REBUILD arm through the staged commit (batch
+      // identity + crash atomicity — maintainAuto's writeKeyed arm
+      // has neither), the single-key batch folds, and a replayed id
+      // is a no-op whichever arm it would take. All three routings
+      // required in-gate; oracle on the final state.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val u0 = ins.agg(min(col("user_id"))).head.getLong(0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_ab").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_ab", wh + "/state", shards = 64)
+      val dense = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"),
+            lit(-1)),
+          Incremental.stateZSum(ins.filter(col("user_id") =!= u0),
+            col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      val sparse = Incremental.stateZSum(
+          ins.filter(col("user_id") === u0), col("user_id"),
+          col("value"), lit(1))
+        .localCheckpoint()
+      val kernel = (sl: DataFrame, d: DataFrame) =>
+        Incremental.mergeZSum(sl, d)
+      val r0 = DurableState.maintainAutoBatch(s, "graft_durable_ab",
+        dense, col("k"), kernel, batchId = 0L)
+      require(r0.decision.strategy == "rebuild",
+        s"dense batch must rebuild atomically: ${r0.decision}")
+      val r1 = DurableState.maintainAutoBatch(s, "graft_durable_ab",
+        sparse, col("k"), kernel, batchId = 1L)
+      require(r1.decision.strategy == "fold",
+        s"single-key batch must fold: ${r1.decision}")
+      val rr = DurableState.maintainAutoBatch(s, "graft_durable_ab",
+        dense, col("k"), kernel, batchId = 1L)
+      require(rr.decision.strategy == "replay",
+        s"replayed id must no-op: ${rr.decision}")
+      Incremental.finishZSum(
+          rr.df.select(col("k"), col("n"), col("sum_v")))
+        .withColumnRenamed("k", "user_id")
+    },
+
+    "q_durable_reshard" -> { (s, dir) =>
+      // atomic RESHARDING (r16): the store grows, the modulus must
+      // change — and modulus + directory layout flip in ONE recovery
+      // unit (the new shard count rides the commit marker), because
+      // a probe under the new modulus against old-layout directories
+      // would mis-shard and the overwrite would silently drop rows.
+      // Folds before, between, and after two reshards (grow 64→128,
+      // shrink 128→16) must land identically; the oracle checks the
+      // final survivors.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_resh").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_resh", wh + "/state", shards = 64)
+      DurableState.maintainZSum(s, "graft_durable_resh",
+        Incremental.stateZSum(del, col("user_id"), col("value"),
+          lit(-1)).localCheckpoint())
+      DurableState.reshardKeyed(s, "graft_durable_resh", 128)
+      require(DurableState.propsOf(s, "graft_durable_resh")._1 == 128,
+        "modulus must flip with the layout")
+      DurableState.maintainZSum(s, "graft_durable_resh",
+        Incremental.stateZSum(ins, col("user_id"), col("value"),
+          lit(1)).localCheckpoint())
+      DurableState.reshardKeyed(s, "graft_durable_resh", 16)
+      require(DurableState.propsOf(s, "graft_durable_resh")._1 == 16)
+      Incremental.finishZSum(
+          DurableState.readZSum(s, "graft_durable_resh"))
+        .withColumnRenamed("k", "user_id")
+    },
+
     "q_durable_serving" -> { (s, dir) =>
       // the CONSUMER face of the durable store (r16): shard grain is
       // write-optimal but every join against it shuffles, so the
@@ -3813,6 +3895,24 @@ object SparkEntry {
     // exactly-once through the staged-commit protocol: a replayed
     // batch (poison payload) must leave the same survivors
     "q_durable_atomic" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
+
+    // the atomic router lands on the same survivors whichever arm
+    // each identified batch takes; a replayed id is a no-op
+    "q_durable_auto_batch" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
+
+    // resharding is physical only: folds before/between/after two
+    // modulus changes land on the same survivors
+    "q_durable_reshard" ->
       """SELECT user_id, count(*) AS n,
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
         |FROM events

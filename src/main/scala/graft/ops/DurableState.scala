@@ -529,9 +529,9 @@ object DurableState {
   }
 
   private def markerPath(loc: Path, batchId: Long): Path =
-    new Path(loc, s"_commit_b$batchId.txt")
+    new Path(loc, s"_commit_b${math.max(batchId, 0L)}.txt")
   private def stagingPath(loc: Path, batchId: Long): Path =
-    new Path(loc, s"_staging_b$batchId")
+    new Path(loc, s"_staging_b${math.max(batchId, 0L)}")
   // both names start with "_" and contain no "=", so Spark's file
   // listing ignores them (shouldFilterOutPathName) — staging and
   // markers can live INSIDE the table directory without polluting
@@ -554,6 +554,14 @@ object DurableState {
     val lines = readSmall(fs, marker).split("\n")
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     val b = lines("batch").toLong
+    // advance=0 marks a commit that must NOT move the applied-batch
+    // property (resharding — a physical rewrite with no delta
+    // identity); absent means advance (the bridge's batches)
+    val advance = lines.getOrElse("advance", "1") == "1"
+    // a resharding commit carries the NEW modulus: it must flip in
+    // the same recovery unit as the directory swap (set post-swap —
+    // a crash in between re-enters here and completes both)
+    val newShards = lines.get("shards").filter(_.nonEmpty).map(_.toInt)
     def ids(k: String): Seq[Int] =
       lines.get(k).filter(_.nonEmpty).map(_.split(",").toSeq
         .map(_.toInt)).getOrElse(Nil)
@@ -580,11 +588,58 @@ object DurableState {
       if (fs.exists(dead)) fs.delete(dead, true)
     }
     spark.catalog.refreshTable(table)
-    if (b > lastAppliedBatch(spark, table))
+    if (advance && b > lastAppliedBatch(spark, table))
       spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
         s"('$batchProp' = '$b')")
+    newShards.foreach { n =>
+      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+        s"('$shardsProp' = '$n')")
+    }
     fs.delete(marker, false)
     if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  /** The shared STAGE → COMMIT → APPLY leg (see
+    * [[maintainKeyedBatch]] for the protocol): write `frame` (data
+    * columns + `_shard`, already repartitioned on it) to the staging
+    * directory, derive the present-shard set from the staging
+    * listing (the write IS the materialization — one pass), compute
+    * drops via `dropsOf(present)`, fence, commit the marker
+    * atomically, and roll it forward. Callers differ only in what
+    * they stage (a touched-slice fold, a full rebuild, a compaction
+    * rewrite) and in whether the applied-batch property advances.
+    */
+  private def commitStaged(
+      spark: SparkSession, table: String, frame: DataFrame,
+      batchId: Long, advance: Boolean,
+      dropsOf: Seq[Int] => Seq[Int],
+      requireSubsetOf: Option[Seq[Int]],
+      fence: Option[Lease],
+      newShards: Option[Int] = None): Seq[Int] = {
+    val loc = locationOf(spark, table)
+    val fs = fsOf(spark, loc)
+    val staging = stagingPath(loc, batchId)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    frame.write.mode("overwrite").partitionBy("_shard")
+      .parquet(staging.toString)
+    val present = fs.listStatus(staging).map(_.getPath.getName)
+      .filter(_.startsWith("_shard="))
+      .map(_.stripPrefix("_shard=").toInt).toSeq.sorted
+    requireSubsetOf.foreach { touched =>
+      require(present.toSet.subsetOf(touched.toSet),
+        s"DurableState: staged shards $present outside touched $touched")
+    }
+    // the COMMIT POINT: fence first (a stolen lease must abort with
+    // zero live mutations), then the atomic marker rename
+    checkFence(spark, table, fence)
+    val drops = dropsOf(present)
+    atomicWrite(fs, markerPath(loc, batchId),
+      s"batch=$batchId\nadvance=${if (advance) 1 else 0}\n" +
+        newShards.map(n => s"shards=$n\n").getOrElse("") +
+        s"present=${present.mkString(",")}\n" +
+        s"drops=${drops.mkString(",")}\n")
+    applyCommit(spark, table, markerPath(loc, batchId))
+    present
   }
 
   /** Self-healing sweep, run at the start of every maintenance entry
@@ -686,43 +741,153 @@ object DurableState {
             s"('$batchProp' = '$batchId')")
           readKeyed(spark, table)
         case Some((aligned, touched, _)) =>
-          val loc = locationOf(spark, table)
-          val fs = fsOf(spark, loc)
-          val staging = stagingPath(loc, batchId)
-          if (fs.exists(staging)) fs.delete(staging, true)
           // ONE pass: the staged write is the materialization, the
           // in-band guard kills contract strays mid-write (live table
           // untouched — nothing is committed yet)
-          strayGuard(aligned, touched)
-            .write.mode("overwrite").partitionBy("_shard")
-            .parquet(staging.toString)
-          val present = fs.listStatus(staging).map(_.getPath.getName)
-            .filter(_.startsWith("_shard="))
-            .map(_.stripPrefix("_shard=").toInt).toSeq.sorted
-          require(present.toSet.subsetOf(touched.toSet),
-            s"DurableState.maintainKeyedBatch: staged shards $present " +
-              s"outside touched $touched")
-          if (!canEmpty) {
-            val existing = spark.sql(s"SHOW PARTITIONS `$table`")
+          val existing =
+            if (canEmpty) Set.empty[Int]
+            else spark.sql(s"SHOW PARTITIONS `$table`")
               .collect().map(_.getString(0)
                 .stripPrefix("_shard=").toInt).toSet
-            val vanished = touched.filter(existing)
-              .filterNot(present.toSet)
-            require(vanished.isEmpty,
-              s"DurableState.maintainKeyedBatch: insert-only rebuild " +
-                s"dropped all rows of previously-present shard(s) " +
-                s"${vanished.mkString(",")}")
-          }
-          // the COMMIT POINT: fence first (a stolen lease must abort
-          // with zero live mutations), then the atomic marker rename
-          checkFence(spark, table, fence)
-          val drops = touched.filterNot(present.toSet)
-          atomicWrite(fs, markerPath(loc, batchId),
-            s"batch=$batchId\npresent=${present.mkString(",")}\n" +
-              s"drops=${drops.mkString(",")}\n")
-          applyCommit(spark, table, markerPath(loc, batchId))
+          commitStaged(spark, table, strayGuard(aligned, touched),
+            batchId, advance = true,
+            dropsOf = { present =>
+              if (!canEmpty) {
+                val vanished = touched.filter(existing)
+                  .filterNot(present.toSet)
+                require(vanished.isEmpty,
+                  s"DurableState.maintainKeyedBatch: insert-only " +
+                    "rebuild dropped all rows of previously-present " +
+                    s"shard(s) ${vanished.mkString(",")}")
+              }
+              touched.filterNot(present.toSet)
+            },
+            requireSubsetOf = Some(touched), fence = fence)
           readKeyed(spark, table)
       }
+    }
+
+  /** [[maintainAuto]]'s routing INSIDE the atomic batch protocol
+    * (r16): the bridge's fold arm is [[maintainKeyedBatch]]; the
+    * rebuild arm stages the FULL rebuilt state and commits it through
+    * the same marker — so even a dense CDC batch lands exactly-once
+    * under crashes and replays (where [[maintainAuto]]'s rebuild arm
+    * is the caller-driven `writeKeyed`, whose DROP+overwrite has no
+    * crash identity). The full-rebuild staging is also ONE pass: the
+    * rebuild plan reads the live table while writing staging (other
+    * directories), and the swap happens only after the marker — no
+    * localCheckpoint of the whole store needed. Replayed ids are
+    * no-ops either way (decision `"replay"`).
+    */
+  def maintainAutoBatch(
+      spark: SparkSession, table: String, delta: DataFrame,
+      deltaKey: Column,
+      rebuild: (DataFrame, DataFrame) => DataFrame,
+      batchId: Long,
+      canEmpty: Boolean = true,
+      rebuildThreshold: Double = 0.5,
+      fence: Option[Lease] = None): Maintained =
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      healPending(spark, table)
+      val (shards, keyCol) = propsOf(spark, table)
+      def decision(s: String, touched: Int) = MaintainDecision(
+        s, touched, shards, touched.toDouble / shards, rebuildThreshold)
+      if (batchId <= lastAppliedBatch(spark, table))
+        return Maintained(readKeyed(spark, table), decision("replay", 0))
+      val dkType = delta.select(deltaKey.as("_k")).schema.head.dataType
+      val skType = spark.table(table).schema(keyCol).dataType
+      require(dkType == skType,
+        s"DurableState.maintainAutoBatch: delta key type $dkType != " +
+          s"store key '$keyCol' type $skType")
+      val delta1 = delta.localCheckpoint()
+      val touched = touchedShards(delta1, deltaKey, shards)
+      if (touched.isEmpty) {
+        checkFence(spark, table, fence)
+        spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+          s"('$batchProp' = '$batchId')")
+        return Maintained(readKeyed(spark, table), decision("noop", 0))
+      }
+      val frac = touched.size.toDouble / shards
+      if (frac < rebuildThreshold)
+        Maintained(
+          maintainKeyedBatch(spark, table, delta1, deltaKey, rebuild,
+            batchId, canEmpty, fence),
+          decision("fold", touched.size))
+      else {
+        val dataSchema = spark.table(table).drop("_shard").schema
+        val out = rebuild(readKeyed(spark, table), delta1)
+        require(out.columns.toSeq == dataSchema.map(_.name),
+          s"DurableState.maintainAutoBatch: rebuild must return the " +
+            s"table's data columns " +
+            s"(${dataSchema.map(_.name).mkString(",")}), got " +
+            s"${out.columns.mkString(",")}")
+        val aligned = out
+          .select(dataSchema.map(f => col(f.name).cast(f.dataType)
+            .as(f.name)): _*)
+          .withColumn("_shard", shardOf(col(keyCol), shards))
+          .repartition(col("_shard"))
+        val existing = spark.sql(s"SHOW PARTITIONS `$table`")
+          .collect().map(_.getString(0).stripPrefix("_shard=").toInt)
+          .toSeq.sorted
+        commitStaged(spark, table, aligned, batchId, advance = true,
+          dropsOf = { present =>
+            if (!canEmpty) {
+              val vanished = existing.filterNot(present.toSet)
+              require(vanished.isEmpty,
+                s"DurableState.maintainAutoBatch: insert-only rebuild " +
+                  s"dropped all rows of previously-present shard(s) " +
+                  s"${vanished.mkString(",")}")
+            }
+            existing.filterNot(present.toSet)
+          },
+          requireSubsetOf = None, fence = fence)
+        Maintained(readKeyed(spark, table),
+          decision("rebuild", touched.size))
+      }
+    }
+
+  /** RESHARD a durable table ATOMICALLY (r16): the shard count is
+    * chosen at [[writeKeyed]] time and sizes both the write grain and
+    * the probe's pruning — a store that has grown 100× since then
+    * wants more shards (smaller touched-slice rewrites, more write
+    * parallelism); one that shrank wants fewer (file-count floor).
+    * The hazard is that the MODULUS and the DIRECTORY LAYOUT must
+    * flip together: a probe under the new modulus against old-layout
+    * directories mis-shards, and the subsequent overwrite would
+    * silently drop rows — the exact failure `maintainKeyed`'s
+    * key-type guard exists to prevent, here at the layout level. So
+    * the new modulus rides the COMMIT MARKER (`shards=<n>`): the full
+    * state re-hashes into staging under the new modulus, the marker
+    * commits atomically, and apply swaps the new directories in,
+    * drops old ids outside the new layout, and flips the shards
+    * property in the same recovery unit — a crash anywhere re-enters
+    * [[healPending]] and completes BOTH or NEITHER (spec-pinned with
+    * an injected torn state). `advance=0`: resharding has no delta
+    * identity, the applied-batch property never moves.
+    *
+    * Physical only: rows and schema unchanged, probes and folds keep
+    * working under the new modulus (spec-pinned).
+    */
+  def reshardKeyed(
+      spark: SparkSession, table: String, newShards: Int,
+      fence: Option[Lease] = None): Unit =
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      require(newShards >= 1, s"newShards must be >= 1, got $newShards")
+      healPending(spark, table)
+      val (oldShards, keyCol) = propsOf(spark, table)
+      if (newShards == oldShards) return
+      val existing = spark.sql(s"SHOW PARTITIONS `$table`")
+        .collect().map(_.getString(0).stripPrefix("_shard=").toInt)
+        .toSeq.sorted
+      val frame = readKeyed(spark, table)
+        .withColumn("_shard", shardOf(col(keyCol), newShards))
+        .repartition(col("_shard"))
+      commitStaged(spark, table, frame,
+        batchId = lastAppliedBatch(spark, table), advance = false,
+        dropsOf = present => existing.filterNot(present.toSet),
+        requireSubsetOf = None, fence = fence,
+        newShards = Some(newShards))
+      ()
     }
 
   // ------------------------------------------------------------------

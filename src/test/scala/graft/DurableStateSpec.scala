@@ -545,6 +545,118 @@ class DurableStateSpec extends SparkSpec {
       "rebuild arm lost the applied-batch property")
   }
 
+  test("maintainAutoBatch: dense batches rebuild ATOMICALLY, sparse batches fold, replays no-op") {
+    val base = stateOf((0 until 40).map(i => (s"k$i", (i % 5).toDouble)))
+      .localCheckpoint()
+    val path = freshDir("ab")
+    DurableState.writeZSum(base, "graft_ds_ab", path, shards = 16)
+    val kernel = (sl: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) => Incremental.mergeZSum(sl, d)
+    // batch 0 is DENSE → the rebuild arm, but through the staged
+    // commit (batch identity + crash atomicity), not writeKeyed
+    val dense = stateOf((0 until 40).map(i => (s"k$i", 2.0)))
+      .localCheckpoint()
+    val r0 = DurableState.maintainAutoBatch(spark, "graft_ds_ab",
+      dense, col("k"), kernel, batchId = 0L)
+    assert(r0.decision.strategy == "rebuild", r0.decision.toString)
+    val want0 = Incremental.mergeZSum(base, dense).localCheckpoint()
+    assert(rowsOf(r0.df) == rowsOf(want0))
+    assert(DurableState.lastAppliedBatch(spark, "graft_ds_ab") == 0L)
+    // batch 1 is SPARSE → the fold arm
+    val sparse = stateOf(Seq(("k3", 9.0))).localCheckpoint()
+    val r1 = DurableState.maintainAutoBatch(spark, "graft_ds_ab",
+      sparse, col("k"), kernel, batchId = 1L)
+    assert(r1.decision.strategy == "fold", r1.decision.toString)
+    val want1 = Incremental.mergeZSum(want0, sparse).localCheckpoint()
+    assert(rowsOf(r1.df) == rowsOf(want1))
+    // a REPLAYED id is a no-op whichever arm it would take
+    val poison = stateOf((0 until 40).map(i => (s"k$i", 777.0)))
+      .localCheckpoint()
+    val r1r = DurableState.maintainAutoBatch(spark, "graft_ds_ab",
+      poison, col("k"), kernel, batchId = 1L)
+    assert(r1r.decision.strategy == "replay", r1r.decision.toString)
+    assert(rowsOf(r1r.df) == rowsOf(want1), "replay was applied")
+    // an empty batch advances the id without touching state
+    val r2 = DurableState.maintainAutoBatch(spark, "graft_ds_ab",
+      stateOf(Seq.empty[(String, Double)]).localCheckpoint(),
+      col("k"), kernel, batchId = 2L)
+    assert(r2.decision.strategy == "noop")
+    assert(DurableState.lastAppliedBatch(spark, "graft_ds_ab") == 2L)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_ab")) ==
+      rowsOf(want1))
+  }
+
+  test("reshardKeyed: modulus and directory layout flip atomically; probes keep working after") {
+    import org.apache.spark.sql.DataFrame
+    val base = stateOf((0 until 60).map(i => (s"k$i", (i % 7).toDouble)))
+      .localCheckpoint()
+    val path = freshDir("rs")
+    DurableState.writeZSum(base, "graft_ds_resh", path, shards = 8)
+    DurableState.maintainZSumBatch(spark, "graft_ds_resh",
+      stateOf(Seq(("k1", 4.0))).localCheckpoint(), 0L)
+    val want0 = Incremental.mergeZSum(base,
+      stateOf(Seq(("k1", 4.0)))).localCheckpoint()
+    // GROW 8 → 32
+    DurableState.reshardKeyed(spark, "graft_ds_resh", 32)
+    assert(DurableState.propsOf(spark, "graft_ds_resh")._1 == 32)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_resh")) ==
+      rowsOf(want0), "resharding changed the state")
+    val parts = spark.sql("SHOW PARTITIONS graft_ds_resh")
+      .as[String].collect().map(_.stripPrefix("_shard=").toInt).toSet
+    assert(parts.forall(_ < 32))
+    assert(parts.exists(_ >= 8), "growth must use the new id space")
+    // the applied-batch property must NOT move (no delta identity)
+    assert(DurableState.lastAppliedBatch(spark, "graft_ds_resh") == 0L)
+    // the critical hazard: a fold AFTER resharding probes under the
+    // NEW modulus and must land on the right shards
+    val d1 = stateOf(Seq(("k2", 6.0), ("k9", 1.0))).localCheckpoint()
+    val got1 = DurableState.maintainZSum(spark, "graft_ds_resh", d1)
+    val want1 = Incremental.mergeZSum(want0, d1).localCheckpoint()
+    assert(rowsOf(got1) == rowsOf(want1))
+    // SHRINK 32 → 4, then fold again
+    DurableState.reshardKeyed(spark, "graft_ds_resh", 4)
+    assert(DurableState.propsOf(spark, "graft_ds_resh")._1 == 4)
+    val parts4 = spark.sql("SHOW PARTITIONS graft_ds_resh")
+      .as[String].collect().map(_.stripPrefix("_shard=").toInt).toSet
+    assert(parts4.forall(_ < 4), parts4.toString)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_resh")) ==
+      rowsOf(want1))
+    val d2 = stateOf(Seq(("k4", 2.0))).localCheckpoint()
+    assert(rowsOf(DurableState.maintainZSum(spark, "graft_ds_resh",
+      d2)) == rowsOf(Incremental.mergeZSum(want1, d2)))
+    // TORN reshard: a crash right after the commit point — staged
+    // new-modulus layout + marker with shards= on disk, property and
+    // dirs still old. The next maintenance entry must complete BOTH
+    // the swap and the modulus flip before folding.
+    val cur = rowsOf(DurableState.readZSum(spark, "graft_ds_resh"))
+    val staged: DataFrame = DurableState
+      .readZSum(spark, "graft_ds_resh")
+      .withColumn("_shard",
+        DurableState.shardOf(col("k"), 5))
+    staged.write.partitionBy("_shard").parquet(s"$path/_staging_b0")
+    val present5 = new java.io.File(s"$path/_staging_b0").listFiles()
+      .map(_.getName).filter(_.startsWith("_shard="))
+      .map(_.stripPrefix("_shard=").toInt).toSeq.sorted
+    val old4 = spark.sql("SHOW PARTITIONS graft_ds_resh")
+      .as[String].collect().map(_.stripPrefix("_shard=").toInt)
+      .toSeq.sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_commit_b0.txt"),
+      (s"batch=0\nadvance=0\nshards=5\n" +
+        s"present=${present5.mkString(",")}\n" +
+        s"drops=${old4.filterNot(present5.toSet).mkString(",")}\n")
+        .getBytes("UTF-8"))
+    val d3 = stateOf(Seq(("k5", 3.0))).localCheckpoint()
+    val got3 = DurableState.maintainZSum(spark, "graft_ds_resh", d3)
+    assert(DurableState.propsOf(spark, "graft_ds_resh")._1 == 5,
+      "torn reshard did not flip the modulus")
+    val want3 = Incremental.mergeZSum(
+      Incremental.mergeZSum(want1, d2), d3)
+    assert(rowsOf(got3) == rowsOf(want3))
+    assert(cur == rowsOf(Incremental.mergeZSum(want1, d2)),
+      "sanity: pre-heal snapshot")
+  }
+
   test("cross-process lease: live lease blocks, stale lease steals, a stolen fence aborts before the write") {
     val base = stateOf(Seq(("a", 1.0), ("b", 2.0))).localCheckpoint()
     val path = freshDir("lease")
