@@ -1460,10 +1460,12 @@ object SparkEntry {
       // the bridge's EXACTLY-ONCE contract end to end (r16): two
       // identified micro-batches fold through the staged-commit
       // protocol (stage → atomic marker rename → idempotent apply),
-      // then batch 1 is REDELIVERED with a poison payload — the
-      // replay must be a no-op. The oracle equality breaks if the
-      // poison lands or anything double-applies; the crash-window
-      // recovery itself is spec-pinned in DurableStateSpec.
+      // then batch 1 is REDELIVERED (the identical payload, as
+      // Structured Streaming redelivers) — the replay must be a
+      // no-op, or the oracle equality breaks from double-counting.
+      // The stronger torn-state properties (poison redelivery rolls
+      // the STAGED bytes forward, all three crash windows) are
+      // spec-pinned in DurableStateSpec.
       import graft.ops.{DurableState, Incremental}
       val ev = t(s, dir, "events")
       val base = ev.filter(col("event_id") % 10 < 8)
@@ -3893,7 +3895,8 @@ object SparkEntry {
         |GROUP BY user_id""".stripMargin,
 
     // exactly-once through the staged-commit protocol: a replayed
-    // batch (poison payload) must leave the same survivors
+    // batch must leave the same survivors (double-apply would break
+    // the counts)
     "q_durable_atomic" ->
       """SELECT user_id, count(*) AS n,
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v

@@ -167,34 +167,71 @@ object DurableState {
     *
     * Returns None when the delta touches nothing.
     */
-  private def foldCore(
+  /** The schema-only key-type guard shared by every maintain surface
+    * (a mis-typed key mis-shards the probe — xxhash64 is
+    * type-sensitive — and the overwrite would then silently drop
+    * untouched rows; loud, before any job).
+    */
+  private def keyTypeCheck(
       spark: SparkSession, table: String, delta: DataFrame,
-      deltaKey: Column,
-      rebuild: (DataFrame, DataFrame) => DataFrame)
-      : Option[(DataFrame, Seq[Int], Int)] = {
-    val (shards, keyCol) = propsOf(spark, table)
+      deltaKey: Column, keyCol: String, who: String): Unit = {
     val dkType = delta.select(deltaKey.as("_k")).schema.head.dataType
     val skType = spark.table(table).schema(keyCol).dataType
     require(dkType == skType,
-      s"DurableState.maintainKeyed: delta key type $dkType != store " +
-        s"key '$keyCol' type $skType — a mis-typed key mis-shards the " +
-        "probe and the overwrite would drop untouched rows")
-    val delta1 = delta.localCheckpoint()
-    val touched = touchedShards(delta1, deltaKey, shards)
-    if (touched.isEmpty) return None
+      s"$who: delta key type $dkType != store key '$keyCol' type " +
+        s"$skType — a mis-typed key mis-shards the probe and the " +
+        "overwrite would drop untouched rows")
+  }
+
+  /** Enforce the rebuild-output column contract and re-align to the
+    * table's exact column types (so downstream positional writes cast
+    * as identity). Shared by the fold kernel and both full-rebuild
+    * arms; callers bound for a shard-partitioned write attach
+    * `_shard` + the one-file-per-shard repartition themselves
+    * ([[withShard]]) — the `writeKeyed` arm must NOT, or it would
+    * shuffle twice.
+    */
+  private def alignToTable(
+      spark: SparkSession, table: String, out: DataFrame,
+      who: String): DataFrame = {
     val dataSchema = spark.table(table).drop("_shard").schema
+    require(out.columns.toSeq == dataSchema.map(_.name),
+      s"$who: rebuild must return the table's data columns " +
+        s"(${dataSchema.map(_.name).mkString(",")}), got " +
+        s"${out.columns.mkString(",")}")
+    out.select(dataSchema.map(f => col(f.name).cast(f.dataType)
+      .as(f.name)): _*)
+  }
+
+  /** Attach the shard column and the one-file-per-shard repartition
+    * (without it every write adds task-count files per directory).
+    */
+  private def withShard(
+      df: DataFrame, keyCol: String, shards: Int): DataFrame =
+    df.withColumn("_shard", shardOf(col(keyCol), shards))
+      .repartition(col("_shard"))
+
+  private def foldCore(
+      spark: SparkSession, table: String, delta: DataFrame,
+      deltaKey: Column,
+      rebuild: (DataFrame, DataFrame) => DataFrame,
+      who: String,
+      // (materialized delta, touched shards) when the caller already
+      // probed — the auto routers — so the fold does not re-checkpoint
+      // the delta or re-run the probe job per micro-batch
+      pre: Option[(DataFrame, Seq[Int])] = None)
+      : Option[(DataFrame, Seq[Int], Int)] = {
+    val (shards, keyCol) = propsOf(spark, table)
+    keyTypeCheck(spark, table, delta, deltaKey, keyCol, who)
+    val (delta1, touched) = pre.getOrElse {
+      val d = delta.localCheckpoint()
+      (d, touchedShards(d, deltaKey, shards))
+    }
+    if (touched.isEmpty) return None
     val out = rebuild(
       shardSlice(spark, table, touched).drop("_shard"), delta1)
-    require(out.columns.toSeq == dataSchema.map(_.name),
-      s"DurableState.maintainKeyed: rebuild must return the table's " +
-        s"data columns (${dataSchema.map(_.name).mkString(",")}), got " +
-        s"${out.columns.mkString(",")}")
-    val aligned = out
-      .select(dataSchema.map(f => col(f.name).cast(f.dataType)
-        .as(f.name)): _*)
-      .withColumn("_shard", shardOf(col(keyCol), shards))
-      .repartition(col("_shard"))
-    Some((aligned, touched, shards))
+    Some((withShard(alignToTable(spark, table, out, who),
+      keyCol, shards), touched, shards))
   }
 
   /** In-band rebuild-contract guard: kills the write the moment a row
@@ -269,7 +306,22 @@ object DurableState {
     // committed-but-unapplied marker — roll it forward before
     // reading, so this fold starts from consistent state
     healPending(spark, table)
-    foldCore(spark, table, delta, deltaKey, rebuild) match {
+    foldAndWriteLive(spark, table, delta, deltaKey, rebuild, canEmpty,
+      fence, pre = None)
+    }
+
+  /** The live-table (insertInto dynamic overwrite) fold leg — the
+    * locked body of [[maintainKeyed]], also entered by
+    * [[maintainAuto]]'s fold arm with the probe pre-computed.
+    */
+  private def foldAndWriteLive(
+      spark: SparkSession, table: String, delta: DataFrame,
+      deltaKey: Column,
+      rebuild: (DataFrame, DataFrame) => DataFrame,
+      canEmpty: Boolean, fence: Option[Lease],
+      pre: Option[(DataFrame, Seq[Int])]): DataFrame =
+    foldCore(spark, table, delta, deltaKey, rebuild,
+      "DurableState.maintainKeyed", pre) match {
       case None => readKeyed(spark, table)
       case Some((aligned, touched, _)) =>
         // rebuild-contract enforcement on BOTH paths (r15 review):
@@ -310,7 +362,6 @@ object DurableState {
             s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (_shard=$sh)")
         }
         readKeyed(spark, table)
-    }
     }
 
   /** Per-table serialization of whole maintenance runs (see
@@ -390,33 +441,50 @@ object DurableState {
         Maintained(readKeyed(spark, table), decision("noop"))
       else if (frac < rebuildThreshold)
         Maintained(
-          maintainKeyed(spark, table, delta1, deltaKey, rebuild,
-            canEmpty, fence),
+          foldAndWriteLive(spark, table, delta1, deltaKey, rebuild,
+            canEmpty, fence, pre = Some((delta1, touched))),
           decision("fold"))
       else {
         // FULL rebuild arm: the whole store is the slice (every shard
         // is touched as far as the kernel is concerned), one full
         // rewrite. Key-type check as in the fold arm.
-        val dkType = delta1.select(deltaKey.as("_k")).schema.head.dataType
-        val skType = spark.table(table).schema(keyCol).dataType
-        require(dkType == skType,
-          s"DurableState.maintainAuto: delta key type $dkType != store " +
-            s"key '$keyCol' type $skType")
+        keyTypeCheck(spark, table, delta1, deltaKey, keyCol,
+          "DurableState.maintainAuto")
         val path = locationOf(spark, table).toString
-        val dataSchema = spark.table(table).drop("_shard").schema
-        val out = rebuild(readKeyed(spark, table), delta1)
-        require(out.columns.toSeq == dataSchema.map(_.name),
-          s"DurableState.maintainAuto: rebuild must return the table's " +
-            s"data columns (${dataSchema.map(_.name).mkString(",")}), " +
-            s"got ${out.columns.mkString(",")}")
-        val aligned = out.select(dataSchema.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
-        checkFence(spark, table, fence)
+        val aligned = alignToTable(spark, table,
+          rebuild(readKeyed(spark, table), delta1),
+          "DurableState.maintainAuto")
         // writeKeyed DROPs the table this plan reads: materialize the
-        // rebuilt state first (the honest full-rebuild cost), and
-        // carry the lineage properties across the rewrite
+        // rebuilt state first (the honest full-rebuild cost)
         val mat = aligned.localCheckpoint()
+        // insert-only families (canEmpty = false) must not lose a
+        // previously-present shard's rows to a kernel bug — the same
+        // vanished-shard contract the batch paths enforce (r16
+        // review), checked BEFORE the destructive rewrite
+        if (!canEmpty) {
+          val existing = spark.sql(s"SHOW PARTITIONS `$table`")
+            .collect().map(_.getString(0).stripPrefix("_shard=").toInt)
+            .toSet
+          val present = mat
+            .select(shardOf(col(keyCol), shards).as("_s")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val vanished = existing.filterNot(present).toSeq.sorted
+          require(vanished.isEmpty,
+            s"DurableState.maintainAuto: insert-only rebuild dropped " +
+              s"all rows of previously-present shard(s) " +
+              s"${vanished.mkString(",")}")
+        }
+        // the fence check sits immediately before the destructive
+        // rewrite (r16 review: checking before the store-sized
+        // materialization left the whole rebuild as a zombie window);
+        // lineage properties (applied batch, fence token) carry
+        // across the rewrite. A steal BETWEEN this check and the
+        // restore below regresses the property to OUR token — the
+        // stealer's next fence check then fails LOUDLY (never a
+        // silent lost update; same post-fence window every write
+        // path has).
         val lastBatch = lastAppliedBatch(spark, table)
+        checkFence(spark, table, fence)
         val fenceTok = currentFence(spark, table)
         writeKeyed(mat, table, path, shards, keyCol)
         if (lastBatch >= 0L)
@@ -732,7 +800,22 @@ object DurableState {
       healPending(spark, table)
       if (batchId <= lastAppliedBatch(spark, table))
         return readKeyed(spark, table)
-      foldCore(spark, table, delta, deltaKey, rebuild) match {
+      foldAndCommitStaged(spark, table, delta, deltaKey, rebuild,
+        batchId, canEmpty, fence, pre = None)
+    }
+
+  /** The staged-protocol fold leg — the locked body of
+    * [[maintainKeyedBatch]], also entered by [[maintainAutoBatch]]'s
+    * fold arm with the probe pre-computed.
+    */
+  private def foldAndCommitStaged(
+      spark: SparkSession, table: String, delta: DataFrame,
+      deltaKey: Column,
+      rebuild: (DataFrame, DataFrame) => DataFrame,
+      batchId: Long, canEmpty: Boolean, fence: Option[Lease],
+      pre: Option[(DataFrame, Seq[Int])]): DataFrame =
+      foldCore(spark, table, delta, deltaKey, rebuild,
+        "DurableState.maintainKeyedBatch", pre) match {
         case None =>
           // an empty delta still advances the applied-batch marker —
           // a replayed empty batch must not block later ids
@@ -765,7 +848,6 @@ object DurableState {
             requireSubsetOf = Some(touched), fence = fence)
           readKeyed(spark, table)
       }
-    }
 
   /** [[maintainAuto]]'s routing INSIDE the atomic batch protocol
     * (r16): the bridge's fold arm is [[maintainKeyedBatch]]; the
@@ -794,11 +876,8 @@ object DurableState {
         s, touched, shards, touched.toDouble / shards, rebuildThreshold)
       if (batchId <= lastAppliedBatch(spark, table))
         return Maintained(readKeyed(spark, table), decision("replay", 0))
-      val dkType = delta.select(deltaKey.as("_k")).schema.head.dataType
-      val skType = spark.table(table).schema(keyCol).dataType
-      require(dkType == skType,
-        s"DurableState.maintainAutoBatch: delta key type $dkType != " +
-          s"store key '$keyCol' type $skType")
+      keyTypeCheck(spark, table, delta, deltaKey, keyCol,
+        "DurableState.maintainAutoBatch")
       val delta1 = delta.localCheckpoint()
       val touched = touchedShards(delta1, deltaKey, shards)
       if (touched.isEmpty) {
@@ -810,22 +889,13 @@ object DurableState {
       val frac = touched.size.toDouble / shards
       if (frac < rebuildThreshold)
         Maintained(
-          maintainKeyedBatch(spark, table, delta1, deltaKey, rebuild,
-            batchId, canEmpty, fence),
+          foldAndCommitStaged(spark, table, delta1, deltaKey, rebuild,
+            batchId, canEmpty, fence, pre = Some((delta1, touched))),
           decision("fold", touched.size))
       else {
-        val dataSchema = spark.table(table).drop("_shard").schema
-        val out = rebuild(readKeyed(spark, table), delta1)
-        require(out.columns.toSeq == dataSchema.map(_.name),
-          s"DurableState.maintainAutoBatch: rebuild must return the " +
-            s"table's data columns " +
-            s"(${dataSchema.map(_.name).mkString(",")}), got " +
-            s"${out.columns.mkString(",")}")
-        val aligned = out
-          .select(dataSchema.map(f => col(f.name).cast(f.dataType)
-            .as(f.name)): _*)
-          .withColumn("_shard", shardOf(col(keyCol), shards))
-          .repartition(col("_shard"))
+        val aligned = withShard(alignToTable(spark, table,
+          rebuild(readKeyed(spark, table), delta1),
+          "DurableState.maintainAutoBatch"), keyCol, shards)
         val existing = spark.sql(s"SHOW PARTITIONS `$table`")
           .collect().map(_.getString(0).stripPrefix("_shard=").toInt)
           .toSeq.sorted
@@ -950,7 +1020,10 @@ object DurableState {
     */
   def acquireLease(
       spark: SparkSession, table: String,
-      ttlMs: Long = 15L * 60L * 1000L): Lease = {
+      ttlMs: Long = 15L * 60L * 1000L): Lease =
+    // in-JVM acquires serialize on the table lock (free); the
+    // interesting race is cross-PROCESS, handled below
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
     val loc = locationOf(spark, table)
     val fs = fsOf(spark, loc)
     val lp = leaseFile(loc)
@@ -978,9 +1051,35 @@ object DurableState {
           s"$heldBy (lease age ${age.map(_.toString).getOrElse("?")} ms" +
           s" <= ttl $ttlMs) — a concurrent cross-process fold would " +
           "lose updates; wait or raise ttlMs if the holder is dead")
-      // stale: the holder crashed without release — steal, loudly
-      // racing any other stealer (create-exclusive decides)
-      fs.delete(lp, false)
+      // stale: the holder crashed without release — steal via an
+      // atomic RENAME to a private tombstone, then VERIFY the
+      // tombstone still holds the stale lease we observed (r16
+      // review: an unconditional delete could remove a RIVAL
+      // stealer's fresh lease — rename-then-compare makes that
+      // interleaving loud: we took the rival's file, so we put it
+      // back and abort). A racer whose rename finds no source loses
+      // loudly at the rename.
+      val tomb = new Path(lp.getParent,
+        s"_lease_tomb_${holder.replaceAll("[^A-Za-z0-9]", "_")}.txt")
+      if (fs.exists(tomb)) fs.delete(tomb, false)
+      require(
+        try fs.rename(lp, tomb)
+        catch { case _: java.io.IOException => false },
+        s"DurableState.acquireLease: lost the steal race on $table — " +
+          "another maintainer took the lease")
+      val tombContent = scala.util.Try(readSmall(fs, tomb))
+        .getOrElse("")
+      val sameStale = held.nonEmpty &&
+        tombContent.contains(s"holder=$heldBy") &&
+        since.exists(s => tombContent.contains(s"sinceMs=$s"))
+      if (!sameStale) {
+        // we grabbed a RIVAL's fresh lease: restore it and abort
+        fs.rename(tomb, lp)
+        require(false,
+          s"DurableState.acquireLease: lost the steal race on " +
+            s"$table — another maintainer re-leased it first")
+      }
+      fs.delete(tomb, false)
       require(createExclusive(),
         s"DurableState.acquireLease: lost the steal race on $table — " +
           "another maintainer took the lease")
@@ -991,7 +1090,7 @@ object DurableState {
     val lease = Lease(table, token, holder, lp.toString, now)
     recreateLeaseFile(spark, lease) // add the token for observability
     lease
-  }
+    }
 
   /** Release a held lease (deletes the lease file; the fence property
     * stays — it is a monotone token, not a lock bit).

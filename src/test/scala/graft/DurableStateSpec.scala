@@ -478,11 +478,12 @@ class DurableStateSpec extends SparkSpec {
     assert(rowsOf(got) == rowsOf(want), "batch 1 was double-applied")
     assert(DurableState.lastAppliedBatch(spark, "graft_ds_crash3") == 1L)
     assert(!new java.io.File(s"$path/_commit_b1.txt").exists())
-    // and batch 2 proceeds normally on top
+    // and a fresh batch 2 (new key) folds cleanly on top of the
+    // healed marker
     val d2 = stateOf(Seq(("c", 3.0))).localCheckpoint()
     val got2 = DurableState.maintainZSumBatch(
-      spark, "graft_ds_crash3", poison, 2L)
-    assert(rowsOf(got2) == rowsOf(Incremental.mergeZSum(want, poison)))
+      spark, "graft_ds_crash3", d2, 2L)
+    assert(rowsOf(got2) == rowsOf(Incremental.mergeZSum(want, d2)))
   }
 
   test("maintainAuto: sparse deltas fold, dense deltas rebuild, arms bit-equal, evidence carried") {

@@ -53,10 +53,13 @@ class MaintenanceSpec extends SparkSpec {
 
   test("AsOf.deltaJoin rejects delete batches loudly; the input mult flag is reserved and enforcement survives output renaming") {
     import graft.ops.AsOf
-    // the signed-multiplicity convention is the member's `mult`
-    // param (r15 advice: a hardcoded "mult" both missed deletes
-    // under a renamed multiplicity and fired spuriously on an
-    // unrelated input data column named mult)
+    // the INPUT signed-multiplicity convention is the reserved
+    // LITERAL column "mult", independent of the member's output
+    // `mult` param (r15 advice, resolved the other way: threading
+    // the output name into the input guard is structurally dead —
+    // an input column named like the output Z column collides at
+    // analysis before any guard row executes — so "mult" is
+    // reserved, guarded, then dropped; see AsOf.deltaJoin)
     def T(rows: Seq[(Long, String, Long, Long)]) =
       rows.toDF("trade_id", "sym", "t_ts", "mult")
     def Q(rows: Seq[(String, Long, Double, Long)]) =
