@@ -383,13 +383,56 @@ object DurableState {
   // RETURN the evidence with the result.
   // ------------------------------------------------------------------
 
-  /** The evidence behind a [[maintainAuto]] routing: which arm ran and
-    * the touched-shard stats that chose it.
+  /** The evidence behind a [[maintainAuto]] routing: which arm ran
+    * and the stats that chose it. The ROUTING statistic is
+    * `byteFraction` — the fraction of the store's BYTES living in
+    * delta-touched shards (the fold's cost is reading + rewriting
+    * exactly those bytes, so on a skewed store the shard-COUNT
+    * fraction misroutes: a delta touching one giant shard is nearly
+    * a full rewrite however few shards it counts). `touchedFraction`
+    * (the count fraction) rides along for observability; when the
+    * store is empty (or its listing is all zero — fresh inserts into
+    * empty shards) the byte fraction is 0 and the delta folds, which
+    * is right: there is nothing to rewrite.
     */
   final case class MaintainDecision(
-      strategy: String, // "fold" | "rebuild" | "noop"
+      strategy: String, // "fold" | "rebuild" | "noop" | "replay"
       touchedShards: Int, totalShards: Int,
-      touchedFraction: Double, rebuildThreshold: Double)
+      touchedFraction: Double,
+      touchedBytes: Long, totalBytes: Long, byteFraction: Double,
+      rebuildThreshold: Double)
+
+  /** Per-shard on-disk bytes from the file listing (control-plane:
+    * one listStatus per shard directory, ≤ `shards` calls).
+    */
+  private def shardByteSizes(
+      spark: SparkSession, table: String): Map[Int, Long] = {
+    val loc = locationOf(spark, table)
+    val fs = fsOf(spark, loc)
+    if (!fs.exists(loc)) return Map.empty
+    fs.listStatus(loc)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_shard="))
+      .map { d =>
+        d.getPath.getName.stripPrefix("_shard=").toInt ->
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+      }.toMap
+  }
+
+  /** The routing evidence for a delta touching `touched` shards. */
+  private def routeStats(
+      spark: SparkSession, table: String, touched: Seq[Int],
+      shards: Int, threshold: Double)(strategyOf: Double => String)
+      : MaintainDecision = {
+    val bytes = shardByteSizes(spark, table)
+    val totalB = bytes.values.sum
+    val touchedB = touched.map(bytes.getOrElse(_, 0L)).sum
+    val byteFrac = if (totalB > 0L) touchedB.toDouble / totalB else 0.0
+    MaintainDecision(strategyOf(byteFrac), touched.size, shards,
+      touched.size.toDouble / shards, touchedB, totalB, byteFrac,
+      threshold)
+  }
 
   /** A maintained state frame together with the routing evidence. */
   final case class Maintained(df: DataFrame, decision: MaintainDecision)
@@ -398,10 +441,13 @@ object DurableState {
     * SELF-DRIVING: the measured economics (sf10 SCD2 store: 20-key
     * fold 5.3 s, full rebuild+rewrite 9.5 s, dense fold 16-39 s) say
     * touched-shard maintenance wins in proportion to delta
-    * key-sparsity and LOSES once a delta touches most shards — so the
-    * decision statistic is the touched-shard fraction, which the fold
-    * collects anyway (≤ `shards` ints, control-plane, no extra data
-    * pass). Below `rebuildThreshold` the delta folds through
+    * key-sparsity and LOSES once a delta touches most of the store —
+    * so the decision statistic is the touched-shard BYTE fraction
+    * (the fold's cost is reading + rewriting exactly those bytes;
+    * per-shard sizes come from the file listing, ≤ `shards`
+    * control-plane calls, no data pass — see [[MaintainDecision]]
+    * for why the shard-COUNT fraction misroutes on skewed stores).
+    * Below `rebuildThreshold` the delta folds through
     * [[maintainKeyed]]; at or above it the FULL store rebuilds
     * through the same family kernel (`rebuild(fullState, delta)` —
     * the rebuild contract makes the full store a valid "touched
@@ -434,16 +480,18 @@ object DurableState {
       val (shards, keyCol) = propsOf(spark, table)
       val delta1 = delta.localCheckpoint()
       val touched = touchedShards(delta1, deltaKey, shards)
-      val frac = touched.size.toDouble / shards
-      def decision(s: String) =
-        MaintainDecision(s, touched.size, shards, frac, rebuildThreshold)
       if (touched.isEmpty)
-        Maintained(readKeyed(spark, table), decision("noop"))
-      else if (frac < rebuildThreshold)
+        return Maintained(readKeyed(spark, table),
+          routeStats(spark, table, touched, shards,
+            rebuildThreshold)(_ => "noop"))
+      val decision = routeStats(spark, table, touched, shards,
+        rebuildThreshold)(bf =>
+        if (bf < rebuildThreshold) "fold" else "rebuild")
+      if (decision.strategy == "fold")
         Maintained(
           foldAndWriteLive(spark, table, delta1, deltaKey, rebuild,
             canEmpty, fence, pre = Some((delta1, touched))),
-          decision("fold"))
+          decision)
       else {
         // FULL rebuild arm: the whole store is the slice (every shard
         // is touched as far as the kernel is concerned), one full
@@ -494,7 +542,7 @@ object DurableState {
           spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
             s"('$fenceProp' = '$fenceTok')")
         fence.foreach(l => recreateLeaseFile(spark, l))
-        Maintained(readKeyed(spark, table), decision("rebuild"))
+        Maintained(readKeyed(spark, table), decision)
       }
     }
 
@@ -872,10 +920,10 @@ object DurableState {
     tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
       healPending(spark, table)
       val (shards, keyCol) = propsOf(spark, table)
-      def decision(s: String, touched: Int) = MaintainDecision(
-        s, touched, shards, touched.toDouble / shards, rebuildThreshold)
       if (batchId <= lastAppliedBatch(spark, table))
-        return Maintained(readKeyed(spark, table), decision("replay", 0))
+        return Maintained(readKeyed(spark, table),
+          routeStats(spark, table, Nil, shards,
+            rebuildThreshold)(_ => "replay"))
       keyTypeCheck(spark, table, delta, deltaKey, keyCol,
         "DurableState.maintainAutoBatch")
       val delta1 = delta.localCheckpoint()
@@ -884,14 +932,18 @@ object DurableState {
         checkFence(spark, table, fence)
         spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
           s"('$batchProp' = '$batchId')")
-        return Maintained(readKeyed(spark, table), decision("noop", 0))
+        return Maintained(readKeyed(spark, table),
+          routeStats(spark, table, Nil, shards,
+            rebuildThreshold)(_ => "noop"))
       }
-      val frac = touched.size.toDouble / shards
-      if (frac < rebuildThreshold)
+      val decision = routeStats(spark, table, touched, shards,
+        rebuildThreshold)(bf =>
+        if (bf < rebuildThreshold) "fold" else "rebuild")
+      if (decision.strategy == "fold")
         Maintained(
           foldAndCommitStaged(spark, table, delta1, deltaKey, rebuild,
             batchId, canEmpty, fence, pre = Some((delta1, touched))),
-          decision("fold", touched.size))
+          decision)
       else {
         val aligned = withShard(alignToTable(spark, table,
           rebuild(readKeyed(spark, table), delta1),
@@ -911,8 +963,7 @@ object DurableState {
             existing.filterNot(present.toSet)
           },
           requireSubsetOf = None, fence = fence)
-        Maintained(readKeyed(spark, table),
-          decision("rebuild", touched.size))
+        Maintained(readKeyed(spark, table), decision)
       }
     }
 

@@ -546,6 +546,59 @@ class DurableStateSpec extends SparkSpec {
       "rebuild arm lost the applied-batch property")
   }
 
+  test("maintainAuto routes on BYTES, not shard count: one giant touched shard rebuilds, a tiny one folds") {
+    // skewed store: most of the bytes live in ONE shard. A delta
+    // touching only that shard is nearly a full rewrite however few
+    // shards it counts (1/8 here) — the count fraction would say
+    // "fold", the byte fraction says "rebuild". The tiny-shard delta
+    // routes the other way.
+    val shards = 8
+    // one job computes every candidate's shard (a per-key probe job
+    // would be thousands of jobs)
+    val cands = ((0 until 40000).map(i => s"g$i") ++
+      (0 until 200).map(i => s"s$i"))
+      .toDF("k")
+      .select(col("k"), DurableState.shardOf(col("k"), shards).as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val giantShard = cands.find(_._1 == "g0").get._2
+    // cohabitants of the giant shard (same pmod bucket) — enough that
+    // real data dwarfs the per-file parquet footer floor
+    val giants = cands
+      .filter(c => c._1.startsWith("g") && c._2 == giantShard)
+      .map(_._1).take(4000).toSeq
+    assert(giants.size >= 2000, s"need cohabitants, got ${giants.size}")
+    val smalls = cands
+      .filter(c => c._1.startsWith("s") && c._2 != giantShard)
+      .map(_._1).take(7).toSeq
+    val base = stateOf(
+      giants.map(k => (k, 1.0)) ++ smalls.map(k => (k, 1.0)))
+      .localCheckpoint()
+    val path = freshDir("skew")
+    DurableState.writeZSum(base, "graft_ds_skew", path, shards = shards)
+    val kernel = (sl: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) => Incremental.mergeZSum(sl, d)
+    // delta touching ONLY the giant shard: count 1/8 but bytes ≫ 1/2
+    val dGiant = stateOf(Seq((giants.head, 5.0))).localCheckpoint()
+    val r1 = DurableState.maintainAuto(spark, "graft_ds_skew", dGiant,
+      col("k"), kernel)
+    assert(r1.decision.strategy == "rebuild", r1.decision.toString)
+    assert(r1.decision.touchedFraction < 0.5 &&
+      r1.decision.byteFraction >= 0.5,
+      s"the routing must disagree with the count: ${r1.decision}")
+    val want1 = Incremental.mergeZSum(base, dGiant).localCheckpoint()
+    assert(rowsOf(r1.df) == rowsOf(want1))
+    // delta touching one TINY shard: both fractions small → fold
+    val dSmall = stateOf(Seq((smalls.head, 2.0))).localCheckpoint()
+    val r2 = DurableState.maintainAuto(spark, "graft_ds_skew", dSmall,
+      col("k"), kernel)
+    assert(r2.decision.strategy == "fold", r2.decision.toString)
+    assert(rowsOf(r2.df) ==
+      rowsOf(Incremental.mergeZSum(want1, dSmall)))
+    // evidence is self-consistent
+    assert(r2.decision.touchedBytes <= r2.decision.totalBytes &&
+      r2.decision.totalBytes > 0L)
+  }
+
   test("maintainAutoBatch: dense batches rebuild ATOMICALLY, sparse batches fold, replays no-op") {
     val base = stateOf((0 until 40).map(i => (s"k$i", (i % 5).toDouble)))
       .localCheckpoint()
