@@ -794,7 +794,8 @@ for _name in ["q_incremental_durable", "q_incremental_durable_z",
 # the same survivor aggregates; recompute is the corrected-log SCD2)
 for _name in ["q_durable_auto", "q_durable_atomic",
               "q_durable_serving", "q_durable_recompute",
-              "q_durable_auto_batch", "q_durable_reshard"]:
+              "q_durable_auto_batch", "q_durable_reshard",
+              "q_scd2_retention"]:
     if selected(_name):
         check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full

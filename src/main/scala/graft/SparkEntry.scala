@@ -2089,6 +2089,38 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
     },
 
+    "q_scd2_retention" -> { (s, dir) =>
+      // RETENTION on the maintained SCD2 store (r16 — the batch
+      // analog of scd2Stream's frozen-prefix eviction): fold the
+      // at-or-below-horizon late events, PRUNE versions with
+      // valid_to <= horizon (a per-key chain prefix; the open row
+      // always survives), then keep folding the above-horizon late
+      // events into the pruned suffix — version numbers stay
+      // ABSOLUTE (deltaMaintain recovers the offset from the
+      // retained suffix), so the result equals the FULL-log build
+      // filtered by retention, which is exactly the oracle. The
+      // horizon is the integer midpoint of the event-time range
+      // (computed identically by DuckDB).
+      import graft.ops.Scd2
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val mm = ev.agg(min(us).as("lo"), max(us).as("hi")).head
+      val h = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val late = ev.filter(col("event_id") % 5 === 0)
+      val l1 = late.filter(eventUs(late, "ts") <= h)
+      val l2 = late.filter(eventUs(late, "ts") > h)
+      val s0 = Scd2.build(base, col("user_id"), col("event_id"),
+        col("event_type"), eventUs(base, "ts")).localCheckpoint()
+      val s1 = Scd2.deltaMaintain(s0, l1, col("user_id"),
+        col("event_id"), col("event_type"), eventUs(l1, "ts"))
+        .localCheckpoint()
+      val pruned = Scd2.pruneFrozen(s1, h).localCheckpoint()
+      Scd2.deltaMaintain(pruned, l2, col("user_id"), col("event_id"),
+          col("event_type"), eventUs(l2, "ts"))
+        .withColumnRenamed("key", "user_id")
+    },
+
     "q_durable_recompute" -> { (s, dir) =>
       // the wired full-recompute pointer (r16): a DELETE batch
       // arrives for the insert-only SCD2 family — deltaMaintain
@@ -4135,6 +4167,26 @@ object SparkEntry {
         | (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    // retention: the maintained suffix equals the FULL-log SCD2
+    // filtered to retained versions, absolute version numbers intact
+    "q_scd2_retention" ->
+      """WITH h AS (
+        |  SELECT min(epoch_us(ts)) +
+        |         (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS hz
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id,
+        |   CAST(row_number() OVER w AS BIGINT) AS version,
+        |   event_type AS attr,
+        |   epoch_us(ts) AS valid_from,
+        |   lead(epoch_us(ts)) OVER w AS valid_to,
+        |   (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT f.user_id, f.event_id, f.version, f.attr,
+        |       f.valid_from, f.valid_to, f.is_current
+        |FROM f, h WHERE f.valid_to IS NULL OR f.valid_to > h.hz""".stripMargin,
 
     // a delete batch routes to the full rebuild: SCD2 over the
     // CORRECTED log (base minus the retracted events)

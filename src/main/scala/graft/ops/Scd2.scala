@@ -84,12 +84,76 @@ object Scd2 {
     // discipline as applyDeltaZ/applyZSum.
     val cond = col("key") <=> col("_t_k")
     val untouched = store.join(broadcast(touched), cond, "left_anti")
-    val oldDefining = store.join(broadcast(touched), cond, "left_semi")
+    val touchedStore = store.join(broadcast(touched), cond, "left_semi")
+    val oldDefining = touchedStore
       .select(col("key"), col("event_id"), col("attr"), col("valid_from"))
     val newDefining = delta.select(
       key.as("key"), id.as("event_id"), attr.as("attr"),
       ts.as("valid_from"))
-    untouched.unionByName(
-      fromDefining(oldDefining.unionByName(newDefining)))
+    // VERSION-OFFSET awareness (r16, retention): a store pruned by
+    // [[pruneFrozen]] keeps each live key's chain SUFFIX with its
+    // ABSOLUTE version numbers, so the rebuild must renumber from
+    // the suffix's base, not from 1. The offset is min(version) − 1
+    // over the key's retained rows — 0 for unpruned stores, making
+    // this bit-identical to the pre-retention kernel there. The
+    // first retained row (lexicographic min (valid_from, event_id))
+    // also anchors the PRUNED-HISTORY GUARD: on a pruned key
+    // (offset > 0), a delta event sorting BEFORE that row would
+    // splice into pruned history and silently take a wrong absolute
+    // version — in-band assert, naming the remediation. (Events with
+    // ts strictly above the prune horizon can never trip it: an
+    // interval containing such a ts has valid_to > horizon and was
+    // retained — see pruneFrozen's doc.)
+    val offs = touchedStore.groupBy(col("key").as("_o_k"))
+      .agg((min(col("version")) - 1L).as("_voff"),
+        min(struct(col("valid_from"), col("event_id"))).as("_first"))
+    val ocond = col("key") <=> col("_o_k")
+    val guardedNew = newDefining
+      .join(broadcast(offs), ocond, "left")
+      .filter(assert_true(
+        coalesce(col("_voff"), lit(0L)) === 0L ||
+          (col("valid_from") > col("_first.valid_from")) ||
+          (col("valid_from") === col("_first.valid_from") &&
+            col("event_id") >= col("_first.event_id")),
+        concat(lit("Scd2.deltaMaintain: event "),
+          col("event_id").cast("string"),
+          lit(" precedes its key's first RETAINED version — it would " +
+            "splice into pruned history; re-run build() over the " +
+            "full corrected log or widen the retention horizon")))
+        .isNull)
+      .select(col("key"), col("event_id"), col("attr"),
+        col("valid_from"))
+    val rebuilt = fromDefining(oldDefining.unionByName(guardedNew))
+      .join(broadcast(offs), ocond, "left")
+      .withColumn("version",
+        col("version") + coalesce(col("_voff"), lit(0L)))
+      .select(col("key"), col("event_id"), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+    untouched.unionByName(rebuilt)
+  }
+
+  /** RETENTION for the maintained store (r16 — the batch analog of
+    * `scd2Stream`'s frozen-prefix eviction): drop every version with
+    * `valid_to <= horizon`. Along each key's chain `valid_to` is
+    * nondecreasing, so the dropped set is a PREFIX and the survivors
+    * keep their absolute version numbers (the open row has null
+    * `valid_to` and always survives — every live key retains at
+    * least one row, which is what lets [[deltaMaintain]] recover the
+    * version offset). Late events with ts STRICTLY above `horizon`
+    * stay foldable forever: the interval containing such a ts has
+    * `valid_to > horizon` and was retained, so the event lands at or
+    * after its key's first retained row (ties included — a pruned
+    * row's `valid_to <= horizon < ts` rules out same-timestamp
+    * interleaving with pruned history). An event at or below the
+    * horizon trips deltaMaintain's in-band pruned-history guard
+    * loudly rather than taking a wrong version.
+    */
+  def pruneFrozen(store: DataFrame, horizon: Long): DataFrame = {
+    val want = Seq("key", "event_id", "version", "attr", "valid_from",
+      "valid_to", "is_current")
+    require(store.columns.toSeq == want,
+      s"pruneFrozen: store must have the build() schema " +
+        s"(${want.mkString(",")}), got ${store.columns.mkString(",")}")
+    store.filter(col("valid_to").isNull || col("valid_to") > horizon)
   }
 }

@@ -342,6 +342,67 @@ class OpsSpec extends SparkSpec {
       (None, 3L, 3L, "z", 30L, None, true)))
   }
 
+  test("Scd2.pruneFrozen + deltaMaintain: retention keeps ABSOLUTE versions; prune→fold == full build filtered") {
+    import graft.ops.Scd2
+    // the batch analog of scd2Stream's frozen-prefix eviction: prune
+    // versions with valid_to <= H (a per-key chain PREFIX — the open
+    // row always survives), then keep folding late events with
+    // ts > H. The maintained suffix must equal the FULL-log build
+    // filtered by retention, with absolute version numbers.
+    val rnd = new scala.util.Random(113)
+    // + one solo-event key (100): only an open row, so never pruned —
+    // the guaranteed offset-0 key for the last check
+    val all = (0 until 500).map(i =>
+      (rnd.nextInt(9).toLong, i.toLong, s"a${rnd.nextInt(4)}",
+        rnd.nextInt(50).toLong * 3L)) :+ (100L, 9000L, "solo", 3L)
+    val h = 75L
+    val (base, lateAll) = all.partition(_._2 % 4 != 0)
+    val (l2, l1) = lateAll.partition(_._4 > h) // fold l1 pre-prune
+    def D(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("uid", "eid", "at", "ets")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val s0 = Scd2.build(D(base), col("uid"), col("eid"), col("at"),
+      col("ets")).localCheckpoint()
+    val s1 = Scd2.deltaMaintain(s0, D(l1), col("uid"), col("eid"),
+      col("at"), col("ets")).localCheckpoint()
+    val pruned = Scd2.pruneFrozen(s1, h).localCheckpoint()
+    assert(pruned.count() < s1.count(), "degenerate: nothing pruned")
+    // versions stay ABSOLUTE through the prune (suffix property)
+    assert(pruned.filter(col("version") > 1L).count() > 0L)
+    val s2 = Scd2.deltaMaintain(pruned, D(l2), col("uid"), col("eid"),
+      col("at"), col("ets"))
+    val truth = Scd2.pruneFrozen(
+      Scd2.build(D(all), col("uid"), col("eid"), col("at"),
+        col("ets")), h)
+    assert(rows(s2) == rows(truth) && l1.nonEmpty && l2.nonEmpty)
+    // the pruned-history guard: an event preceding its key's first
+    // RETAINED version fails loudly instead of taking a wrong
+    // absolute version
+    val offKey = s2.groupBy(col("key"))
+      .agg(min(col("version")).as("mv")).filter(col("mv") > 1L)
+      .select(col("key")).as[Long].head()
+    val early = Seq((offKey, 9999L, "zz", 0L))
+      .toDF("uid", "eid", "at", "ets")
+    val e = intercept[Throwable] {
+      Scd2.deltaMaintain(s2.localCheckpoint(), early, col("uid"),
+        col("eid"), col("at"), col("ets")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pruned history")),
+      msgs(e).mkString("\n"))
+    // unpruned keys (version 1 retained) still accept earlier-than-
+    // first events — offset 0 keeps the pre-retention behavior
+    val early2 = Seq((100L, 9998L, "yy", 0L))
+      .toDF("uid", "eid", "at", "ets")
+    val s3 = Scd2.deltaMaintain(s2.localCheckpoint(), early2,
+      col("uid"), col("eid"), col("at"), col("ets"))
+    assert(s3.filter(col("event_id") === 9998L)
+      .select(col("version")).as[Long].head() == 1L)
+  }
+
   test("AsOf.join tolerance nulls matches staler than the bound") {
     val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "A", 500L))
       .toDF("trade_id", "sym", "t_ts")
