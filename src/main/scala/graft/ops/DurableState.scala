@@ -357,9 +357,23 @@ object DurableState {
             case None => spark.conf.unset(confKey)
           }
         }
-        touched.filterNot(present).foreach { sh =>
-          spark.sql(
-            s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (_shard=$sh)")
+        // drop emptied shards from the catalog AND the filesystem:
+        // the table is EXTERNAL, so DROP PARTITION alone leaves the
+        // files on disk — invisible to catalog reads, but counted by
+        // the byte-routing listing (r16 review: a dead 60%-of-store
+        // directory made the next one-key delta look like a full
+        // rewrite) and a resurrect hazard for any raw-path reader.
+        // The staged path's applyCommit already deletes; mirror it.
+        val emptied = touched.filterNot(present)
+        if (emptied.nonEmpty) {
+          val loc = locationOf(spark, table)
+          val fs = fsOf(spark, loc)
+          emptied.foreach { sh =>
+            spark.sql(
+              s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (_shard=$sh)")
+            val dead = new Path(loc, s"_shard=$sh")
+            if (fs.exists(dead)) fs.delete(dead, true)
+          }
         }
         readKeyed(spark, table)
     }
@@ -420,19 +434,31 @@ object DurableState {
       }.toMap
   }
 
-  /** The routing evidence for a delta touching `touched` shards. */
+  /** The routing evidence for a delta touching `touched` shards —
+    * returns (decision, fold?) with the branch and the label derived
+    * from the SAME comparison (r16 review: branching on the string
+    * label invited silent drift). Runs the listing; the noop/replay
+    * paths use [[zeroDecision]] instead (no I/O for stats no routing
+    * reads).
+    */
   private def routeStats(
       spark: SparkSession, table: String, touched: Seq[Int],
-      shards: Int, threshold: Double)(strategyOf: Double => String)
-      : MaintainDecision = {
+      shards: Int, threshold: Double): (MaintainDecision, Boolean) = {
     val bytes = shardByteSizes(spark, table)
     val totalB = bytes.values.sum
     val touchedB = touched.map(bytes.getOrElse(_, 0L)).sum
     val byteFrac = if (totalB > 0L) touchedB.toDouble / totalB else 0.0
-    MaintainDecision(strategyOf(byteFrac), touched.size, shards,
-      touched.size.toDouble / shards, touchedB, totalB, byteFrac,
-      threshold)
+    val fold = byteFrac < threshold
+    (MaintainDecision(if (fold) "fold" else "rebuild", touched.size,
+      shards, touched.size.toDouble / shards, touchedB, totalB,
+      byteFrac, threshold), fold)
   }
+
+  /** A no-op decision (noop/replay) — zeroed byte stats, no listing. */
+  private def zeroDecision(
+      strategy: String, shards: Int, threshold: Double)
+      : MaintainDecision =
+    MaintainDecision(strategy, 0, shards, 0.0, 0L, 0L, 0.0, threshold)
 
   /** A maintained state frame together with the routing evidence. */
   final case class Maintained(df: DataFrame, decision: MaintainDecision)
@@ -482,12 +508,10 @@ object DurableState {
       val touched = touchedShards(delta1, deltaKey, shards)
       if (touched.isEmpty)
         return Maintained(readKeyed(spark, table),
-          routeStats(spark, table, touched, shards,
-            rebuildThreshold)(_ => "noop"))
-      val decision = routeStats(spark, table, touched, shards,
-        rebuildThreshold)(bf =>
-        if (bf < rebuildThreshold) "fold" else "rebuild")
-      if (decision.strategy == "fold")
+          zeroDecision("noop", shards, rebuildThreshold))
+      val (decision, fold) = routeStats(spark, table, touched, shards,
+        rebuildThreshold)
+      if (fold)
         Maintained(
           foldAndWriteLive(spark, table, delta1, deltaKey, rebuild,
             canEmpty, fence, pre = Some((delta1, touched))),
@@ -922,8 +946,7 @@ object DurableState {
       val (shards, keyCol) = propsOf(spark, table)
       if (batchId <= lastAppliedBatch(spark, table))
         return Maintained(readKeyed(spark, table),
-          routeStats(spark, table, Nil, shards,
-            rebuildThreshold)(_ => "replay"))
+          zeroDecision("replay", shards, rebuildThreshold))
       keyTypeCheck(spark, table, delta, deltaKey, keyCol,
         "DurableState.maintainAutoBatch")
       val delta1 = delta.localCheckpoint()
@@ -933,13 +956,11 @@ object DurableState {
         spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
           s"('$batchProp' = '$batchId')")
         return Maintained(readKeyed(spark, table),
-          routeStats(spark, table, Nil, shards,
-            rebuildThreshold)(_ => "noop"))
+          zeroDecision("noop", shards, rebuildThreshold))
       }
-      val decision = routeStats(spark, table, touched, shards,
-        rebuildThreshold)(bf =>
-        if (bf < rebuildThreshold) "fold" else "rebuild")
-      if (decision.strategy == "fold")
+      val (decision, fold) = routeStats(spark, table, touched, shards,
+        rebuildThreshold)
+      if (fold)
         Maintained(
           foldAndCommitStaged(spark, table, delta1, deltaKey, rebuild,
             batchId, canEmpty, fence, pre = Some((delta1, touched))),

@@ -103,7 +103,9 @@ object Scd2 {
     // version — in-band assert, naming the remediation. (Events with
     // ts strictly above the prune horizon can never trip it: an
     // interval containing such a ts has valid_to > horizon and was
-    // retained — see pruneFrozen's doc.)
+    // retained. A below-horizon event inside a RETAINED interval
+    // folds correctly and legally — it just lowers the store's
+    // effective retention horizon; see pruneFrozen's doc.)
     val offs = touchedStore.groupBy(col("key").as("_o_k"))
       .agg((min(col("version")) - 1L).as("_voff"),
         min(struct(col("valid_from"), col("event_id"))).as("_first"))
@@ -140,13 +142,23 @@ object Scd2 {
     * `valid_to` and always survives — every live key retains at
     * least one row, which is what lets [[deltaMaintain]] recover the
     * version offset). Late events with ts STRICTLY above `horizon`
-    * stay foldable forever: the interval containing such a ts has
-    * `valid_to > horizon` and was retained, so the event lands at or
-    * after its key's first retained row (ties included — a pruned
-    * row's `valid_to <= horizon < ts` rules out same-timestamp
-    * interleaving with pruned history). An event at or below the
-    * horizon trips deltaMaintain's in-band pruned-history guard
-    * loudly rather than taking a wrong version.
+    * stay foldable forever AND preserve the retention equality
+    * (maintained == build(full log) filtered at `horizon`): the
+    * interval containing such a ts has `valid_to > horizon` and was
+    * retained, so the event lands at or after its key's first
+    * retained row (ties included — a pruned row's
+    * `valid_to <= horizon < ts` rules out same-timestamp
+    * interleaving with pruned history). An event AT OR BELOW the
+    * horizon splits in two (r16 review — the precise contract):
+    * one sorting BEFORE its key's first retained row trips
+    * deltaMaintain's in-band pruned-history guard loudly (it would
+    * take a wrong absolute version); one landing INSIDE a retained
+    * interval folds with CORRECT absolute versions, but the store
+    * then holds a row with `valid_to <= horizon` — i.e. it equals
+    * the full-log build pruned at a LOWER effective horizon, not at
+    * this one. That is benign (re-run pruneFrozen any time to
+    * restore the bound); only version correctness is load-bearing,
+    * and the guard protects exactly that.
     */
   def pruneFrozen(store: DataFrame, horizon: Long): DataFrame = {
     val want = Seq("key", "event_id", "version", "attr", "valid_from",

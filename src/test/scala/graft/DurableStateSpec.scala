@@ -107,6 +107,12 @@ class DurableStateSpec extends SparkSpec {
     val parts = spark.sql("SHOW PARTITIONS graft_ds_empty")
       .as[String].collect().toSet
     assert(!parts.contains(s"_shard=$aShard"), parts)
+    // and the FILES are gone too (r16 review: the table is external,
+    // so DROP PARTITION alone leaves dead bytes the byte-routing
+    // listing would count — a one-key delta on this shard would then
+    // look like a huge rewrite)
+    assert(!new java.io.File(s"$path/_shard=$aShard").exists(),
+      "emptied shard directory left on disk")
   }
 
   test("maintainKeyed composes with the SCD2 kernel: durable touched-shard rebuild == full rebuild") {
