@@ -795,7 +795,7 @@ for _name in ["q_incremental_durable", "q_incremental_durable_z",
 for _name in ["q_durable_auto", "q_durable_atomic",
               "q_durable_serving", "q_durable_recompute",
               "q_durable_auto_batch", "q_durable_reshard",
-              "q_scd2_retention"]:
+              "q_scd2_retention", "q_scd2_serving"]:
     if selected(_name):
         check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full

@@ -2089,6 +2089,45 @@ object SparkEntry {
         .withColumnRenamed("key", "user_id")
     },
 
+    "q_scd2_serving" -> { (s, dir) =>
+      // the full warehouse loop (r16): durable SCD2 store → late
+      // batch folds through the ATOMIC bridge → the CURRENT slice
+      // refreshes into a bucketed dimension projection (the classic
+      // serving shape — dimension joins want current rows, not
+      // history) → zero-Exchange join to an equally-bucketed
+      // per-user fact aggregate. Staleness required 0 in-gate.
+      import graft.ops.{DurableState, Layout, Scd2}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val late = ev.filter(col("event_id") % 5 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_scd2_srv").toString
+      DurableState.writeKeyed(
+        Scd2.build(base, col("user_id"), col("event_id"),
+          col("event_type"), eventUs(base, "ts")),
+        "graft_scd2_srv", wh + "/state", shards = 64, keyCol = "key")
+      DurableState.maintainKeyedBatch(s, "graft_scd2_srv", late,
+        col("user_id"),
+        (slice, d) => Scd2.deltaMaintain(slice, d, col("user_id"),
+          col("event_id"), col("event_type"), eventUs(d, "ts")),
+        batchId = 0L, canEmpty = false)
+      DurableState.refreshServing(s, "graft_scd2_srv",
+        "graft_scd2_srv_sv", wh + "/serving", buckets = 16,
+        project = _.filter(col("is_current")))
+      require(DurableState.servingStaleness(s, "graft_scd2_srv",
+        "graft_scd2_srv_sv") == 0L, "projection must be fresh")
+      Layout.bucketWrite(
+        ev.groupBy(col("user_id").as("p_uid"))
+          .agg(count(lit(1)).as("n_events")),
+        "graft_scd2_srv_probe", wh + "/probe", buckets = 16,
+        key = "p_uid")
+      val dim = s.table("graft_scd2_srv_sv")
+      val probe = s.table("graft_scd2_srv_probe")
+      dim.join(probe, dim("key") === probe("p_uid"))
+        .select(col("key").as("user_id"), col("version"), col("attr"),
+          col("valid_from"), col("n_events"))
+    },
+
     "q_scd2_retention" -> { (s, dir) =>
       // RETENTION on the maintained SCD2 store (r16 — the batch
       // analog of scd2Stream's frozen-prefix eviction): fold the
@@ -4167,6 +4206,23 @@ object SparkEntry {
         | (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    // current-dimension serving: the maintained store's is_current
+    // slice joined to the per-user fact aggregate
+    "q_scd2_serving" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |   CAST(row_number() OVER w AS BIGINT) AS version,
+        |   event_type AS attr,
+        |   epoch_us(ts) AS valid_from,
+        |   lead(epoch_us(ts)) OVER w AS valid_to
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |p AS (SELECT user_id, count(*) AS n_events
+        |      FROM events GROUP BY user_id)
+        |SELECT f.user_id, f.version, f.attr, f.valid_from, p.n_events
+        |FROM f JOIN p ON f.user_id = p.user_id
+        |WHERE f.valid_to IS NULL""".stripMargin,
 
     // retention: the maintained suffix equals the FULL-log SCD2
     // filtered to retained versions, absolute version numbers intact

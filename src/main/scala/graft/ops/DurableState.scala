@@ -1226,17 +1226,31 @@ object DurableState {
     * not use it); a deployment refreshes on its own cadence and reads
     * the staleness gap via [[servingStaleness]].
     *
+    * `project` shapes the state into the serving view (r16): the
+    * classic warehouse consumer wants the SCD2 store's CURRENT slice
+    * (`_.filter(col("is_current"))`) as the dimension table, not the
+    * full history — the projection runs before the bucketed write
+    * and must keep the key column (loud otherwise; staleness
+    * semantics are unchanged, the projection is of the same applied
+    * batch).
+    *
     * Returns the applied-batch id the projection now reflects.
     */
   def refreshServing(
       spark: SparkSession, table: String, servingTable: String,
-      servingPath: String, buckets: Int): Long =
+      servingPath: String, buckets: Int,
+      project: DataFrame => DataFrame = identity): Long =
     tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
       healPending(spark, table)
       val (_, keyCol) = propsOf(spark, table)
       val b = lastAppliedBatch(spark, table)
-      Layout.bucketWrite(readKeyed(spark, table), servingTable,
-        servingPath, buckets, keyCol)
+      val view = project(readKeyed(spark, table))
+      require(view.columns.contains(keyCol),
+        s"DurableState.refreshServing: the projection must keep the " +
+          s"key column '$keyCol' (the bucket key) — got " +
+          s"${view.columns.mkString(",")}")
+      Layout.bucketWrite(view, servingTable, servingPath, buckets,
+        keyCol)
       spark.sql(s"ALTER TABLE `$servingTable` SET TBLPROPERTIES " +
         s"('$servedBatchProp' = '$b', '$servedSourceProp' = '$table')")
       b

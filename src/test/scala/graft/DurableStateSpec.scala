@@ -820,6 +820,24 @@ class DurableStateSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
+    // PROJECTED serving (r16): the view function shapes the state
+    // before the bucketed write — rows equal the projection of the
+    // state, staleness semantics unchanged, and a projection that
+    // drops the bucket key is loud
+    DurableState.refreshServing(spark, "graft_ds_serve",
+      "graft_ds_serve_cur", freshDir("svc"), buckets = 8,
+      project = _.filter(col("n") > 1L))
+    assert(rowsOf(spark.table("graft_ds_serve_cur")
+      .select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(DurableState.readZSum(spark, "graft_ds_serve")
+        .filter(col("n") > 1L)))
+    assert(DurableState.servedBatch(spark, "graft_ds_serve_cur") == 0L)
+    val eProj = intercept[IllegalArgumentException] {
+      DurableState.refreshServing(spark, "graft_ds_serve",
+        "graft_ds_serve_bad", freshDir("svb"), buckets = 8,
+        project = _.drop("k"))
+    }
+    assert(eProj.getMessage.contains("key column"), eProj.getMessage)
     // staleness: a new applied batch opens the gap; refresh closes it
     val d1 = stateOf(Seq(("u3", 9.0))).localCheckpoint()
     DurableState.maintainZSumBatch(spark, "graft_ds_serve", d1, 1L)
