@@ -2052,7 +2052,6 @@ object SparkEntry {
       // corrected log.
       import graft.ops.Scd2
       val ev = t(s, dir, "events")
-      val us = eventUs(ev, "ts")
       val base = ev.filter(col("event_id") % 5 =!= 0)
       val late = ev.filter(col("event_id") % 5 === 0)
       val store = Scd2.build(base, col("user_id"), col("event_id"),

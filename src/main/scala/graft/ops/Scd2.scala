@@ -108,10 +108,11 @@ object Scd2 {
     // the unbounded aggregates share w's partitioning AND ordering
     // (with an explicit full frame), so Catalyst collapses all the
     // window functions into ONE WindowExec pass — a frameless
-    // Window.partitionBy(key) spec would be a second pass (measured)
-    val wAll = Window.partitionBy(col("key"))
-      .orderBy(col("valid_from"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Window.partitionBy(key) spec would be a second pass (measured
+    // ~2× on dense sf10 folds). DERIVED from w so the shared-spec
+    // invariant is structural, not textual (r16 review).
+    val wAll =
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val off = coalesce(min(col("_v")).over(wAll), lit(1L)) - 1L
     val firstRetained = min(when(col("_v").isNotNull,
       struct(col("valid_from"), col("event_id")))).over(wAll)
