@@ -152,8 +152,14 @@ object AsOf {
       deltaLeft0, "AsOf.deltaJoin", asofReason).drop("mult")
     val deltaRight = Maintenance.insertOnly(
       deltaRight0, "AsOf.deltaJoin", asofReason).drop("mult")
-    val baseL = baseLeft.drop("mult")
-    val baseR = baseRight.drop("mult")
+    // the reserved flag is enforced on ALL FOUR inputs, not just the
+    // deltas (r16 advice): a base row with mult < 0 is a delete
+    // smuggled in as state and must die in-band exactly like a delta
+    // delete, instead of the column dropping silently
+    val baseL = Maintenance.insertOnly(
+      baseLeft, "AsOf.deltaJoin", asofReason).drop("mult")
+    val baseR = Maintenance.insertOnly(
+      baseRight, "AsOf.deltaJoin", asofReason).drop("mult")
     val leftCols = baseL.columns.toSeq
     val payloadNames = rightPayload.map(_._1)
     require(!(leftCols ++ payloadNames).contains(mult),

@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   *     family's OWN maintenance kernel (`mergeZSum`, `mergeZ`,
   *     `Scd2.deltaMaintain`, `Sampling.fixedKDelta` — the durable
   *     layer composes, it does not re-derive semantics);
-  *  3. writes back under DYNAMIC PARTITION OVERWRITE — only touched
-  *     shard directories are rewritten; untouched files are
-  *     byte-identical on disk (spec-pinned via the file listing);
-  *     shards emptied by retractions are dropped explicitly (dynamic
-  *     overwrite only replaces partitions PRESENT in the write —
-  *     stale files would resurrect dead keys).
+  *  3. writes back through the STAGED COMMIT (r17 — one protocol for
+  *     every write leg): only touched shard directories swap;
+  *     untouched files are byte-identical on disk (spec-pinned via
+  *     the file listing); shards emptied by retractions drop their
+  *     partitions; the replaced directories RETIRE under `_snap` for
+  *     manifest-pinned snapshot readers instead of being deleted.
   *
   * Shard grain, not bucket grain, on purpose: [[Layout.bucketWrite]]
   * gives zero-Exchange JOINS against the store, but `bucketBy` +
@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * is exactly what maintenance exists to avoid. A partition column
   * derived from the key hash supports both legs: literal `IN`
   * filters prune the read (the touched set collects to the driver —
-  * at most `shards` ints, control-plane), and dynamic overwrite
+  * at most `shards` ints, control-plane), and the staged swap
   * prunes the write. The shard count AND key column ride table
   * properties written at [[writeKeyed]] time, so a maintenance run
   * can never mis-shard a probe (a mismatched modulus or key would
@@ -51,13 +51,19 @@ import org.apache.spark.sql.functions._
   * repo satisfies it: untouched keys INSIDE a touched shard ride the
   * kernel's own passthrough and rewrite unchanged.
   *
-  * Durability ladder (r16): [[maintainKeyed]] is the caller-driven
-  * fold (no replay semantics — a crash mid-write needs the caller to
-  * recompute); [[maintainKeyedBatch]] is the streaming bridge and
-  * commits ATOMICALLY via a staged write + commit marker +
-  * idempotent roll-forward (see its doc — the r15 non-atomic window
-  * is closed); [[maintainAuto]] makes the fold-vs-rebuild crossover
-  * self-driving; [[acquireLease]] adds the cross-process fence.
+  * Durability ladder (r16, tightened r17): EVERY write leg — the
+  * caller-driven [[maintainKeyed]], the streaming bridge
+  * [[maintainKeyedBatch]], both [[maintainAuto]] arms,
+  * [[reshardKeyed]], [[pruneKeyed]] — commits ATOMICALLY via the
+  * one staged-write + commit-marker + idempotent-roll-forward
+  * protocol (see [[maintainKeyedBatch]]); the surfaces differ only
+  * in REPLAY identity (the batch surfaces gate on an applied-batch
+  * id; the caller-driven ones cannot detect a double-fold).
+  * [[maintainAuto]] makes the fold-vs-rebuild crossover
+  * self-driving; [[acquireLease]] adds the cross-process fence;
+  * manifests + `_snap` retirement (r17) give external readers
+  * snapshot-consistent plans ([[readKeyedSnapshot]],
+  * [[readKeyedAt]]) with retention under [[vacuumSnapshots]].
   */
 object DurableState {
 
@@ -108,6 +114,27 @@ object DurableState {
       .saveAsTable(table)
     s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
       s"('$shardsProp' = '$shards', '$keyProp' = '$keyCol')")
+    // writeKeyed is the BOOTSTRAP/RESET surface: whatever protocol
+    // state survived the CTAS overwrite of the directory — stale
+    // commit markers (which healPending would roll forward ONTO the
+    // fresh store), pre-commit staging, retired snapshots, old
+    // manifests whose stamps no longer describe the layout — is
+    // swept deterministically, and the fresh state becomes manifest
+    // v1 (pinned snapshots of the PREVIOUS incarnation do not
+    // survive a reset; the maintenance surfaces all preserve them)
+    val loc = locationOf(s, table)
+    val fs = fsOf(s, loc)
+    fs.listStatus(loc).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("_commit_b") || n.startsWith("_staging_b") ||
+          n.startsWith("_lease_") || n == "_snap" ||
+          n.matches("_manifest_v\\d+\\.txt")
+      }
+      .foreach(p => fs.delete(p, true))
+    val present = s.sql(s"SHOW PARTITIONS `$table`").collect()
+      .map(_.getString(0).stripPrefix("_shard=").toInt).toSeq.sorted
+    writeManifest(s, table, 1L, written = present, dropped = Nil)
   }
 
   /** The write-time (shards, key column), from the table properties —
@@ -239,11 +266,15 @@ object DurableState {
     * shards were never read, so writing them would replace their
     * shard with a partial rebuild). A FILTER, not a projected column
     * (the [[Maintenance.insertOnly]] idiom — zero extra jobs).
+    * `who` names the entry point that actually ran (r16 advice: the
+    * guard rides both the live and the staged-batch write legs, and
+    * a violation in the atomic bridge must not report maintainKeyed).
     */
-  private def strayGuard(aligned: DataFrame, touched: Seq[Int]): DataFrame =
+  private def strayGuard(
+      aligned: DataFrame, touched: Seq[Int], who: String): DataFrame =
     aligned.filter(assert_true(
       col("_shard").isin(touched.map(Integer.valueOf): _*),
-      concat(lit("DurableState.maintainKeyed: rebuild emitted a key " +
+      concat(lit(s"$who: rebuild emitted a key " +
         "in un-read shard "), col("_shard").cast("string"),
         lit(" — the rebuild contract allows touched-shard keys only")))
       .isNull)
@@ -272,12 +303,14 @@ object DurableState {
     * losing the newer fold (cross-process safety; in-JVM safety is
     * the per-table lock).
     *
-    * CRASH SEMANTICS, stated: this surface is caller-driven and has
-    * no replay identity, so a crash mid-write leaves a torn
-    * multi-shard overwrite the caller must repair by full recompute +
-    * [[writeKeyed]]. The STREAMING bridge [[maintainKeyedBatch]] is
-    * the atomic surface (staged write + commit marker); use it
-    * whenever the delta has a replayable identity.
+    * CRASH SEMANTICS (r17): the write leg rides the SAME staged
+    * commit as the streaming bridge — stage, atomic marker, apply —
+    * so a crash leaves either no mutation (pre-marker: re-run the
+    * fold) or a committed batch that [[healPending]] rolls forward;
+    * a torn multi-shard write is structurally impossible. What this
+    * surface still lacks is REPLAY identity: it cannot detect the
+    * same delta folded twice — that is [[maintainKeyedBatch]]'s
+    * contract; use it whenever the delta has a replayable id.
     *
     * COST NOTE, stated honestly: touched-shard maintenance wins in
     * proportion to the delta's KEY-SPARSITY (the nightly reality this
@@ -302,80 +335,21 @@ object DurableState {
     // process is outside any lock's reach — that is what the
     // lease + fencing token (r16, [[acquireLease]]) exist for.
     tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
-    // self-heal: a crashed maintainKeyedBatch may have left a
+    // self-heal: a crashed maintenance run may have left a
     // committed-but-unapplied marker — roll it forward before
     // reading, so this fold starts from consistent state
     healPending(spark, table)
-    foldAndWriteLive(spark, table, delta, deltaKey, rebuild, canEmpty,
-      fence, pre = None)
-    }
-
-  /** The live-table (insertInto dynamic overwrite) fold leg — the
-    * locked body of [[maintainKeyed]], also entered by
-    * [[maintainAuto]]'s fold arm with the probe pre-computed.
-    */
-  private def foldAndWriteLive(
-      spark: SparkSession, table: String, delta: DataFrame,
-      deltaKey: Column,
-      rebuild: (DataFrame, DataFrame) => DataFrame,
-      canEmpty: Boolean, fence: Option[Lease],
-      pre: Option[(DataFrame, Seq[Int])]): DataFrame =
-    foldCore(spark, table, delta, deltaKey, rebuild,
-      "DurableState.maintainKeyed", pre) match {
-      case None => readKeyed(spark, table)
-      case Some((aligned, touched, _)) =>
-        // rebuild-contract enforcement on BOTH paths (r15 review):
-        // canEmpty=true pays an exact driver-side subset check on the
-        // present-shard set it collects anyway; the one-pass
-        // canEmpty=false path gets the in-band guard.
-        val guarded = if (canEmpty) aligned else strayGuard(aligned, touched)
-        val compacted = if (canEmpty) guarded.localCheckpoint() else guarded
-        val present =
-          if (canEmpty)
-            compacted.select(col("_shard")).distinct()
-              .collect().map(_.getInt(0)).toSet
-          else touched.toSet
-        require(present.subsetOf(touched.toSet),
-          s"DurableState.maintainKeyed: rebuild emitted keys in un-read " +
-            s"shards ${(present -- touched.toSet).toSeq.sorted.mkString(",")}" +
-            " — the rebuild contract allows touched-shard keys only")
-        checkFence(spark, table, fence)
-        // dynamic overwrite MUST ride the session conf: insertInto does
-        // not honor the writer-level option, and static overwrite would
-        // truncate the whole table (measured — the untouched shards
-        // vanished under the option-only form). The set/restore is
-        // session-GLOBAL, so writes serialize on a JVM-wide lock; a
-        // writer in a DIFFERENT process (or one not using this API) is
-        // outside the lock's reach — that is the lease's job.
-        val confKey = "spark.sql.sources.partitionOverwriteMode"
-        DurableState.writeLock.synchronized {
-          val prev = spark.conf.getOption(confKey)
-          spark.conf.set(confKey, "dynamic")
-          try compacted.write.mode("overwrite").insertInto(table)
-          finally prev match {
-            case Some(v) => spark.conf.set(confKey, v)
-            case None => spark.conf.unset(confKey)
-          }
-        }
-        // drop emptied shards from the catalog AND the filesystem:
-        // the table is EXTERNAL, so DROP PARTITION alone leaves the
-        // files on disk — invisible to catalog reads, but counted by
-        // the byte-routing listing (r16 review: a dead 60%-of-store
-        // directory made the next one-key delta look like a full
-        // rewrite) and a resurrect hazard for any raw-path reader.
-        // The staged path's applyCommit already deletes; mirror it.
-        val emptied = touched.filterNot(present)
-        if (emptied.nonEmpty) {
-          val loc = locationOf(spark, table)
-          val fs = fsOf(spark, loc)
-          emptied.foreach { sh =>
-            spark.sql(
-              s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (_shard=$sh)")
-            val dead = new Path(loc, s"_shard=$sh")
-            if (fs.exists(dead)) fs.delete(dead, true)
-          }
-        }
-        readKeyed(spark, table)
+    // the write leg IS the staged-commit leg (r17): one data write
+    // either way (staging parquet vs insertInto's temp+move), but
+    // the staged form is ATOMIC under crashes, preserves replaced
+    // directories for snapshot readers, and needs no session-global
+    // partitionOverwriteMode dance (the r16-advice hazard: a
+    // concurrent writer observing `dynamic` skipped the truncate and
+    // resurrected deleted shards). advance=false: this surface has
+    // no replay identity — the applied-batch property never moves.
+    foldAndCommitStaged(spark, table, delta, deltaKey, rebuild,
+      batchId = lastAppliedBatch(spark, table), canEmpty, fence,
+      advance = false, who = "DurableState.maintainKeyed", pre = None)
     }
 
   /** Per-table serialization of whole maintenance runs (see
@@ -383,13 +357,6 @@ object DurableState {
     */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Serializes the conf-set → insertInto → restore window across
-    * concurrent [[maintainKeyed]] calls in this JVM (the session conf
-    * is global — two DIFFERENT-table maintenance runs may overlap and
-    * must not race the mode flag).
-    */
-  private val writeLock = new Object
 
   // ------------------------------------------------------------------
   // The self-driving fold-vs-rebuild decision (r16, r15 verdict item
@@ -474,25 +441,23 @@ object DurableState {
     * control-plane calls, no data pass — see [[MaintainDecision]]
     * for why the shard-COUNT fraction misroutes on skewed stores).
     * Below `rebuildThreshold` the delta folds through
-    * [[maintainKeyed]]; at or above it the FULL store rebuilds
-    * through the same family kernel (`rebuild(fullState, delta)` —
-    * the rebuild contract makes the full store a valid "touched
-    * slice" for all shards) and rewrites via [[writeKeyed]] — one
-    * clean full write instead of per-shard dynamic overwrite with
-    * maintenance overhead on top. Both arms are bit-equal
-    * (spec-pinned); the returned [[MaintainDecision]] carries the
-    * evidence, so a nightly job can LOG why it rebuilt.
+    * [[maintainKeyed]]'s staged leg; at or above it the FULL store
+    * rebuilds through the same family kernel
+    * (`rebuild(fullState, delta)` — the rebuild contract makes the
+    * full store a valid "touched slice" for all shards) and the
+    * rebuilt state stages whole, one clean full write through the
+    * SAME commit marker (r17, r16 advice: the old writeKeyed arm's
+    * DROP + CTAS had a destructive window and a dynamic-
+    * partitionOverwriteMode resurrection hazard; now every property,
+    * the lease file, and all pinned snapshots survive the rebuild,
+    * and a crash heals). Both arms are bit-equal (spec-pinned); the
+    * returned [[MaintainDecision]] carries the evidence, so a
+    * nightly job can LOG why it rebuilt.
     *
     * The default threshold 0.5 is the measured sf10 crossover
     * neighborhood (dense folds cost 1.7-4× the rebuild; sparse folds
     * win 2×) — callers with unusual store/delta width ratios can
     * move it.
-    *
-    * The rebuild arm preserves the applied-batch and fence
-    * properties across the table rewrite (they describe the STATE's
-    * lineage, which survives a rebuild), and re-creates the lease
-    * file when `fence` is held (the full rewrite clears the table
-    * directory).
     */
   def maintainAuto(
       spark: SparkSession, table: String, delta: DataFrame,
@@ -513,59 +478,50 @@ object DurableState {
         rebuildThreshold)
       if (fold)
         Maintained(
-          foldAndWriteLive(spark, table, delta1, deltaKey, rebuild,
-            canEmpty, fence, pre = Some((delta1, touched))),
+          foldAndCommitStaged(spark, table, delta1, deltaKey, rebuild,
+            batchId = lastAppliedBatch(spark, table), canEmpty, fence,
+            advance = false, who = "DurableState.maintainAuto",
+            pre = Some((delta1, touched))),
           decision)
       else {
-        // FULL rebuild arm: the whole store is the slice (every shard
-        // is touched as far as the kernel is concerned), one full
-        // rewrite. Key-type check as in the fold arm.
+        // FULL rebuild arm (r17, r16 advice): through the SAME
+        // staged-commit protocol as the fold arm — the r16 writeKeyed
+        // form (DROP + CTAS into the existing path) had a destructive
+        // non-atomic window, wiped the lease file, needed the
+        // lineage-property restore dance, and under a user-set
+        // dynamic partitionOverwriteMode could resurrect deleted
+        // shards from stale directories. Staging the full rebuilt
+        // state is ONE pass (the rebuild plan reads the live table
+        // while writing staging; the swap happens only after the
+        // atomic marker — no store-sized localCheckpoint), and every
+        // property, the lease file, and all snapshots survive.
+        // Key-type check as in the fold arm; advance=false (this
+        // surface has no replay identity).
         keyTypeCheck(spark, table, delta1, deltaKey, keyCol,
           "DurableState.maintainAuto")
-        val path = locationOf(spark, table).toString
-        val aligned = alignToTable(spark, table,
+        val aligned = withShard(alignToTable(spark, table,
           rebuild(readKeyed(spark, table), delta1),
-          "DurableState.maintainAuto")
-        // writeKeyed DROPs the table this plan reads: materialize the
-        // rebuilt state first (the honest full-rebuild cost)
-        val mat = aligned.localCheckpoint()
-        // insert-only families (canEmpty = false) must not lose a
-        // previously-present shard's rows to a kernel bug — the same
-        // vanished-shard contract the batch paths enforce (r16
-        // review), checked BEFORE the destructive rewrite
-        if (!canEmpty) {
-          val existing = spark.sql(s"SHOW PARTITIONS `$table`")
-            .collect().map(_.getString(0).stripPrefix("_shard=").toInt)
-            .toSet
-          val present = mat
-            .select(shardOf(col(keyCol), shards).as("_s")).distinct()
-            .collect().map(_.getInt(0)).toSet
-          val vanished = existing.filterNot(present).toSeq.sorted
-          require(vanished.isEmpty,
-            s"DurableState.maintainAuto: insert-only rebuild dropped " +
-              s"all rows of previously-present shard(s) " +
-              s"${vanished.mkString(",")}")
-        }
-        // the fence check sits immediately before the destructive
-        // rewrite (r16 review: checking before the store-sized
-        // materialization left the whole rebuild as a zombie window);
-        // lineage properties (applied batch, fence token) carry
-        // across the rewrite. A steal BETWEEN this check and the
-        // restore below regresses the property to OUR token — the
-        // stealer's next fence check then fails LOUDLY (never a
-        // silent lost update; same post-fence window every write
-        // path has).
-        val lastBatch = lastAppliedBatch(spark, table)
-        checkFence(spark, table, fence)
-        val fenceTok = currentFence(spark, table)
-        writeKeyed(mat, table, path, shards, keyCol)
-        if (lastBatch >= 0L)
-          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-            s"('$batchProp' = '$lastBatch')")
-        if (fenceTok > 0L)
-          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-            s"('$fenceProp' = '$fenceTok')")
-        fence.foreach(l => recreateLeaseFile(spark, l))
+          "DurableState.maintainAuto"), keyCol, shards)
+        val existing = spark.sql(s"SHOW PARTITIONS `$table`")
+          .collect().map(_.getString(0).stripPrefix("_shard=").toInt)
+          .toSeq.sorted
+        commitStaged(spark, table, aligned,
+          batchId = lastAppliedBatch(spark, table), advance = false,
+          dropsOf = { present =>
+            // insert-only families (canEmpty = false) must not lose a
+            // previously-present shard's rows to a kernel bug — the
+            // same vanished-shard contract the batch paths enforce,
+            // checked BEFORE the commit point (live table untouched)
+            if (!canEmpty) {
+              val vanished = existing.filterNot(present.toSet)
+              require(vanished.isEmpty,
+                s"DurableState.maintainAuto: insert-only rebuild " +
+                  s"dropped all rows of previously-present shard(s) " +
+                  s"${vanished.mkString(",")}")
+            }
+            existing.filterNot(present.toSet)
+          },
+          requireSubsetOf = None, fence = fence)
         Maintained(readKeyed(spark, table), decision)
       }
     }
@@ -677,6 +633,110 @@ object DurableState {
   // markers can live INSIDE the table directory without polluting
   // scans, which is what makes same-filesystem renames possible.
 
+  // ------------------------------------------------------------------
+  // MANIFESTS — snapshot-consistent reads over the swap (r17, r16
+  // verdict item 1). applyCommit swaps shard directories in place;
+  // maintenance itself serializes on the table lock, but an EXTERNAL
+  // reader holds no lock — one that plans its scan mid-apply could
+  // see a torn cross-shard snapshot (shard 3 post-batch, shard 5
+  // pre-batch). The plain-parquet answer is the protocol's own
+  // primitive: every mutation writes `_manifest_v<N>.txt` (atomic
+  // rename) recording, per present shard, the manifest version that
+  // last REWROTE it (its "stamp"), and every replaced shard
+  // directory RETIRES under `_snap/v<N>/_shard=<id>` (one atomic
+  // rename — the version that replaced it) instead of being deleted.
+  // A reader pins a manifest and resolves each shard's stamp to its
+  // physical directory: the SMALLEST retired version above the stamp
+  // holds exactly that version's bytes (the first later rewrite
+  // retired them there); no later rewrite ⇒ the live directory.
+  // Retired directories never move again, so a pinned plan stays
+  // valid until [[vacuumSnapshots]] retires its manifest — and
+  // retaining N manifests IS time travel ([[readKeyedAt]]).
+  // ------------------------------------------------------------------
+
+  private def manifestPath(loc: Path, v: Long): Path =
+    new Path(loc, s"_manifest_v$v.txt")
+
+  private def snapRoot(loc: Path): Path = new Path(loc, "_snap")
+
+  private def manifestVersionsOf(fs: FileSystem, loc: Path): Seq[Long] =
+    if (!fs.exists(loc)) Nil
+    else fs.listStatus(loc).map(_.getPath.getName)
+      .filter(_.matches("_manifest_v\\d+\\.txt"))
+      .map(_.stripPrefix("_manifest_v").stripSuffix(".txt").toLong)
+      .toSeq.sorted
+
+  private def latestManifestVersion(fs: FileSystem, loc: Path): Long =
+    manifestVersionsOf(fs, loc).lastOption.getOrElse(0L)
+
+  /** (appliedBatch, shardModulus, shard → stamp) of manifest `v`. */
+  private def readManifest(
+      fs: FileSystem, loc: Path, v: Long): (Long, Int, Map[Int, Long]) = {
+    val p = manifestPath(loc, v)
+    require(fs.exists(p),
+      s"DurableState: no manifest version $v at $loc " +
+        s"(have ${manifestVersionsOf(fs, loc).mkString(",")})")
+    val lines = readSmall(fs, p).split("\n")
+      .map(_.split("=", 2)).collect { case Array(k, x) => k -> x }
+    val m = lines.filter(_._1 != "shard").toMap
+    val stamps = lines.collect { case ("shard", s) =>
+      val Array(id, st) = s.split(":", 2); id.toInt -> st.toLong
+    }.toMap
+    (m("batch").toLong, m("shards").toInt, stamps)
+  }
+
+  /** Write manifest `ver`: `written` shards stamp `ver`, `dropped`
+    * shards leave, every other shard carries its stamp from the
+    * newest manifest BELOW `ver` (deterministic on crash-re-entry —
+    * a half-applied commit recomputes the same content). A table
+    * predating manifests carries its existing partitions at stamp 0
+    * (any retired version resolves above it).
+    */
+  private def writeManifest(
+      spark: SparkSession, table: String, ver: Long,
+      written: Seq[Int], dropped: Seq[Int]): Unit = {
+    val loc = locationOf(spark, table)
+    val fs = fsOf(spark, loc)
+    val prev = manifestVersionsOf(fs, loc).filter(_ < ver).lastOption
+    val carried: Map[Int, Long] = prev match {
+      case Some(pv) => readManifest(fs, loc, pv)._3
+      case None =>
+        spark.sql(s"SHOW PARTITIONS `$table`").collect()
+          .map(_.getString(0).stripPrefix("_shard=").toInt)
+          .map(_ -> 0L).toMap
+    }
+    val stamps = (carried -- dropped -- written) ++
+      written.map(_ -> ver)
+    val (shards, _) = propsOf(spark, table)
+    val b = lastAppliedBatch(spark, table)
+    atomicWrite(fs, manifestPath(loc, ver),
+      s"version=$ver\nbatch=$b\nshards=$shards\n" +
+        stamps.toSeq.sortBy(_._1)
+          .map { case (id, st) => s"shard=$id:$st" }.mkString("\n") + "\n")
+  }
+
+  /** Retire the live directory of shard `sh` under `_snap/v<ver>/`
+    * (one atomic rename; the bytes never move again until vacuumed).
+    * Idempotent: a missing source was already retired or never
+    * existed. A retire target that ALREADY exists next to a live
+    * source is reachable only on the non-atomic live-fold path after
+    * a mid-write crash — there the retired copy holds the consistent
+    * pre-state and the live dir is the torn partial write, so the
+    * live dir is dropped in its favor (the caller was told to re-run
+    * the fold; see [[maintainKeyed]]'s crash semantics).
+    */
+  private def retireShardDir(
+      fs: FileSystem, loc: Path, sh: Int, ver: Long): Unit = {
+    val src = new Path(loc, s"_shard=$sh")
+    if (!fs.exists(src)) return
+    val dstDir = new Path(snapRoot(loc), s"v$ver")
+    val dst = new Path(dstDir, s"_shard=$sh")
+    if (fs.exists(dst)) { fs.delete(src, true); return }
+    fs.mkdirs(dstDir)
+    require(fs.rename(src, dst),
+      s"DurableState: retire $src -> $dst failed")
+  }
+
   /** Roll a committed-but-unapplied batch FORWARD (idempotent): for
     * each staged shard still present, swap it into the live table
     * (delete old dir, rename staged dir in — a shard whose staged dir
@@ -707,12 +767,22 @@ object DurableState {
         .map(_.toInt)).getOrElse(Nil)
     val present = ids("present")
     val drops = ids("drops")
+    // the manifest version of this commit rides the marker, so
+    // crash-re-entry rebuilds the SAME manifest; a marker predating
+    // the field (hand-injected torn states) falls back to the next
+    // free version — still correct, possibly one version higher
+    val ver = lines.get("ver").map(_.toLong)
+      .getOrElse(latestManifestVersion(fs, loc) + 1L)
     val staging = stagingPath(loc, b)
     present.foreach { sh =>
       val src = new Path(staging, s"_shard=$sh")
       if (fs.exists(src)) {
+        // RETIRE the replaced directory (r17) — snapshot readers
+        // pinned below `ver` resolve it at `_snap/v<ver>` — then
+        // swap the staged one in; a shard whose staged dir is gone
+        // was swapped (and retired) by a previous attempt
+        retireShardDir(fs, loc, sh, ver)
         val dst = new Path(loc, s"_shard=$sh")
-        if (fs.exists(dst)) fs.delete(dst, true)
         require(fs.rename(src, dst),
           s"DurableState: shard swap $src -> $dst failed")
       }
@@ -724,8 +794,7 @@ object DurableState {
     drops.foreach { sh =>
       spark.sql(
         s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (_shard=$sh)")
-      val dead = new Path(loc, s"_shard=$sh")
-      if (fs.exists(dead)) fs.delete(dead, true)
+      retireShardDir(fs, loc, sh, ver)
     }
     spark.catalog.refreshTable(table)
     if (advance && b > lastAppliedBatch(spark, table))
@@ -735,6 +804,10 @@ object DurableState {
       spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
         s"('$shardsProp' = '$n')")
     }
+    // the manifest lands INSIDE the recovery unit (before the marker
+    // delete): a crash after any subset of swaps re-enters here and
+    // finishes both the layout and its manifest
+    writeManifest(spark, table, ver, present, drops)
     fs.delete(marker, false)
     if (fs.exists(staging)) fs.delete(staging, true)
   }
@@ -770,11 +843,14 @@ object DurableState {
         s"DurableState: staged shards $present outside touched $touched")
     }
     // the COMMIT POINT: fence first (a stolen lease must abort with
-    // zero live mutations), then the atomic marker rename
+    // zero live mutations), then the atomic marker rename. The
+    // commit's manifest version is fixed HERE (under the table lock)
+    // so crash-re-entry rebuilds the identical manifest.
     checkFence(spark, table, fence)
     val drops = dropsOf(present)
+    val ver = latestManifestVersion(fs, loc) + 1L
     atomicWrite(fs, markerPath(loc, batchId),
-      s"batch=$batchId\nadvance=${if (advance) 1 else 0}\n" +
+      s"batch=$batchId\nadvance=${if (advance) 1 else 0}\nver=$ver\n" +
         newShards.map(n => s"shards=$n\n").getOrElse("") +
         s"present=${present.mkString(",")}\n" +
         s"drops=${drops.mkString(",")}\n")
@@ -802,6 +878,146 @@ object DurableState {
       .filter(_.getName.startsWith("_staging_b"))
       .foreach(p => fs.delete(p, true))
   }
+
+  // ------------------------------------------------------------------
+  // Snapshot readers + retention (r17) — see the MANIFESTS note
+  // above for the resolution rule.
+  // ------------------------------------------------------------------
+
+  /** The manifest versions currently readable, oldest first (every
+    * durable mutation appends one; [[vacuumSnapshots]] retires old
+    * ones).
+    */
+  def snapshotVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val loc = locationOf(spark, table)
+    manifestVersionsOf(fsOf(spark, loc), loc)
+  }
+
+  /** Read the state EXACTLY as manifest `version` recorded it — time
+    * travel over the maintenance history. Planning happens here, at
+    * FILE grain: each shard's stamp resolves to the directory holding
+    * that version's bytes (live, or retired under `_snap` by a later
+    * rewrite — retired files never move again), and the scan is
+    * pinned to the resolved files. In-JVM mutators hold the table
+    * lock this method takes, so resolution can never interleave with
+    * an apply. The CONTRACT, stated precisely: a pinned snapshot can
+    * never read torn or mixed state — the failure mode the live
+    * catalog scan has — but a pinned PLAN whose resolved live
+    * directory is retired by a later mutation (or a cross-process
+    * apply racing the scan) goes stale LOUDLY (missing-file error:
+    * the bytes moved to `_snap`), and re-planning the same `version`
+    * succeeds until [[vacuumSnapshots]] retires its manifest — the
+    * same discipline as a table-format reader racing a vacuum.
+    */
+  def readKeyedAt(
+      spark: SparkSession, table: String, version: Long): DataFrame =
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      val loc = locationOf(spark, table)
+      val fs = fsOf(spark, loc)
+      val (_, _, stamps) = readManifest(fs, loc, version)
+      // one listing of the retired area: version -> shards retired AT
+      // that version (i.e. replaced by it)
+      val sr = snapRoot(loc)
+      val retired: Map[Long, Set[Int]] =
+        if (!fs.exists(sr)) Map.empty
+        else fs.listStatus(sr)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .map { d =>
+            d.getPath.getName.stripPrefix("v").toLong ->
+              fs.listStatus(d.getPath).map(_.getPath.getName)
+                .filter(_.startsWith("_shard="))
+                .map(_.stripPrefix("_shard=").toInt).toSet
+          }.toMap
+      val retVers = retired.keys.toSeq.sorted
+      val dirs = stamps.toSeq.sortBy(_._1).map { case (sh, stamp) =>
+        retVers.find(v => v > stamp && retired(v).contains(sh)) match {
+          case Some(v) => new Path(sr, s"v$v/_shard=$sh")
+          case None => new Path(loc, s"_shard=$sh")
+        }
+      }
+      val files = dirs.flatMap { d =>
+        require(fs.exists(d),
+          s"DurableState.readKeyedAt: $d of manifest $version is gone " +
+            "— vacuumed below the requested version?")
+        fs.listStatus(d).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      }
+      val dataSchema = spark.table(table).drop("_shard").schema
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          dataSchema)
+      else spark.read.schema(dataSchema).parquet(files: _*)
+    }
+
+  /** The latest CONSISTENT view of the state — the external-reader
+    * surface ([[readKeyed]]'s catalog scan plans from live
+    * directories and can see a torn cross-shard state when it races
+    * an apply in another process; this plans from the newest
+    * manifest, whose files are immutable once written).
+    */
+  def readKeyedSnapshot(spark: SparkSession, table: String): DataFrame = {
+    val loc = locationOf(spark, table)
+    val latest = latestManifestVersion(fsOf(spark, loc), loc)
+    require(latest >= 1L,
+      s"DurableState.readKeyedSnapshot: $table has no manifest — " +
+        "not written by this layer (or created before r17)")
+    readKeyedAt(spark, table, latest)
+  }
+
+  /** Retire snapshot history: keep the newest `keepVersions`
+    * manifests (always at least the latest), delete older manifest
+    * files, and delete every retired shard directory no RETAINED
+    * manifest resolves to. Control-plane only (listings + renames);
+    * run it on the maintenance cadence to bound `_snap` growth — the
+    * bytes held are exactly the pre-states of the last
+    * `keepVersions` mutations' touched shards, so retention cost
+    * scales with delta mass, not store size.
+    */
+  def vacuumSnapshots(
+      spark: SparkSession, table: String, keepVersions: Int = 3): Unit =
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      require(keepVersions >= 1, "keepVersions must be >= 1")
+      val loc = locationOf(spark, table)
+      val fs = fsOf(spark, loc)
+      val vers = manifestVersionsOf(fs, loc)
+      if (vers.isEmpty) return
+      val retain = vers.takeRight(keepVersions)
+      val sr = snapRoot(loc)
+      if (fs.exists(sr)) {
+        val retired: Map[Long, Set[Int]] = fs.listStatus(sr)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .map { d =>
+            d.getPath.getName.stripPrefix("v").toLong ->
+              fs.listStatus(d.getPath).map(_.getPath.getName)
+                .filter(_.startsWith("_shard="))
+                .map(_.stripPrefix("_shard=").toInt).toSet
+          }.toMap
+        val retVers = retired.keys.toSeq.sorted
+        // the (version, shard) entries some retained manifest still
+        // resolves to — everything else is unreachable history
+        val needed: Set[(Long, Int)] = retain.flatMap { mv =>
+          val (_, _, stamps) = readManifest(fs, loc, mv)
+          stamps.toSeq.flatMap { case (sh, stamp) =>
+            retVers.find(v => v > stamp && retired(v).contains(sh))
+              .map(v => (v, sh))
+          }
+        }.toSet
+        retired.foreach { case (v, shs) =>
+          shs.foreach { sh =>
+            if (!needed.contains((v, sh)))
+              fs.delete(new Path(sr, s"v$v/_shard=$sh"), true)
+          }
+          val vd = new Path(sr, s"v$v")
+          if (fs.exists(vd) && fs.listStatus(vd).isEmpty)
+            fs.delete(vd, true)
+        }
+        if (fs.exists(sr) && fs.listStatus(sr).isEmpty)
+          fs.delete(sr, true)
+      }
+      vers.filterNot(retain.contains)
+        .foreach(v => fs.delete(manifestPath(loc, v), false))
+    }
 
   /** The STREAMING→DURABLE bridge (r15): fold one micro-batch of
     * Z-deltas (a CDC twin's emissions — `deltaJoinStream`,
@@ -873,27 +1089,35 @@ object DurableState {
       if (batchId <= lastAppliedBatch(spark, table))
         return readKeyed(spark, table)
       foldAndCommitStaged(spark, table, delta, deltaKey, rebuild,
-        batchId, canEmpty, fence, pre = None)
+        batchId, canEmpty, fence, advance = true,
+        who = "DurableState.maintainKeyedBatch", pre = None)
     }
 
   /** The staged-protocol fold leg — the locked body of
-    * [[maintainKeyedBatch]], also entered by [[maintainAutoBatch]]'s
-    * fold arm with the probe pre-computed.
+    * [[maintainKeyed]] and [[maintainKeyedBatch]], also entered by
+    * the auto routers' fold arms with the probe pre-computed.
+    * `advance` routes the applied-batch property: the identified
+    * batch surfaces advance it (replay identity); the caller-driven
+    * surfaces must not ([[maintainKeyed]] has no replay identity —
+    * its `batchId` only names the staging dir and marker).
     */
   private def foldAndCommitStaged(
       spark: SparkSession, table: String, delta: DataFrame,
       deltaKey: Column,
       rebuild: (DataFrame, DataFrame) => DataFrame,
       batchId: Long, canEmpty: Boolean, fence: Option[Lease],
+      advance: Boolean, who: String,
       pre: Option[(DataFrame, Seq[Int])]): DataFrame =
-      foldCore(spark, table, delta, deltaKey, rebuild,
-        "DurableState.maintainKeyedBatch", pre) match {
+      foldCore(spark, table, delta, deltaKey, rebuild, who, pre) match {
         case None =>
-          // an empty delta still advances the applied-batch marker —
-          // a replayed empty batch must not block later ids
-          checkFence(spark, table, fence)
-          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-            s"('$batchProp' = '$batchId')")
+          // an empty identified batch still advances the
+          // applied-batch marker — a replayed empty batch must not
+          // block later ids; the caller-driven fold changes nothing
+          if (advance) {
+            checkFence(spark, table, fence)
+            spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+              s"('$batchProp' = '$batchId')")
+          }
           readKeyed(spark, table)
         case Some((aligned, touched, _)) =>
           // ONE pass: the staged write is the materialization, the
@@ -904,14 +1128,15 @@ object DurableState {
             else spark.sql(s"SHOW PARTITIONS `$table`")
               .collect().map(_.getString(0)
                 .stripPrefix("_shard=").toInt).toSet
-          commitStaged(spark, table, strayGuard(aligned, touched),
-            batchId, advance = true,
+          commitStaged(spark, table,
+            strayGuard(aligned, touched, who),
+            batchId, advance = advance,
             dropsOf = { present =>
               if (!canEmpty) {
                 val vanished = touched.filter(existing)
                   .filterNot(present.toSet)
                 require(vanished.isEmpty,
-                  s"DurableState.maintainKeyedBatch: insert-only " +
+                  s"$who: insert-only " +
                     "rebuild dropped all rows of previously-present " +
                     s"shard(s) ${vanished.mkString(",")}")
               }
@@ -925,13 +1150,13 @@ object DurableState {
     * (r16): the bridge's fold arm is [[maintainKeyedBatch]]; the
     * rebuild arm stages the FULL rebuilt state and commits it through
     * the same marker — so even a dense CDC batch lands exactly-once
-    * under crashes and replays (where [[maintainAuto]]'s rebuild arm
-    * is the caller-driven `writeKeyed`, whose DROP+overwrite has no
-    * crash identity). The full-rebuild staging is also ONE pass: the
-    * rebuild plan reads the live table while writing staging (other
-    * directories), and the swap happens only after the marker — no
-    * localCheckpoint of the whole store needed. Replayed ids are
-    * no-ops either way (decision `"replay"`).
+    * under crashes AND replays (since r17 [[maintainAuto]] commits
+    * atomically too; what it still lacks is the replay identity this
+    * surface's batch id provides). The full-rebuild staging is also
+    * ONE pass: the rebuild plan reads the live table while writing
+    * staging (other directories), and the swap happens only after
+    * the marker — no localCheckpoint of the whole store needed.
+    * Replayed ids are no-ops either way (decision `"replay"`).
     */
   def maintainAutoBatch(
       spark: SparkSession, table: String, delta: DataFrame,
@@ -963,7 +1188,9 @@ object DurableState {
       if (fold)
         Maintained(
           foldAndCommitStaged(spark, table, delta1, deltaKey, rebuild,
-            batchId, canEmpty, fence, pre = Some((delta1, touched))),
+            batchId, canEmpty, fence, advance = true,
+            who = "DurableState.maintainAutoBatch",
+            pre = Some((delta1, touched))),
           decision)
       else {
         val aligned = withShard(alignToTable(spark, table,
@@ -1032,6 +1259,64 @@ object DurableState {
       ()
     }
 
+  /** The shards a [[pruneKeyed]] run rewrote and the ones it emptied
+    * entirely (evidence, the MaintainDecision discipline).
+    */
+  final case class PruneStats(
+      affectedShards: Seq[Int], droppedShards: Seq[Int])
+
+  /** RETENTION as a durable staged-commit operation (r17, r16
+    * verdict item 7): drop every row where `keep` is false (or
+    * null), atomically, at AFFECTED-shard cost. A probe scan finds
+    * the shards holding any prunable row (columnar — it reads only
+    * `keep`'s columns plus the partition column; ≤ `shards` ints to
+    * the driver), only those shards restage (filtered to survivors),
+    * shards pruned to nothing drop their partitions, and the whole
+    * change rides the commit marker: `advance=0` (retention has no
+    * delta identity — the reshard idiom), a crash anywhere heals to
+    * BOTH the pruned layout and its manifest or NEITHER, and the
+    * pre-prune state stays pinned for snapshot readers until
+    * vacuumed. Untouched shards are neither read by the rewrite nor
+    * rewritten — the prune pays a probe scan of the predicate
+    * columns plus a data pass over exactly the byte mass being
+    * shrunk.
+    *
+    * For the SCD2 store, `keep = col("valid_to").isNull ||
+    * col("valid_to") > horizon` is [[Scd2.pruneFrozen]]'s predicate;
+    * the offset-aware [[Scd2.deltaMaintain]] keeps folding against
+    * the pruned store with absolute versions intact (gated:
+    * q_durable_prune).
+    */
+  def pruneKeyed(
+      spark: SparkSession, table: String, keep: Column,
+      fence: Option[Lease] = None): PruneStats =
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      healPending(spark, table)
+      // null-keep rows PRUNE (coalesce to false on both legs): the
+      // probe and the rewrite must agree on every row, or a row
+      // could drop without its shard being staged — or survive in a
+      // shard the probe skipped
+      val keeps = coalesce(keep, lit(false))
+      val affected = spark.table(table).filter(!keeps)
+        .select(col("_shard")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (affected.isEmpty) return PruneStats(Nil, Nil)
+      val dataCols = spark.table(table).drop("_shard").columns.toSeq
+      val frame = spark.table(table)
+        .filter(col("_shard").isin(affected.map(Integer.valueOf): _*))
+        .filter(keeps)
+        .select(dataCols.map(col) :+ col("_shard"): _*)
+        .repartition(col("_shard"))
+      var dropped: Seq[Int] = Nil
+      commitStaged(spark, table, frame,
+        batchId = lastAppliedBatch(spark, table), advance = false,
+        dropsOf = { present =>
+          dropped = affected.filterNot(present.toSet); dropped
+        },
+        requireSubsetOf = Some(affected), fence = fence)
+      PruneStats(affected, dropped)
+    }
+
   // ------------------------------------------------------------------
   // Cross-process lease + fencing token (r16, r15 verdict item 4).
   // ------------------------------------------------------------------
@@ -1054,9 +1339,26 @@ object DurableState {
 
   private def leaseFile(loc: Path): Path = new Path(loc, "_lease.txt")
 
+  /** Re-write the lease file for a lease THIS holder still owns. A
+    * file held by a DIFFERENT holder is never clobbered (r16 advice:
+    * after a TTL steal, an unconditional overwrite would destroy the
+    * NEW holder's lease and degrade a third acquirer's protection to
+    * fence aborts) — on mismatch this warns and no-ops; the caller's
+    * next fenced write aborts loudly anyway.
+    */
   private def recreateLeaseFile(spark: SparkSession, l: Lease): Unit = {
     val p = new Path(l.leasePath)
-    atomicWrite(fsOf(spark, p), p,
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) {
+      val held = scala.util.Try(readSmall(fs, p)).getOrElse("")
+      if (!held.contains(s"holder=${l.holder}")) {
+        System.err.println(
+          s"DurableState: lease on ${l.table} now held by another " +
+            "maintainer — not overwriting its lease file")
+        return
+      }
+    }
+    atomicWrite(fs, p,
       s"holder=${l.holder}\nsinceMs=${l.acquiredAtMs}\ntoken=${l.token}\n")
   }
 
@@ -1164,12 +1466,46 @@ object DurableState {
     lease
     }
 
-  /** Release a held lease (deletes the lease file; the fence property
-    * stays — it is a monotone token, not a lock bit).
+  /** Release a held lease (the fence property stays — it is a
+    * monotone token, not a lock bit). The delete VERIFIES ownership
+    * first (r16 advice: after a TTL steal, an unconditional
+    * path-delete would remove the NEW holder's lease): the common
+    * stolen case reads a foreign holder and no-ops with the rival's
+    * file untouched; when the content is still ours, the same
+    * rename-to-tombstone-and-compare discipline the steal path uses
+    * closes the read→delete window — a steal landing in that instant
+    * finds its file restored and our release a no-op.
     */
   def releaseLease(spark: SparkSession, lease: Lease): Unit = {
     val p = new Path(lease.leasePath)
-    fsOf(spark, p).delete(p, false)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    val held = scala.util.Try(readSmall(fs, p)).getOrElse("")
+    if (!held.contains(s"holder=${lease.holder}")) {
+      System.err.println(
+        s"DurableState: lease on ${lease.table} was stolen by another " +
+          "maintainer — releasing nothing (its file stays)")
+      return
+    }
+    val tomb = new Path(p.getParent,
+      s"_lease_rel_${lease.holder.replaceAll("[^A-Za-z0-9]", "_")}.txt")
+    if (fs.exists(tomb)) fs.delete(tomb, false)
+    val renamed =
+      try fs.rename(p, tomb)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) return // file vanished or replaced mid-release
+    val content = scala.util.Try(readSmall(fs, tomb)).getOrElse("")
+    if (content.contains(s"holder=${lease.holder}")) fs.delete(tomb, false)
+    else {
+      // we grabbed a freshly-stolen rival lease: put it back
+      if (!fs.rename(tomb, p)) {
+        fs.delete(tomb, false)
+        System.err.println(
+          s"DurableState: could not restore a rival's lease on " +
+            s"${lease.table} during release — protection degrades to " +
+            "fence aborts until the rival re-acquires")
+      }
+    }
   }
 
   /** The fence check every fenced write runs immediately before its
