@@ -1612,6 +1612,215 @@ object SparkEntry {
         .select(col("user_id"), col("n"), col("sum_v"), col("n_all"))
     },
 
+    "q_durable_snapshot" -> { (s, dir) =>
+      // MANIFEST-PINNED SNAPSHOT READS (r17): every durable mutation
+      // appends an atomic manifest and RETIRES the shard directories
+      // it replaces (one rename — never a delete), so an external
+      // reader pins a manifest version and can never observe the
+      // torn cross-shard state a live catalog scan could see
+      // mid-apply. Pinned here IN-GATE: the version captured before
+      // batch 1 re-reads the post-batch-0 state bit-exactly AFTER
+      // batch 1 landed (time travel); the gate's own output goes
+      // through readKeyedSnapshot — the consistent-read surface.
+      // The frozen half-applied-commit property is spec-pinned in
+      // SnapshotSpec.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_snap").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_snap", wh + "/state", shards = 64)
+      val b0 = Incremental.stateZSum(del, col("user_id"), col("value"),
+        lit(-1)).localCheckpoint()
+      DurableState.maintainZSumBatch(s, "graft_durable_snap", b0, 0L)
+      val pinned = DurableState.snapshotVersions(
+        s, "graft_durable_snap").last
+      val wantPre = DurableState.readZSum(s, "graft_durable_snap")
+        .localCheckpoint()
+      val b1 = Incremental.stateZSum(ins, col("user_id"), col("value"),
+        lit(1)).localCheckpoint()
+      DurableState.maintainZSumBatch(s, "graft_durable_snap", b1, 1L)
+      val snap = DurableState.readKeyedAt(s, "graft_durable_snap",
+        pinned).select(col("k"), col("n"), col("sum_v"))
+      require(snap.exceptAll(wantPre).isEmpty &&
+        wantPre.exceptAll(snap).isEmpty,
+        "the pinned version must re-read the pre-batch-1 state " +
+          "bit-exactly after batch 1 landed")
+      Incremental.finishZSum(
+          DurableState.readKeyedSnapshot(s, "graft_durable_snap")
+            .select(col("k"), col("n"), col("sum_v")))
+        .withColumnRenamed("k", "user_id")
+    },
+
+    "q_durable_prune" -> { (s, dir) =>
+      // RETENTION as a durable staged-commit operation (r17 —
+      // q_scd2_retention's prune landed on the store itself): the
+      // probe finds the shards holding any sub-horizon version, ONLY
+      // those restage (affected-shard cost, required in-gate), the
+      // layout + manifest flip atomically, and the offset-aware SCD2
+      // fold keeps landing late events on the pruned store with
+      // ABSOLUTE versions — so the result equals the full-log build
+      // filtered at the horizon, which is the oracle.
+      import graft.ops.{DurableState, Scd2}
+      val ev = t(s, dir, "events")
+      val us = eventUs(ev, "ts")
+      val mm = ev.agg(min(us).as("lo"), max(us).as("hi")).head
+      val h = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+      val late = ev.filter(col("event_id") % 5 === 0)
+      val l2 = late.filter(eventUs(late, "ts") > h).localCheckpoint()
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_pr").toString
+      DurableState.writeKeyed(
+        Scd2.build(base, col("user_id"), col("event_id"),
+          col("event_type"), eventUs(base, "ts")),
+        "graft_durable_pr", wh + "/state", shards = 64, keyCol = "key")
+      val stats = DurableState.pruneKeyed(s, "graft_durable_pr",
+        col("valid_to").isNull || col("valid_to") > h)
+      require(stats.affectedShards.nonEmpty,
+        "the prune must find sub-horizon versions")
+      DurableState.maintainKeyed(s, "graft_durable_pr", l2,
+        col("user_id"),
+        (slice, d) => Scd2.deltaMaintain(slice, d, col("user_id"),
+          col("event_id"), col("event_type"), eventUs(d, "ts")),
+        canEmpty = false)
+      DurableState.readKeyedSnapshot(s, "graft_durable_pr")
+        .withColumnRenamed("key", "user_id")
+    },
+
+    "q_durable_serving_delta" -> { (s, dir) =>
+      // INCREMENTAL serving refresh (r17): after the dense batch the
+      // base projection refreshes once; the later single-user batch
+      // refreshes DELTA-sized — the manifest stamps name the changed
+      // shards, only their rows rewrite into the bucketed delta
+      // table, and the base projection's files stay byte-identical
+      // (required in-gate via the listing). The consumer joins the
+      // two bucket-aligned legs (zero Exchange, spec-pinned) and
+      // unions — the legs partition the key space, so this equals
+      // the join of the latest-wins view.
+      import graft.ops.{DurableState, Incremental, Layout}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val u0 = ins.agg(min(col("user_id"))).head.getLong(0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_sd").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_sd", wh + "/state", shards = 64)
+      val dense = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"),
+            lit(-1)),
+          Incremental.stateZSum(ins.filter(col("user_id") =!= u0),
+            col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      DurableState.maintainZSumBatch(s, "graft_durable_sd", dense, 0L)
+      DurableState.refreshServing(s, "graft_durable_sd",
+        "graft_durable_sd_sv", wh + "/serving", buckets = 16)
+      val sparse = Incremental.stateZSum(
+          ins.filter(col("user_id") === u0), col("user_id"),
+          col("value"), lit(1))
+        .localCheckpoint()
+      DurableState.maintainZSumBatch(s, "graft_durable_sd", sparse, 1L)
+      val baseFiles = new java.io.File(wh + "/serving").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+      val dec = DurableState.refreshServingDelta(s, "graft_durable_sd",
+        "graft_durable_sd_sv", wh + "/serving", "graft_durable_sd_dl",
+        wh + "/serving_dl", buckets = 16)
+      require(dec.strategy == "delta",
+        s"a single-user change must refresh delta-sized: $dec")
+      require(DurableState.servingStaleness(s, "graft_durable_sd",
+        "graft_durable_sd_dl") == 0L, "the pair must be fresh")
+      val afterFiles = new java.io.File(wh + "/serving").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+      require(afterFiles == baseFiles,
+        "the delta refresh must not rewrite the base projection")
+      Layout.bucketWrite(
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_all")),
+        "graft_durable_sd_probe", wh + "/probe", buckets = 16,
+        key = "user_id")
+      val probe = s.table("graft_durable_sd_probe")
+      val (bl, dl) = DurableState.servingLegs(s, "graft_durable_sd_sv",
+        "graft_durable_sd_dl")
+      def leg(df: DataFrame): DataFrame = {
+        val f = Incremental.finishZSum(
+          df.select(col("k"), col("n"), col("sum_v")))
+        f.join(probe, f("k") === probe("user_id"))
+          .select(col("user_id"), col("n"), col("sum_v"), col("n_all"))
+      }
+      leg(bl).unionByName(leg(dl))
+    },
+
+    "q_maintain_serve" -> { (s, dir) =>
+      // THE DEPLOYMENT LOOP AS ONE API (r17): maintainAndServe =
+      // atomic identified fold + cadence-gated delta-sized serving
+      // refresh — what a foreachBatch sink actually calls. Three
+      // ticks in-gate: the dense batch folds and BOOTSTRAPS the
+      // serving pair; the single-user batch folds and refreshes
+      // delta-sized; the replayed id no-ops END TO END (fold routes
+      // "replay", no refresh fires). Every completed tick leaves the
+      // pair fresh (cadence 1). The checkpoint-restart twin is
+      // spec-pinned in ServingSpec.
+      import graft.ops.{DurableState, Incremental, Layout}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val u0 = ins.agg(min(col("user_id"))).head.getLong(0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_maintain_srv").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_maintain_srv", wh + "/state", shards = 64)
+      val dense = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"),
+            lit(-1)),
+          Incremental.stateZSum(ins.filter(col("user_id") =!= u0),
+            col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      val sparse = Incremental.stateZSum(
+          ins.filter(col("user_id") === u0), col("user_id"),
+          col("value"), lit(1))
+        .localCheckpoint()
+      val kernel = (sl: DataFrame, d: DataFrame) =>
+        Incremental.mergeZSum(sl, d)
+      def tick(d: DataFrame, id: Long) =
+        DurableState.maintainAndServe(s, "graft_maintain_srv", d,
+          col("k"), kernel, id, "graft_maintain_srv_sv",
+          wh + "/serving", "graft_maintain_srv_dl", wh + "/serving_dl",
+          buckets = 16, cadence = 1L)
+      val r0 = tick(dense, 0L)
+      require(r0.serving.nonEmpty && r0.stalenessAfter == 0L,
+        s"tick 0 must bootstrap the serving pair: $r0")
+      val r1 = tick(sparse, 1L)
+      require(r1.maintained.decision.strategy == "fold" &&
+        r1.serving.exists(_.strategy == "delta") &&
+        r1.stalenessAfter == 0L,
+        s"tick 1 must fold + refresh delta-sized: $r1")
+      val rr = tick(dense, 1L)
+      require(rr.maintained.decision.strategy == "replay" &&
+        rr.serving.isEmpty,
+        s"a replayed id must no-op end to end: $rr")
+      Layout.bucketWrite(
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_all")),
+        "graft_maintain_srv_probe", wh + "/probe", buckets = 16,
+        key = "user_id")
+      val probe = s.table("graft_maintain_srv_probe")
+      val cur = Incremental.finishZSum(
+        DurableState.servingCurrent(s, "graft_maintain_srv_sv",
+          "graft_maintain_srv_dl")
+          .select(col("k"), col("n"), col("sum_v")))
+      cur.join(probe, cur("k") === probe("user_id"))
+        .select(col("user_id"), col("n"), col("sum_v"), col("n_all"))
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // next-fit packing of docs into 2048-char training sequences
       // per source; per-sequence fill summary
@@ -3991,6 +4200,63 @@ object SparkEntry {
         |FROM events
         |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
         |GROUP BY user_id""".stripMargin,
+
+    // snapshot reads serve the SAME final survivors (the pinned
+    // time-travel equality is required in-gate; the output rides
+    // readKeyedSnapshot, the manifest-planned consistent surface)
+    "q_durable_snapshot" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
+
+    // durable retention + offset-aware folds == the SCD2 build over
+    // (base ∪ above-horizon late events) filtered at the horizon,
+    // absolute version numbers intact
+    "q_durable_prune" ->
+      """WITH h AS (
+        |  SELECT min(epoch_us(ts)) +
+        |         (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS hz
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id,
+        |   CAST(row_number() OVER w AS BIGINT) AS version,
+        |   event_type AS attr,
+        |   epoch_us(ts) AS valid_from,
+        |   lead(epoch_us(ts)) OVER w AS valid_to,
+        |   (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |  FROM events, h
+        |  WHERE event_id % 5 <> 0 OR epoch_us(ts) > h.hz
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT f.user_id, f.event_id, f.version, f.attr,
+        |       f.valid_from, f.valid_to, f.is_current
+        |FROM f, h WHERE f.valid_to IS NULL OR f.valid_to > h.hz""".stripMargin,
+
+    // the incremental serving pair serves the same latest-wins state
+    // the full projection would: survivors JOIN the per-user count
+    "q_durable_serving_delta" ->
+      """SELECT s.user_id, s.n, s.sum_v, p.n_all
+        |FROM (SELECT user_id, count(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |      FROM events
+        |      WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |      GROUP BY user_id) s
+        |JOIN (SELECT user_id, count(*) AS n_all
+        |      FROM events GROUP BY user_id) p
+        |  ON s.user_id = p.user_id""".stripMargin,
+
+    // the one-API deployment loop lands on the same served state
+    "q_maintain_serve" ->
+      """SELECT s.user_id, s.n, s.sum_v, p.n_all
+        |FROM (SELECT user_id, count(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |      FROM events
+        |      WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |      GROUP BY user_id) s
+        |JOIN (SELECT user_id, count(*) AS n_all
+        |      FROM events GROUP BY user_id) p
+        |  ON s.user_id = p.user_id""".stripMargin,
 
     // the consumer join through the bucketed serving projection:
     // maintained survivors joined to the all-events per-user count

@@ -1543,6 +1543,8 @@ object DurableState {
 
   private val servedBatchProp = "graft.durable.servedBatch"
   private val servedSourceProp = "graft.durable.servedSource"
+  private val servedVersionProp = "graft.durable.servedVersion"
+  private val deltaShardsProp = "graft.durable.deltaShards"
 
   /** Refresh the BUCKETED serving projection of a durable table: the
     * maintenance-grain table is shard-PARTITIONED (so the write leg
@@ -1587,8 +1589,11 @@ object DurableState {
           s"${view.columns.mkString(",")}")
       Layout.bucketWrite(view, servingTable, servingPath, buckets,
         keyCol)
+      val loc = locationOf(spark, table)
+      val v = latestManifestVersion(fsOf(spark, loc), loc)
       spark.sql(s"ALTER TABLE `$servingTable` SET TBLPROPERTIES " +
-        s"('$servedBatchProp' = '$b', '$servedSourceProp' = '$table')")
+        s"('$servedBatchProp' = '$b', '$servedSourceProp' = '$table', " +
+        s"'$servedVersionProp' = '$v')")
       b
     }
 
@@ -1604,8 +1609,246 @@ object DurableState {
     props(servedBatchProp).toLong
   }
 
-  /** Batches the projection is behind its source (0 = fresh). */
+  /** Batches the projection is behind its source (0 = fresh). Works
+    * on the base projection AND on a [[refreshServingDelta]] delta
+    * table (both carry the servedBatch stamp) — for a base+delta
+    * pair, staleness of the PAIR is the delta table's.
+    */
   def servingStaleness(
       spark: SparkSession, table: String, servingTable: String): Long =
     lastAppliedBatch(spark, table) - servedBatch(spark, servingTable)
+
+  // ------------------------------------------------------------------
+  // INCREMENTAL serving refresh (r17, r16 verdict item 2): the full
+  // rewrite-per-tick of refreshServing pays O(store) however small
+  // the delta. The manifest stamps already record exactly which
+  // shards changed since any version — so the delta projection is
+  // "rows of shards stamped above the base's served version",
+  // bucketed like the base, latest-wins by SHARD membership (a
+  // filter on the key's shard, not a join).
+  // ------------------------------------------------------------------
+
+  /** The evidence behind a [[refreshServingDelta]] routing. */
+  final case class ServingDecision(
+      strategy: String, // "delta" | "compact" | "noop"
+      changedShards: Int, totalShards: Int,
+      changedBytes: Long, totalBytes: Long, byteFraction: Double,
+      compactThreshold: Double, servedBatch: Long)
+
+  private def servingProps(
+      spark: SparkSession, servingTable: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES `$servingTable`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** Refresh the serving pair INCREMENTALLY: rows of the shards whose
+    * manifest stamp moved past the BASE projection's served version
+    * rewrite into a bucketed DELTA table beside the base (same
+    * bucket count, same key — consumer joins stay bucket-aligned);
+    * the base is untouched. The pair serves latest-wins through
+    * [[servingLegs]]/[[servingCurrent]]: delta rows win over base
+    * rows by SHARD membership — a literal predicate on the key's
+    * shard, no join, no shuffle — which also makes rows of DROPPED
+    * shards disappear (the delta simply has none). The delta is
+    * CUMULATIVE against the base version, so each refresh overwrites
+    * it whole; when the changed-shard byte mass crosses
+    * `compactThreshold` of the store (the [[MaintainDecision]]
+    * routing discipline — a reshard stamps every shard and always
+    * lands here), the refresh COMPACTS: one full [[refreshServing]]
+    * of the base + an empty delta. A base whose served version was
+    * vacuumed out of the manifest history compacts too (the changed
+    * set is no longer derivable). Requires a prior [[refreshServing]]
+    * of the base (the bootstrap IS a compact refresh).
+    *
+    * Cost per tick, stated: O(bytes of changed shards) data + one
+    * store listing (control-plane) — staleness-0 serving with NO
+    * full projection rewrite until the measured crossover says a
+    * rewrite is cheaper than carrying the delta.
+    */
+  def refreshServingDelta(
+      spark: SparkSession, table: String, servingTable: String,
+      servingPath: String, deltaTable: String, deltaPath: String,
+      buckets: Int,
+      project: DataFrame => DataFrame = identity,
+      compactThreshold: Double = 0.5): ServingDecision =
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      healPending(spark, table)
+      val (shards, keyCol) = propsOf(spark, table)
+      val loc = locationOf(spark, table)
+      val fs = fsOf(spark, loc)
+      val curVer = latestManifestVersion(fs, loc)
+      val b = lastAppliedBatch(spark, table)
+      val bProps = servingProps(spark, servingTable)
+      require(bProps.contains(servedVersionProp),
+        s"DurableState.refreshServingDelta: $servingTable has no " +
+          s"$servedVersionProp — run refreshServing once to bootstrap " +
+          "the base projection")
+      val baseVer = bProps(servedVersionProp).toLong
+      val (_, _, curStamps) = readManifest(fs, loc, curVer)
+      // shards changed since the base: stamped above baseVer, plus
+      // shards the base version HAD that are gone now (dropped —
+      // their base rows must stop serving). The base manifest may be
+      // vacuumed; then the changed set is unknowable → compact.
+      val baseManifestGone = !fs.exists(manifestPath(loc, baseVer))
+      val dropped: Seq[Int] =
+        if (baseManifestGone) Nil
+        else readManifest(fs, loc, baseVer)._3.keySet
+          .diff(curStamps.keySet).toSeq.sorted
+      val changed = (curStamps.filter(_._2 > baseVer).keySet ++ dropped)
+        .toSeq.sorted
+      val bytes = shardByteSizes(spark, table)
+      val totalB = bytes.values.sum
+      val changedB = changed.map(bytes.getOrElse(_, 0L)).sum
+      val frac = if (totalB > 0L) changedB.toDouble / totalB else
+        (if (changed.nonEmpty) 1.0 else 0.0)
+      def decide(strategy: String) = ServingDecision(strategy,
+        changed.size, shards, changedB, totalB, frac,
+        compactThreshold, b)
+      // NOOP when nothing moved since the pair's last refresh (the
+      // DELTA's served version — the delta is cumulative vs the
+      // base, so the base's version only defines its content, not
+      // its freshness): keep the batch stamp fresh, zero data writes
+      if (spark.catalog.tableExists(deltaTable) &&
+          servingProps(spark, deltaTable).get(servedVersionProp)
+            .contains(curVer.toString)) {
+        spark.sql(s"ALTER TABLE `$deltaTable` SET TBLPROPERTIES " +
+          s"('$servedBatchProp' = '$b')")
+        return decide("noop")
+      }
+      if (baseManifestGone || frac >= compactThreshold) {
+        refreshServing(spark, table, servingTable, servingPath,
+          buckets, project)
+        writeServingDelta(spark, table, deltaTable, deltaPath,
+          buckets, keyCol, Nil, project, b, curVer)
+        decide("compact")
+      } else {
+        writeServingDelta(spark, table, deltaTable, deltaPath, buckets,
+          keyCol, changed, project, b, curVer)
+        decide("delta")
+      }
+    }
+
+  /** Write the (possibly empty) cumulative delta projection. */
+  private def writeServingDelta(
+      spark: SparkSession, table: String, deltaTable: String,
+      deltaPath: String, buckets: Int, keyCol: String,
+      changed: Seq[Int], project: DataFrame => DataFrame,
+      b: Long, curVer: Long): Unit = {
+    val slice =
+      if (changed.isEmpty)
+        readKeyed(spark, table).filter(lit(false))
+      else shardSlice(spark, table, changed).drop("_shard")
+    val view = project(slice)
+    require(view.columns.contains(keyCol),
+      s"DurableState.refreshServingDelta: the projection must keep " +
+        s"the key column '$keyCol' (the bucket key) — got " +
+        s"${view.columns.mkString(",")}")
+    Layout.bucketWrite(view, deltaTable, deltaPath, buckets, keyCol)
+    spark.sql(s"ALTER TABLE `$deltaTable` SET TBLPROPERTIES " +
+      s"('$servedBatchProp' = '$b', '$servedSourceProp' = '$table', " +
+      s"'$servedVersionProp' = '$curVer', " +
+      s"'$deltaShardsProp' = '${changed.mkString(",")}')")
+  }
+
+  /** The latest-wins serving pair as TWO bucket-aligned legs:
+    * `(base rows whose shard the delta does not supersede, delta
+    * rows)`. The legs partition the key space (shard membership is a
+    * literal predicate on the key — no join), so for any fact frame
+    * `F`: `F ⋈ current = (F ⋈ leg1) ∪ (F ⋈ leg2)`, and each leg
+    * joins an unmodified bucketed table — zero Exchange on the
+    * serving side (spec-pinned). [[servingCurrent]] is the
+    * single-frame union view for consumers that do not join.
+    */
+  def servingLegs(
+      spark: SparkSession, servingTable: String, deltaTable: String)
+      : (DataFrame, DataFrame) = {
+    val dProps = servingProps(spark, deltaTable)
+    require(dProps.contains(deltaShardsProp),
+      s"DurableState: $deltaTable has no $deltaShardsProp — not a " +
+        "refreshServingDelta table")
+    val source = dProps(servedSourceProp)
+    val (shards, keyCol) = propsOf(spark, source)
+    val ds = dProps(deltaShardsProp).split(",").filter(_.nonEmpty)
+      .map(_.toInt).toSeq
+    val base = spark.table(servingTable)
+    val baseLive =
+      if (ds.isEmpty) base
+      else base.filter(!shardOf(col(keyCol), shards)
+        .isin(ds.map(Integer.valueOf): _*))
+    (baseLive, spark.table(deltaTable))
+  }
+
+  /** The latest-wins union view of a serving pair (see
+    * [[servingLegs]] for the join-shaped form).
+    */
+  def servingCurrent(
+      spark: SparkSession, servingTable: String, deltaTable: String)
+      : DataFrame = {
+    val (baseLive, delta) = servingLegs(spark, servingTable, deltaTable)
+    baseLive.unionByName(delta)
+  }
+
+  /** One maintain-and-serve tick with full evidence. */
+  final case class Served(
+      maintained: Maintained, serving: Option[ServingDecision],
+      stalenessAfter: Long)
+
+  /** THE DEPLOYMENT LOOP AS ONE API (r17, r16 verdict item 3): what
+    * q_scd2_serving assembled by hand — atomic identified fold,
+    * then serve — as the `foreachBatch`-ready call a user actually
+    * deploys:
+    *
+    *  1. the micro-batch folds through [[maintainAutoBatch]]
+    *     (exactly-once under crashes and replays, fold-vs-rebuild
+    *     self-routed);
+    *  2. when the serving pair has fallen `cadence` or more batches
+    *     behind the store, it refreshes through
+    *     [[refreshServingDelta]] (delta-sized; compacts at the byte
+    *     crossover); a missing base projection bootstraps with one
+    *     full [[refreshServing]] first.
+    *
+    * Replayed batch ids no-op end to end: the fold is a no-op by the
+    * applied-batch gate, and the pair is already at the store's
+    * batch so no refresh fires. Serving staleness after the call is
+    * bounded by `cadence − 1` (and is 0 whenever a refresh fired) —
+    * returned in [[Served]] alongside both decisions' evidence.
+    *
+    * Usage: `stream.writeStream.foreachBatch { (d, id) =>
+    * DurableState.maintainAndServe(spark, t, d, key, kernel, id, …)
+    * }` with a checkpoint — spec-driven through a real restart in
+    * ServingSpec.
+    */
+  def maintainAndServe(
+      spark: SparkSession, table: String, delta: DataFrame,
+      deltaKey: Column,
+      rebuild: (DataFrame, DataFrame) => DataFrame,
+      batchId: Long,
+      servingTable: String, servingPath: String,
+      deltaTable: String, deltaPath: String, buckets: Int,
+      cadence: Long = 1L,
+      project: DataFrame => DataFrame = identity,
+      canEmpty: Boolean = true,
+      rebuildThreshold: Double = 0.5,
+      compactThreshold: Double = 0.5,
+      fence: Option[Lease] = None): Served = {
+    require(cadence >= 1L, s"cadence must be >= 1, got $cadence")
+    val m = maintainAutoBatch(spark, table, delta, deltaKey, rebuild,
+      batchId, canEmpty, rebuildThreshold, fence)
+    val behind =
+      if (spark.catalog.tableExists(deltaTable))
+        servingStaleness(spark, table, deltaTable)
+      else if (spark.catalog.tableExists(servingTable))
+        servingStaleness(spark, table, servingTable)
+      else Long.MaxValue // no projection yet — bootstrap
+    val dec =
+      if (behind < cadence) None
+      else {
+        if (!spark.catalog.tableExists(servingTable))
+          refreshServing(spark, table, servingTable, servingPath,
+            buckets, project)
+        Some(refreshServingDelta(spark, table, servingTable,
+          servingPath, deltaTable, deltaPath, buckets, project,
+          compactThreshold))
+      }
+    Served(m, dec, servingStaleness(spark, table, deltaTable))
+  }
 }
