@@ -1758,6 +1758,63 @@ object SparkEntry {
       leg(bl).unionByName(leg(dl))
     },
 
+    "q_durable_calibrated" -> { (s, dir) =>
+      // the SELF-CALIBRATING router (r17): once both maintenance
+      // arms carry a wall-ns-per-byte rate measured at trustworthy
+      // byte mass, routing follows the table's OWN crossover instead
+      // of the static threshold. Planted measured histories flip the
+      // route AGAINST the threshold in both directions, in-gate: a
+      // fast-fold history makes the dense batch FOLD (threshold says
+      // rebuild), a dear-fold history makes the single-key batch
+      // REBUILD (threshold says fold) — and either arm lands the
+      // same survivors, which is what the oracle checks.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val u0 = ins.agg(min(col("user_id"))).head.getLong(0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_cal").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_cal", wh + "/state", shards = 64)
+      def plant(foldRate: Double, rebuildRate: Double): Unit =
+        s.sql("ALTER TABLE graft_durable_cal SET TBLPROPERTIES (" +
+          s"'graft.durable.foldNsPerByte' = '$foldRate', " +
+          "'graft.durable.foldSampleBytes' = '68719476736', " +
+          s"'graft.durable.rebuildNsPerByte' = '$rebuildRate', " +
+          "'graft.durable.rebuildSampleBytes' = '68719476736')")
+      val dense = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"),
+            lit(-1)),
+          Incremental.stateZSum(ins.filter(col("user_id") =!= u0),
+            col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      val sparse = Incremental.stateZSum(
+          ins.filter(col("user_id") === u0), col("user_id"),
+          col("value"), lit(1))
+        .localCheckpoint()
+      val kernel = (sl: DataFrame, d: DataFrame) =>
+        Incremental.mergeZSum(sl, d)
+      plant(1.0, 100.0)
+      val r1 = DurableState.maintainAuto(s, "graft_durable_cal",
+        dense, col("k"), kernel)
+      require(r1.decision.strategy == "fold" &&
+        r1.decision.calibration == "measured",
+        s"a fast-fold history must fold the dense batch: ${r1.decision}")
+      plant(1e6, 1.0)
+      val r2 = DurableState.maintainAuto(s, "graft_durable_cal",
+        sparse, col("k"), kernel)
+      require(r2.decision.strategy == "rebuild" &&
+        r2.decision.calibration == "measured",
+        s"a dear-fold history must rebuild the sparse batch: " +
+          s"${r2.decision}")
+      Incremental.finishZSum(
+          r2.df.select(col("k"), col("n"), col("sum_v")))
+        .withColumnRenamed("k", "user_id")
+    },
+
     "q_maintain_serve" -> { (s, dir) =>
       // THE DEPLOYMENT LOOP AS ONE API (r17): maintainAndServe =
       // atomic identified fold + cadence-gated delta-sized serving
@@ -4232,6 +4289,15 @@ object SparkEntry {
         |SELECT f.user_id, f.event_id, f.version, f.attr,
         |       f.valid_from, f.valid_to, f.is_current
         |FROM f, h WHERE f.valid_to IS NULL OR f.valid_to > h.hz""".stripMargin,
+
+    // calibrated routing flips the arm, never the answer: the same
+    // survivors whichever arm the measured rates choose
+    "q_durable_calibrated" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |GROUP BY user_id""".stripMargin,
 
     // the incremental serving pair serves the same latest-wins state
     // the full projection would: survivors JOIN the per-user count

@@ -381,7 +381,49 @@ object DurableState {
       touchedShards: Int, totalShards: Int,
       touchedFraction: Double,
       touchedBytes: Long, totalBytes: Long, byteFraction: Double,
-      rebuildThreshold: Double)
+      rebuildThreshold: Double,
+      // SELF-CALIBRATION (r17): which statistic routed — "threshold"
+      // (the static byte fraction) or "measured" (both arms' recorded
+      // ns/byte rates at trustworthy scale) — and the rates used
+      calibration: String = "threshold",
+      foldNsPerByte: Double = 0.0,
+      rebuildNsPerByte: Double = 0.0)
+
+  // Observed per-arm cost, recorded in table properties by the auto
+  // routers after each arm runs (EMA over runs; the sample-bytes
+  // stamp records the LARGEST byte mass a rate was measured at).
+  // Calibrated routing only engages once BOTH arms were measured at
+  // `calibrationFloorBytes` or more: below that, fixed per-run costs
+  // (job launch, listing, marker I/O) dominate wall time and a
+  // ns/byte rate extrapolates nonsense — the 0.5 static threshold
+  // was itself measured at sf10 store scale, so it remains the
+  // small-store router.
+  private val foldRateProp = "graft.durable.foldNsPerByte"
+  private val foldSampleProp = "graft.durable.foldSampleBytes"
+  private val rebuildRateProp = "graft.durable.rebuildNsPerByte"
+  private val rebuildSampleProp = "graft.durable.rebuildSampleBytes"
+  private[graft] val calibrationFloorBytes: Long = 32L << 20
+
+  /** EMA-record one arm's observed rate (control-plane: one property
+    * read + one ALTER). `bytes` is the mass the arm actually moved —
+    * touched bytes for a fold, the whole store for a rebuild.
+    */
+  private def recordArmRate(
+      spark: SparkSession, table: String, fold: Boolean,
+      ns: Long, bytes: Long): Unit =
+    if (bytes > 0L && ns > 0L) {
+      val (rp, sp) =
+        if (fold) (foldRateProp, foldSampleProp)
+        else (rebuildRateProp, rebuildSampleProp)
+      val props = servingProps(spark, table)
+      val rate = ns.toDouble / bytes
+      val ema = props.get(rp).map(_.toDouble)
+        .map(o => 0.5 * o + 0.5 * rate).getOrElse(rate)
+      val sample = math.max(bytes,
+        props.get(sp).map(_.toLong).getOrElse(0L))
+      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+        f"('$rp' = '$ema%.6g', '$sp' = '$sample')")
+    }
 
   /** Per-shard on-disk bytes from the file listing (control-plane:
     * one listStatus per shard directory, ≤ `shards` calls).
@@ -415,10 +457,26 @@ object DurableState {
     val totalB = bytes.values.sum
     val touchedB = touched.map(bytes.getOrElse(_, 0L)).sum
     val byteFrac = if (totalB > 0L) touchedB.toDouble / totalB else 0.0
-    val fold = byteFrac < threshold
+    // CALIBRATED routing (r17, r16 verdict item 4): once both arms
+    // carry a rate measured at trustworthy byte mass, the crossover
+    // is the table's OWN — fold iff its predicted cost undercuts the
+    // rebuild's (touchedB·foldRate ≤ totalB·rebuildRate); otherwise
+    // the static threshold measured at sf10 routes.
+    val props = servingProps(spark, table)
+    val fr = props.get(foldRateProp).map(_.toDouble)
+    val rr = props.get(rebuildRateProp).map(_.toDouble)
+    val calibrated = fr.nonEmpty && rr.nonEmpty &&
+      props.get(foldSampleProp).exists(_.toLong >= calibrationFloorBytes) &&
+      props.get(rebuildSampleProp).exists(_.toLong >= calibrationFloorBytes)
+    val fold =
+      if (calibrated) touchedB * fr.get <= totalB * rr.get
+      else byteFrac < threshold
     (MaintainDecision(if (fold) "fold" else "rebuild", touched.size,
       shards, touched.size.toDouble / shards, touchedB, totalB,
-      byteFrac, threshold), fold)
+      byteFrac, threshold,
+      calibration = if (calibrated) "measured" else "threshold",
+      foldNsPerByte = fr.getOrElse(0.0),
+      rebuildNsPerByte = rr.getOrElse(0.0)), fold)
   }
 
   /** A no-op decision (noop/replay) — zeroed byte stats, no listing. */
@@ -457,7 +515,16 @@ object DurableState {
     * The default threshold 0.5 is the measured sf10 crossover
     * neighborhood (dense folds cost 1.7-4× the rebuild; sparse folds
     * win 2×) — callers with unusual store/delta width ratios can
-    * move it.
+    * move it. And it is only the BOOTSTRAP router (r17, r16 verdict
+    * item 4): each arm's observed wall-ns-per-byte EMA-records into
+    * table properties after every auto run, and once both arms have
+    * been measured at `calibrationFloorBytes`+ mass, routing switches
+    * to the table's OWN crossover (fold iff
+    * `touchedBytes·foldRate ≤ totalBytes·rebuildRate`) — the
+    * [[MaintainDecision]] reports which statistic routed
+    * (`calibration`) and the rates used. The floor exists because at
+    * small byte mass fixed per-run costs dominate wall time and a
+    * per-byte rate extrapolates nonsense.
     */
   def maintainAuto(
       spark: SparkSession, table: String, delta: DataFrame,
@@ -476,14 +543,16 @@ object DurableState {
           zeroDecision("noop", shards, rebuildThreshold))
       val (decision, fold) = routeStats(spark, table, touched, shards,
         rebuildThreshold)
-      if (fold)
-        Maintained(
-          foldAndCommitStaged(spark, table, delta1, deltaKey, rebuild,
-            batchId = lastAppliedBatch(spark, table), canEmpty, fence,
-            advance = false, who = "DurableState.maintainAuto",
-            pre = Some((delta1, touched))),
-          decision)
-      else {
+      val armT0 = System.nanoTime()
+      if (fold) {
+        val df = foldAndCommitStaged(spark, table, delta1, deltaKey,
+          rebuild, batchId = lastAppliedBatch(spark, table), canEmpty,
+          fence, advance = false, who = "DurableState.maintainAuto",
+          pre = Some((delta1, touched)))
+        recordArmRate(spark, table, fold = true,
+          System.nanoTime() - armT0, decision.touchedBytes)
+        Maintained(df, decision)
+      } else {
         // FULL rebuild arm (r17, r16 advice): through the SAME
         // staged-commit protocol as the fold arm — the r16 writeKeyed
         // form (DROP + CTAS into the existing path) had a destructive
@@ -522,6 +591,8 @@ object DurableState {
             existing.filterNot(present.toSet)
           },
           requireSubsetOf = None, fence = fence)
+        recordArmRate(spark, table, fold = false,
+          System.nanoTime() - armT0, decision.totalBytes)
         Maintained(readKeyed(spark, table), decision)
       }
     }
@@ -1185,14 +1256,16 @@ object DurableState {
       }
       val (decision, fold) = routeStats(spark, table, touched, shards,
         rebuildThreshold)
-      if (fold)
-        Maintained(
-          foldAndCommitStaged(spark, table, delta1, deltaKey, rebuild,
-            batchId, canEmpty, fence, advance = true,
-            who = "DurableState.maintainAutoBatch",
-            pre = Some((delta1, touched))),
-          decision)
-      else {
+      val armT0 = System.nanoTime()
+      if (fold) {
+        val df = foldAndCommitStaged(spark, table, delta1, deltaKey,
+          rebuild, batchId, canEmpty, fence, advance = true,
+          who = "DurableState.maintainAutoBatch",
+          pre = Some((delta1, touched)))
+        recordArmRate(spark, table, fold = true,
+          System.nanoTime() - armT0, decision.touchedBytes)
+        Maintained(df, decision)
+      } else {
         val aligned = withShard(alignToTable(spark, table,
           rebuild(readKeyed(spark, table), delta1),
           "DurableState.maintainAutoBatch"), keyCol, shards)
@@ -1211,6 +1284,8 @@ object DurableState {
             existing.filterNot(present.toSet)
           },
           requireSubsetOf = None, fence = fence)
+        recordArmRate(spark, table, fold = false,
+          System.nanoTime() - armT0, decision.totalBytes)
         Maintained(readKeyed(spark, table), decision)
       }
     }

@@ -852,6 +852,121 @@ class DurableStateSpec extends SparkSpec {
       rowsOf(DurableState.readZSum(spark, "graft_ds_serve")))
   }
 
+  test("TWO-PROCESS lease: a rival JVM's fresh lease blocks us, its stale lease steals, ours blocks the rival") {
+    val base = stateOf(Seq(("a", 1.0))).localCheckpoint()
+    val path = freshDir("lease2p")
+    DurableState.writeZSum(base, "graft_ds_lease2p", path, shards = 4)
+    def rival(ageMs: Long): (Int, String) = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val pb = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.tools.LeaseRival", path, ageMs.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      (p.waitFor(), out)
+    }
+    // (1) the rival PROCESS plants a fresh lease: our acquire fails
+    // loudly, naming the holder across the process boundary
+    val (c1, o1) = rival(0L)
+    assert(c1 == 0 && o1.startsWith("HELD "), s"$c1 $o1")
+    val rivalHolder = o1.stripPrefix("HELD ").trim
+    val e1 = intercept[IllegalArgumentException] {
+      DurableState.acquireLease(spark, "graft_ds_lease2p",
+        ttlMs = 60000L)
+    }
+    assert(e1.getMessage.contains(rivalHolder), e1.getMessage)
+    // (2) a STALE rival lease (its process long dead): we steal it
+    // through the rename-tombstone-compare path and get a fenced
+    // lease whose file is now ours
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "_lease.txt"))
+    val (c2, _) = rival(120000L)
+    assert(c2 == 0)
+    val lease = DurableState.acquireLease(spark, "graft_ds_lease2p",
+      ttlMs = 60000L)
+    assert(lease.token >= 1L)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_lease.txt")), "UTF-8")
+    assert(content.contains(s"holder=${lease.holder}"), content)
+    // (3) OUR live lease blocks the rival process at its
+    // create-exclusive — contention is loud in both directions
+    val (c3, o3) = rival(0L)
+    assert(c3 == 2 && o3.startsWith("BUSY"), s"$c3 $o3")
+    // (4) release frees the file; the rival acquires cleanly
+    DurableState.releaseLease(spark, lease)
+    val (c4, o4) = rival(0L)
+    assert(c4 == 0 && o4.startsWith("HELD "), s"$c4 $o4")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "_lease.txt"))
+  }
+
+  test("self-calibrating router: measured rates flip the route both ways; toy-scale samples stay on the threshold") {
+    val base = stateOf((0 until 40).map(i => (s"k$i", 1.0)))
+      .localCheckpoint()
+    val path = freshDir("cal")
+    DurableState.writeZSum(base, "graft_ds_cal", path, shards = 16)
+    val kernel = (sl: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) =>
+      Incremental.mergeZSum(sl, d)
+    def plant(foldRate: Double, foldBytes: Long,
+        rebuildRate: Double, rebuildBytes: Long): Unit =
+      spark.sql("ALTER TABLE graft_ds_cal SET TBLPROPERTIES (" +
+        s"'graft.durable.foldNsPerByte' = '$foldRate', " +
+        s"'graft.durable.foldSampleBytes' = '$foldBytes', " +
+        s"'graft.durable.rebuildNsPerByte' = '$rebuildRate', " +
+        s"'graft.durable.rebuildSampleBytes' = '$rebuildBytes')")
+    // organic first run: no measured history → the static threshold
+    // routes and the decision says so
+    val d0 = stateOf(Seq(("k1", 5.0))).localCheckpoint()
+    val r0 = DurableState.maintainAuto(spark, "graft_ds_cal", d0,
+      col("k"), kernel)
+    assert(r0.decision.strategy == "fold" &&
+      r0.decision.calibration == "threshold", r0.decision.toString)
+    // both rates present but measured at TOY byte mass: the floor
+    // keeps routing on the threshold (a ns/byte rate from a
+    // kilobyte-sized run is fixed-cost noise, not a crossover)
+    plant(1.0, 1000L, 100.0, 1000L)
+    val d1 = stateOf((0 until 40).map(i => (s"k$i", 2.0)))
+      .localCheckpoint()
+    val r1 = DurableState.maintainAuto(spark, "graft_ds_cal", d1,
+      col("k"), kernel)
+    assert(r1.decision.strategy == "rebuild" &&
+      r1.decision.calibration == "threshold", r1.decision.toString)
+    // a FAST-FOLD history at trustworthy mass: folding is measured
+    // 100× cheaper per byte, so even a dense delta folds — the
+    // static threshold would have said rebuild
+    val mb64 = DurableState.calibrationFloorBytes
+    plant(1.0, mb64, 100.0, mb64)
+    val d2 = stateOf((0 until 40).map(i => (s"k$i", 3.0)))
+      .localCheckpoint()
+    val r2 = DurableState.maintainAuto(spark, "graft_ds_cal", d2,
+      col("k"), kernel)
+    assert(r2.decision.strategy == "fold" &&
+      r2.decision.calibration == "measured", r2.decision.toString)
+    // the FLIP: folding measured 10⁶× dearer — even a single-key
+    // delta rebuilds, where the threshold would have folded
+    plant(1e6, mb64, 1.0, mb64)
+    val d3 = stateOf(Seq(("k2", 7.0))).localCheckpoint()
+    val r3 = DurableState.maintainAuto(spark, "graft_ds_cal", d3,
+      col("k"), kernel)
+    assert(r3.decision.strategy == "rebuild" &&
+      r3.decision.calibration == "measured", r3.decision.toString)
+    // whatever routed, the state is the same fold of all deltas
+    val want = Seq(d0, d1, d2, d3).foldLeft(base)(
+      (acc, d) => Incremental.mergeZSum(acc, d))
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_cal")) ==
+      rowsOf(want))
+    // and the organic runs kept recording: both rates present with
+    // sample stamps at least the planted mass
+    val props = spark.sql("SHOW TBLPROPERTIES graft_ds_cal")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.contains("graft.durable.foldNsPerByte") &&
+      props.contains("graft.durable.rebuildNsPerByte"))
+    assert(props("graft.durable.foldSampleBytes").toLong >= mb64 &&
+      props("graft.durable.rebuildSampleBytes").toLong >= mb64)
+  }
+
   test("maintainZSum is loud on schema drift and foreign tables") {
     val e1 = intercept[IllegalArgumentException] {
       DurableState.maintainZSum(spark, "graft_ds_rt",
