@@ -798,6 +798,14 @@ for _name in ["q_durable_auto", "q_durable_atomic",
               "q_scd2_retention", "q_scd2_serving"]:
     if selected(_name):
         check_full(_name)
+# r17 additions, same family (snapshot/calibrated land on the same
+# survivor aggregates, serving-delta/deploy-loop on the serving
+# join, prune on the horizon-filtered corrected-log SCD2 window)
+for _name in ["q_durable_snapshot", "q_durable_prune",
+              "q_durable_serving_delta", "q_maintain_serve",
+              "q_durable_calibrated"]:
+    if selected(_name):
+        check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full
 # encode CTEs, which OOM DuckDB over the 500k-doc sf10 corpus (the
 # same reason txt_bpe_encode itself is sf1-checked, not sf10) — the
