@@ -803,7 +803,7 @@ for _name in ["q_durable_auto", "q_durable_atomic",
 # join, prune on the horizon-filtered corrected-log SCD2 window)
 for _name in ["q_durable_snapshot", "q_durable_prune",
               "q_durable_serving_delta", "q_maintain_serve",
-              "q_durable_calibrated"]:
+              "q_durable_calibrated", "q_durable_diff"]:
     if selected(_name):
         check_full(_name)
 # txt_bpe_drift is NOT in this sweep: its oracle rides the full

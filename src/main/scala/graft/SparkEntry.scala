@@ -1758,6 +1758,53 @@ object SparkEntry {
       leg(bl).unionByName(leg(dl))
     },
 
+    "q_durable_diff" -> { (s, dir) =>
+      // CDC EXTRACTION from the maintained store (r17,
+      // `DurableState.snapshotDiff`): the signed Z-delta between two
+      // manifest versions — a downstream consumer records the
+      // version it last exported and pulls exactly what changed
+      // since, in the repo-wide Z-set convention (feeds applyZSum /
+      // applyDeltaZ directly). Shard-pruned by the manifest stamps:
+      // only shards whose stamp moved are read on either side
+      // (required in-gate for the sparse hop). The oracle recomputes
+      // the diff as two EXCEPTs between the bootstrap and final
+      // aggregates, compared on exact decimals.
+      import graft.ops.{DurableState, Incremental}
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 10 < 8)
+      val ins = ev.filter(col("event_id") % 10 >= 8)
+      val del = base.filter(col("event_id") % 7 === 0)
+      val u0 = ins.agg(min(col("user_id"))).head.getLong(0)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_durable_diff").toString
+      DurableState.writeZSum(
+        Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
+        "graft_durable_diff", wh + "/state", shards = 64)
+      val dense = Incremental.mergeZSum(
+          Incremental.stateZSum(del, col("user_id"), col("value"),
+            lit(-1)),
+          Incremental.stateZSum(ins.filter(col("user_id") =!= u0),
+            col("user_id"), col("value"), lit(1)))
+        .localCheckpoint()
+      val sparse = Incremental.stateZSum(
+          ins.filter(col("user_id") === u0), col("user_id"),
+          col("value"), lit(1))
+        .localCheckpoint()
+      DurableState.maintainZSumBatch(s, "graft_durable_diff", dense, 0L)
+      DurableState.maintainZSumBatch(s, "graft_durable_diff", sparse, 1L)
+      // the sparse hop's changed set is exactly the one-user batch's
+      // shards — the diff reads nothing else
+      val changed23 = DurableState.changedShardsBetween(s,
+        "graft_durable_diff", 2L, 3L)._3.toSet
+      require(changed23 ==
+        DurableState.touchedShards(sparse, col("k"), 64).toSet,
+        s"sparse diff must prune to the batch's shards: $changed23")
+      DurableState.snapshotDiff(s, "graft_durable_diff", 1L, 3L)
+        .select(col("k").as("user_id"), col("n"),
+          col("sum_v").cast("string").cast("double").as("sum_v"),
+          col("mult"))
+    },
+
     "q_durable_calibrated" -> { (s, dir) =>
       // the SELF-CALIBRATING router (r17): once both maintenance
       // arms carry a wall-ns-per-byte rate measured at trustworthy
@@ -4289,6 +4336,29 @@ object SparkEntry {
         |SELECT f.user_id, f.event_id, f.version, f.attr,
         |       f.valid_from, f.valid_to, f.is_current
         |FROM f, h WHERE f.valid_to IS NULL OR f.valid_to > h.hz""".stripMargin,
+
+    // the diff between the bootstrap and the final state: rows
+    // leaving with −1, rows entering with +1, EXCEPTs on exact
+    // decimals (double only at the output boundary)
+    "q_durable_diff" ->
+      """WITH a AS (SELECT user_id, count(*) AS n,
+        |            SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |           FROM events WHERE event_id % 10 < 8
+        |           GROUP BY user_id),
+        |b AS (SELECT user_id, count(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |      FROM events
+        |      WHERE (event_id % 10 < 8 AND event_id % 7 <> 0) OR event_id % 10 >= 8
+        |      GROUP BY user_id),
+        |d AS (
+        | SELECT user_id, n, sv, CAST(1 AS BIGINT) AS mult
+        | FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        | UNION ALL
+        | SELECT user_id, n, sv, CAST(-1 AS BIGINT) AS mult
+        | FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |SELECT user_id, n, CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS sum_v,
+        |       mult
+        |FROM d""".stripMargin,
 
     // calibrated routing flips the arm, never the answer: the same
     // survivors whichever arm the measured rates choose

@@ -980,45 +980,70 @@ object DurableState {
     * succeeds until [[vacuumSnapshots]] retires its manifest — the
     * same discipline as a table-format reader racing a vacuum.
     */
+  /** One `_snap` listing: retired version → shards replaced AT that
+    * version.
+    */
+  private def retiredIndex(
+      fs: FileSystem, loc: Path): Map[Long, Set[Int]] = {
+    val sr = snapRoot(loc)
+    if (!fs.exists(sr)) Map.empty
+    else fs.listStatus(sr)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .map { d =>
+        d.getPath.getName.stripPrefix("v").toLong ->
+          fs.listStatus(d.getPath).map(_.getPath.getName)
+            .filter(_.startsWith("_shard="))
+            .map(_.stripPrefix("_shard=").toInt).toSet
+      }.toMap
+  }
+
+  /** Resolve `shards` of manifest `version` to physical directories
+    * (the MANIFESTS rule: smallest retired version above the stamp,
+    * else live).
+    */
+  private def resolveDirs(
+      fs: FileSystem, loc: Path, version: Long,
+      stamps: Map[Int, Long], shards: Iterable[Int]): Seq[Path] = {
+    val retired = retiredIndex(fs, loc)
+    val retVers = retired.keys.toSeq.sorted
+    shards.toSeq.sorted.map { sh =>
+      val stamp = stamps(sh)
+      retVers.find(v => v > stamp && retired(v).contains(sh)) match {
+        case Some(v) => new Path(snapRoot(loc), s"v$v/_shard=$sh")
+        case None => new Path(loc, s"_shard=$sh")
+      }
+    }
+  }
+
+  /** Pin a file-grain scan over the resolved directories. */
+  private def scanDirs(
+      spark: SparkSession, table: String, dirs: Seq[Path],
+      version: Long, who: String): DataFrame = {
+    val fs = if (dirs.isEmpty) null else fsOf(spark, dirs.head)
+    val files = dirs.flatMap { d =>
+      require(fs.exists(d),
+        s"$who: $d of manifest $version is gone " +
+          "— vacuumed below the requested version?")
+      fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    }
+    val dataSchema = spark.table(table).drop("_shard").schema
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        dataSchema)
+    else spark.read.schema(dataSchema).parquet(files: _*)
+  }
+
   def readKeyedAt(
       spark: SparkSession, table: String, version: Long): DataFrame =
     tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
       val loc = locationOf(spark, table)
       val fs = fsOf(spark, loc)
       val (_, _, stamps) = readManifest(fs, loc, version)
-      // one listing of the retired area: version -> shards retired AT
-      // that version (i.e. replaced by it)
-      val sr = snapRoot(loc)
-      val retired: Map[Long, Set[Int]] =
-        if (!fs.exists(sr)) Map.empty
-        else fs.listStatus(sr)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-          .map { d =>
-            d.getPath.getName.stripPrefix("v").toLong ->
-              fs.listStatus(d.getPath).map(_.getPath.getName)
-                .filter(_.startsWith("_shard="))
-                .map(_.stripPrefix("_shard=").toInt).toSet
-          }.toMap
-      val retVers = retired.keys.toSeq.sorted
-      val dirs = stamps.toSeq.sortBy(_._1).map { case (sh, stamp) =>
-        retVers.find(v => v > stamp && retired(v).contains(sh)) match {
-          case Some(v) => new Path(sr, s"v$v/_shard=$sh")
-          case None => new Path(loc, s"_shard=$sh")
-        }
-      }
-      val files = dirs.flatMap { d =>
-        require(fs.exists(d),
-          s"DurableState.readKeyedAt: $d of manifest $version is gone " +
-            "— vacuumed below the requested version?")
-        fs.listStatus(d).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).map(_.toString)
-      }
-      val dataSchema = spark.table(table).drop("_shard").schema
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          dataSchema)
-      else spark.read.schema(dataSchema).parquet(files: _*)
+      scanDirs(spark, table,
+        resolveDirs(fs, loc, version, stamps, stamps.keys),
+        version, "DurableState.readKeyedAt")
     }
 
   /** The latest CONSISTENT view of the state — the external-reader
@@ -1035,6 +1060,79 @@ object DurableState {
         "not written by this layer (or created before r17)")
     readKeyedAt(spark, table, latest)
   }
+
+  /** The shards whose content can differ between two manifest
+    * versions: stamp moved, or present in exactly one (dropped /
+    * newly created). Shards outside this set are bit-identical at
+    * both versions BY CONSTRUCTION (an unchanged stamp means no
+    * mutation rewrote the directory between the two commits), which
+    * is what lets [[snapshotDiff]] skip reading them.
+    */
+  private[graft] def changedShardsBetween(
+      spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long)
+      : (Map[Int, Long], Map[Int, Long], Seq[Int]) = {
+    val loc = locationOf(spark, table)
+    val fs = fsOf(spark, loc)
+    val (_, _, sa) = readManifest(fs, loc, fromVersion)
+    val (_, _, sb) = readManifest(fs, loc, toVersion)
+    val changed = (sa.keySet ++ sb.keySet).filter { sh =>
+      sa.get(sh) != sb.get(sh)
+    }.toSeq.sorted
+    (sa, sb, changed)
+  }
+
+  /** The CHANGE between two manifest versions as a signed Z-delta:
+    * the data columns plus `mult` — −1 rows leave `fromVersion`'s
+    * state, +1 rows enter `toVersion`'s (multiset semantics: a row
+    * occurring 3× then 1× nets −2). This is CDC EXTRACTION from the
+    * maintained store: a downstream consumer records the version it
+    * last exported and pulls exactly what changed since, in the
+    * repo-wide Z-set convention — the output feeds
+    * [[Incremental.applyDeltaZ]]/`applyZSum`/`mergeZ` directly, so
+    * an external materialization stays maintainable without
+    * replaying the source deltas.
+    *
+    * SHARD-PRUNED via the manifest stamps: a shard whose stamp is
+    * identical at both versions was not rewritten between them and
+    * is READ ON NEITHER SIDE — the diff costs the changed shards'
+    * byte mass at the two versions plus one changed-slice-keyed
+    * shuffle, never a full-store scan (spec-pinned: the resolved
+    * read set excludes untouched shards). Works in either direction
+    * (swapping the versions negates `mult`).
+    */
+  def snapshotDiff(
+      spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long,
+      mult: String = "mult"): DataFrame =
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      require(fromVersion != toVersion,
+        "snapshotDiff: versions must differ")
+      val loc = locationOf(spark, table)
+      val fs = fsOf(spark, loc)
+      val dataCols = spark.table(table).drop("_shard").columns.toSeq
+      require(!dataCols.contains(mult),
+        s"snapshotDiff: output column '$mult' collides with a data " +
+          "column — rename it")
+      val (sa, sb, changed) = changedShardsBetween(spark, table,
+        fromVersion, toVersion)
+      def slice(version: Long, stamps: Map[Int, Long]): DataFrame =
+        scanDirs(spark, table,
+          resolveDirs(fs, loc, version, stamps,
+            changed.filter(stamps.contains)),
+          version, "DurableState.snapshotDiff")
+      val a = slice(fromVersion, sa)
+        .groupBy(dataCols.map(col): _*).agg(count(lit(1)).as("_na"))
+      val b = slice(toVersion, sb)
+        .groupBy(dataCols.map(col): _*).agg(count(lit(1)).as("_nb"))
+      // null-safe on every column: null cells must pair, not fan out
+      val cond = dataCols.map(c => a(c) <=> b(c)).reduce(_ && _)
+      a.join(b, cond, "full_outer")
+        .select(dataCols.map(c => coalesce(b(c), a(c)).as(c)) :+
+          (coalesce(col("_nb"), lit(0L)) -
+            coalesce(col("_na"), lit(0L))).as(mult): _*)
+        .filter(col(mult) =!= 0L)
+    }
 
   /** Retire snapshot history: keep the newest `keepVersions`
     * manifests (always at least the latest), delete older manifest
@@ -1904,6 +2002,14 @@ object DurableState {
       canEmpty: Boolean = true,
       rebuildThreshold: Double = 0.5,
       compactThreshold: Double = 0.5,
+      // > 0: vacuum snapshot history to this many manifests after
+      // each serving refresh, bounding `_snap` growth in a long-lived
+      // deployment. Side effect, stated: once the base projection's
+      // served version ages past the window, the next refresh
+      // force-compacts — so vacuumKeep also caps the number of delta
+      // ticks between compactions. 0 = never vacuum (snapshots
+      // retained for external readers / snapshotDiff consumers).
+      vacuumKeep: Int = 0,
       fence: Option[Lease] = None): Served = {
     require(cadence >= 1L, s"cadence must be >= 1, got $cadence")
     val m = maintainAutoBatch(spark, table, delta, deltaKey, rebuild,
@@ -1920,9 +2026,11 @@ object DurableState {
         if (!spark.catalog.tableExists(servingTable))
           refreshServing(spark, table, servingTable, servingPath,
             buckets, project)
-        Some(refreshServingDelta(spark, table, servingTable,
+        val d = refreshServingDelta(spark, table, servingTable,
           servingPath, deltaTable, deltaPath, buckets, project,
-          compactThreshold))
+          compactThreshold)
+        if (vacuumKeep > 0) vacuumSnapshots(spark, table, vacuumKeep)
+        Some(d)
       }
     Served(m, dec, servingStaleness(spark, table, deltaTable))
   }

@@ -255,6 +255,63 @@ class SnapshotSpec extends SparkSpec {
       "post-prune folds must equal the full-log build at the horizon")
   }
 
+  test("snapshotDiff: the signed Z-delta between versions — exact, composable, direction-symmetric, shard-pruned") {
+    val base = stateOf((0 until 40).map(i => (s"k$i", (i % 5).toDouble)))
+      .localCheckpoint()
+    val path = freshDir("diff")
+    DurableState.writeZSum(base, "graft_snap_diff", path, shards = 16)
+    val d0 = stateOf(Seq(("k1", 2.5))).localCheckpoint() // change k1
+    DurableState.maintainZSumBatch(spark, "graft_snap_diff", d0, 0L)
+    // retract k2 entirely, add a NEW key
+    val d1 = Incremental.mergeZSum(
+        stateOf(Seq(("k2", 2.0)), m = -1L),
+        stateOf(Seq(("k99", 9.0))))
+      .localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_snap_diff", d1, 1L)
+    def zRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_v").cast("string"),
+        col("mult")).as[(String, Long, String, Long)].collect().toSet
+    def vAt(v: Long) = DurableState.readKeyedAt(spark,
+      "graft_snap_diff", v).select(col("k"), col("n"), col("sum_v"))
+    // exactness vs the exceptAll ground truth, both hops
+    for ((f, t) <- Seq((1L, 2L), (2L, 3L), (1L, 3L))) {
+      val diff = DurableState.snapshotDiff(spark, "graft_snap_diff", f, t)
+      val want = vAt(t).exceptAll(vAt(f)).withColumn("mult", lit(1L))
+        .unionByName(
+          vAt(f).exceptAll(vAt(t)).withColumn("mult", lit(-1L)))
+      assert(zRows(diff) == zRows(want), s"diff $f->$t")
+    }
+    // the retracted key leaves with −1 and the new key enters with +1
+    val d13 = DurableState.snapshotDiff(spark, "graft_snap_diff", 1L, 3L)
+    assert(d13.filter(col("k") === "k2" && col("mult") === -1L)
+      .count() == 1L)
+    assert(d13.filter(col("k") === "k99" && col("mult") === 1L)
+      .count() == 1L)
+    // composition: diff(1,3) == Z-merge of diff(1,2) ⊎ diff(2,3)
+    val merged = DurableState.snapshotDiff(spark, "graft_snap_diff",
+        1L, 2L)
+      .unionByName(
+        DurableState.snapshotDiff(spark, "graft_snap_diff", 2L, 3L))
+      .groupBy(col("k"), col("n"), col("sum_v"))
+      .agg(sum(col("mult")).as("mult"))
+      .filter(col("mult") =!= 0L)
+    assert(zRows(merged) == zRows(d13), "diffs must compose")
+    // direction: swapping the versions negates mult
+    val d31 = DurableState.snapshotDiff(spark, "graft_snap_diff", 3L, 1L)
+    assert(zRows(d31) == zRows(d13.withColumn("mult", -col("mult"))))
+    // SHARD PRUNING: between v2 and v3 only d1's touched shards can
+    // differ — the resolved read set excludes every other shard
+    val touched1 = DurableState.touchedShards(d1, col("k"), 16).toSet
+    val changed23 = DurableState.changedShardsBetween(spark,
+      "graft_snap_diff", 2L, 3L)._3.toSet
+    assert(changed23 == touched1,
+      s"changed set $changed23 must be exactly d1's shards $touched1")
+    val changed12 = DurableState.changedShardsBetween(spark,
+      "graft_snap_diff", 1L, 2L)._3.toSet
+    assert(changed12 ==
+      DurableState.touchedShards(d0, col("k"), 16).toSet)
+  }
+
   test("a torn prune heals: staged retention rolls forward to BOTH the layout and its manifest, or neither ran") {
     val base = stateOf((0 until 30).map(i => (s"k$i", i.toDouble)))
       .localCheckpoint()
