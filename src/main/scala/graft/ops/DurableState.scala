@@ -1718,6 +1718,60 @@ object DurableState {
   private val servedSourceProp = "graft.durable.servedSource"
   private val servedVersionProp = "graft.durable.servedVersion"
   private val deltaShardsProp = "graft.durable.deltaShards"
+  private val servingVerProp = "graft.durable.servingVersion"
+
+  /** PUBLISH a serving projection ATOMICALLY (r17): `bucketWrite` is
+    * DROP + CTAS, so refreshing a projection IN PLACE leaves a
+    * window where a consumer resolving the table name finds nothing
+    * — the one non-atomic swap left after the store's staged
+    * protocol. Instead each refresh writes a fresh VERSIONED
+    * physical table (`<alias>__v<N>` at `<basePath>/v<N>`) and flips
+    * the consumer-facing ALIAS with `CREATE OR REPLACE VIEW` — a
+    * catalog-atomic pointer swap; bucketing survives the view (plan
+    * aliasing), so consumer joins stay zero-Exchange (spec-pinned).
+    * The PREVIOUS version is GRANDFATHERED: a consumer whose plan
+    * resolved just before the flip keeps a whole refresh interval to
+    * finish — only `v<N−2>` (located via its own catalog entry, so a
+    * moved basePath cannot orphan files) is dropped. Serving stamps
+    * live as VIEW properties on the alias.
+    */
+  private def publishServing(
+      spark: SparkSession, alias: String, basePath: String,
+      buckets: Int, keyCol: String, view: DataFrame,
+      stamps: Map[String, String]): Unit = {
+    val exists = spark.catalog.tableExists(alias)
+    val isView = exists &&
+      spark.catalog.getTable(alias).tableType == "VIEW"
+    if (exists && !isView)
+      // a pre-r17 in-place projection: replace the table with the
+      // alias discipline (one last non-atomic hop, then never again)
+      spark.sql(s"DROP TABLE IF EXISTS `$alias`")
+    val cur =
+      if (isView)
+        servingProps(spark, alias).get(servingVerProp)
+          .map(_.toLong).getOrElse(0L)
+      else 0L
+    val next = cur + 1L
+    val phys = s"${alias}__v$next"
+    Layout.bucketWrite(view, phys, s"$basePath/v$next", buckets, keyCol)
+    spark.sql(s"CREATE OR REPLACE VIEW `$alias` AS " +
+      s"SELECT * FROM `$phys`")
+    stampServing(spark, alias,
+      stamps + (servingVerProp -> next.toString))
+    val old = s"${alias}__v${next - 2L}"
+    if (next >= 3L && spark.catalog.tableExists(old)) {
+      val oldLoc = locationOf(spark, old)
+      spark.sql(s"DROP TABLE IF EXISTS `$old`")
+      val fs = fsOf(spark, oldLoc)
+      if (fs.exists(oldLoc)) fs.delete(oldLoc, true)
+    }
+  }
+
+  private def stampServing(
+      spark: SparkSession, alias: String,
+      kv: Map[String, String]): Unit =
+    spark.sql(s"ALTER VIEW `$alias` SET TBLPROPERTIES (" +
+      kv.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
 
   /** Refresh the BUCKETED serving projection of a durable table: the
     * maintenance-grain table is shard-PARTITIONED (so the write leg
@@ -1760,13 +1814,11 @@ object DurableState {
         s"DurableState.refreshServing: the projection must keep the " +
           s"key column '$keyCol' (the bucket key) — got " +
           s"${view.columns.mkString(",")}")
-      Layout.bucketWrite(view, servingTable, servingPath, buckets,
-        keyCol)
       val loc = locationOf(spark, table)
       val v = latestManifestVersion(fsOf(spark, loc), loc)
-      spark.sql(s"ALTER TABLE `$servingTable` SET TBLPROPERTIES " +
-        s"('$servedBatchProp' = '$b', '$servedSourceProp' = '$table', " +
-        s"'$servedVersionProp' = '$v')")
+      publishServing(spark, servingTable, servingPath, buckets, keyCol,
+        view, Map(servedBatchProp -> b.toString,
+          servedSourceProp -> table, servedVersionProp -> v.toString))
       b
     }
 
@@ -1883,8 +1935,8 @@ object DurableState {
       if (spark.catalog.tableExists(deltaTable) &&
           servingProps(spark, deltaTable).get(servedVersionProp)
             .contains(curVer.toString)) {
-        spark.sql(s"ALTER TABLE `$deltaTable` SET TBLPROPERTIES " +
-          s"('$servedBatchProp' = '$b')")
+        stampServing(spark, deltaTable,
+          Map(servedBatchProp -> b.toString))
         return decide("noop")
       }
       if (baseManifestGone || frac >= compactThreshold) {
@@ -1915,11 +1967,10 @@ object DurableState {
       s"DurableState.refreshServingDelta: the projection must keep " +
         s"the key column '$keyCol' (the bucket key) — got " +
         s"${view.columns.mkString(",")}")
-    Layout.bucketWrite(view, deltaTable, deltaPath, buckets, keyCol)
-    spark.sql(s"ALTER TABLE `$deltaTable` SET TBLPROPERTIES " +
-      s"('$servedBatchProp' = '$b', '$servedSourceProp' = '$table', " +
-      s"'$servedVersionProp' = '$curVer', " +
-      s"'$deltaShardsProp' = '${changed.mkString(",")}')")
+    publishServing(spark, deltaTable, deltaPath, buckets, keyCol, view,
+      Map(servedBatchProp -> b.toString, servedSourceProp -> table,
+        servedVersionProp -> curVer.toString,
+        deltaShardsProp -> changed.mkString(",")))
   }
 
   /** The latest-wins serving pair as TWO bucket-aligned legs:

@@ -23,10 +23,16 @@ class ServingSpec extends SparkSpec {
     df.select(col("k"), col("n"), col("sum_v").cast("string"))
       .as[(String, Long, String)].collect().toSet
 
-  private def parquetListing(path: String): Map[String, Long] =
-    new java.io.File(path).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => f.getPath -> f.lastModified()).toMap
+  private def parquetListing(path: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator()
+      .asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
 
   test("refreshServingDelta: a sparse fold refreshes delta-sized — base files untouched, pair staleness 0, view exact") {
     val base = stateOf((0 until 60).map(i => (s"u$i", (i % 9).toDouble)))
@@ -176,6 +182,45 @@ class ServingSpec extends SparkSpec {
     assert(rowsOf(DurableState.servingCurrent(spark, "graft_srv_vac_sv",
       "graft_srv_vac_dl").select(col("k"), col("n"), col("sum_v"))) ==
       rowsOf(DurableState.readZSum(spark, "graft_srv_vac")))
+  }
+
+  test("serving publication is an atomic alias flip: in-flight plans survive one refresh, the flip never exposes a missing table") {
+    val base = stateOf((0 until 30).map(i => (s"u$i", 1.0)))
+      .localCheckpoint()
+    val path = freshDir("pub")
+    DurableState.writeZSum(base, "graft_srv_pub", path, shards = 8)
+    val svPath = freshDir("pub_base")
+    DurableState.refreshServing(spark, "graft_srv_pub",
+      "graft_srv_pub_sv", svPath, buckets = 4)
+    // the alias is a VIEW over the versioned physical table
+    assert(spark.catalog.getTable("graft_srv_pub_sv").tableType
+      == "VIEW")
+    assert(spark.catalog.tableExists("graft_srv_pub_sv__v1"))
+    // an in-flight consumer: plan resolved BEFORE the next refresh
+    val pinned = spark.table("graft_srv_pub_sv")
+      .select(col("k"), col("n"), col("sum_v"))
+    val d0 = stateOf(Seq(("u1", 9.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_srv_pub", d0, 0L)
+    DurableState.refreshServing(spark, "graft_srv_pub",
+      "graft_srv_pub_sv", svPath, buckets = 4)
+    // the flip happened (v2 live), but the GRANDFATHERED v1 keeps
+    // the pinned plan collectable — it reads the state it resolved
+    assert(rowsOf(pinned) == rowsOf(base),
+      "an in-flight plan must survive one refresh with its own state")
+    assert(rowsOf(spark.table("graft_srv_pub_sv")
+      .select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(Incremental.mergeZSum(base, d0)),
+      "the alias must serve the new version")
+    // a SECOND refresh retires v1: two-refresh-stale plans die
+    // loudly (missing table/files), never silently
+    val d1 = stateOf(Seq(("u2", 3.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_srv_pub", d1, 1L)
+    DurableState.refreshServing(spark, "graft_srv_pub",
+      "graft_srv_pub_sv", svPath, buckets = 4)
+    assert(!spark.catalog.tableExists("graft_srv_pub_sv__v1"),
+      "v1 must retire at the second refresh")
+    assert(spark.catalog.tableExists("graft_srv_pub_sv__v2"))
+    intercept[Exception] { pinned.collect() }
   }
 
   test("maintainAndServe through a REAL checkpoint restart: staleness bounded by the cadence, replays no-op end to end") {
