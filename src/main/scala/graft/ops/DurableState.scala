@@ -69,6 +69,19 @@ object DurableState {
 
   private val shardsProp = "graft.durable.shards"
   private val keyProp = "graft.durable.key"
+  // A fresh nonce per writeKeyed (r17): a RESET store restarts its
+  // manifest versions and batch ids from scratch, so serving tables
+  // built against the previous incarnation would look fresh by
+  // number while silently serving dead state — every serving
+  // publication stamps the incarnation it reflects, and a mismatch
+  // routes the refresh to a full compact (and maintainAndServe to a
+  // bootstrap) instead of a no-op.
+  private val incarnationProp = "graft.durable.incarnation"
+
+  private def incarnationOf(spark: SparkSession, table: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().find(_.getString(0) == incarnationProp)
+      .map(_.getString(1)).getOrElse("")
 
   /** The shard of a key — xxhash64 so skewless for any key type;
     * deterministic across sessions (seed-free), which the durable
@@ -113,7 +126,8 @@ object DurableState {
       .mode("overwrite")
       .saveAsTable(table)
     s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-      s"('$shardsProp' = '$shards', '$keyProp' = '$keyCol')")
+      s"('$shardsProp' = '$shards', '$keyProp' = '$keyCol', " +
+      s"'$incarnationProp' = '${java.util.UUID.randomUUID()}')")
     // writeKeyed is the BOOTSTRAP/RESET surface: whatever protocol
     // state survived the CTAS overwrite of the directory — stale
     // commit markers (which healPending would roll forward ONTO the
@@ -1717,6 +1731,7 @@ object DurableState {
   private val servedBatchProp = "graft.durable.servedBatch"
   private val servedSourceProp = "graft.durable.servedSource"
   private val servedVersionProp = "graft.durable.servedVersion"
+  private val servedIncProp = "graft.durable.servedIncarnation"
   private val deltaShardsProp = "graft.durable.deltaShards"
   private val servingVerProp = "graft.durable.servingVersion"
 
@@ -1818,7 +1833,8 @@ object DurableState {
       val v = latestManifestVersion(fsOf(spark, loc), loc)
       publishServing(spark, servingTable, servingPath, buckets, keyCol,
         view, Map(servedBatchProp -> b.toString,
-          servedSourceProp -> table, servedVersionProp -> v.toString))
+          servedSourceProp -> table, servedVersionProp -> v.toString,
+          servedIncProp -> incarnationOf(spark, table)))
       b
     }
 
@@ -1909,11 +1925,18 @@ object DurableState {
           "the base projection")
       val baseVer = bProps(servedVersionProp).toLong
       val (_, _, curStamps) = readManifest(fs, loc, curVer)
+      val storeInc = incarnationOf(spark, table)
+      // a base built against a PREVIOUS incarnation of the store
+      // (writeKeyed reset in between — versions and batch ids
+      // restarted) describes dead state however fresh its numbers
+      // look: every delta-vs-base comparison is meaningless → compact
+      val incMismatch = !bProps.get(servedIncProp).contains(storeInc)
       // shards changed since the base: stamped above baseVer, plus
       // shards the base version HAD that are gone now (dropped —
       // their base rows must stop serving). The base manifest may be
       // vacuumed; then the changed set is unknowable → compact.
-      val baseManifestGone = !fs.exists(manifestPath(loc, baseVer))
+      val baseManifestGone = incMismatch ||
+        !fs.exists(manifestPath(loc, baseVer))
       val dropped: Seq[Int] =
         if (baseManifestGone) Nil
         else readManifest(fs, loc, baseVer)._3.keySet
@@ -1931,10 +1954,14 @@ object DurableState {
       // NOOP when nothing moved since the pair's last refresh (the
       // DELTA's served version — the delta is cumulative vs the
       // base, so the base's version only defines its content, not
-      // its freshness): keep the batch stamp fresh, zero data writes
-      if (spark.catalog.tableExists(deltaTable) &&
-          servingProps(spark, deltaTable).get(servedVersionProp)
-            .contains(curVer.toString)) {
+      // its freshness; the incarnation must match or the numbers
+      // compare dead state): keep the batch stamp fresh, zero data
+      // writes
+      if (!incMismatch && spark.catalog.tableExists(deltaTable) && {
+        val dp = servingProps(spark, deltaTable)
+        dp.get(servedVersionProp).contains(curVer.toString) &&
+          dp.get(servedIncProp).contains(storeInc)
+      }) {
         stampServing(spark, deltaTable,
           Map(servedBatchProp -> b.toString))
         return decide("noop")
@@ -1970,6 +1997,7 @@ object DurableState {
     publishServing(spark, deltaTable, deltaPath, buckets, keyCol, view,
       Map(servedBatchProp -> b.toString, servedSourceProp -> table,
         servedVersionProp -> curVer.toString,
+        servedIncProp -> incarnationOf(spark, table),
         deltaShardsProp -> changed.mkString(",")))
   }
 
@@ -2065,12 +2093,19 @@ object DurableState {
     require(cadence >= 1L, s"cadence must be >= 1, got $cadence")
     val m = maintainAutoBatch(spark, table, delta, deltaKey, rebuild,
       batchId, canEmpty, rebuildThreshold, fence)
+    // a serving pair stamped by a PREVIOUS store incarnation is dead
+    // state wearing fresh numbers (a reset restarts batch ids — the
+    // staleness subtraction could even go negative): treat it as
+    // absent and bootstrap
+    val storeInc = incarnationOf(spark, table)
+    def live(t: String): Boolean =
+      spark.catalog.tableExists(t) &&
+        servingProps(spark, t).get(servedIncProp).contains(storeInc)
     val behind =
-      if (spark.catalog.tableExists(deltaTable))
-        servingStaleness(spark, table, deltaTable)
-      else if (spark.catalog.tableExists(servingTable))
+      if (live(deltaTable)) servingStaleness(spark, table, deltaTable)
+      else if (live(servingTable))
         servingStaleness(spark, table, servingTable)
-      else Long.MaxValue // no projection yet — bootstrap
+      else Long.MaxValue // no live projection yet — bootstrap
     val dec =
       if (behind < cadence) None
       else {

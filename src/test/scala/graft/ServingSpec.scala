@@ -184,6 +184,59 @@ class ServingSpec extends SparkSpec {
       rowsOf(DurableState.readZSum(spark, "graft_srv_vac")))
   }
 
+  test("a serving pair from a PREVIOUS store incarnation is dead state: refresh compacts, the loop re-bootstraps, never a silent noop") {
+    // first incarnation: store + base + delta pair, all fresh
+    val base1 = stateOf((0 until 30).map(i => (s"u$i", 1.0)))
+      .localCheckpoint()
+    val path1 = freshDir("inc1")
+    DurableState.writeZSum(base1, "graft_srv_inc", path1, shards = 8)
+    val svPath = freshDir("inc_base")
+    DurableState.refreshServing(spark, "graft_srv_inc",
+      "graft_srv_inc_sv", svPath, buckets = 4)
+    val d0 = stateOf(Seq(("u1", 5.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_srv_inc", d0, 0L)
+    assert(DurableState.refreshServingDelta(spark, "graft_srv_inc",
+      "graft_srv_inc_sv", svPath, "graft_srv_inc_dl",
+      freshDir("inc_dl"), buckets = 4).strategy == "delta")
+    // RESET: a new incarnation of the store under the same name —
+    // manifest versions and batch ids restart, so the old pair's
+    // numbers can look exactly "fresh" while describing dead state
+    // (the bench caught precisely this: a replayed gate saw "noop")
+    val base2 = stateOf((0 until 30).map(i => (s"u$i", 7.0)))
+      .localCheckpoint()
+    DurableState.writeZSum(base2, "graft_srv_inc", freshDir("inc2"),
+      shards = 8)
+    val d1 = stateOf(Seq(("u2", 2.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_srv_inc", d1, 0L)
+    val dec = DurableState.refreshServingDelta(spark, "graft_srv_inc",
+      "graft_srv_inc_sv", svPath, "graft_srv_inc_dl",
+      freshDir("inc_dl2"), buckets = 4)
+    assert(dec.strategy == "compact",
+      s"a dead-incarnation pair must force a full compact: $dec")
+    assert(rowsOf(DurableState.servingCurrent(spark, "graft_srv_inc_sv",
+      "graft_srv_inc_dl").select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(Incremental.mergeZSum(base2, d1)))
+    // and the one-call loop: reset again, the stale pair must read
+    // as ABSENT (bootstrap), not as "ahead of" the new store
+    val base3 = stateOf((0 until 30).map(i => (s"u$i", 3.0)))
+      .localCheckpoint()
+    DurableState.writeZSum(base3, "graft_srv_inc", freshDir("inc3"),
+      shards = 8)
+    val d2 = stateOf(Seq(("u3", 4.0))).localCheckpoint()
+    val r = DurableState.maintainAndServe(spark, "graft_srv_inc", d2,
+      col("k"),
+      (sl: org.apache.spark.sql.DataFrame,
+       d: org.apache.spark.sql.DataFrame) =>
+        Incremental.mergeZSum(sl, d),
+      0L, "graft_srv_inc_sv", svPath, "graft_srv_inc_dl",
+      freshDir("inc_dl3"), buckets = 4, cadence = 1L)
+    assert(r.serving.nonEmpty && r.stalenessAfter == 0L,
+      s"the loop must re-bootstrap over a dead pair: $r")
+    assert(rowsOf(DurableState.servingCurrent(spark, "graft_srv_inc_sv",
+      "graft_srv_inc_dl").select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(Incremental.mergeZSum(base3, d2)))
+  }
+
   test("serving publication is an atomic alias flip: in-flight plans survive one refresh, the flip never exposes a missing table") {
     val base = stateOf((0 until 30).map(i => (s"u$i", 1.0)))
       .localCheckpoint()
