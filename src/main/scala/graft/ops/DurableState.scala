@@ -435,8 +435,12 @@ object DurableState {
         .map(o => 0.5 * o + 0.5 * rate).getOrElse(rate)
       val sample = math.max(bytes,
         props.get(sp).map(_.toLong).getOrElse(0L))
+      // Double.toString, NOT an f-interpolator: %f/%g format with the
+      // JVM default locale, and a comma decimal separator would break
+      // every later toDouble parse of the property
       spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-        f"('$rp' = '$ema%.6g', '$sp' = '$sample')")
+        s"('$rp' = '${java.lang.Double.toString(ema)}', " +
+        s"'$sp' = '$sample')")
     }
 
   /** Per-shard on-disk bytes from the file listing (control-plane:
@@ -804,11 +808,12 @@ object DurableState {
     * (one atomic rename; the bytes never move again until vacuumed).
     * Idempotent: a missing source was already retired or never
     * existed. A retire target that ALREADY exists next to a live
-    * source is reachable only on the non-atomic live-fold path after
-    * a mid-write crash — there the retired copy holds the consistent
-    * pre-state and the live dir is the torn partial write, so the
-    * live dir is dropped in its favor (the caller was told to re-run
-    * the fold; see [[maintainKeyed]]'s crash semantics).
+    * source is UNREACHABLE through the protocol (every write leg is
+    * staged since r17: apply re-entry skips a shard whose staged dir
+    * is gone, and the retire always precedes the swap within one
+    * recovery unit) — so it means a foreign writer or hand-restored
+    * state, and choosing either directory silently could destroy
+    * live data: fail loudly instead.
     */
   private def retireShardDir(
       fs: FileSystem, loc: Path, sh: Int, ver: Long): Unit = {
@@ -816,7 +821,10 @@ object DurableState {
     if (!fs.exists(src)) return
     val dstDir = new Path(snapRoot(loc), s"v$ver")
     val dst = new Path(dstDir, s"_shard=$sh")
-    if (fs.exists(dst)) { fs.delete(src, true); return }
+    require(!fs.exists(dst),
+      s"DurableState: retire target $dst already exists beside live " +
+        s"$src — not a protocol-reachable state (a foreign writer or " +
+        "hand-restored _snap?); refusing to choose a side silently")
     fs.mkdirs(dstDir)
     require(fs.rename(src, dst),
       s"DurableState: retire $src -> $dst failed")
@@ -1011,18 +1019,23 @@ object DurableState {
       }.toMap
   }
 
-  /** Resolve `shards` of manifest `version` to physical directories
-    * (the MANIFESTS rule: smallest retired version above the stamp,
-    * else live).
+  /** THE resolution rule (one definition — [[vacuumSnapshots]]'s
+    * reachability must agree with the readers bit-for-bit): a shard
+    * stamped `stamp` lives at the SMALLEST retired version above the
+    * stamp, else in the live directory.
     */
+  private def retiredAt(
+      retired: Map[Long, Set[Int]], sh: Int, stamp: Long): Option[Long] =
+    retired.keys.toSeq.sorted
+      .find(v => v > stamp && retired(v).contains(sh))
+
+  /** Resolve `shards` of manifest `version` to physical directories. */
   private def resolveDirs(
       fs: FileSystem, loc: Path, version: Long,
       stamps: Map[Int, Long], shards: Iterable[Int]): Seq[Path] = {
     val retired = retiredIndex(fs, loc)
-    val retVers = retired.keys.toSeq.sorted
     shards.toSeq.sorted.map { sh =>
-      val stamp = stamps(sh)
-      retVers.find(v => v > stamp && retired(v).contains(sh)) match {
+      retiredAt(retired, sh, stamps(sh)) match {
         case Some(v) => new Path(snapRoot(loc), s"v$v/_shard=$sh")
         case None => new Path(loc, s"_shard=$sh")
       }
@@ -1168,22 +1181,14 @@ object DurableState {
       val retain = vers.takeRight(keepVersions)
       val sr = snapRoot(loc)
       if (fs.exists(sr)) {
-        val retired: Map[Long, Set[Int]] = fs.listStatus(sr)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-          .map { d =>
-            d.getPath.getName.stripPrefix("v").toLong ->
-              fs.listStatus(d.getPath).map(_.getPath.getName)
-                .filter(_.startsWith("_shard="))
-                .map(_.stripPrefix("_shard=").toInt).toSet
-          }.toMap
-        val retVers = retired.keys.toSeq.sorted
+        val retired = retiredIndex(fs, loc)
         // the (version, shard) entries some retained manifest still
-        // resolves to — everything else is unreachable history
+        // resolves to (the readers' own [[retiredAt]] rule) —
+        // everything else is unreachable history
         val needed: Set[(Long, Int)] = retain.flatMap { mv =>
           val (_, _, stamps) = readManifest(fs, loc, mv)
           stamps.toSeq.flatMap { case (sh, stamp) =>
-            retVers.find(v => v > stamp && retired(v).contains(sh))
-              .map(v => (v, sh))
+            retiredAt(retired, sh, stamp).map(v => (v, sh))
           }
         }.toSet
         retired.foreach { case (v, shs) =>
@@ -1733,6 +1738,7 @@ object DurableState {
   private val servedVersionProp = "graft.durable.servedVersion"
   private val servedIncProp = "graft.durable.servedIncarnation"
   private val deltaShardsProp = "graft.durable.deltaShards"
+  private val deltaShardModProp = "graft.durable.deltaShardMod"
   private val servingVerProp = "graft.durable.servingVersion"
 
   /** PUBLISH a serving projection ATOMICALLY (r17): `bucketWrite` is
@@ -1769,10 +1775,14 @@ object DurableState {
     val next = cur + 1L
     val phys = s"${alias}__v$next"
     Layout.bucketWrite(view, phys, s"$basePath/v$next", buckets, keyCol)
-    spark.sql(s"CREATE OR REPLACE VIEW `$alias` AS " +
-      s"SELECT * FROM `$phys`")
-    stampServing(spark, alias,
-      stamps + (servingVerProp -> next.toString))
+    // ONE statement flips the alias AND lands its stamps (r17
+    // review: a crash between a bare CREATE VIEW and a separate
+    // ALTER VIEW left an alias with no serving properties — a wedged
+    // pair every stamp reader threw on)
+    val kv = (stamps + (servingVerProp -> next.toString))
+      .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    spark.sql(s"CREATE OR REPLACE VIEW `$alias` TBLPROPERTIES ($kv) " +
+      s"AS SELECT * FROM `$phys`")
     val old = s"${alias}__v${next - 2L}"
     if (next >= 3L && spark.catalog.tableExists(old)) {
       val oldLoc = locationOf(spark, old)
@@ -1994,11 +2004,17 @@ object DurableState {
       s"DurableState.refreshServingDelta: the projection must keep " +
         s"the key column '$keyCol' (the bucket key) — got " +
         s"${view.columns.mkString(",")}")
+    // the SHARD MODULUS rides the stamp (r17 review): the latest-wins
+    // filter must use the modulus the changed set was computed under —
+    // re-reading it live would mis-filter after a reshard lands
+    // between publication and read (duplicated/stale rows)
+    val (mod, _) = propsOf(spark, table)
     publishServing(spark, deltaTable, deltaPath, buckets, keyCol, view,
       Map(servedBatchProp -> b.toString, servedSourceProp -> table,
         servedVersionProp -> curVer.toString,
         servedIncProp -> incarnationOf(spark, table),
-        deltaShardsProp -> changed.mkString(",")))
+        deltaShardsProp -> changed.mkString(","),
+        deltaShardModProp -> mod.toString))
   }
 
   /** The latest-wins serving pair as TWO bucket-aligned legs:
@@ -2018,7 +2034,19 @@ object DurableState {
       s"DurableState: $deltaTable has no $deltaShardsProp — not a " +
         "refreshServingDelta table")
     val source = dProps(servedSourceProp)
-    val (shards, keyCol) = propsOf(spark, source)
+    // the pair must describe the CURRENT incarnation of its source —
+    // after a writeKeyed reset the stamps compare dead state and the
+    // key column itself may have changed; serve loudly, not wrongly
+    require(dProps.get(servedIncProp)
+        .contains(incarnationOf(spark, source)),
+      s"DurableState.servingLegs: the pair ($servingTable, " +
+        s"$deltaTable) was published against a previous incarnation " +
+        s"of $source (the store was reset) — refresh the pair first")
+    val (_, keyCol) = propsOf(spark, source)
+    // the modulus STAMPED at publication (r17 review): the live
+    // modulus may have moved (reshard) since the changed set was
+    // computed, and filtering with it would duplicate or hide keys
+    val shards = dProps(deltaShardModProp).toInt
     val ds = dProps(deltaShardsProp).split(",").filter(_.nonEmpty)
       .map(_.toInt).toSeq
     val base = spark.table(servingTable)
@@ -2109,7 +2137,14 @@ object DurableState {
     val dec =
       if (behind < cadence) None
       else {
-        if (!spark.catalog.tableExists(servingTable))
+        // bootstrap on MISSING STAMPS, not mere table existence (r17
+        // review: a half-published alias — view present, properties
+        // absent — would otherwise wedge every later tick on the
+        // refresh's loud stamp require); a dead-incarnation base is
+        // fine to leave, refreshServingDelta routes it to compact
+        val baseReady = spark.catalog.tableExists(servingTable) &&
+          servingProps(spark, servingTable).contains(servedVersionProp)
+        if (!baseReady)
           refreshServing(spark, table, servingTable, servingPath,
             buckets, project)
         val d = refreshServingDelta(spark, table, servingTable,
@@ -2118,6 +2153,16 @@ object DurableState {
         if (vacuumKeep > 0) vacuumSnapshots(spark, table, vacuumKeep)
         Some(d)
       }
-    Served(m, dec, servingStaleness(spark, table, deltaTable))
+    // the pair's staleness as best known AFTER the tick — computed on
+    // whichever member is LIVE (r17 review: unconditionally reading
+    // the delta table threw when a caller bootstrapped only the base
+    // and the cadence let ticks pass without a refresh, and read
+    // garbage off a dead-incarnation pair)
+    val after =
+      if (live(deltaTable)) servingStaleness(spark, table, deltaTable)
+      else if (live(servingTable))
+        servingStaleness(spark, table, servingTable)
+      else Long.MaxValue
+    Served(m, dec, after)
   }
 }
