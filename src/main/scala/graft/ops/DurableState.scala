@@ -1516,18 +1516,42 @@ object DurableState {
   private val fenceProp = "graft.durable.fence"
 
   /** A maintenance lease on a durable table: `token` is the fencing
-    * token this holder was issued (== the table's fence property at
-    * acquire time); every fenced write re-checks the property, so a
-    * holder whose lease was stolen fails LOUDLY before mutating.
+    * token this holder was issued (== the table's fence at acquire
+    * time); every fenced write re-checks it, so a holder whose lease
+    * was stolen fails LOUDLY before mutating. `incarnation` binds
+    * the lease to ONE lifetime of the store: a reset restarts the
+    * fence from zero, so without the binding a zombie from the
+    * previous incarnation could collide with a fresh token number.
     */
   final case class Lease(
       table: String, token: Long, holder: String, leasePath: String,
-      acquiredAtMs: Long)
+      acquiredAtMs: Long, incarnation: String)
 
-  private def currentFence(spark: SparkSession, table: String): Long =
-    spark.sql(s"SHOW TBLPROPERTIES `$table`")
+  /** The fence token lives in TWO places and the current fence is
+    * their max (r17): the table property (visible through a shared
+    * metastore) AND `_fence.txt` in the table directory (visible
+    * through the shared FILESYSTEM — on local catalogs each process
+    * has its own InMemoryCatalog, so the property alone cannot fence
+    * across processes; the file can, and the two-process spec drives
+    * exactly that). Both bump on acquire.
+    */
+  private def fenceFile(loc: Path): Path = new Path(loc, "_fence.txt")
+
+  private def currentFence(spark: SparkSession, table: String): Long = {
+    val prop = spark.sql(s"SHOW TBLPROPERTIES `$table`")
       .collect().find(_.getString(0) == fenceProp)
       .map(_.getString(1).toLong).getOrElse(0L)
+    val loc = locationOf(spark, table)
+    val fs = fsOf(spark, loc)
+    val ff = fenceFile(loc)
+    val file =
+      if (!fs.exists(ff)) 0L
+      else scala.util.Try(readSmall(fs, ff).split("\n")
+        .collectFirst { case s if s.startsWith("token=") =>
+          s.stripPrefix("token=").trim.toLong }.getOrElse(0L))
+        .getOrElse(0L)
+    math.max(prop, file)
+  }
 
   private def leaseFile(loc: Path): Path = new Path(loc, "_lease.txt")
 
@@ -1653,7 +1677,9 @@ object DurableState {
     val token = currentFence(spark, table) + 1L
     spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
       s"('$fenceProp' = '$token')")
-    val lease = Lease(table, token, holder, lp.toString, now)
+    atomicWrite(fs, fenceFile(loc), s"token=$token\n")
+    val lease = Lease(table, token, holder, lp.toString, now,
+      incarnationOf(spark, table))
     recreateLeaseFile(spark, lease) // add the token for observability
     lease
     }
@@ -1710,6 +1736,13 @@ object DurableState {
     fence.foreach { l =>
       require(l.table == table,
         s"DurableState: lease for table ${l.table} used on $table")
+      // a lease survives exactly ONE incarnation of the store: a
+      // reset restarts the fence numbering, so a zombie holding a
+      // pre-reset lease could otherwise collide with a fresh token
+      require(l.incarnation == incarnationOf(spark, table),
+        s"DurableState: lease on $table predates a writeKeyed reset " +
+          "— the store is a different incarnation; aborting before " +
+          "the write")
       val cur = currentFence(spark, table)
       require(cur == l.token,
         s"DurableState: fencing token mismatch on $table — held " +

@@ -893,7 +893,38 @@ class DurableStateSpec extends SparkSpec {
     // create-exclusive — contention is loud in both directions
     val (c3, o3) = rival(0L)
     assert(c3 == 2 && o3.startsWith("BUSY"), s"$c3 $o3")
-    // (4) release frees the file; the rival acquires cleanly
+    // (4) CROSS-PROCESS FENCING through the FILE half (r17): the
+    // fence token rides _fence.txt beside the catalog property, so a
+    // newer maintainer in another process — which cannot see our
+    // InMemoryCatalog at all — fences us out via the shared
+    // filesystem alone. The rival bumps the file; our next fenced
+    // write must abort BEFORE mutating.
+    def rivalFence(token: Long): (Int, String) = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val pb = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.tools.LeaseRival", path, "fence", token.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      (p.waitFor(), out)
+    }
+    val (cf, of) = rivalFence(lease.token + 100L)
+    assert(cf == 0 && of.startsWith("FENCED"), s"$cf $of")
+    val before = rowsOf(DurableState.readZSum(spark, "graft_ds_lease2p"))
+    val eFence = intercept[IllegalArgumentException] {
+      DurableState.maintainKeyed(spark, "graft_ds_lease2p",
+        stateOf(Seq(("a", 77.0))).localCheckpoint(), col("k"),
+        (sl: org.apache.spark.sql.DataFrame,
+         d: org.apache.spark.sql.DataFrame) =>
+          Incremental.mergeZSum(sl, d),
+        fence = Some(lease))
+    }
+    assert(eFence.getMessage.contains("fencing token mismatch"),
+      eFence.getMessage)
+    assert(rowsOf(DurableState.readZSum(spark, "graft_ds_lease2p"))
+      == before, "the fenced-out write must leave the table untouched")
+    // (5) release frees the file; the rival acquires cleanly
     DurableState.releaseLease(spark, lease)
     val (c4, o4) = rival(0L)
     assert(c4 == 0 && o4.startsWith("HELD "), s"$c4 $o4")

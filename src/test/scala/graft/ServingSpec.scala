@@ -237,6 +237,67 @@ class ServingSpec extends SparkSpec {
       rowsOf(Incremental.mergeZSum(base3, d2)))
   }
 
+  test("a reshard between delta publication and read cannot corrupt latest-wins: the stamped modulus filters, the next refresh compacts") {
+    val base = stateOf((0 until 40).map(i => (s"u$i", 1.0)))
+      .localCheckpoint()
+    val path = freshDir("rsv")
+    DurableState.writeZSum(base, "graft_srv_rsv", path, shards = 16)
+    val svPath = freshDir("rsv_base")
+    DurableState.refreshServing(spark, "graft_srv_rsv",
+      "graft_srv_rsv_sv", svPath, buckets = 4)
+    val d0 = stateOf(Seq(("u5", 9.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_srv_rsv", d0, 0L)
+    DurableState.refreshServingDelta(spark, "graft_srv_rsv",
+      "graft_srv_rsv_sv", svPath, "graft_srv_rsv_dl",
+      freshDir("rsv_dl"), buckets = 4)
+    val want = rowsOf(Incremental.mergeZSum(base, d0))
+    // the source RESHARDS (16 → 8) after the pair was published: the
+    // pair still describes the same rows, and the latest-wins filter
+    // must use the modulus stamped AT PUBLICATION — the live modulus
+    // would assign u5's superseded base row to a different shard id
+    // and duplicate it into the view
+    DurableState.reshardKeyed(spark, "graft_srv_rsv", 8)
+    val cur = DurableState.servingCurrent(spark, "graft_srv_rsv_sv",
+      "graft_srv_rsv_dl")
+    assert(cur.groupBy(col("k")).count().filter(col("count") > 1L)
+      .count() == 0L, "no key may appear twice in the view")
+    assert(rowsOf(cur.select(col("k"), col("n"), col("sum_v"))) == want)
+    // a reshard stamps EVERY shard, so the next refresh compacts and
+    // the pair tracks the resharded store exactly
+    val dec = DurableState.refreshServingDelta(spark, "graft_srv_rsv",
+      "graft_srv_rsv_sv", svPath, "graft_srv_rsv_dl",
+      freshDir("rsv_dl2"), buckets = 4)
+    assert(dec.strategy == "compact", dec.toString)
+    assert(rowsOf(DurableState.servingCurrent(spark, "graft_srv_rsv_sv",
+      "graft_srv_rsv_dl").select(col("k"), col("n"), col("sum_v"))) ==
+      want)
+  }
+
+  test("a half-published alias (view without stamps) self-heals through the deployment loop") {
+    val base = stateOf((0 until 20).map(i => (s"u$i", 1.0)))
+      .localCheckpoint()
+    val path = freshDir("wdg")
+    DurableState.writeZSum(base, "graft_srv_wdg", path, shards = 8)
+    // simulate the pre-fix crash window: an alias exists as a bare
+    // view with NO serving properties (publishServing now lands view
+    // + stamps in one statement, but a wedged alias from any source
+    // must still heal, not throw forever)
+    spark.sql("CREATE OR REPLACE VIEW graft_srv_wdg_sv AS SELECT 1 AS x")
+    val d0 = stateOf(Seq(("u1", 4.0))).localCheckpoint()
+    val r = DurableState.maintainAndServe(spark, "graft_srv_wdg", d0,
+      col("k"),
+      (sl: org.apache.spark.sql.DataFrame,
+       d: org.apache.spark.sql.DataFrame) =>
+        Incremental.mergeZSum(sl, d),
+      0L, "graft_srv_wdg_sv", freshDir("wdg_base"), "graft_srv_wdg_dl",
+      freshDir("wdg_dl"), buckets = 4, cadence = 1L)
+    assert(r.serving.nonEmpty && r.stalenessAfter == 0L,
+      s"the loop must re-bootstrap over a stampless alias: $r")
+    assert(rowsOf(DurableState.servingCurrent(spark, "graft_srv_wdg_sv",
+      "graft_srv_wdg_dl").select(col("k"), col("n"), col("sum_v"))) ==
+      rowsOf(Incremental.mergeZSum(base, d0)))
+  }
+
   test("serving publication is an atomic alias flip: in-flight plans survive one refresh, the flip never exposes a missing table") {
     val base = stateOf((0 until 30).map(i => (s"u$i", 1.0)))
       .localCheckpoint()
