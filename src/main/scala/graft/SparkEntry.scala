@@ -1727,17 +1727,7 @@ object SparkEntry {
           col("value"), lit(1))
         .localCheckpoint()
       DurableState.maintainZSumBatch(s, "graft_durable_sd", sparse, 1L)
-      def pqWalk(p: String): Map[String, Long] = {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
-          .asScala
-          .filter(f => java.nio.file.Files.isRegularFile(f) &&
-            f.getFileName.toString.endsWith(".parquet"))
-          .map(f => f.toString ->
-            java.nio.file.Files.getLastModifiedTime(f).toMillis)
-          .toMap
-      }
-      val baseFiles = pqWalk(wh + "/serving")
+      val baseFiles = Layout.parquetFiles(wh + "/serving")
       require(baseFiles.nonEmpty, "the base projection must have files")
       val dec = DurableState.refreshServingDelta(s, "graft_durable_sd",
         "graft_durable_sd_sv", wh + "/serving", "graft_durable_sd_dl",
@@ -1746,7 +1736,7 @@ object SparkEntry {
         s"a single-user change must refresh delta-sized: $dec")
       require(DurableState.servingStaleness(s, "graft_durable_sd",
         "graft_durable_sd_dl") == 0L, "the pair must be fresh")
-      require(pqWalk(wh + "/serving") == baseFiles,
+      require(Layout.parquetFiles(wh + "/serving") == baseFiles,
         "the delta refresh must not rewrite the base projection")
       Layout.bucketWrite(
         ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_all")),

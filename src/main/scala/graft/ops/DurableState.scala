@@ -78,10 +78,37 @@ object DurableState {
   // bootstrap) instead of a no-op.
   private val incarnationProp = "graft.durable.incarnation"
 
-  private def incarnationOf(spark: SparkSession, table: String): String =
-    spark.sql(s"SHOW TBLPROPERTIES `$table`")
-      .collect().find(_.getString(0) == incarnationProp)
-      .map(_.getString(1)).getOrElse("")
+  /** The store's incarnation, FILESYSTEM-authoritative (r17 second
+    * review): the catalog property alone cannot witness a reset done
+    * by ANOTHER process (each local process has its own
+    * InMemoryCatalog and would keep reading its stale pre-reset
+    * value, letting a zombie maintainer pass the incarnation check
+    * and commit dead state onto the fresh store) — so the nonce also
+    * rides `_fence.txt` (`inc=` line, written by [[writeKeyed]]
+    * after the reset sweep), and the file wins when present.
+    */
+  private def incarnationOf(spark: SparkSession, table: String): String = {
+    val loc = locationOf(spark, table)
+    val fs = fsOf(spark, loc)
+    val ff = fenceFile(loc)
+    val fromFile =
+      if (!fs.exists(ff)) None
+      else scala.util.Try(readSmall(fs, ff).split("\n")
+        .collectFirst { case s if s.startsWith("inc=") =>
+          s.stripPrefix("inc=").trim }).toOption.flatten
+    fromFile.getOrElse(
+      spark.sql(s"SHOW TBLPROPERTIES `$table`")
+        .collect().find(_.getString(0) == incarnationProp)
+        .map(_.getString(1)).getOrElse(""))
+  }
+
+  /** The store's incarnation nonce, PUBLIC for CDC consumers (see
+    * [[snapshotDiff]]): record it with the exported version; a
+    * changed incarnation means the version numbering restarted and
+    * the only correct catch-up is a full re-export.
+    */
+  def storeIncarnation(spark: SparkSession, table: String): String =
+    incarnationOf(spark, table)
 
   /** The shard of a key — xxhash64 so skewless for any key type;
     * deterministic across sessions (seed-free), which the durable
@@ -125,9 +152,10 @@ object DurableState {
       .partitionBy("_shard")
       .mode("overwrite")
       .saveAsTable(table)
+    val incarnation = java.util.UUID.randomUUID().toString
     s.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
       s"('$shardsProp' = '$shards', '$keyProp' = '$keyCol', " +
-      s"'$incarnationProp' = '${java.util.UUID.randomUUID()}')")
+      s"'$incarnationProp' = '$incarnation')")
     // writeKeyed is the BOOTSTRAP/RESET surface: whatever protocol
     // state survived the CTAS overwrite of the directory — stale
     // commit markers (which healPending would roll forward ONTO the
@@ -149,6 +177,10 @@ object DurableState {
     val present = s.sql(s"SHOW PARTITIONS `$table`").collect()
       .map(_.getString(0).stripPrefix("_shard=").toInt).toSeq.sorted
     writeManifest(s, table, 1L, written = present, dropped = Nil)
+    // the incarnation's FILESYSTEM half (the catalog property above
+    // is invisible to other processes on local catalogs): fence
+    // restarts at 0 under the fresh nonce
+    atomicWrite(fs, fenceFile(loc), s"token=0\ninc=$incarnation\n")
   }
 
   /** The write-time (shards, key column), from the table properties —
@@ -1025,17 +1057,18 @@ object DurableState {
     * stamp, else in the live directory.
     */
   private def retiredAt(
-      retired: Map[Long, Set[Int]], sh: Int, stamp: Long): Option[Long] =
-    retired.keys.toSeq.sorted
-      .find(v => v > stamp && retired(v).contains(sh))
+      retired: Map[Long, Set[Int]], sortedVers: Seq[Long],
+      sh: Int, stamp: Long): Option[Long] =
+    sortedVers.find(v => v > stamp && retired(v).contains(sh))
 
   /** Resolve `shards` of manifest `version` to physical directories. */
   private def resolveDirs(
       fs: FileSystem, loc: Path, version: Long,
       stamps: Map[Int, Long], shards: Iterable[Int]): Seq[Path] = {
     val retired = retiredIndex(fs, loc)
+    val vers = retired.keys.toSeq.sorted
     shards.toSeq.sorted.map { sh =>
-      retiredAt(retired, sh, stamps(sh)) match {
+      retiredAt(retired, vers, sh, stamps(sh)) match {
         case Some(v) => new Path(snapRoot(loc), s"v$v/_shard=$sh")
         case None => new Path(loc, s"_shard=$sh")
       }
@@ -1131,10 +1164,25 @@ object DurableState {
   def snapshotDiff(
       spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long,
-      mult: String = "mult"): DataFrame =
+      mult: String = "mult",
+      // a CDC consumer records (version, incarnation) at export time
+      // ([[storeIncarnation]]) and passes the incarnation back here:
+      // a writeKeyed reset sweeps the manifests and RESTARTS the
+      // numbering, so a bare version pair could silently diff two
+      // unrelated incarnations and corrupt the external
+      // materialization — with the expectation the mismatch is loud
+      // and the consumer re-exports in full
+      expectIncarnation: Option[String] = None): DataFrame =
     tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
       require(fromVersion != toVersion,
         "snapshotDiff: versions must differ")
+      expectIncarnation.foreach { want =>
+        val cur = incarnationOf(spark, table)
+        require(cur == want,
+          s"DurableState.snapshotDiff: $table is incarnation $cur, " +
+            s"the consumer exported against $want — the store was " +
+            "reset and version numbers restarted; re-export in full")
+      }
       val loc = locationOf(spark, table)
       val fs = fsOf(spark, loc)
       val dataCols = spark.table(table).drop("_shard").columns.toSeq
@@ -1185,10 +1233,11 @@ object DurableState {
         // the (version, shard) entries some retained manifest still
         // resolves to (the readers' own [[retiredAt]] rule) —
         // everything else is unreachable history
+        val vers = retired.keys.toSeq.sorted
         val needed: Set[(Long, Int)] = retain.flatMap { mv =>
           val (_, _, stamps) = readManifest(fs, loc, mv)
           stamps.toSeq.flatMap { case (sh, stamp) =>
-            retiredAt(retired, sh, stamp).map(v => (v, sh))
+            retiredAt(retired, vers, sh, stamp).map(v => (v, sh))
           }
         }.toSet
         retired.foreach { case (v, shs) =>
@@ -1675,11 +1724,11 @@ object DurableState {
           "another maintainer took the lease")
     }
     val token = currentFence(spark, table) + 1L
+    val inc = incarnationOf(spark, table) // read BEFORE the overwrite
     spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
       s"('$fenceProp' = '$token')")
-    atomicWrite(fs, fenceFile(loc), s"token=$token\n")
-    val lease = Lease(table, token, holder, lp.toString, now,
-      incarnationOf(spark, table))
+    atomicWrite(fs, fenceFile(loc), s"token=$token\ninc=$inc\n")
+    val lease = Lease(table, token, holder, lp.toString, now, inc)
     recreateLeaseFile(spark, lease) // add the token for observability
     lease
     }
@@ -1816,13 +1865,24 @@ object DurableState {
       .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
     spark.sql(s"CREATE OR REPLACE VIEW `$alias` TBLPROPERTIES ($kv) " +
       s"AS SELECT * FROM `$phys`")
-    val old = s"${alias}__v${next - 2L}"
-    if (next >= 3L && spark.catalog.tableExists(old)) {
-      val oldLoc = locationOf(spark, old)
-      spark.sql(s"DROP TABLE IF EXISTS `$old`")
-      val fs = fsOf(spark, oldLoc)
-      if (fs.exists(oldLoc)) fs.delete(oldLoc, true)
-    }
+    // retire EVERY version at or below next−2, not just the one
+    // (r17 second review: a crash between the flip and a single
+    // targeted drop would orphan that version forever — scanning the
+    // catalog makes the cleanup self-healing like the rest of the
+    // protocol); each is located via its own catalog entry, so a
+    // moved basePath cannot orphan files
+    spark.sql(s"SHOW TABLES LIKE '${alias}__v*'").collect()
+      .map(_.getString(1))
+      .filter(_.startsWith(s"${alias}__v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(s"${alias}__v").toLong).toOption.map(n -> _))
+      .filter(_._2 <= next - 2L)
+      .foreach { case (old, _) =>
+        val oldLoc = locationOf(spark, old)
+        spark.sql(s"DROP TABLE IF EXISTS `$old`")
+        val fs = fsOf(spark, oldLoc)
+        if (fs.exists(oldLoc)) fs.delete(oldLoc, true)
+      }
   }
 
   private def stampServing(
@@ -2162,14 +2222,27 @@ object DurableState {
     def live(t: String): Boolean =
       spark.catalog.tableExists(t) &&
         servingProps(spark, t).get(servedIncProp).contains(storeInc)
-    val behind =
+    // the pair's staleness as best known — computed on whichever
+    // member is LIVE (r17 review: unconditionally reading the delta
+    // table threw when a caller bootstrapped only the base and the
+    // cadence let ticks pass without a refresh, and read garbage off
+    // a dead-incarnation pair); one definition, used before AND
+    // after the tick
+    def pairStaleness(): Long =
       if (live(deltaTable)) servingStaleness(spark, table, deltaTable)
       else if (live(servingTable))
         servingStaleness(spark, table, servingTable)
       else Long.MaxValue // no live projection yet — bootstrap
     val dec =
-      if (behind < cadence) None
+      if (pairStaleness() < cadence) None
       else {
+        // the serving publication and the vacuum are MUTATIONS: a
+        // holder whose lease was stolen (or who replayed a batch id
+        // — the fold's replay path returns before its own fence
+        // check precisely because it mutates nothing) must abort
+        // HERE, before touching the pair or deleting history (r17
+        // second review)
+        checkFence(spark, table, fence)
         // bootstrap on MISSING STAMPS, not mere table existence (r17
         // review: a half-published alias — view present, properties
         // absent — would otherwise wedge every later tick on the
@@ -2186,16 +2259,6 @@ object DurableState {
         if (vacuumKeep > 0) vacuumSnapshots(spark, table, vacuumKeep)
         Some(d)
       }
-    // the pair's staleness as best known AFTER the tick — computed on
-    // whichever member is LIVE (r17 review: unconditionally reading
-    // the delta table threw when a caller bootstrapped only the base
-    // and the cadence let ticks pass without a refresh, and read
-    // garbage off a dead-incarnation pair)
-    val after =
-      if (live(deltaTable)) servingStaleness(spark, table, deltaTable)
-      else if (live(servingTable))
-        servingStaleness(spark, table, servingTable)
-      else Long.MaxValue
-    Served(m, dec, after)
+    Served(m, dec, pairStaleness())
   }
 }

@@ -62,6 +62,22 @@ object Layout {
     * `saveAsTable` (bucket metadata lives in the catalog; files live
     * at `path`).
     */
+  /** Every parquet file under `path` (recursive) with its mtime —
+    * the "these files were NOT rewritten" verification primitive the
+    * durable gates and specs share (an unchanged map across an
+    * operation proves the operation's write set excluded them).
+    */
+  def parquetFiles(path: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator()
+      .asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
   def bucketWrite(
       df: DataFrame, table: String, path: String,
       buckets: Int, key: String, moreKeys: String*): Unit = {

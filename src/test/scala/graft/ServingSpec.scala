@@ -23,16 +23,8 @@ class ServingSpec extends SparkSpec {
     df.select(col("k"), col("n"), col("sum_v").cast("string"))
       .as[(String, Long, String)].collect().toSet
 
-  private def parquetListing(path: String): Map[String, Long] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator()
-      .asScala
-      .filter(p => java.nio.file.Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(p => p.toString ->
-        java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      .toMap
-  }
+  private def parquetListing(path: String): Map[String, Long] =
+    graft.ops.Layout.parquetFiles(path)
 
   test("refreshServingDelta: a sparse fold refreshes delta-sized — base files untouched, pair staleness 0, view exact") {
     val base = stateOf((0 until 60).map(i => (s"u$i", (i % 9).toDouble)))

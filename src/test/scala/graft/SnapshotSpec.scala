@@ -310,6 +310,21 @@ class SnapshotSpec extends SparkSpec {
       "graft_snap_diff", 1L, 2L)._3.toSet
     assert(changed12 ==
       DurableState.touchedShards(d0, col("k"), 16).toSet)
+    // the CDC contract: a consumer exports (version, incarnation);
+    // the matching incarnation diffs fine, and after a writeKeyed
+    // RESET (numbering restarted) the stale expectation dies loudly
+    // instead of silently diffing two unrelated histories
+    val inc = DurableState.storeIncarnation(spark, "graft_snap_diff")
+    assert(zRows(DurableState.snapshotDiff(spark, "graft_snap_diff",
+      1L, 3L, expectIncarnation = Some(inc))) == zRows(d13))
+    DurableState.writeZSum(base, "graft_snap_diff",
+      freshDir("diff_reset"), shards = 16)
+    val eInc = intercept[IllegalArgumentException] {
+      DurableState.snapshotDiff(spark, "graft_snap_diff", 1L, 2L,
+        expectIncarnation = Some(inc))
+    }
+    assert(eInc.getMessage.contains("re-export in full"),
+      eInc.getMessage)
   }
 
   test("a torn prune heals: staged retention rolls forward to BOTH the layout and its manifest, or neither ran") {
