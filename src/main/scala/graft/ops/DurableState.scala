@@ -219,9 +219,9 @@ object DurableState {
 
   // --------------------------------------------------------------
   // The shared fold kernel: probe → pruned slice → rebuild → align.
-  // The WRITE leg differs per surface (live insertInto overwrite for
-  // maintainKeyed; staged parquet + atomic marker for
-  // maintainKeyedBatch) and stays with the callers.
+  // Every surface's WRITE leg is the ONE staged-commit protocol
+  // (r17); the surfaces differ only in replay identity (whether the
+  // applied-batch property advances).
   // --------------------------------------------------------------
 
   /** The fold up to (but excluding) the write: checks the key type
