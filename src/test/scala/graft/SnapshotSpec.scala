@@ -327,6 +327,51 @@ class SnapshotSpec extends SparkSpec {
       eInc.getMessage)
   }
 
+  test("time travel crosses reshard, prune, and full-rebuild boundaries bit-exactly") {
+    // the resolution rule must hold when the LAYOUT ITSELF changes:
+    // a reshard retires every old-modulus directory, a prune shrinks
+    // shards, a routed full rebuild swaps the whole store — each is
+    // one more commit, and every prior version must keep reading
+    val base = stateOf((0 until 40).map(i => (s"k$i", i.toDouble)))
+      .localCheckpoint()
+    val path = freshDir("xb")
+    DurableState.writeZSum(base, "graft_snap_xb", path, shards = 8)
+    val d0 = stateOf(Seq(("k1", 100.0))).localCheckpoint()
+    DurableState.maintainZSumBatch(spark, "graft_snap_xb", d0, 0L) // v2
+    val v2 = Incremental.mergeZSum(base, d0).localCheckpoint()
+    DurableState.reshardKeyed(spark, "graft_snap_xb", 16) // v3
+    DurableState.pruneKeyed(spark, "graft_snap_xb",
+      col("sum_v") >= 10.0) // v4
+    val v4 = v2.filter(col("sum_v") >= 10.0).localCheckpoint()
+    // a dense delta routes to the full-rebuild arm (staged whole)
+    val dense = stateOf((0 until 40).map(i => (s"k$i", 1.0)))
+      .localCheckpoint()
+    val r = DurableState.maintainAuto(spark, "graft_snap_xb", dense,
+      col("k"), (sl: org.apache.spark.sql.DataFrame,
+          d: org.apache.spark.sql.DataFrame) =>
+        Incremental.mergeZSum(sl, d)) // v5
+    assert(r.decision.strategy == "rebuild", r.decision.toString)
+    val v5 = Incremental.mergeZSum(v4, dense).localCheckpoint()
+    assert(DurableState.snapshotVersions(spark, "graft_snap_xb") ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    def at(v: Long) = rowsOf(DurableState.readKeyedAt(spark,
+      "graft_snap_xb", v))
+    assert(at(1L) == rowsOf(base), "v1 across 4 structural commits")
+    assert(at(2L) == rowsOf(v2), "v2 across reshard+prune+rebuild")
+    assert(at(3L) == rowsOf(v2), "the reshard is physical only")
+    assert(at(4L) == rowsOf(v4), "the pruned version")
+    assert(at(5L) == rowsOf(v5), "the rebuilt current state")
+    assert(at(5L) == rowsOf(DurableState.readZSum(spark,
+      "graft_snap_xb")))
+    // vacuum to the newest two: they survive, the rest is loud
+    DurableState.vacuumSnapshots(spark, "graft_snap_xb",
+      keepVersions = 2)
+    assert(at(4L) == rowsOf(v4) && at(5L) == rowsOf(v5))
+    intercept[IllegalArgumentException] {
+      DurableState.readKeyedAt(spark, "graft_snap_xb", 2L)
+    }
+  }
+
   test("a torn prune heals: staged retention rolls forward to BOTH the layout and its manifest, or neither ran") {
     val base = stateOf((0 until 30).map(i => (s"k$i", i.toDouble)))
       .localCheckpoint()
