@@ -595,24 +595,38 @@ object TextAnalysis {
     val cc = Dedup.contentClasses(idDf, col("doc_id"), col("_text"))
     val toks = cc.classes
       .select(col("rep"), explode(F.wordNgrams(col("_t"), n)).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // r17 (guide §2.3 — shuffle keys, not payloads): every leg whose
+    // gram is only an EQUALITY key (the df count, the candidate
+    // self-join, both verify joins) keys on the 8-byte xxhash64 of
+    // the gram instead of the ~n-word string — the two full-corpus
+    // verify shuffles and the vocabulary frame shrink ~4-5× and every
+    // join/agg compares longs. The gram STRING survives exactly where
+    // its VALUE matters: the canonical (df ASC, tok ASC) prefix order
+    // (hash order would reorder ties — prefix contents, and so
+    // n_candidates in txt_cosine_stats, must not move). Results are
+    // identical modulo 2^-64 xxhash64 collisions — the repo-wide
+    // contentClasses convention, already accepted on this kernel's
+    // collapse pre-pass.
+    val toksH = toks.select(col("rep"), xxhash64(col("tok")).as("_th"))
+    val dfreq = toksH.groupBy(col("_th")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("rep"))
       .orderBy(col("df").asc, col("tok").asc)
-    val prefix = toks.join(dfreq, "tok")
+    val prefix = toks.withColumn("_th", xxhash64(col("tok")))
+      .join(dfreq, "_th")
       .withColumn("pos", row_number().over(wDoc).cast("long"))
       .withColumn("nsz", count(lit(1)).over(Window.partitionBy(col("rep"))))
       .filter(expr(s"pos <= nsz - (nsz * $ovNum + ${ovDen - 1}) div $ovDen + 1"))
-    val cand = prefix.select(col("tok"), col("rep").as("id_a"), col("nsz").as("na"))
-      .join(prefix.select(col("tok"), col("rep").as("id_b"), col("nsz").as("nb")),
-        Seq("tok"))
+    val cand = prefix.select(col("_th"), col("rep").as("id_a"), col("nsz").as("na"))
+      .join(prefix.select(col("_th"), col("rep").as("id_b"), col("nsz").as("nb")),
+        Seq("_th"))
       .filter(col("id_a") < col("id_b"))
       .filter(sizeOk(col("na"), col("nb")))
       // (na, nb) are functions of the ids — carrying them through the
       // dedup and the count keys saves two size joins later
       .select(col("id_a"), col("id_b"), col("na"), col("nb")).distinct()
     val counted = cand
-      .join(toks.select(col("rep").as("id_a"), col("tok")), Seq("id_a"))
-      .join(toks.select(col("rep").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .join(toksH.select(col("rep").as("id_a"), col("_th")), Seq("id_a"))
+      .join(toksH.select(col("rep").as("id_b"), col("_th")), Seq("id_b", "_th"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("_ok", verified(col("c"), col("na"), col("nb")))

@@ -102,16 +102,22 @@ object Graph {
     // contribution frame, never the edges.
     val eDst = e0.repartition(width, col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = eDst.select(col("src").as("node"))
-      .union(eDst.select(col("dst").as("node"))).distinct()
-    val outdeg = eDst.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // (node, deg) with deg = 0 for sink-only nodes — persisted once so
-    // no round recomputes the degree aggregation, and the hash(node)
+    // (node, deg) with deg = 0 for sink-only nodes, in ONE pass over
+    // the stationary edges (r17 — the pre-r17 shape was
+    // union-distinct nodes + an outdegree aggregation + a left join:
+    // three operators, two full-edge Exchanges, measured 2-4× slower
+    // at sf1): each edge explodes map-side to (src, 1) + (dst, 0) and
+    // one map-combined sum IS both the node-distinct and the
+    // outdegree (edges are distinct, so count(src rows) == outdeg).
+    // Persisted once so no round recomputes it, and the hash(node)
     // partitioning it inherits keeps the rank-assembly join
-    // Exchange-free
-    val nodesDeg = nodes
-      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+    // Exchange-free.
+    val nodesDeg = eDst
+      .select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("d")),
+        struct(col("dst").as("node"), lit(0L).as("d")))).as("e"))
+      .select(col("e.node").as("node"), col("e.d").as("d"))
+      .groupBy(col("node")).agg(sum(col("d")).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodesDeg.count()
     require(n > 0, "pageRank: empty graph")

@@ -184,12 +184,17 @@ object Reconcile {
       .repartition(width, col("_blk"))
       .join(rb.repartition(width, col("_blk")), "_blk")
       // |len(a)-len(b)| lower-bounds the edit distance: prune with two
-      // precomputed ints before paying the O(len²) Levenshtein DP.
+      // precomputed ints before paying the Levenshtein DP.
       // Semantically a no-op (never drops a d ≤ maxDist pair), so the
       // oracle needs no twin of it.
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
-      .withColumn("d", levenshtein(col("_sa"), col("_sb")))
-      .filter(col("d") <= maxDist)
+      // bounded DP (r17): the threshold form computes the banded
+      // O(len·maxDist) diagonal instead of the full O(len²) table and
+      // returns -1 past the bound — exact for every d ≤ maxDist, so
+      // the surviving rows and their d are bit-identical to the
+      // unbounded call (the oracle keeps its plain levenshtein)
+      .withColumn("d", levenshtein(col("_sa"), col("_sb"), maxDist))
+      .filter(col("d") >= 0)
       // hash projection BEFORE the fold: the prefix+suffix double-catch
       // distinct and everything downstream shuffle 24-byte rows, never
       // the verified strings
@@ -401,10 +406,13 @@ object Reconcile {
     // pinned-width kernel join (see scaladoc lesson 2), then verify
     val stringPairs = lbS.repartition(width, col("_k"), col("_sh"))
       .join(rbS.repartition(width, col("_k"), col("_sh")), Seq("_k", "_sh"))
-      // cheap length prefilter before the O(len²) Levenshtein DP
+      // cheap length prefilter before the Levenshtein DP
       .filter(abs(length(col("_sa")) - length(col("_sb"))) <= tau)
-      .withColumn("d", levenshtein(col("_sa"), col("_sb")))
-      .filter(col("d") <= tau)
+      // bounded DP (r17, see fuzzyJoin): banded O(len·τ) with -1 past
+      // the bound — surviving rows and d bit-identical to the
+      // unbounded call
+      .withColumn("d", levenshtein(col("_sa"), col("_sb"), tau))
+      .filter(col("d") >= 0)
       // hash projection BEFORE the fold (see fuzzyJoin): the
       // multi-block-catch distinct shuffles 24-byte rows
       .select(xxhash64(col("_sa")).as("_ha"),
