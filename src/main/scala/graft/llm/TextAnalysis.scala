@@ -622,8 +622,17 @@ object TextAnalysis {
       .filter(col("id_a") < col("id_b"))
       .filter(sizeOk(col("na"), col("nb")))
       // (na, nb) are functions of the ids — carrying them through the
-      // dedup and the count keys saves two size joins later
-      .select(col("id_a"), col("id_b"), col("na"), col("nb")).distinct()
+      // dedup and the count keys saves two size joins later. The
+      // multi-gram-catch dedup rides a pinned id_a repartition (r17):
+      // hash(id_a) satisfies the 4-column dedup clustering, the
+      // dropDuplicates aggregates partition-locally, and the verify
+      // join below is keyed id_a so it reuses the layout — one
+      // Exchange instead of two, and the verify fan-out stays spread
+      // at pinned width (the AQE byte-coalescing guard, §5 lesson).
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"))
+      .dropDuplicates(Seq("id_a", "id_b", "na", "nb"))
     val counted = cand
       .join(toksH.select(col("rep").as("id_a"), col("_th")), Seq("id_a"))
       .join(toksH.select(col("rep").as("id_b"), col("_th")), Seq("id_b", "_th"))

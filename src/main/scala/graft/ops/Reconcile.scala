@@ -197,10 +197,10 @@ object Reconcile {
       .filter(col("d") >= 0)
       // hash projection BEFORE the fold: the prefix+suffix double-catch
       // distinct and everything downstream shuffle 24-byte rows, never
-      // the verified strings
+      // the verified strings (the distinct itself rides the expansion
+      // repartition inside expandOrCompress — one Exchange, not two)
       .select(xxhash64(col("_sa")).as("_ha"),
         xxhash64(col("_sb")).as("_hb"), col("d"))
-      .distinct() // folds prefix+suffix double catches
     expandOrCompress(stringPairs, ma, mb, width, expandIds)
   }
 
@@ -220,9 +220,17 @@ object Reconcile {
     */
   private def expandOrCompress(
       hashPairs: DataFrame, ma: DataFrame, mb: DataFrame,
-      width: Int, expandIds: Boolean): DataFrame =
+      width: Int, expandIds: Boolean): DataFrame = {
+    // the multi-block-catch fold rides the pinned expansion
+    // repartition (r17): hash(_ha) partitioning satisfies the
+    // (_ha,_hb,d) dedup clustering, so the dropDuplicates aggregates
+    // partition-locally and the _ha-keyed join below reuses the same
+    // layout — the pre-r17 shape paid a separate (_ha,_hb,d)-keyed
+    // distinct Exchange and then re-exchanged by _ha anyway
+    val pairs = hashPairs.repartition(width, col("_ha"))
+      .dropDuplicates(Seq("_ha", "_hb", "d"))
     if (expandIds)
-      hashPairs.repartition(width, col("_ha"))
+      pairs
         .join(ma, "_ha")
         .join(mb, "_hb")
         .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"))
@@ -231,11 +239,12 @@ object Reconcile {
         .agg(min(col("id_a")).as("id_a"), count(lit(1)).as("n_a"))
       val cb = mb.groupBy(col("_hb"))
         .agg(min(col("id_b")).as("id_b"), count(lit(1)).as("n_b"))
-      hashPairs.repartition(width, col("_ha"))
+      pairs
         .join(ca, "_ha").join(cb, "_hb")
         .select(col("id_a"), col("id_b"), col("d").cast("long").as("d"),
           col("n_a"), col("n_b"))
     }
+  }
 
   /** Blocked fuzzy join COMPLETE for ANY `maxDist`, via
     * segment-partition blocking (the PassJoin family: Li, Deng, Feng,
@@ -414,10 +423,10 @@ object Reconcile {
       .withColumn("d", levenshtein(col("_sa"), col("_sb"), tau))
       .filter(col("d") >= 0)
       // hash projection BEFORE the fold (see fuzzyJoin): the
-      // multi-block-catch distinct shuffles 24-byte rows
+      // multi-block-catch distinct shuffles 24-byte rows and rides
+      // the expansion repartition (one Exchange, not two)
       .select(xxhash64(col("_sa")).as("_ha"),
         xxhash64(col("_sb")).as("_hb"), col("d"))
-      .distinct() // folds multi-block catches
     expandOrCompress(stringPairs, ma, mb, width, expandIds)
   }
 
