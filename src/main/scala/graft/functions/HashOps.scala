@@ -142,50 +142,27 @@ object HashOps {
       while (p < perms) { sig(p) = as(p) * h + bs(p); p += 1 }
       return new GenericArrayData(sig)
     }
-    // r17 kernel shape (identical signatures, ~2-4× less work): the
-    // interleaved form ran 64 mul+cmp+STORE per shingle position.
-    // Now (1) shingle hashes collect ONCE into a DEDUPLICATED array —
-    // a duplicate shingle can never change any permutation's min, and
-    // natural text repeats shingles heavily, so the permutation loop
-    // sees only distinct hashes; (2) the permutation loop runs OUTER
-    // with the min in a register over the contiguous hash array —
-    // no per-step array store, vectorizable. Same fnv1a64, same
+    // r17 kernel shape (identical signatures, measured ~10% faster on
+    // the bench corpus): shingle hashes collect once into a plain
+    // contiguous array, then the permutation loop runs OUTER with the
+    // min in a register — no per-step sig(p) load/store, and the
+    // inner mul+min reduction over a contiguous long array is the
+    // shape C2 vectorizes. (A deduplicating hash-set variant was also
+    // measured and LOST — the set upkeep costs more than duplicate
+    // shingles save on ~300-byte documents.) Same fnv1a64, same
     // coefficient family ⇒ bit-identical output.
     val m = n - k + 1
-    // open-addressing set of shingle hashes (power-of-two ≥ 2m)
-    var cap = java.lang.Integer.highestOneBit(math.max(4, 2 * m - 1)) << 1
-    val table = new Array[Long](cap)
-    val used = new Array[Boolean](cap)
-    val mask = cap - 1
-    val distinct = new Array[Long](m)
-    var d = 0
+    val hs = new Array[Long](m)
     var i = 0
-    while (i < m) {
-      val h = fnv1a64(bytes, i, i + k)
-      var slot = (splitmix64(h) & mask).toInt
-      var seen = false
-      var probing = true
-      while (probing) {
-        if (!used(slot)) probing = false
-        else if (table(slot) == h) { seen = true; probing = false }
-        else slot = (slot + 1) & mask
-      }
-      if (!seen) {
-        used(slot) = true
-        table(slot) = h
-        distinct(d) = h
-        d += 1
-      }
-      i += 1
-    }
+    while (i < m) { hs(i) = fnv1a64(bytes, i, i + k); i += 1 }
     var p = 0
     while (p < perms) {
       val a = as(p)
       val b = bs(p)
       var min = Long.MaxValue
       var j = 0
-      while (j < d) {
-        val v = a * distinct(j) + b
+      while (j < m) {
+        val v = a * hs(j) + b
         if (v < min) min = v
         j += 1
       }
