@@ -107,6 +107,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // r17 (measured): the default fallback threshold of 128 keys
+      // silently demotes EVERY ObjectHashAggregate task (the FirstAny
+      // collapse, every collect_list bucket agg) to sort-based
+      // aggregation — numTasksFallBacked == numTasks in the SQL
+      // metrics — re-introducing exactly the full sort the object
+      // hash agg was chosen to avoid. In-memory state stays bounded
+      // by the task's INPUT split bytes regardless of the key count
+      // (buffers hold what the task read), so 64k buffered keys is
+      // safe wherever partitions are sized sanely; production tunes
+      // it to the per-task memory budget. Env-overridable so the
+      // driver's lower-core runs can pin it if needed.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -269,6 +269,58 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Probe-side segment candidate keys for
+    * [[graft.ops.Reconcile.fuzzyJoinSegments]]: for each candidate
+    * right-length L in [len−τ, len+τ] and each of the τ+1 segment
+    * slots, the probe substring at every admissible shift — the
+    * (2τ+1)²·(τ+1) key fan-out, deduplicated in insertion order.
+    * Replaces a 75-`when` (τ=2) column-DSL tree whose analysis,
+    * optimizer passes, task-binary serialization and codegen each
+    * paid for every node on every run (measured: the whole fixed cost
+    * of q_fuzzy_join2 was dominated by it); the arithmetic below is
+    * the same segStart/segLen geometry, element for element, and a
+    * spec pins kernel == DSL on random strings.
+    */
+  def segmentProbeKeys(s: UTF8String, tau: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val k = tau + 1
+    val m = s.numChars()
+    val seen = new java.util.LinkedHashMap[(Int, Int, UTF8String), AnyRef]()
+    var dl = -tau
+    while (dl <= tau) {
+      val L = m + dl
+      if (L >= 0) {
+        val r = L % k
+        val base = (L - r) / k
+        var i = 0
+        while (i < k) {
+          val start = base * i + math.max(i - (k - r), 0) + 1
+          val len = base + (if (i >= k - r) 1 else 0)
+          var d = -tau
+          while (d <= tau) {
+            val p = start + d
+            if (p >= 1 && p + len - 1 <= m) {
+              val seg = s.substringSQL(p, len)
+              seen.putIfAbsent((L, i, seg), java.lang.Boolean.TRUE)
+            }
+            d += 1
+          }
+          i += 1
+        }
+      }
+      dl += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.keySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val (l0, i0, seg) = it.next()
+      out(j) = new GenericInternalRow(Array[Any](l0, i0, seg))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character n-grams of a string (insertion order —
     * deterministic). Whole string as single gram when shorter than n.
     */

@@ -197,6 +197,25 @@ case class BpeMerge(child: Expression, a: String, b: String)
   override protected def withNewChildInternal(c: Expression): BpeMerge = copy(child = c)
 }
 
+/** Probe-side segment candidate keys for the PassJoin-style fuzzy
+  * join — one codegen'd call replacing a (2τ+1)²·(τ+1)-branch `when`
+  * tree (see [[HashOps.segmentProbeKeys]]).
+  */
+case class SegmentProbeKeys(child: Expression, tau: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("L", IntegerType, nullable = false)
+    .add("i", IntegerType, nullable = false)
+    .add("seg", StringType, nullable = false), containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HashOps.segmentProbeKeys(v.asInstanceOf[UTF8String], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.segmentProbeKeys($c, $tau)")
+  override protected def withNewChildInternal(c: Expression): SegmentProbeKeys =
+    copy(child = c)
+}
+
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -395,6 +414,8 @@ object F {
     column(SrpBucket(expression(vec), planes))
   def charNgrams(c: Column, n: Int): Column =
     column(CharNgrams(expression(c), n))
+  def segmentProbeKeys(c: Column, tau: Int): Column =
+    column(SegmentProbeKeys(expression(c), tau))
   def bpeMerge(c: Column, a: String, b: String): Column =
     column(BpeMerge(expression(c), a, b))
   def wordNgrams(c: Column, n: Int): Column =

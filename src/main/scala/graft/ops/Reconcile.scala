@@ -366,26 +366,16 @@ object Reconcile {
     // right (indexed) side: its own τ+1 segments, exact positions
     val rb = segmentBlocks(rd, k)
     // left (probe) side: for each candidate right-length and segment
-    // slot, the substring at every admissible shift — null out
-    // out-of-range probes, dedup, explode
-    val lb = {
-      val M = length(col("_sa"))
-      val cands = for {
-        dl <- -tau to tau
-        i <- 0 until k
-        d <- -tau to tau
-      } yield {
-        val L = M + dl
-        val p = segStart(L, i, k) + d
-        val l = segLen(L, i, k)
-        when(L >= 0 && p >= 1 && p + l - 1 <= M, // L=0: empty right string still indexable
-          struct(L.as("L"), lit(i).as("i"),
-            col("_sa").substr(p.cast("int"), l.cast("int")).as("seg")))
-          .otherwise(lit(null))
-      }
-      ld.select(col("_sa"),
-        explode(array_distinct(filter(array(cands: _*), _.isNotNull))).as("_k"))
-    }
+    // slot, the substring at every admissible shift — out-of-range
+    // probes dropped, dedup, explode. ONE codegen kernel call (r17):
+    // the previous formulation built the (2τ+1)²·(τ+1) candidates as
+    // a 75-`when` (τ=2) column tree whose analysis, optimizer walks,
+    // 2.2 MB task binaries and codegen dominated the query's FIXED
+    // cost at every SF; the kernel emits the identical (L, i, seg)
+    // array (same segment geometry, same insertion-order dedup —
+    // spec-pinned against the DSL form on random strings).
+    val lb = ld.select(col("_sa"),
+      explode(graft.functions.F.segmentProbeKeys(col("_sa"), tau)).as("_k"))
     // optional hot-block salting (see scaladoc): the shard column is
     // a constant 0 when off or for un-hot blocks, so the join key
     // (_k, _sh) degenerates to the unsalted behavior everywhere

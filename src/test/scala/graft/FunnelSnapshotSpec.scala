@@ -315,4 +315,52 @@ class FunnelSnapshotSpec extends SparkSpec {
       "digits 12345678 stay, <PHONE> goes".length.toLong)))
     assert(got(3L) == ((0L, 0L, 0L, "clean text only".length.toLong)))
   }
+
+  test("segmentProbeKeys kernel == the column-DSL when-tree it replaced (r17)") {
+    // the DSL formulation fuzzyJoinSegments used through r16, inlined
+    // verbatim as the reference: (2τ+1)²·(τ+1) when-guarded substrs,
+    // null-filtered, array_distinct'ed in insertion order
+    import graft.functions.F
+    import org.apache.spark.sql.Column
+    def segStart(L: Column, i: Int, k: Int): Column =
+      (L - pmod(L, lit(k))) / k * i +
+        greatest(lit(i) - (lit(k) - pmod(L, lit(k))), lit(0)) + 1
+    def segLen(L: Column, i: Int, k: Int): Column =
+      (L - pmod(L, lit(k))) / k +
+        when(lit(i) >= lit(k) - pmod(L, lit(k)), 1).otherwise(0)
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab cdeé世f"
+    val strs = (Seq("", "a", "ab", "abc", "abcd", "kolalongword") ++
+      (1 to 120).map(_ =>
+        (0 until rnd.nextInt(20)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    for (tau <- 1 to 3) {
+      val k = tau + 1
+      val M = length(col("s"))
+      val cands = for {
+        dl <- -tau to tau
+        i <- 0 until k
+        d <- -tau to tau
+      } yield {
+        val L = M + dl
+        val p = segStart(L, i, k) + d
+        val l = segLen(L, i, k)
+        when(L >= 0 && p >= 1 && p + l - 1 <= M,
+          struct(L.cast("int").as("L"), lit(i).as("i"),
+            col("s").substr(p.cast("int"), l.cast("int")).as("seg")))
+          .otherwise(lit(null))
+      }
+      val df = strs.toDF("id", "s")
+        .select(col("id"),
+          array_distinct(filter(array(cands: _*), _.isNotNull)).as("dsl"),
+          F.segmentProbeKeys(col("s"), tau).as("kern"))
+        .select(col("id"),
+          col("dsl").cast("array<struct<L:int,i:int,seg:string>>").cast("string").as("a"),
+          col("kern").cast("string").as("b"))
+        .as[(Long, String, String)].collect()
+      df.foreach { case (id, a, b) =>
+        assert(a == b, s"tau=$tau id=$id: DSL=$a kernel=$b")
+      }
+    }
+  }
 }
