@@ -593,8 +593,15 @@ object TextAnalysis {
       .select(id.as("doc_id"), text.as("_text"))
       .filter(size(F.wordNgrams(col("_text"), n)) > 0)
     val cc = Dedup.contentClasses(idDf, col("doc_id"), col("_text"))
+    // nsz (the doc's distinct-gram count) is just the size of the
+    // gram array — computed MAP-SIDE at explode time (r17; it was a
+    // second count-window over the rep partition, a whole extra
+    // WindowExec pass over the full gram stream for a value the
+    // projection already knows)
     val toks = cc.classes
-      .select(col("rep"), explode(F.wordNgrams(col("_t"), n)).as("tok"))
+      .select(col("rep"), F.wordNgrams(col("_t"), n).as("_g"))
+      .select(col("rep"), size(col("_g")).cast("long").as("nsz"),
+        explode(col("_g")).as("tok"))
     // r17 (guide §2.3 — shuffle keys, not payloads): every leg whose
     // gram is only an EQUALITY key (the df count, the candidate
     // self-join, both verify joins) keys on the 8-byte xxhash64 of
@@ -614,7 +621,6 @@ object TextAnalysis {
     val prefix = toks.withColumn("_th", xxhash64(col("tok")))
       .join(dfreq, "_th")
       .withColumn("pos", row_number().over(wDoc).cast("long"))
-      .withColumn("nsz", count(lit(1)).over(Window.partitionBy(col("rep"))))
       .filter(expr(s"pos <= nsz - (nsz * $ovNum + ${ovDen - 1}) div $ovDen + 1"))
     val cand = prefix.select(col("_th"), col("rep").as("id_a"), col("nsz").as("na"))
       .join(prefix.select(col("_th"), col("rep").as("id_b"), col("nsz").as("nb")),
