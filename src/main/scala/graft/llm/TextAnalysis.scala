@@ -589,10 +589,35 @@ object TextAnalysis {
       verified: (Column, Column, Column) => Column,
       sim: (Column, Column, Column) => Column): PairStages = {
     import org.apache.spark.sql.expressions.Window
-    val idDf = docs
+    // r17 collapse shape (operator-metric-measured at sf10): the
+    // pre-r17 form filtered gramless docs on RAW rows (a full
+    // wordNgrams build per input row, inside the serial scan stage)
+    // and fed Dedup.contentClasses, whose class/membership consumers
+    // prune different columns — the canonical subtrees differ, AQE
+    // exchange reuse misses, and the collapse (plus that raw-row
+    // filter) executed TWICE at ~11 s each. Now: (1) the gramless
+    // filter runs per DISTINCT CONTENT on the collapsed classes —
+    // same class set (the predicate is a pure function of the text;
+    // a duplicated gramless text is excluded from classes AND, via
+    // the join below, from membership — exactly the old semantics);
+    // (2) the class frame localCheckpoints, so the collapse runs
+    // ONCE however many subtrees consume it (guide §3.3 — the
+    // materialization is the same magnitude as the reuse shuffle
+    // files it replaces).
+    val keyed = docs
       .select(id.as("doc_id"), text.as("_text"))
-      .filter(size(F.wordNgrams(col("_text"), n)) > 0)
-    val cc = Dedup.contentClasses(idDf, col("doc_id"), col("_text"))
+      .withColumn("_h", xxhash64(col("_text")))
+    val classesH = keyed
+      .groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cn"),
+        graft.functions.FirstAny.firstAny(col("_text")).as("_t"))
+      .filter(size(F.wordNgrams(col("_t"), n)) > 0)
+      .localCheckpoint()
+    val dupMembers = keyed.select(col("doc_id"), col("_h"))
+      .join(classesH.filter(col("cn") >= 2).select(col("_h"), col("rep")), "_h")
+      .select(col("doc_id"), col("rep"))
+    val cc = Dedup.ContentClasses(
+      classesH.select(col("rep"), col("cn").as("n"), col("_t")), dupMembers)
     // nsz (the doc's distinct-gram count) is just the size of the
     // gram array — computed MAP-SIDE at explode time (r17; it was a
     // second count-window over the rep partition, a whole extra
