@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch (dev-only): dump .explain("formatted") for named queries
+  * into plans/r17/<name>_<suffix>.txt.
+  */
+object TmpPlans {
+  def main(args: Array[String]): Unit = {
+    val suffix = sys.env.getOrElse("GRAFT_PLAN_SUFFIX", "after")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r17"))
+    args.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val s = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"plans/r17/${name}_$suffix.txt"), s)
+      println(s"dumped $name")
+    }
+    spark.stop()
+  }
+}
