@@ -89,14 +89,34 @@ object Dedup {
     * classes, which is what the plain-SQL oracles compute).
     */
   private[graft] def contentClasses(
-      df: DataFrame, id: Column, key: Column): ContentClasses = {
+      df: DataFrame, id: Column, key: Column,
+      classFilter: Option[Column] = None,
+      checkpoint: Boolean = false): ContentClasses = {
     val keyed = df
       .select(id.as("doc_id"), key.as("_t"))
       .withColumn("_h", xxhash64(col("_t")))
-    val classesH = keyed
+    val agg0 = keyed
       .groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
         graft.functions.FirstAny.firstAny(col("_t")).as("_t"))
+    // r18 (the r17 pairStages lesson, generalized per the r17 advice):
+    // `classFilter` runs per DISTINCT CONTENT on the collapsed frame
+    // (sound for any pure function of the key — a filtered-out text's
+    // duplicates drop with it via the membership join), and
+    // `checkpoint` materializes the class frame so the collapse runs
+    // ONCE however many subtrees consume it — multi-action consumers
+    // (nearDupComponents' regime count + driver collect + final exec)
+    // otherwise re-aggregate the corpus once per action, and even
+    // single-action consumers re-run it wherever column pruning makes
+    // the canonical subtrees differ and AQE exchange reuse misses
+    // (dd_minhash_lsh: 14 scans / 2 collapse aggs measured at sf0.1).
+    // The materialization is distinct-content-sized — the same
+    // magnitude as the collapse's own shuffle files. Tradeoff, stated:
+    // localCheckpoint blocks are not recoverable on executor loss;
+    // cluster deployments that need mid-query fault tolerance use
+    // reliable checkpoints instead.
+    val filtered = classFilter.fold(agg0)(f => agg0.filter(f))
+    val classesH = if (checkpoint) filtered.localCheckpoint() else filtered
     val dupMembers = keyed.select(col("doc_id"), col("_h"))
       .join(classesH.filter(col("n") >= 2)
         .select(col("_h"), col("rep")), "_h")
@@ -205,7 +225,7 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucket: Int = 64,
       expandDups: Boolean = true): DataFrame = {
-    val cc = sigClasses(df, id, text, shingle, perms)
+    val cc = sigClasses(df, id, text, shingle, perms, checkpoint = true)
     val repPairs = minhashLshRepsFromSigs(
       cc.classes.select(col("rep").as("doc_id"), col("sig")),
       perms, bands, minJaccard, maxBucket)
@@ -249,8 +269,9 @@ object Dedup {
     */
   private[graft] def sigClasses(
       df: DataFrame, id: Column, text: Column,
-      shingle: Int, perms: Int): ContentClasses = {
-    val cc = contentClasses(df, id, text)
+      shingle: Int, perms: Int,
+      checkpoint: Boolean = false): ContentClasses = {
+    val cc = contentClasses(df, id, text, checkpoint = checkpoint)
     val classes = cc.classes.select(col("rep"), col("n"),
       F.minhashSig(col("_t"), shingle, perms).as("sig"))
     ContentClasses(classes, cc.dupMembers)
@@ -322,7 +343,7 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       maxBucket: Int = 64): DataFrame = {
-    val cc = sigClasses(df, id, text, shingle, perms)
+    val cc = sigClasses(df, id, text, shingle, perms, checkpoint = true)
     val repPairs = minhashLshRepsFromSigs(
       cc.classes.select(col("rep").as("doc_id"), col("sig")),
       perms, bands, minJaccard, maxBucket)
@@ -880,7 +901,7 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       maxBucket: Int = 64): DataFrame = {
-    val cc = sigClasses(df, id, text, shingle, perms)
+    val cc = sigClasses(df, id, text, shingle, perms, checkpoint = true)
     val repPairs = minhashLshRepsFromSigs(
         cc.classes.select(col("rep").as("doc_id"), col("sig")),
         perms, bands, minJaccard, maxBucket)

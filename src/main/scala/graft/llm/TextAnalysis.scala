@@ -604,20 +604,12 @@ object TextAnalysis {
     // ONCE however many subtrees consume it (guide §3.3 — the
     // materialization is the same magnitude as the reuse shuffle
     // files it replaces).
-    val keyed = docs
-      .select(id.as("doc_id"), text.as("_text"))
-      .withColumn("_h", xxhash64(col("_text")))
-    val classesH = keyed
-      .groupBy(col("_h"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cn"),
-        graft.functions.FirstAny.firstAny(col("_text")).as("_t"))
-      .filter(size(F.wordNgrams(col("_t"), n)) > 0)
-      .localCheckpoint()
-    val dupMembers = keyed.select(col("doc_id"), col("_h"))
-      .join(classesH.filter(col("cn") >= 2).select(col("_h"), col("rep")), "_h")
-      .select(col("doc_id"), col("rep"))
-    val cc = Dedup.ContentClasses(
-      classesH.select(col("rep"), col("cn").as("n"), col("_t")), dupMembers)
+    // r18: delegates to the shared collapse with its class-level
+    // filter/checkpoint hook (r17 advice — this was a verbatim inline
+    // copy of Dedup.contentClasses that would have drifted)
+    val cc = Dedup.contentClasses(docs, id, text,
+      classFilter = Some(size(F.wordNgrams(col("_t"), n)) > 0),
+      checkpoint = true)
     // nsz (the doc's distinct-gram count) is just the size of the
     // gram array — computed MAP-SIDE at explode time (r17; it was a
     // second count-window over the rep partition, a whole extra

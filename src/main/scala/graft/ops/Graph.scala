@@ -133,6 +133,27 @@ object Graph {
     var rank = nodesDeg.withColumn("rank", lit(scale / n))
     var it = 0
     var converged = false
+    if (eps.isEmpty) {
+      // FIXED-round path (r18): rounds chain LAZILY. Each round's rank
+      // feeds the next round only through its contribution leg (the
+      // broadcast build in the small regime, one shuffled node-sized
+      // subtree in the big one), so rank_t appears exactly ONCE in
+      // round t+1's plan — a single action materializes every round
+      // exactly once; no O(k²) re-execution happens unless rounds are
+      // actioned separately. The per-round localCheckpoint was 1 job +
+      // a node-frame block write per round of pure overhead here (the
+      // eps path below still needs it: the delta check is an action
+      // per round). A checkpoint every `ckptChunk` rounds still bounds
+      // plan depth / codegen size for long cluster runs, and the final
+      // checkpoint materializes the result BEFORE the caches are
+      // unpersisted below.
+      val ckptChunk = 8
+      while (it < iters) {
+        rank = pageRankRound(e, nodesDeg, rank, base, bcast)
+        it += 1
+        if (it % ckptChunk == 0 || it == iters) rank = rank.localCheckpoint()
+      }
+    } else
     while (it < iters && !converged) {
       // localCheckpoint each round (the connectedComponents idiom):
       // without it iteration t's LAZY plan re-executes iterations

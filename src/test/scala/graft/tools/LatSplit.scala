@@ -1,11 +1,9 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch (dev-only): split a query's fixed cost into plan-build /
-  * optimize / execute phases.
-  */
-object TmpLat {
+/** Dev tool: split a query's fixed cost into plan-build / optimize / physical-planning / execute phases. */
+object LatSplit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -20,7 +18,7 @@ object TmpLat {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("q_fuzzy_join2")
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = graft.SparkEntry.queries(name)
       (1 to 3).foreach { rep =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)

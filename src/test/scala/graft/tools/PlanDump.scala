@@ -1,11 +1,9 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch (dev-only): dump .explain("formatted") for named queries
-  * into plans/r17/<name>_<suffix>.txt.
-  */
-object TmpPlans {
+/** Dev tool: dump .explain("formatted") for named queries into plans/<round>/<name>_<suffix>.txt. */
+object PlanDump {
   def main(args: Array[String]): Unit = {
     val suffix = sys.env.getOrElse("GRAFT_PLAN_SUFFIX", "after")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,16 +14,19 @@ object TmpPlans {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // mirror the Bench session so dumped plans match what it runs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r17"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r18"))
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val s = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"plans/r17/${name}_$suffix.txt"), s)
+        java.nio.file.Paths.get(s"plans/r18/${name}_$suffix.txt"), s)
       println(s"dumped $name")
     }
     spark.stop()

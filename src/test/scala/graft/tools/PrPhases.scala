@@ -1,13 +1,16 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Scratch: phase timing of q_pagerank's setup vs rounds (dev-only). */
-object TmpPr {
+/** Dev tool: phase-time q_pagerank's pipeline (edge build, setup
+  * exchanges, per-round cost) so optimization targets the measured
+  * phase, not a guess. Mirrors ops/Graph.pageRankConverged inline.
+  */
+object PrPhases {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,6 +18,8 @@ object TmpPr {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,6 +31,7 @@ object TmpPr {
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep ---")
       val s = spark
+      val width = s.sessionState.conf.numShufflePartitions
       val o = s.read.parquet(s"$sfDir/orders.parquet").select(col("o_orderkey"), col("o_custkey"))
       val l = s.read.parquet(s"$sfDir/lineitem.parquet").select(col("l_orderkey"), col("l_suppkey"))
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -35,43 +41,37 @@ object TmpPr {
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val width = s.sessionState.conf.numShufflePartitions
       val eDst = e0.repartition(width, col("dst")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      tm("eDst materialize+count")(eDst.count())
-      // current setup: union-distinct nodes + outdeg + join
-      val nodes = eDst.select(col("src").as("node"))
-        .union(eDst.select(col("dst").as("node"))).distinct()
-      val outdeg = eDst.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val nodesDeg = nodes
-        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val n = tm("nodesDeg (current) count")(nodesDeg.count())
-      // fused alternative: one explode + one agg
-      val nodesDeg2 = eDst.select(explode(array(
+      val ne = tm("eDst repart+distinct+persist")(eDst.count())
+      val nodesDeg = eDst
+        .select(explode(array(
           struct(col("src").as("node"), lit(1L).as("d")),
           struct(col("dst").as("node"), lit(0L).as("d")))).as("e"))
         .select(col("e.node").as("node"), col("e.d").as("d"))
         .groupBy(col("node")).agg(sum(col("d")).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val n2 = tm("nodesDeg (fused) count")(nodesDeg2.count())
-      val same = nodesDeg.as("a").join(nodesDeg2.as("b"), Seq("node"))
-        .filter(col("a.deg") =!= col("b.deg")).count()
-      println(s"n=$n n2=$n2 degDiff=$same")
-      val base = (1000000000000L * 3 / 20) / n
-      var rank = nodesDeg.withColumn("rank", lit(1000000000000L / n))
-      def bcast(df: org.apache.spark.sql.DataFrame) = broadcast(df)
-      var it = 0
-      while (it < 3) {
-        val next = tm(s"round $it")(
-          graft.ops.Graph.pageRankRound(eDst, nodesDeg, rank, base, bcast)
-            .localCheckpoint())
-        rank = next
-        it += 1
+      val n = tm("nodesDeg agg+persist+count")(nodesDeg.count())
+      println(s"   edges=$ne nodes=$n")
+      val scale = 1000000000000L
+      val base = (scale * 3 / 20) / n
+      var rank = nodesDeg.withColumn("rank", lit(scale / n))
+      (1 to 3).foreach { it =>
+        rank = tm(s"round $it (join+agg+ckpt)") {
+          val contribSrc = rank.filter(col("deg") > 0)
+            .select(col("node").as("src"), expr("rank div deg").as("c"))
+          val contribs = eDst.join(broadcast(contribSrc), Seq("src"))
+            .select(col("dst").as("node"), col("c"))
+            .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+          nodesDeg.join(contribs, Seq("node"), "left")
+            .select(col("node"), col("deg"),
+              (lit(base) + expr("(coalesce(in_mass, 0L) * 17) div 20")).as("rank"))
+            .localCheckpoint()
+        }
       }
       tm("final count")(rank.count())
-      eDst.unpersist(true); nodesDeg.unpersist(true); nodesDeg2.unpersist(true)
+      eDst.unpersist(true)
+      nodesDeg.unpersist(true)
     }
     spark.stop()
   }

@@ -1,18 +1,16 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Scratch profiling main (dev-only, deleted before commit): runs a
-  * query and prints the executed plan tree with per-operator SQL
-  * metrics — the operator-level time/row attribution the stage
-  * listener cannot give.
-  */
-object TmpProf {
+/** Dev tool: operator metrics for the pagerank edge-build subtree. */
+object PrSetupProf {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata-sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +23,6 @@ object TmpProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq else Bench.headline
 
     def walk(p: SparkPlan, depth: Int, out: StringBuilder): Unit = {
       val interesting = p.metrics.toSeq
@@ -46,25 +43,37 @@ object TmpProf {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
         case r: ReusedExchangeExec => Seq(r.child)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(s.relation.cachedPlan)
         case _ => p.children
       }
       kids.foreach(walk(_, depth + 1, out))
       p.subqueries.foreach(walk(_, depth + 1, out))
     }
 
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
-      fn(spark, sfDir).count() // warm at target SF
-      val counted = fn(spark, sfDir).groupBy().count()
+    val reps = sys.env.getOrElse("REPS", "2").toInt
+    (1 to reps).foreach { rep =>
+      println(s"--- rep $rep ---")
+      val s = spark
+      val width = s.sessionState.conf.numShufflePartitions
+      val o = s.read.parquet(s"$sfDir/orders.parquet").select(col("o_orderkey"), col("o_custkey"))
+      val l = s.read.parquet(s"$sfDir/lineitem.parquet").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val e0 = pairs.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val eDst = e0.repartition(width, col("dst")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
-      val n = counted.collect().head.getLong(0)
-      val wall = (System.nanoTime() - t0) / 1e9
-      println(f"\n===== $name wall=$wall%.2fs rows=$n =====")
+      val n = eDst.count()
+      println(f"eDst count=$n wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
       val sb = new StringBuilder
-      walk(counted.queryExecution.executedPlan, 0, sb)
+      walk(eDst.queryExecution.executedPlan, 0, sb)
       println(sb.toString)
+      eDst.unpersist(true)
     }
     spark.stop()
   }
