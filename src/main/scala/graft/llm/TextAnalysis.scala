@@ -635,10 +635,21 @@ object TextAnalysis {
     val dfreq = toksH.groupBy(col("_th")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("rep"))
       .orderBy(col("df").asc, col("tok").asc)
+    // r18: the prefix frame is projected to its 3 downstream columns
+    // and localCheckpointed. Measured at sf10 BEFORE: the candidate
+    // self-join's two legs canonicalize differently, so the whole
+    // window subtree (18 MB exchange + 102 MB sort + WindowExec + the
+    // df join above it) executed TWICE per action — and a third time
+    // in cosinePairStats' funnel. Now the window runs once and every
+    // consumer re-reads a 24 B/row frame; the materialization is the
+    // prefix key set (≤ the gram stream, strings already dropped) —
+    // smaller than the class checkpoint above it carries text for.
     val prefix = toks.withColumn("_th", xxhash64(col("tok")))
       .join(dfreq, "_th")
       .withColumn("pos", row_number().over(wDoc).cast("long"))
       .filter(expr(s"pos <= nsz - (nsz * $ovNum + ${ovDen - 1}) div $ovDen + 1"))
+      .select(col("_th"), col("rep"), col("nsz"))
+      .localCheckpoint()
     val cand = prefix.select(col("_th"), col("rep").as("id_a"), col("nsz").as("na"))
       .join(prefix.select(col("_th"), col("rep").as("id_b"), col("nsz").as("nb")),
         Seq("_th"))
