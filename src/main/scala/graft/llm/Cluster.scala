@@ -137,20 +137,17 @@ object Cluster {
     // broadcast on a duplication-free corpus). k-means TRAINING stays
     // on the full corpus: duplicate mass legitimately weights the
     // centroid means.
-    val keyed = df
-      .select(id.as("doc_id"), vec.as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
-    val classesH = keyed.groupBy(col("_h"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
-        graft.functions.FirstAny.firstAny(col("_t")).as("_t"))
+    // r18: the shared collapse with its checkpoint hook replaces the
+    // inline copy — the class frame is consumed by FOUR subtrees below
+    // (repPairs, selfPairs, and both membership legs), so without the
+    // checkpoint the vector collapse re-aggregated wherever column
+    // pruning defeated AQE exchange reuse.
+    val cc = Dedup.contentClasses(df, id, vec, checkpoint = true)
     val classes = Ann.assignCells(
-        classesH.select(col("rep"), col("n"), col("_t").as("c_vec")),
+        cc.classes.select(col("rep"), col("n"), col("_t").as("c_vec")),
         km.centroids)
       .select(col("rep"), col("n"), col("c_vec").as("_t"), col("cell"))
-    val dupMembers = keyed.select(col("doc_id"), col("_h"))
-      .join(classesH.filter(col("n") >= 2)
-        .select(col("_h"), col("rep")), "_h")
-      .select(col("doc_id"), col("rep"))
+    val dupMembers = cc.dupMembers
     val repPairs = classes
       .select(col("cell"), col("rep").as("vec_id"), col("_t").as("v"))
       .groupBy(col("cell"))
