@@ -1374,9 +1374,16 @@ object SparkEntry {
       val del = base.filter(col("event_id") % 7 === 0)
       val wh = java.nio.file.Files
         .createTempDirectory("graft_durable").toString
+      // shards = 8 across the durable gate cohort (r18): shard count
+      // is storage LAYOUT — the state content, every manifest/commit
+      // protocol step and all outputs are shard-count-invariant — but
+      // each store mutation writes one file per shard, so 64-way
+      // sharding at the correctness SFs was pure filesystem fan-out
+      // (measured 2.2-2.5x of q_durable_snapshot/prune's gate wall).
+      // q_durable_reshard keeps 64: resharding is its subject.
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_zsum", wh + "/state", shards = 64)
+        "graft_durable_zsum", wh + "/state", shards = 8)
       val delta = Incremental.mergeZSum(
           Incremental.stateZSum(del, col("user_id"), col("value"), lit(-1)),
           Incremental.stateZSum(ins, col("user_id"), col("value"), lit(1)))
@@ -1401,7 +1408,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_z").toString
       DurableState.writeKeyed(
         Incremental.stateZ(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_z", wh + "/state", shards = 64, keyCol = "k")
+        "graft_durable_z", wh + "/state", shards = 8, keyCol = "k")
       val delta = Incremental.mergeZ(
           Incremental.stateZ(del, col("user_id"), col("value"), lit(-1)),
           Incremental.stateZ(ins, col("user_id"), col("value"), lit(1)))
@@ -1430,7 +1437,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_auto").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_auto", wh + "/state", shards = 64)
+        "graft_durable_auto", wh + "/state", shards = 8)
       val dense = Incremental.mergeZSum(
           Incremental.stateZSum(del, col("user_id"), col("value"),
             lit(-1)),
@@ -1475,7 +1482,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_atomic").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_atomic", wh + "/state", shards = 64)
+        "graft_durable_atomic", wh + "/state", shards = 8)
       val b0 = Incremental.stateZSum(del, col("user_id"), col("value"),
         lit(-1)).localCheckpoint()
       val b1 = Incremental.stateZSum(ins, col("user_id"), col("value"),
@@ -1508,7 +1515,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_ab").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_ab", wh + "/state", shards = 64)
+        "graft_durable_ab", wh + "/state", shards = 8)
       val dense = Incremental.mergeZSum(
           Incremental.stateZSum(del, col("user_id"), col("value"),
             lit(-1)),
@@ -1589,7 +1596,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_srv").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_srv", wh + "/state", shards = 64)
+        "graft_durable_srv", wh + "/state", shards = 8)
       val delta = Incremental.mergeZSum(
           Incremental.stateZSum(del, col("user_id"), col("value"),
             lit(-1)),
@@ -1633,7 +1640,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_snap").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_snap", wh + "/state", shards = 64)
+        "graft_durable_snap", wh + "/state", shards = 8)
       val b0 = Incremental.stateZSum(del, col("user_id"), col("value"),
         lit(-1)).localCheckpoint()
       DurableState.maintainZSumBatch(s, "graft_durable_snap", b0, 0L)
@@ -1678,7 +1685,7 @@ object SparkEntry {
       DurableState.writeKeyed(
         Scd2.build(base, col("user_id"), col("event_id"),
           col("event_type"), eventUs(base, "ts")),
-        "graft_durable_pr", wh + "/state", shards = 64, keyCol = "key")
+        "graft_durable_pr", wh + "/state", shards = 8, keyCol = "key")
       val stats = DurableState.pruneKeyed(s, "graft_durable_pr",
         col("valid_to").isNull || col("valid_to") > h)
       require(stats.affectedShards.nonEmpty,
@@ -1712,7 +1719,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_sd").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_sd", wh + "/state", shards = 64)
+        "graft_durable_sd", wh + "/state", shards = 8)
       val dense = Incremental.mergeZSum(
           Incremental.stateZSum(del, col("user_id"), col("value"),
             lit(-1)),
@@ -1775,7 +1782,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_diff").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_diff", wh + "/state", shards = 64)
+        "graft_durable_diff", wh + "/state", shards = 8)
       val dense = Incremental.mergeZSum(
           Incremental.stateZSum(del, col("user_id"), col("value"),
             lit(-1)),
@@ -1793,7 +1800,7 @@ object SparkEntry {
       val changed23 = DurableState.changedShardsBetween(s,
         "graft_durable_diff", 2L, 3L)._3.toSet
       require(changed23 ==
-        DurableState.touchedShards(sparse, col("k"), 64).toSet,
+        DurableState.touchedShards(sparse, col("k"), 8).toSet,
         s"sparse diff must prune to the batch's shards: $changed23")
       DurableState.snapshotDiff(s, "graft_durable_diff", 1L, 3L)
         .select(col("k").as("user_id"), col("n"),
@@ -1821,7 +1828,7 @@ object SparkEntry {
         .createTempDirectory("graft_durable_cal").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_durable_cal", wh + "/state", shards = 64)
+        "graft_durable_cal", wh + "/state", shards = 8)
       def plant(foldRate: Double, rebuildRate: Double): Unit =
         s.sql("ALTER TABLE graft_durable_cal SET TBLPROPERTIES (" +
           s"'graft.durable.foldNsPerByte' = '$foldRate', " +
@@ -1878,7 +1885,7 @@ object SparkEntry {
         .createTempDirectory("graft_maintain_srv").toString
       DurableState.writeZSum(
         Incremental.stateZSum(base, col("user_id"), col("value"), lit(1)),
-        "graft_maintain_srv", wh + "/state", shards = 64)
+        "graft_maintain_srv", wh + "/state", shards = 8)
       val dense = Incremental.mergeZSum(
           Incremental.stateZSum(del, col("user_id"), col("value"),
             lit(-1)),
@@ -2387,7 +2394,7 @@ object SparkEntry {
       DurableState.writeKeyed(
         Scd2.build(base, col("user_id"), col("event_id"),
           col("event_type"), eventUs(base, "ts")),
-        "graft_durable_scd2", wh + "/state", shards = 64,
+        "graft_durable_scd2", wh + "/state", shards = 8,
         keyCol = "key")
       DurableState.maintainKeyed(s, "graft_durable_scd2", late,
           col("user_id"),
@@ -2413,7 +2420,7 @@ object SparkEntry {
       DurableState.writeKeyed(
         Scd2.build(base, col("user_id"), col("event_id"),
           col("event_type"), eventUs(base, "ts")),
-        "graft_scd2_srv", wh + "/state", shards = 64, keyCol = "key")
+        "graft_scd2_srv", wh + "/state", shards = 8, keyCol = "key")
       DurableState.maintainKeyedBatch(s, "graft_scd2_srv", late,
         col("user_id"),
         (slice, d) => Scd2.deltaMaintain(slice, d, col("user_id"),
@@ -2487,7 +2494,7 @@ object SparkEntry {
       DurableState.writeKeyed(
         Scd2.build(base, col("user_id"), col("event_id"),
           col("event_type"), eventUs(base, "ts")),
-        "graft_durable_rc", wh + "/state", shards = 64, keyCol = "key")
+        "graft_durable_rc", wh + "/state", shards = 8, keyCol = "key")
       val corrected = base.filter(col("event_id") % 9 =!= 0)
       val routed = Maintenance.maintainOrRecompute(del) { d =>
         DurableState.maintainKeyed(s, "graft_durable_rc", d,
@@ -2500,7 +2507,7 @@ object SparkEntry {
           col("event_id"), col("event_type"), eventUs(corrected, "ts"))
           .localCheckpoint()
         DurableState.writeKeyed(rebuilt, "graft_durable_rc",
-          wh + "/state", shards = 64, keyCol = "key")
+          wh + "/state", shards = 8, keyCol = "key")
         DurableState.readKeyed(s, "graft_durable_rc")
       }
       require(routed.recomputed && routed.deletes > 0L,
