@@ -112,12 +112,22 @@ object Bench {
       // collapse, every collect_list bucket agg) to sort-based
       // aggregation — numTasksFallBacked == numTasks in the SQL
       // metrics — re-introducing exactly the full sort the object
-      // hash agg was chosen to avoid. In-memory state stays bounded
-      // by the task's INPUT split bytes regardless of the key count
-      // (buffers hold what the task read), so 64k buffered keys is
-      // safe wherever partitions are sized sanely; production tunes
-      // it to the per-task memory budget. Env-overridable so the
-      // driver's lower-core runs can pin it if needed.
+      // hash agg was chosen to avoid.
+      //
+      // Sizing rule (r18, the budget derivation r17 owed): the
+      // threshold bounds live BUFFER ENTRIES, whose fixed overhead is
+      // ~128 B/entry (key row + map slot + buffer object) beyond the
+      // buffered values — so threshold ≈ perTaskAggOverheadBudget /
+      // 128 B. 65536 entries ≈ 8 MiB/task, negligible against any
+      // sane task budget; the buffered VALUES are bounded by the
+      // task's input-split bytes REGARDLESS of this knob (every input
+      // row lands in exactly one buffer), so a skewed giant bucket is
+      // governed by split sizing, not by this threshold — either
+      // value. Both directions spec-pinned in ObjAggFallbackSpec at
+      // this exact value. Env-overridable so the driver's lower-core
+      // runs can pin it if needed; library consumers building their
+      // own session must set it too (see README — the 128-key Spark
+      // default demotes every collapse).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "65536"))
       .config("spark.ui.enabled", "false")
