@@ -45,10 +45,23 @@ class PlanSpec extends SparkSpec {
       "raw text is an Exchange key again")
     assert(!plan.contains("SortAggregate"),
       "collapse demoted to SortAggregate again (built-in first()?)")
-    assert("""partial_first_any\(_t#""".r.findFirstIn(plan).isDefined,
+    // r18: the collapse materializes once at construction
+    // (localCheckpoint), so the query-level plan shows its RESULT as
+    // an ExistingRDD scan — the collapse's own plan shape is asserted
+    // on the un-checkpointed subtree (identical code path).
+    assert(plan.contains("ExistingRDD"),
+      "collapse is no longer materialized once (checkpoint hook lost)")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val collapse = graft.llm.Dedup.contentClasses(
+        docs, org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .classes.queryExecution.executedPlan.toString
+    assert("""partial_first_any\(_t#""".r.findFirstIn(collapse).isDefined,
       "collapse lost its map-side FirstAny partial aggregation")
-    assert("""hashpartitioning\(_h#""".r.findFirstIn(plan).isDefined,
-      "membership is no longer keyed by the 8-byte content hash")
+    assert(!collapse.contains("SortAggregate"),
+      "collapse demoted to SortAggregate again (built-in first()?)")
+    assert("""hashpartitioning\(_h#""".r.findFirstIn(collapse).isDefined,
+      "collapse is no longer keyed by the 8-byte content hash")
   }
 
   test("q_merge_indicator uses a single full-outer join") {
