@@ -566,7 +566,12 @@ object Dedup {
       sigs: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
-    val cc = contentClasses(sigs, col("doc_id"), col("sig"))
+    // r18: checkpoint the collapsed sig classes — the banding, the
+    // self-pair leg and both membership joins otherwise re-execute
+    // the signature computation (for mm_phash_dedup that is the full
+    // image-decode + perceptual-hash pass) once per consumer subtree.
+    val cc = contentClasses(sigs, col("doc_id"), col("sig"),
+      checkpoint = true)
     val banded = cc.classes
       .select(col("rep").as("doc_id"), col("_t").as("sig"),
         explode(sequence(lit(0), lit(3))).as("piece"))
@@ -610,7 +615,13 @@ object Dedup {
     // membership (text-equal pairs are Jaccard exactly 1 ≥ any
     // threshold, so they're unconditional). A ×100-replicated corpus
     // pays 1/10000th of the kernel calls for the identical result.
-    val cc = contentClasses(idDf, col("doc_id"), col("_text"))
+    // r18: checkpoint the collapse — the LSH candidate pass, both
+    // text-carrying verify joins and the membership expansion are
+    // separate consumer subtrees that otherwise each re-aggregate
+    // the corpus (36 parquet scans measured for one dd_ngram_jaccard
+    // action at sf0.1).
+    val cc = contentClasses(idDf, col("doc_id"), col("_text"),
+      checkpoint = true)
     expandClassPairs(
       ngramJaccardReps(cc.classes, n, minJaccard, candidateMinEst),
       cc, "jaccard", lit(1.0))
