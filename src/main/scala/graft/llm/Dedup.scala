@@ -461,10 +461,15 @@ object Dedup {
       .unionByName(delta
         .select(id.as("doc_id"), text.as("_t"), lit(true).as("is_delta")))
     val keyed = tagged.withColumn("_h", xxhash64(col("_t")))
+    // r18: checkpoint the collapse (the contentClasses convention) —
+    // dupMembers, the banding, the delta-class prune and the
+    // relevant-reps union are separate consumer subtrees that each
+    // re-aggregated base+delta otherwise.
     val classes = keyed.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"),
         graft.functions.FirstAny.firstAny(col("_t")).as("_t"),
         max(col("is_delta")).as("has_delta"))
+      .localCheckpoint()
     // dup-only membership via the hash join, same as contentClasses
     val dupMembers = keyed.select(col("doc_id"), col("_h"))
       .join(classes.filter(col("n") >= 2)
