@@ -408,14 +408,26 @@ class PlanSpec extends SparkSpec {
   test("dd_incremental_lsh probes buckets via broadcast, never shuffles the corpus for the probe") {
     val plan = physicalPlan("dd_incremental_lsh")
     assert(plan.contains("BroadcastExchange"),
-      "delta bucket keys should broadcast")
+      "delta/relevant-rep keys should broadcast")
     assert("LeftSemi".r.findAllIn(plan).size >= 2,
-      "bucket prune + delta-pair filter should both be semi joins")
-    // the only hash shuffle is the surviving buckets' aggregation +
-    // the final pair dedup — the banded corpus stream itself must
-    // reach the semi probe unshuffled
-    assert(!plan.contains("SortMergeJoin"),
-      "corpus-side shuffle join appeared in the delta probe")
+      "membership prune + delta-pair filter should both be semi joins")
+    // r18: the collapse and the banded bucket probe materialize ONCE
+    // at construction (localCheckpoint) — the query-level plan must
+    // read their results as ExistingRDD and never re-plan the
+    // banding/probe (pre-r18 the corpus re-aggregated per consumer).
+    // The membership left-joins MAY plan as SortMergeJoin statically
+    // (a LogicalRDD has no size stats, so no static broadcast); AQE
+    // converts them to broadcast at runtime when small, and on a
+    // duplicate-heavy corpus the shuffle is the right plan anyway.
+    assert(plan.contains("ExistingRDD"),
+      "probe/collapse no longer materialized once (checkpoint lost)")
+    // `is_delta` is the PRE-collapse tag: it only appears when a
+    // consumer re-plans the base+delta collapse aggregation itself
+    // (21 occurrences pre-r18, one per re-planned subtree; 0 once the
+    // collapse is checkpointed — consumers read has_delta from the
+    // materialized classes).
+    assert(!plan.contains("is_delta"),
+      "a consumer re-plans the base+delta collapse at the query level")
   }
 
   test("ds_temperature_sample broadcasts counts; the data stream never shuffles") {
