@@ -630,7 +630,13 @@ object TextAnalysis {
     // n_candidates in txt_cosine_stats, must not move). Results are
     // identical modulo 2^-64 xxhash64 collisions — the repo-wide
     // contentClasses convention, already accepted on this kernel's
-    // collapse pre-pass.
+    // collapse pre-pass. Scale bound, stated (r18, the r17 advice):
+    // expected collisions ≈ k²/2⁶⁵ over k distinct grams — ~1 at
+    // k ≈ 10¹⁰ (the 100 TB-corpus envelope), each perturbing one df
+    // or intersection count by 1. Deployments beyond that bound (or
+    // needing exactness on these legs) should widen the key to two
+    // independent-seed xxhash64 halves; the prefix window below keeps
+    // exact STRINGS regardless, so n_candidates never moves.
     val toksH = toks.select(col("rep"), xxhash64(col("tok")).as("_th"))
     val dfreq = toksH.groupBy(col("_th")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("rep"))
